@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import graft.functions._
+
+/**
+ * Registration + Column API for graft's native expressions.
+ *
+ * Expressions are registered in the session FunctionRegistry and
+ * exposed through `call_function`, which keeps the library on public
+ * Spark API only (no private Column constructors).
+ */
+object GraftFunctions {
+
+  private def intLit(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue
+  private def longLit(e: Expression): Long =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue
+
+  /** Idempotent; call once per SparkSession before using the helpers. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => VectorDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => VectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2_distance",
+      es => VectorL2Distance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l1_distance",
+      es => VectorL1Distance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_norm",
+      es => VectorNorm(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2_normalize",
+      es => VectorL2Normalize(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_embed",
+      es => FakeEmbed(es(0), intLit(es(1)), longLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      es => SimHash64(es(0), longLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_buckets",
+      es => HyperplaneBuckets(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      es => DocFingerprint(es(0), longLit(es(1))), "scala_udf")
+  }
+
+  // ---- Column helpers ----------------------------------------------------
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def l2Distance(a: Column, b: Column): Column = call_function("graft_l2_distance", a, b)
+  def l1Distance(a: Column, b: Column): Column = call_function("graft_l1_distance", a, b)
+  /** Reference semantics: euclidean similarity = 1/(1+L2). */
+  def euclideanSim(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l2Distance(a, b))
+  /** Reference semantics: manhattan similarity = 1/(1+L1). */
+  def manhattanSim(a: Column, b: Column): Column = lit(1.0) / (lit(1.0) + l1Distance(a, b))
+  def vecNorm(a: Column): Column = call_function("graft_norm", a)
+  def l2Normalize(a: Column): Column = call_function("graft_l2_normalize", a)
+
+  def embedText(text: Column, dim: Int = 64, seed: Long = 42L): Column =
+    call_function("graft_embed", text, lit(dim), lit(seed))
+  def minhashSig(text: Column, shingleWords: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column =
+    call_function("graft_minhash", text, lit(shingleWords), lit(numHashes), lit(seed))
+  def simhash(text: Column, seed: Long = 42L): Column =
+    call_function("graft_simhash", text, lit(seed))
+  def lshBuckets(vec: Column, numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L): Column =
+    call_function("graft_lsh_buckets", vec, lit(numTables), lit(bitsPerTable), lit(seed))
+  def docFingerprint(text: Column, seed: Long = 42L): Column =
+    call_function("graft_fingerprint", text, lit(seed))
+
+  /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic hashing primitives used by the embedding stand-in and
+ * the dedup suite. All randomness is derived from a fixed seed through
+ * a splitmix64-style mixer, so results are identical on every executor
+ * with no broadcast state (SURVEY.md paragraph 5).
+ */
+object TextHash {
+
+  /** splitmix64 finalizer — a well-known public-domain mixing function. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over the lowercase letters/digits of a token span. */
+  @inline def fnv1a(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= Character.toLowerCase(s.charAt(i)).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Token spans (letter/digit runs) of a string, as (start,end) pairs. */
+  def tokenSpans(s: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0; val n = s.length
+    while (i < n) {
+      if (Character.isLetterOrDigit(s.charAt(i))) {
+        val start = i
+        while (i < n && Character.isLetterOrDigit(s.charAt(i))) i += 1
+        out += (start.toLong << 32) | (i.toLong & 0xffffffffL)
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Hashes of all tokens of a string. */
+  def tokenHashes(s: String): Array[Long] = {
+    val spans = tokenSpans(s)
+    val out = new Array[Long](spans.length)
+    var i = 0
+    while (i < spans.length) {
+      val start = (spans(i) >>> 32).toInt
+      val end = (spans(i) & 0xffffffffL).toInt
+      out(i) = fnv1a(s, start, end)
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Deterministic bag-of-words random-projection embedding: each token
+   * contributes a seeded pseudo-random direction; the sum is
+   * L2-normalized. Texts sharing most tokens embed close in cosine —
+   * the same contract as the reference's external embedding API
+   * (/root/reference/services/embedding_service.py:205-225) without
+   * network egress.
+   */
+  def embed(text: UTF8String, dim: Int, seed: Long): ArrayData = {
+    val s = text.toString
+    val hashes = tokenHashes(s)
+    val v = new Array[Double](dim)
+    var t = 0
+    while (t < hashes.length) {
+      var state = mix64(hashes(t) ^ seed)
+      var j = 0
+      while (j < dim) {
+        state = mix64(state)
+        // uniform in [-1, 1)
+        v(j) += (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        j += 1
+      }
+      t += 1
+    }
+    var acc = 0.0; var j = 0
+    while (j < dim) { acc += v(j) * v(j); j += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) { out(j) = (if (norm > 0.0) v(j) / norm else 0.0).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * MinHash signature over token w-shingles in a single pass: shingle
+   * hash = mix of member token hashes; per-permutation hash
+   * h_i(x) = mix64(x ^ mix64(seed+i)). Standard MinHash construction
+   * (Broder 1997).
+   */
+  def minhash(text: UTF8String, shingleWords: Int, numHashes: Int, seed: Long): ArrayData = {
+    val toks = tokenHashes(text.toString)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val perm = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { perm(i) = mix64(seed + i); i += 1 }
+    if (toks.length >= shingleWords) {
+      var p = 0
+      while (p <= toks.length - shingleWords) {
+        var sh = 0x27d4eb2f165667c5L
+        var q = 0
+        while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
+        i = 0
+        while (i < numHashes) {
+          val h = mix64(sh ^ perm(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over unigram token hashes (Charikar 2002). */
+  def simhash(text: UTF8String, seed: Long): Long = {
+    val toks = tokenHashes(text.toString)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = mix64(toks(t) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /**
+   * Sign-random-projection LSH bucket ids, one per table: bucket =
+   * bitsPerTable sign bits of dots with pseudo-random hyperplanes.
+   * Hyperplane component (table,bit,dim j) is derived from the seed on
+   * the fly — no broadcast matrix, identical on every executor.
+   * Generalizes the reference's 1-bit-per-table scheme
+   * (/root/reference/vector_db/algorithms.py:271-310) to multi-bit
+   * buckets so candidate sets stay sub-linear at scale.
+   */
+  def hyperplaneBuckets(vec: ArrayData, isFloat: Boolean, numTables: Int,
+                        bitsPerTable: Int, seed: Long): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerTable) {
+        var state = mix64(seed ^ (t.toLong << 32) ^ b.toLong)
+        var dot = 0.0
+        var j = 0
+        while (j < d) {
+          state = mix64(state)
+          val comp = (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+          dot += comp * x
+          j += 1
+        }
+        if (dot >= 0.0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rolling Rabin-Karp style document fingerprint over tokens. */
+  def fingerprint(text: UTF8String, seed: Long): Long = {
+    val toks = tokenHashes(text.toString)
+    var h = mix64(seed)
+    var i = 0
+    while (i < toks.length) { h = mix64(h * 31L + toks(i)); i += 1 }
+    h
+  }
+}
+
+/** text -> deterministic Array[Float] embedding (Cohere stand-in). */
+case class FakeEmbed(child: Expression, dim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_embed"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.embed(v.asInstanceOf[UTF8String], dim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.embed($s, $dim, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> MinHash signature array<long>. */
+case class MinHashSig(child: Expression, shingleWords: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.minhash(v.asInstanceOf[UTF8String], shingleWords, numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.minhash($s, $shingleWords, $numHashes, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> 64-bit SimHash. */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhash(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.simhash($s, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** vector -> LSH bucket id per table, array<int>. */
+case class HyperplaneBuckets(child: Expression, numTables: Int, bitsPerTable: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.hyperplaneBuckets(v.asInstanceOf[ArrayData], isFloat, numTables, bitsPerTable, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.hyperplaneBuckets($a, $isFloat, $numTables, $bitsPerTable, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> rolling-hash fingerprint (long). */
+case class DocFingerprint(child: Expression, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.fingerprint(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.fingerprint($s, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for vector similarity.
+ *
+ * Semantics follow the reference vector engine
+ * (/root/reference/vector_db/similarity.py:27-144): cosine in [-1,1]
+ * with zero-norm -> 0.0, dot product, euclidean similarity
+ * = 1/(1+L2), manhattan similarity = 1/(1+L1).
+ *
+ * Execution is Spark-first: each metric is a single codegen'd fold
+ * over the two arrays, computed in double precision in sequential
+ * element order so results are reproducible across engines
+ * (SURVEY.md paragraph 5). These stay inside whole-stage codegen — no UDF
+ * serialization, no boxing per element.
+ */
+trait VectorBinaryFold extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  @transient protected lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient protected lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def getL(a: ArrayData, i: Int): Double =
+    if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  protected def getR(a: ArrayData, i: Int): Double =
+    if (rightIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Java source for reading element i of an array in codegen. */
+  protected def genGet(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** Sum(a_i * b_i). */
+case class VectorDot(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += getL(a, i) * getR(b, i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += ${genGet(a, i, leftIsFloat)} * ${genGet(b, i, rightIsFloat)}; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity; 0.0 when either vector has zero norm. */
+case class VectorCosine(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${genGet(a, i, leftIsFloat)};
+         |  double $y = ${genGet(b, i, rightIsFloat)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Euclidean (L2) distance. */
+case class VectorL2Distance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "graft_l2_distance"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = getL(a, i) - getR(b, i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${genGet(a, i, leftIsFloat)} - ${genGet(b, i, rightIsFloat)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Manhattan (L1) distance. */
+case class VectorL1Distance(left: Expression, right: Expression) extends VectorBinaryFold {
+  override def prettyName: String = "graft_l1_distance"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += math.abs(getL(a, i) - getR(b, i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.abs(${genGet(a, i, leftIsFloat)} - ${genGet(b, i, rightIsFloat)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a single vector. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+      val get = if (isFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = $get; $acc += $x * $x; }
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** L2-normalize a vector to unit length (zero vector passes through). */
+case class VectorL2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x; acc += x * x; i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (norm > 0.0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  // Array construction dominates; an interpreted eval via static call keeps
+  // the surrounding stage in codegen without duplicating the loop logic.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.VectorOps.l2Normalize($a, $isFloat);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static helpers callable from generated code. */
+object VectorOps {
+  def l2Normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x; acc += x * x; i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (norm > 0.0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+}
