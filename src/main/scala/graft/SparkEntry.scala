@@ -1,13 +1,304 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md sections 2 and 7. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Per-session setup: registers graft's native functions + configs. */
+  def configure(spark: SparkSession): SparkSession = {
+    // events.parquet carries TIMESTAMP(NANOS), unsupported natively.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    Tables.load(spark, dir, name)
+  }
+
+  /** Flagship: full library-search pipeline (chunk -> embed -> k-NN). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    librarySearchE2E(spark, "/root/testdata/sf0.001")
+
+  private def librarySearchE2E(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val chunks = TextAnalysis.chunkWords(docs, 32)
+    val embedded = chunks.withColumn("emb", embedText(col("chunk_text"), 64))
+    val qv = spark.range(1)
+      .select(embedText(lit("spark join stream table filter"), 64).as("qvec"))
+    embedded.crossJoin(broadcast(qv))
+      .select(col("source"), col("doc_id"), col("chunk_idx"),
+        round(cosineSim(col("emb"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(10)
+  }
+
+  private def embQuery(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    (emb.filter(col("vec_id") =!= 0), q)
+  }
+
+  /** One entry per implemented operator from SURVEY.md section 2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A. core relational -------------------------------------------
+    "q1_agg" -> ((s, d) => Relational.q1(t(s, d, "lineitem"))),
+    "q2_join_agg" -> ((s, d) =>
+      Relational.q2(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "q3_topk" -> ((s, d) => Relational.q3(t(s, d, "orders"))),
+    "q4_window" -> ((s, d) => Relational.q4(t(s, d, "orders"))),
+    "q5_distinct" -> ((s, d) => Relational.q5(t(s, d, "lineitem"))),
+    "q6_exists_join" -> ((s, d) =>
+      Relational.q6(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(t(s, d, "documents"))),
+    // --- B. vector engine ---------------------------------------------
+    "knn_cosine" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnFlat(c, q, "vec_id", "embedding", 10, "cosine") }),
+    "knn_dot" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnFlat(c, q, "vec_id", "embedding", 10, "dot_product") }),
+    "knn_euclidean" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnFlat(c, q, "vec_id", "embedding", 10, "euclidean") }),
+    "knn_manhattan" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnFlat(c, q, "vec_id", "embedding", 10, "manhattan") }),
+    "knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.knnBatch(emb.filter(col("vec_id") >= 5), qs,
+        "vec_id", "embedding", 5, "cosine") }),
+    "vector_stats" -> ((s, d) => VectorSearch.vectorStats(t(s, d, "embeddings"))),
+    "vector_normalize" -> ((s, d) => VectorSearch.normalized(t(s, d, "embeddings"))),
+    "lsh_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
+    "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
+    // --- C. embedding + chunking pipeline -----------------------------
+    "embed_documents" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        embedText(col("text"), 64).as("embedding"))
+        .orderBy(col("doc_id").asc)),
+    "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
+    "library_search_e2e" -> ((s, d) => librarySearchE2E(s, d)),
+    // --- D. dedup suite ------------------------------------------------
+    "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"))),
+    // --- E. text analysis ----------------------------------------------
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.contentFingerprint(t(s, d, "documents"))),
+    // --- F. events ------------------------------------------------------
+    "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
+    "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
+    // --- G. multimodal --------------------------------------------------
+    "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents")))
+  )
+
+  // --- DuckDB oracle SQL (see SURVEY.md paragraph 5 for parity rules) -----
+  private val toksCte =
+    "SELECT doc_id, source, list_filter(string_split_regex(lower(text)," +
+      "'[^a-z0-9]+'), x -> x <> '') toks FROM documents"
+  private val stopList =
+    TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+  private val embD = "CAST(e.embedding AS DOUBLE[])"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+        | COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_custkey, rk, o_orderkey, o_totalprice, running_spend
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q5_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(DISTINCT l_orderkey) AS n_orders,
+        | COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+    "q6_exists_join" ->
+      """WITH oc AS (SELECT DISTINCT o_custkey FROM orders),
+        | w AS (SELECT c_nationkey, COUNT(*) AS n_with FROM customer
+        |        WHERE c_custkey IN (SELECT o_custkey FROM oc) GROUP BY 1),
+        | wo AS (SELECT c_nationkey, COUNT(*) AS n_without FROM customer
+        |        WHERE c_custkey NOT IN (SELECT o_custkey FROM oc) GROUP BY 1)
+        |SELECT n_name, COALESCE(w.n_with, 0) AS n_with_orders,
+        | COALESCE(wo.n_without, 0) AS n_without_orders
+        |FROM nation LEFT JOIN w ON n_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON n_nationkey = wo.c_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "chunk_stats" ->
+      s"""WITH t AS ($toksCte),
+         | c AS (SELECT doc_id, source, unnest(list_transform(
+         |   range(0, (len(toks)+31)//32),
+         |   i -> {'chunk_idx': CAST(i AS INT),
+         |         'n_tokens': CAST(least(32, len(toks) - i*32) AS INT)}),
+         |   recursive := true)
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         | ROUND(CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*), 6) AS avg_chunk_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "knn_cosine" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_dot" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(list_dot_product($embD, q.qv), 6) AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_euclidean" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(1.0/(1.0 + list_distance($embD, q.qv)), 6) AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_manhattan" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | s AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) ev, q.qv
+         |        FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, ROUND(1.0/(1.0 + list_sum(list_transform(
+         |  range(1, len(ev)+1), i -> abs(ev[i] - qv[i])))), 6) AS score
+         |FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | sc AS (SELECT q.query_id, e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score
+         |        FROM embeddings e, q WHERE e.vec_id >= 5),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "vector_stats" ->
+      s"""SELECT label, COUNT(*) AS vector_count,
+         | CAST(MAX(len(embedding)) AS INT) AS dimension,
+         | ROUND(MIN(sqrt(list_dot_product($embD, $embD))), 6) AS min_norm,
+         | ROUND(MAX(sqrt(list_dot_product($embD, $embD))), 6) AS max_norm,
+         | ROUND(AVG(sqrt(list_dot_product($embD, $embD))), 6) AS avg_norm
+         |FROM embeddings e GROUP BY label ORDER BY label""".stripMargin,
+    "vector_normalize" ->
+      s"""SELECT vec_id,
+         | list_transform(CAST(e.embedding AS DOUBLE[]),
+         |   x -> ROUND(x / sqrt(list_dot_product($embD, $embD)), 6)) AS unit_vec,
+         | ROUND(sqrt(list_dot_product($embD, $embD)), 6) AS norm
+         |FROM embeddings e ORDER BY vec_id""".stripMargin,
+    "chunk_sentences" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id, source, chunk_idx, chunk_text, n_tokens FROM (
+         | SELECT doc_id, source, unnest(list_transform(
+         |   range(0, (len(toks)+31)//32),
+         |   i -> {'chunk_idx': CAST(i AS INT),
+         |         'chunk_text': array_to_string(toks[i*32+1 : i*32+32], ' '),
+         |         'n_tokens': CAST(least(32, len(toks) - i*32) AS INT)}),
+         |   recursive := true)
+         | FROM t WHERE len(toks) > 0)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS ($toksCte),
+         | s AS (SELECT doc_id, source, list_distinct(list_transform(
+         |   range(0, greatest(len(toks)-2, 0)),
+         |   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) sh FROM t),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         |        len(a.sh) AS na, len(b.sh) AS nb
+         |       FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id),
+         | j AS (SELECT doc_a, doc_b,
+         |        ROUND(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard FROM p)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim
+         | FROM embeddings a JOIN embeddings b
+         |   ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "text_tokens" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks, length(text) nc FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         | CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+         | CAST(nc AS INT) AS n_chars
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) nt,
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) sh,
+         |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) tl FROM t),
+         | c AS (SELECT doc_id,
+         |   CASE WHEN nt > 0 THEN sh/nt ELSE 0.0 END sr,
+         |   CASE WHEN nt > 0 THEN tl/nt ELSE 0.0 END al,
+         |   least(1.0, nt/200.0) ls FROM m)
+         |SELECT doc_id, ROUND(sr, 6) AS stopword_ratio, ROUND(al, 6) AS avg_token_len,
+         | ROUND(0.4*sr + 0.3*ls + 0.3*greatest(0.0, 1.0 - abs(al - 5.0)/10.0), 6) AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+         |     / len(toks) ELSE 0.0 END ratio FROM t)
+         |SELECT doc_id, ROUND(ratio, 6) AS stopword_ratio,
+         | CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_window_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) ts, event_type, value, user_id FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+        | g AS (SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END is_new FROM e),
+        | s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq FROM g)
+        |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+  )
 }

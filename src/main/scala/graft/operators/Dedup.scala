@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions._
+
+/**
+ * Deduplication suite for large text corpora (SURVEY.md paragraph 2 D).
+ *
+ * All variants follow the same scale shape: signatures are computed
+ * map-side in one pass (codegen'd expressions), candidate generation
+ * shuffles only compact keys (hash / band / block), and expensive
+ * verification runs only on candidate pairs.
+ */
+object Dedup {
+
+  /** Tokens of lowercased text (letters/digits runs), empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /**
+   * Exact dedup: group by content hash. Emits one row per distinct
+   * content with its cardinality — `n_docs > 1` rows are the dup sets.
+   */
+  def exact(docs: DataFrame): DataFrame = {
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("content_hash").asc)
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs: 64-hash signature, banded into
+   * `numBands` buckets; pairs sharing any band bucket are verified by
+   * signature agreement (estimated Jaccard) >= threshold.
+   */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = docs.select(col("doc_id"),
+      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("jaccard_est",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit fingerprint; banding the hash into
+   * 4 x 16-bit segments (pigeonhole: hamming <= 3 implies one equal
+   * segment); verify with exact Hamming distance.
+   */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text"), seed).as("fp"))
+    val segmented = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(s =>
+        shiftright(col("fp"), s * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("seg", "segval")))
+    segmented.as("a")
+      .join(segmented.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.fp"), col("b.fp")).cast("int").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /**
+   * Word n-gram Jaccard similarity on pairs blocked by `source`
+   * (block key at 100 TB would be an LSH band; the blocked join keeps
+   * verification quadratic only within blocks).
+   */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingled = docs.select(col("doc_id"), col("source"),
+      array_distinct(shingleStrings(tokens(col("text")), n)).as("sh"))
+    shingled.as("a")
+      .join(shingled.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(filter(col("a.sh"), x => array_contains(col("b.sh"), x))).as("inter"),
+        size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Word n-gram shingle strings of a token array. */
+  def shingleStrings(toks: Column, n: Int): Column = {
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs, blocked by `label` (at 100 TB the
+   * block key is an LSH bucket from `lshBuckets`; the join shape is
+   * identical).
+   */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+}

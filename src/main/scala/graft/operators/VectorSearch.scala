@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions._
+
+/**
+ * k-NN search operators — the Spark re-expression of the reference's
+ * vector indexes (/root/reference/vector_db/algorithms.py).
+ *
+ * Design for scale (SURVEY.md paragraph 4):
+ *  - Flat search: similarity is one codegen'd expression over a columnar
+ *    scan; `orderBy(desc).limit(k)` plans as TakeOrderedAndProject =
+ *    per-partition top-k heap + driver merge of k rows per partition.
+ *    No global sort, no shuffle of the corpus.
+ *  - The query side is always tiny (a handful of vectors) and is
+ *    broadcast; the corpus is never moved.
+ *  - LSH: bucket ids map-side, candidates via equi-join on
+ *    (table, bucket) — shuffle carries only matching buckets; AQE
+ *    handles skewed buckets.
+ *  - Grid: bounds from one partial-aggregated pass; cell key map-side;
+ *    probe = equi-join on cell key over neighbor cells.
+ */
+object VectorSearch {
+
+  /** Similarity column for one of the reference's four metrics. */
+  def similarity(metric: String, a: Column, b: Column): Column = metric match {
+    case "cosine"      => cosineSim(a, b)
+    case "dot_product" => dotProduct(a, b)
+    case "euclidean"   => euclideanSim(a, b)
+    case "manhattan"   => manhattanSim(a, b)
+    case other         => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /**
+   * Exact (Flat) top-k against a single query row.
+   * `query` must be a 1-row frame with a `qvec` column.
+   */
+  def knnFlat(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+              k: Int, metric: String): DataFrame = {
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Batched exact top-k: one result group per query row. Queries are
+   * broadcast; ranking via window at test scale (scale path: partial
+   * top-k aggregate, SURVEY.md paragraph 4).
+   */
+  def knnBatch(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, metric: String): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /**
+   * LSH approximate top-k: sign-random-projection buckets
+   * (numTables x bitsPerTable), candidate = corpus row sharing any
+   * table's bucket with the query, then exact re-rank of candidates.
+   */
+  def lshKnn(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+             k: Int, metric: String = "cosine",
+             numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, vc: String) = df
+      .withColumn("bs", lshBuckets(col(vc), numTables, bitsPerTable, seed))
+      .select(df.columns.map(col) :+
+        posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
+    val corpusB = withBuckets(corpus, vecCol)
+    val queryB = withBuckets(query, "qvec")
+    val candidates = corpusB
+      .join(broadcast(queryB), Seq("tbl", "bucket"))
+      .select(col(idCol), col(vecCol), col("qvec"))
+      .dropDuplicates(idCol)
+    candidates
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Grid approximate top-k on a low-dimensional prefix subspace
+   * (the reference's uniform grid; restricted to `gridDims` leading
+   * dimensions because a uniform grid is vacuous in high dimensions —
+   * algorithms.py:537-563 applies the same escape hatch).
+   * Cells are `cellsPerDim` quantiles of [min,max] per dimension;
+   * probe = query cell + all +/-1 neighbor cells, exact re-rank.
+   */
+  def gridKnn(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+              k: Int, metric: String = "euclidean",
+              gridDims: Int = 4, cellsPerDim: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // One pass for per-dimension bounds (partial agg map-side).
+    val bounds = corpus
+      .select(posexplode(slice(col(vecCol), 1, gridDims)).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().sortBy(_.getInt(0))
+    val lo = bounds.map(r => r.getFloat(1).toDouble)
+    val hi = bounds.map(r => r.getFloat(2).toDouble)
+
+    def cellOf(vc: Column, d: Int): Column = {
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      least(greatest(floor((vc.getItem(d) - lit(lo(d))) / lit(range) * cellsPerDim), lit(0)),
+        lit(cellsPerDim - 1)).cast("int")
+    }
+    def cellKey(vc: Column): Column =
+      concat_ws(",", (0 until gridDims).map(d => cellOf(vc, d)): _*)
+
+    val corpusC = corpus.withColumn("cell", cellKey(col(vecCol)))
+
+    // Explode the query into its cell + 3^gridDims - 1 neighbors.
+    val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
+      .foldLeft(Seq(Seq.empty[Int]))((acc, s) => acc.flatMap(p => s.map(p :+ _)))
+    val queryCells = query.select(col("qvec"),
+      explode(array(offsets.map { off =>
+        concat_ws(",", (0 until gridDims).map(d =>
+          (cellOf(col("qvec"), d) + lit(off(d)))): _*)
+      }: _*)).as("cell")).dropDuplicates("cell")
+
+    corpusC.join(broadcast(queryCells), Seq("cell"))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Index-stats analog of the reference's get_stats(): per-label shape. */
+  def vectorStats(emb: DataFrame): DataFrame = {
+    emb.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("vector_count"),
+        max(size(col("embedding"))).as("dimension"),
+        round(min(vecNorm(col("embedding"))), 6).as("min_norm"),
+        round(max(vecNorm(col("embedding"))), 6).as("max_norm"),
+        round(avg(vecNorm(col("embedding"))), 6).as("avg_norm"))
+      .orderBy(col("label").asc)
+  }
+
+  /** L2-normalized embedding column (dot == cosine fast path). */
+  def normalized(emb: DataFrame): DataFrame = {
+    emb.select(col("vec_id"),
+      transform(l2Normalize(col("embedding")), x => round(x, 6)).as("unit_vec"),
+      round(vecNorm(col("embedding")), 6).as("norm"))
+      .orderBy(col("vec_id").asc)
+  }
+}
