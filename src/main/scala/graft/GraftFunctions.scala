@@ -44,7 +44,15 @@ object GraftFunctions {
       es => HyperplaneBuckets(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       es => DocFingerprint(es(0), longLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashesExpr(es(0), intLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      es => TextStats(es(0), stopwordsEn), "scala_udf")
   }
+
+  /** Canonical english stopword list (mirrored in the DuckDB oracle). */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with", "as", "at", "by", "an", "be", "this", "that", "it", "or")
 
   // ---- Column helpers ----------------------------------------------------
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -68,6 +76,10 @@ object GraftFunctions {
     call_function("graft_lsh_buckets", vec, lit(numTables), lit(bitsPerTable), lit(seed))
   def docFingerprint(text: Column, seed: Long = 42L): Column =
     call_function("graft_fingerprint", text, lit(seed))
+  def shingleHashes(text: Column, shingleWords: Int = 3): Column =
+    call_function("graft_shingle_hashes", text, lit(shingleWords))
+  def textStats(text: Column): Column =
+    call_function("graft_text_stats", text)
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -27,7 +27,7 @@ object SparkEntry {
 
   private def librarySearchE2E(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val chunks = TextAnalysis.chunkWords(docs, 32)
+    val chunks = TextAnalysis.chunksUnordered(docs, 32)
     val embedded = chunks.withColumn("emb", embedText(col("chunk_text"), 64))
     val qv = spark.range(1)
       .select(embedText(lit("spark join stream table filter"), 64).as("qvec"))

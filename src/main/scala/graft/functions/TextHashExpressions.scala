@@ -181,6 +181,69 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /**
+   * Distinct hashes of token w-shingles in one pass (tokenize + hash +
+   * dedup). Join-side twin of the string-shingle oracle: token strings
+   * contain no separator, so the triple -> string mapping is injective
+   * and distinct-hash cardinalities equal distinct-string cardinalities
+   * (modulo 2^-64 collisions).
+   */
+  def shingleHashes(text: UTF8String, shingleWords: Int): ArrayData = {
+    val toks = tokenHashes(text.toString)
+    if (toks.length < shingleWords) return new GenericArrayData(Array.empty[Long])
+    val n = toks.length - shingleWords + 1
+    val hs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var sh = 0x27d4eb2f165667c5L
+      var q = 0
+      while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
+      hs(p) = sh
+      p += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1; var i = 1
+    while (i < n) { if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }; i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /**
+   * One-pass per-document token statistics:
+   * (n_tokens, n_unique, total_token_chars, stopword_hits).
+   * Feeds tokenStats / qualityScore / langId without re-tokenizing per
+   * derived column.
+   */
+  def textStats(text: UTF8String, stopHashes: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val spans = tokenSpans(s)
+    val hashes = new Array[Long](spans.length)
+    var totalLen = 0L
+    var stopHits = 0
+    var i = 0
+    while (i < spans.length) {
+      val start = (spans(i) >>> 32).toInt
+      val end = (spans(i) & 0xffffffffL).toInt
+      val h = fnv1a(s, start, end)
+      hashes(i) = h
+      totalLen += end - start
+      if (java.util.Arrays.binarySearch(stopHashes, h) >= 0) stopHits += 1
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var unique = if (hashes.length > 0) 1 else 0
+    i = 1
+    while (i < hashes.length) { if (hashes(i) != hashes(i - 1)) unique += 1; i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spans.length, unique, totalLen, stopHits))
+  }
+
+  /** Sorted token hashes of a word list (driver-side, for textStats). */
+  def hashWords(words: Seq[String]): Array[Long] = {
+    val hs = words.map(w => fnv1a(w, 0, w.length)).toArray
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
   /** Rolling Rabin-Karp style document fingerprint over tokens. */
   def fingerprint(text: UTF8String, seed: Long): Long = {
     val toks = tokenHashes(text.toString)
@@ -254,6 +317,49 @@ case class HyperplaneBuckets(child: Expression, numTables: Int, bitsPerTable: In
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextHash.hyperplaneBuckets($a, $isFloat, $numTables, $bitsPerTable, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> array<long> of distinct token-shingle hashes. */
+case class ShingleHashesExpr(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashes(v.asInstanceOf[UTF8String], shingleWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.shingleHashes($s, $shingleWords);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> struct(n_tokens, n_unique_tokens, total_token_chars, stop_hits). */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_unique_tokens", IntegerType, nullable = false),
+    StructField("total_token_chars", LongType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  @transient private lazy val stopHashes: Array[Long] = TextHash.hashWords(stopwords)
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.textStats(v.asInstanceOf[UTF8String], stopHashes)
+
+  // Non-codegen (CodegenFallback-style) would break the stage; instead
+  // pipe the precomputed stopword hash table through a codegen
+  // reference object.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopHashes", stopHashes, "long[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.textStats($s, $stopRef);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -86,14 +86,26 @@ object Dedup {
    * verification quadratic only within blocks).
    */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Inverted-index formulation: explode distinct shingle hashes
+    // (one-pass native expression — tokenize + hash + dedup per row),
+    // count co-occurrences per pair (= intersection size) with one
+    // shuffle on the shingle hash, then derive Jaccard from per-doc
+    // set sizes. Never materializes the quadratic pair space — only
+    // pairs actually sharing a shingle appear; the shuffle payload is
+    // fixed-width longs, not strings.
     val shingled = docs.select(col("doc_id"), col("source"),
-      array_distinct(shingleStrings(tokens(col("text")), n)).as("sh"))
-    shingled.as("a")
-      .join(shingled.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(filter(col("a.sh"), x => array_contains(col("b.sh"), x))).as("inter"),
-        size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+      shingleHashes(col("text"), n).as("sh"))
+    val inverted = shingled.select(col("doc_id"), col("source"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        xxhash64(col("source"), col("shingle")).as("sh_hash"))
+    val inter = inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.sh_hash") === col("b.sh_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)

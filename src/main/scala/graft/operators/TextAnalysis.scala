@@ -14,19 +14,26 @@ import org.apache.spark.sql.functions._
  * 100 TB these run map-side in the scan stage with zero shuffle.
  */
 object TextAnalysis {
+  import graft.GraftFunctions.textStats
 
   def tokens(c: Column): Column = Dedup.tokens(c)
 
   /** Small fixed english stopword list (shared with the DuckDB oracle). */
-  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
-    "on", "for", "with", "as", "at", "by", "an", "be", "this", "that", "it", "or")
+  val stopwordsEn: Seq[String] = graft.GraftFunctions.stopwordsEn
+
+  // All per-document measures derive from the one-pass TextStats native
+  // expression — one tokenizer run per row, fully codegen'd. The HOF
+  // formulation (filter/aggregate over split()) re-evaluates the
+  // tokenizer per lambda reference and falls out of whole-stage codegen.
 
   /** Token statistics per document. */
   def tokenStats(docs: DataFrame): DataFrame = {
-    docs.select(col("doc_id"),
-      size(tokens(col("text"))).as("n_tokens"),
-      size(array_distinct(tokens(col("text")))).as("n_unique_tokens"),
+    docs.select(col("doc_id"), textStats(col("text")).as("st"),
       length(col("text")).cast("int").as("n_chars"))
+      .select(col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_unique_tokens").as("n_unique_tokens"),
+        col("n_chars"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -36,16 +43,13 @@ object TextAnalysis {
    * double arithmetic only — deterministic across engines.
    */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopArr = array(stopwordsEn.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
-    val totalLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
-    val stopRatio = when(nTok > 0, stopHits / nTok).otherwise(lit(0.0))
-    val avgLen = when(nTok > 0, totalLen / nTok).otherwise(lit(0.0))
+    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"))
+    val nTok = col("st.n_tokens").cast("double")
+    val stopRatio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok).otherwise(lit(0.0))
+    val avgLen = when(nTok > 0, col("st.total_token_chars").cast("double") / nTok).otherwise(lit(0.0))
     val lenSat = least(lit(1.0), nTok / lit(200.0))
     val wordPlaus = greatest(lit(0.0), lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0))
-    docs.select(col("doc_id"),
+    st.select(col("doc_id"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(avgLen, 6).as("avg_token_len"),
       round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * wordPlaus, 6)
@@ -59,13 +63,10 @@ object TextAnalysis {
    * corpus is synthetic english-like text.)
    */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopArr = array(stopwordsEn.map(lit): _*)
-    val ratio = when(nTok > 0,
-      size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok)
-      .otherwise(lit(0.0))
-    docs.select(col("doc_id"),
+    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"))
+    val nTok = col("st.n_tokens").cast("double")
+    val ratio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok).otherwise(lit(0.0))
+    st.select(col("doc_id"),
       round(ratio, 6).as("stopword_ratio"),
       when(ratio >= threshold, "en").otherwise("und").as("pred_lang"))
       .orderBy(col("doc_id").asc)
@@ -83,23 +84,31 @@ object TextAnalysis {
    * text, token count). The reference chunks per sentence
    * (sentence_number); window chunking is the batch-pipeline twin.
    */
-  def chunkWords(docs: DataFrame, window: Int = 32): DataFrame = {
-    val toks = tokens(col("text"))
-    val nChunks = floor((size(toks) + window - 1) / window).cast("int")
-    docs.select(col("doc_id"), col("source"),
-      posexplode(
-        when(size(toks) > 0,
-          transform(sequence(lit(0), nChunks - 1),
-            i => concat_ws(" ", slice(toks, i * window + 1, lit(window)))))
-          .otherwise(array().cast("array<string>")))
-        .as(Seq("chunk_idx", "chunk_text")))
-      .withColumn("n_tokens", size(tokens(col("chunk_text"))))
+  def chunkWords(docs: DataFrame, window: Int = 32): DataFrame =
+    chunksUnordered(docs, window)
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /**
+   * chunkWords without the presentation sort (for downstream aggs).
+   * Tokenizes once into an attribute, explodes chunk indices, then
+   * slices — the token array is never re-derived per chunk.
+   */
+  def chunksUnordered(docs: DataFrame, window: Int = 32): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    toked
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), floor((size(col("toks")) + window - 1) / window).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * window + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("toks")) - col("chunk_idx") * window).as("n_tokens"))
   }
 
   /** Per-source corpus statistics over chunks (reference get_chunk_stats). */
   def chunkStats(docs: DataFrame, window: Int = 32): DataFrame = {
-    chunkWords(docs, window)
+    chunksUnordered(docs, window)
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),

@@ -117,16 +117,22 @@ object VectorSearch {
 
     val corpusC = corpus.withColumn("cell", cellKey(col(vecCol)))
 
-    // Explode the query into its cell + 3^gridDims - 1 neighbors.
+    // The query side is one row: resolve its cell on the driver and
+    // probe the corpus with literal neighbor-cell keys (a tiny IN
+    // filter pushed into the scan — no generated 81-way expression).
+    val qv = query.select(col("qvec")).head.getSeq[Float](0)
+    def qCell(d: Int): Int = {
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      math.min(math.max(math.floor((qv(d) - lo(d)) / range * cellsPerDim).toInt, 0),
+        cellsPerDim - 1)
+    }
     val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
       .foldLeft(Seq(Seq.empty[Int]))((acc, s) => acc.flatMap(p => s.map(p :+ _)))
-    val queryCells = query.select(col("qvec"),
-      explode(array(offsets.map { off =>
-        concat_ws(",", (0 until gridDims).map(d =>
-          (cellOf(col("qvec"), d) + lit(off(d)))): _*)
-      }: _*)).as("cell")).dropDuplicates("cell")
+    val probeKeys = offsets.map(off =>
+      (0 until gridDims).map(d => qCell(d) + off(d)).mkString(",")).distinct
 
-    corpusC.join(broadcast(queryCells), Seq("cell"))
+    corpusC.filter(col("cell").isin(probeKeys: _*))
+      .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
