@@ -60,14 +60,14 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs: 64-bit fingerprint; banding the hash into
-   * 4 x 16-bit segments (pigeonhole: hamming <= 3 implies one equal
+   * 8 x 8-bit segments (pigeonhole: hamming <= 7 implies one equal
    * segment); verify with exact Hamming distance.
    */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 7, seed: Long = 42L): DataFrame = {
     val fp = docs.select(col("doc_id"), simhash(col("text"), seed).as("fp"))
     val segmented = fp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(s =>
-        shiftright(col("fp"), s * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until 8).map(s =>
+        shiftright(col("fp"), s * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("seg", "segval")))
     segmented.as("a")
       .join(segmented.as("b"),

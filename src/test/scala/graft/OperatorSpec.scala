@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.GraftFunctions._
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = SparkTestSession.sfDir
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("knnFlat returns the query vector itself at score 1 when included") {
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+    val top = VectorSearch.knnFlat(emb, q, "vec_id", "embedding", 3, "cosine").collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 1.0)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("all four metrics rank the self-match first") {
+    for (m <- Seq("cosine", "dot_product", "euclidean", "manhattan")) {
+      val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("qvec"))
+      val top = VectorSearch.knnFlat(emb, q, "vec_id", "embedding", 1, m).collect()
+      assert(top.head.getLong(0) == 3L, s"metric $m")
+    }
+  }
+
+  test("lsh candidates re-rank to exact scores; results are a subset of corpus") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val lsh = VectorSearch.lshKnn(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 200, "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, s) =>
+      assert(exact.get(id).forall(_ == s), s"vec $id score mismatch") }
+  }
+
+  test("grid knn euclidean self-query returns neighbors sorted desc") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val got = VectorSearch.gridKnn(corpus, q, "vec_id", "embedding", 10)
+    val rows = got.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("knnBatch produces k rows per query ranked 1..k") {
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = VectorSearch.knnBatch(emb.filter(col("vec_id") >= 3), qs,
+      "vec_id", "embedding", 4, "cosine").collect()
+    assert(got.length == 12)
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4)))
+  }
+
+  test("minhash LSH and ngram jaccard agree on the known near-dup pair") {
+    val nj = Dedup.ngramJaccard(docs, threshold = 0.5).collect()
+    val mh = Dedup.minhashLsh(docs, threshold = 0.5).collect()
+    assert(nj.nonEmpty, "expected at least one near-dup pair in testdata")
+    val njPairs = nj.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhPairs = mh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(njPairs.subsetOf(mhPairs),
+      s"minhash missed true near-dups: ${njPairs -- mhPairs}")
+  }
+
+  test("simhash near-dups include the high-jaccard pairs") {
+    val nj = Dedup.ngramJaccard(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nj.subsetOf(sh), s"simhash missed: ${nj -- sh}")
+  }
+
+  test("exact dedup partitions the corpus") {
+    val d = Dedup.exact(docs).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(d == docs.count())
+  }
+
+  test("chunking reassembles to the tokenized document") {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val rejoined = TextAnalysis.chunkWords(docs)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("glued"),
+        sum("n_tokens").as("total"))
+    val cmp = toks.join(rejoined, "doc_id")
+      .select((concat_ws(" ", col("toks")) === col("glued")).as("same"),
+        (size(col("toks")) === col("total")).as("cnt"))
+      .collect()
+    assert(cmp.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val qs = TextAnalysis.qualityScore(docs)
+      .select(min("quality_score"), max("quality_score")).collect()(0)
+    assert(qs.getDouble(0) >= 0.0 && qs.getDouble(1) <= 1.0)
+  }
+
+  // ---- plan-shape assertions (scale hygiene) -----------------------------
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan(Relational.q1(Tables.load(spark, sfDir, "lineitem")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q2 broadcasts the nation dim") {
+    val p = plan(Relational.q2(Tables.load(spark, sfDir, "customer"),
+      Tables.load(spark, sfDir, "orders"), Tables.load(spark, sfDir, "nation")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p3 = plan(Relational.q3(Tables.load(spark, sfDir, "orders")))
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val pk = plan(VectorSearch.knnFlat(emb, q, "vec_id", "embedding", 10, "cosine"))
+    assert(pk.contains("TakeOrderedAndProject"), pk)
+    assert(pk.contains("BroadcastNestedLoopJoin"), pk)
+  }
+
+  test("knn scan reads only the needed columns") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val pk = plan(VectorSearch.knnFlat(emb, q, "vec_id", "embedding", 10, "cosine"))
+    assert(!pk.contains("label"), "knn should not read the label column")
+  }
+
+  test("text analysis is a single stage (no shuffle before the sort)") {
+    val p = plan(TextAnalysis.tokenStats(docs))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most the final sort exchange:\n$p")
+  }
+}

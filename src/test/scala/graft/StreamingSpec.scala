@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = SparkTestSession.sfDir
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def streamingEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming window agg matches batch twin") {
+    val q = EventStreams.windowAggStream(streamingEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.windowAgg(Tables.load(spark, sfDir, "events"))
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize emits exactly the closed sessions of the batch twin") {
+    import spark.implicits._
+    implicit val s = spark
+    val ev = streamingEvents
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(ev)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    val batch = Events.sessionize(Tables.load(spark, sfDir, "events"))
+    val lastSeq = batch.groupBy("user_id")
+      .agg(max("session_seq").as("last_seq"))
+    val closed = batch.join(lastSeq, "user_id")
+      .filter(col("session_seq") < col("last_seq"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == closed)
+  }
+}
