@@ -69,7 +69,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      VectorSearch.knnBatch(emb.filter(col("vec_id") >= 5), qs,
+      VectorSearch.knnBatchAgg(emb.filter(col("vec_id") >= 5), qs,
         "vec_id", "embedding", 5, "cosine") }),
     "vector_stats" -> ((s, d) => VectorSearch.vectorStats(t(s, d, "embeddings"))),
     "vector_normalize" -> ((s, d) => VectorSearch.normalized(t(s, d, "embeddings"))),
@@ -77,6 +77,8 @@ object SparkEntry {
       VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
     "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
+    "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      IvfIndex.ivfKnn(c, q, "vec_id", "embedding", 10) }),
     // --- C. embedding + chunking pipeline -----------------------------
     "embed_documents" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions._
+
+/**
+ * IVF (inverted-file) vector index: MLlib k-means partitions the
+ * corpus into Voronoi cells; a query probes only the `nProbe` nearest
+ * cells and re-ranks those candidates exactly.
+ *
+ * This is the batch-built scale path promised in BASELINE.json
+ * ("MLlib for batch index build"): the clustering is a one-off
+ * distributed job; the assigned table is a plain column (`cluster`)
+ * that partitions/bucket-ables the corpus, so the probe is a
+ * partition-pruned scan at 100 TB, not a full pass.
+ */
+object IvfIndex {
+
+  /** Fit centroids and return the corpus with a `cluster` column. */
+  def build(emb: DataFrame, vecCol: String, nCentroids: Int = 16,
+            seed: Long = 42L, maxIter: Int = 5): (KMeansModel, DataFrame) = {
+    val featured = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "cluster")
+      .drop("features")
+    (model, assigned)
+  }
+
+  /** Exact re-rank within the nProbe nearest cells to the query. */
+  def search(assigned: DataFrame, model: KMeansModel, query: DataFrame,
+             idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+             metric: String = "cosine"): DataFrame = {
+    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val probeClusters = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var d = 0.0; var j = 0
+        while (j < arr.length) { val t = arr(j) - qv(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+
+    assigned.filter(col("cluster").isin(probeClusters: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-call convenience: build + probe (the `ivf_knn` query). */
+  def ivfKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+             k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (model, assigned) = build(emb, vecCol, nCentroids)
+    search(assigned, model, query, idCol, vecCol, k, nProbe)
+  }
+}

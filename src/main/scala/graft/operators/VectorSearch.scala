@@ -64,6 +64,25 @@ object VectorSearch {
   }
 
   /**
+   * Batched top-k via partial aggregation (the 100 TB path): a bounded
+   * heap per (query x partition) combines map-side, so the shuffle
+   * carries k rows per query per partition instead of the whole scored
+   * cross product. Same output contract as knnBatch.
+   */
+  def knnBatchAgg(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, metric: String): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("query_id"), col(idCol).cast("long").as("id"),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
+      .select(col("query_id"), col("pair._1").as(idCol), col("pair._2").as("score"),
+        (col("r0") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /**
    * LSH approximate top-k: sign-random-projection buckets
    * (numTables x bitsPerTable), candidate = corpus row sharing any
    * table's bucket with the query, then exact re-rank of candidates.
