@@ -125,19 +125,29 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash over unigram token hashes (Charikar 2002). */
-  def simhash(text: UTF8String, seed: Long): Long = {
+  /**
+   * 64-bit SimHash (Charikar 2002) over token w-shingle hashes.
+   * Shingle features (vs unigrams) make random documents' bits nearly
+   * independent even over a small vocabulary, so Hamming distance
+   * tracks shingle-Jaccard and banded buckets stay balanced.
+   */
+  def simhash(text: UTF8String, seed: Long, shingleWords: Int = 3): Long = {
     val toks = tokenHashes(text.toString)
     val votes = new Array[Int](64)
-    var t = 0
-    while (t < toks.length) {
-      val h = mix64(toks(t) ^ seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    if (toks.length >= shingleWords) {
+      var p = 0
+      while (p <= toks.length - shingleWords) {
+        var sh = 0x27d4eb2f165667c5L
+        var q = 0
+        while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
+        val h = mix64(sh ^ seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        p += 1
       }
-      t += 1
     }
     var out = 0L; var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
@@ -293,11 +303,11 @@ case class SimHash64(child: Expression, seed: Long)
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(v: Any): Any =
-    TextHash.simhash(v.asInstanceOf[UTF8String], seed)
+    TextHash.simhash(v.asInstanceOf[UTF8String], seed, 3)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.TextHash.simhash($s, ${seed}L);")
+      s"${ev.value} = graft.functions.TextHash.simhash($s, ${seed}L, 3);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
