@@ -79,6 +79,11 @@ object SparkEntry {
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       IvfIndex.ivfKnn(c, q, "vec_id", "embedding", 10) }),
+    "knn_filtered" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnFiltered(c, q, col("label") === 3,
+        "vec_id", "embedding", 10, "cosine") }),
+    "vector_range_search" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.rangeSearch(c, q, "vec_id", "embedding", 0.2, "cosine") }),
     // --- C. embedding + chunking pipeline -----------------------------
     "embed_documents" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -97,6 +102,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.contentFingerprint(t(s, d, "documents"))),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
@@ -284,6 +290,23 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
+        | FROM documents)
+        |SELECT token, COUNT(*) AS doc_freq FROM t GROUP BY token
+        |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score
+         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 3
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vector_range_search" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | sc AS (SELECT e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score
+         |        FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, score FROM sc WHERE score >= 0.2
+         |ORDER BY score DESC, vec_id""".stripMargin,
     "events_window_agg" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) ts, event_type, value, user_id FROM events)
         |SELECT date_trunc('hour', ts) AS window_start, event_type,

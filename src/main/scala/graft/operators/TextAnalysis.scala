@@ -106,6 +106,20 @@ object TextAnalysis {
         least(lit(window), size(col("toks")) - col("chunk_idx") * window).as("n_tokens"))
   }
 
+  /**
+   * Corpus vocabulary statistics: document frequency per token (the
+   * inverted-index build of a BM25/keyword layer, and the vocab step of
+   * a tokenizer-training pipeline). One explode + one shuffle on the
+   * token; top-n by (df desc, token asc).
+   */
+  def vocabulary(docs: DataFrame, topN: Int = 50): DataFrame = {
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(topN)
+  }
+
   /** Per-source corpus statistics over chunks (reference get_chunk_stats). */
   def chunkStats(docs: DataFrame, window: Int = 32): DataFrame = {
     chunksUnordered(docs, window)

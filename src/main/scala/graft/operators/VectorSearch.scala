@@ -157,6 +157,30 @@ object VectorSearch {
       .limit(k)
   }
 
+  /**
+   * Metadata-filtered exact k-NN (the reference's per-library search
+   * generalized to arbitrary predicates): the filter lands in the scan
+   * (partition/row-group pruning at 100 TB), similarity only runs on
+   * survivors.
+   */
+  def knnFiltered(corpus: DataFrame, query: DataFrame, predicate: Column,
+                  idCol: String, vecCol: String, k: Int, metric: String): DataFrame =
+    knnFlat(corpus.filter(predicate), query, idCol, vecCol, k, metric)
+
+  /**
+   * Threshold (range) search: every vector with similarity >= minScore.
+   * Unlike top-k there is no global ordering bottleneck — pure map-side
+   * filter, arbitrarily parallel.
+   */
+  def rangeSearch(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                  minScore: Double, metric: String): DataFrame = {
+    corpus.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
   /** Index-stats analog of the reference's get_stats(): per-label shape. */
   def vectorStats(emb: DataFrame): DataFrame = {
     emb.groupBy(col("label"))
