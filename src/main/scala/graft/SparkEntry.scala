@@ -103,6 +103,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.contentFingerprint(t(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
+    "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
+      Seq("spark", "join", "stream", "window"))),
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
@@ -296,6 +298,27 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS doc_freq FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    "keyword_bm25" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+        | f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl,
+        |   CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) tf0,
+        |   CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) tf1,
+        |   CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) tf2,
+        |   CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) tf3 FROM t),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) n_docs, CAST(SUM(dl) AS DOUBLE) sum_dl,
+        |   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df0,
+        |   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df1,
+        |   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df2,
+        |   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df3 FROM f),
+        | sc AS (SELECT doc_id, ROUND(
+        |   ln(1.0e0 + (n_docs - df0 + 0.5e0)/(df0 + 0.5e0)) * (tf0 * (1.2e0 + 1.0e0)) / (tf0 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+        | + ln(1.0e0 + (n_docs - df1 + 0.5e0)/(df1 + 0.5e0)) * (tf1 * (1.2e0 + 1.0e0)) / (tf1 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+        | + ln(1.0e0 + (n_docs - df2 + 0.5e0)/(df2 + 0.5e0)) * (tf2 * (1.2e0 + 1.0e0)) / (tf2 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+        | + ln(1.0e0 + (n_docs - df3 + 0.5e0)/(df3 + 0.5e0)) * (tf3 * (1.2e0 + 1.0e0)) / (tf3 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs))), 6) AS score
+        |  FROM f, st)
+        |SELECT doc_id, score FROM sc WHERE score > 0.0e0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "knn_filtered" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score

@@ -96,11 +96,15 @@ object VectorSearch {
         posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
     val corpusB = withBuckets(corpus, vecCol)
     val queryB = withBuckets(query, "qvec")
-    val candidates = corpusB
-      .join(broadcast(queryB), Seq("tbl", "bucket"))
-      .select(col(idCol), col(vecCol), col("qvec"))
-      .dropDuplicates(idCol)
-    candidates
+    // Distinct candidate IDS first (hash-aggregable longs), then
+    // semi-join the corpus — arrays are never carried through an
+    // aggregate, and the corpus is filtered by a broadcast of the
+    // (k-scale) candidate set rather than shuffled.
+    val candIds = corpusB
+      .join(broadcast(queryB.select(col("tbl"), col("bucket"))), Seq("tbl", "bucket"))
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
