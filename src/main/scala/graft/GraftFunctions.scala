@@ -48,6 +48,8 @@ object GraftFunctions {
       es => ShingleHashesExpr(es(0), intLit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats",
       es => TextStats(es(0), stopwordsEn), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKAgg(es(0), es(1), intLit(es(2))), "scala_udf")
   }
 
   /** Canonical english stopword list (mirrored in the DuckDB oracle). */
@@ -80,6 +82,9 @@ object GraftFunctions {
     call_function("graft_shingle_hashes", text, lit(shingleWords))
   def textStats(text: Column): Column =
     call_function("graft_text_stats", text)
+  /** Native bounded top-k aggregate -> array<struct<id,score>>. */
+  def topKAgg(id: Column, score: Column, k: Int): Column =
+    call_function("graft_topk", id, score, lit(k))
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

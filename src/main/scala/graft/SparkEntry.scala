@@ -12,6 +12,11 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     // events.parquet carries TIMESTAMP(NANOS), unsupported natively.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Inferred generate guards (isnotnull/size>0 on the generator
+    // input) re-substitute expensive signature expressions below their
+    // projection and double their per-row cost; semantics without them
+    // are identical (empty/null arrays simply generate no rows).
+    spark.conf.set("spark.sql.optimizer.inferFiltersFromGenerate", "false")
     GraftFunctions.register(spark)
     spark
   }
@@ -73,6 +78,9 @@ object SparkEntry {
         "vec_id", "embedding", 5, "cosine") }),
     "vector_stats" -> ((s, d) => VectorSearch.vectorStats(t(s, d, "embeddings"))),
     "vector_normalize" -> ((s, d) => VectorSearch.normalized(t(s, d, "embeddings"))),
+    "vector_quantize" -> ((s, d) => VectorSearch.quantizeInt8(t(s, d, "embeddings"))),
+    "hybrid_search" -> ((s, d) => TextSearch.hybrid(t(s, d, "documents"),
+      "spark join stream window")),
     "lsh_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
     "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
@@ -226,6 +234,13 @@ object SparkEntry {
          |   x -> ROUND(x / sqrt(list_dot_product($embD, $embD)), 6)) AS unit_vec,
          | ROUND(sqrt(list_dot_product($embD, $embD)), 6) AS norm
          |FROM embeddings e ORDER BY vec_id""".stripMargin,
+    "vector_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        | m AS (SELECT vec_id, v,
+        |   list_max(list_transform(v, x -> abs(x)))/127.0e0 AS s FROM e)
+        |SELECT vec_id, ROUND(s, 9) AS scale,
+        | list_transform(v, x -> CAST(round(x/s) AS INT)) AS quantized
+        |FROM m ORDER BY vec_id""".stripMargin,
     "chunk_sentences" ->
       s"""WITH t AS ($toksCte)
          |SELECT doc_id, source, chunk_idx, chunk_text, n_tokens FROM (

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSearch
+
+/**
+ * Scale probe: replicates the embeddings corpus to ~1M vectors on
+ * parquet and measures search-operator throughput through the real
+ * scan+compute path. Evidence for the 100 TB design claims in
+ * SURVEY.md paragraph 4 — the same plans, three orders of magnitude more rows
+ * than the sf tables.
+ */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 500
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    base.crossJoin(spark.range(copies))
+      .select((col("id") * 1000000 + col("vec_id")).as("vec_id"), col("embedding"))
+      .repartition(32) // one scan split per core
+      .write.mode("overwrite").parquet(s"$tmp/vectors")
+    val corpus = spark.read.parquet(s"$tmp/vectors")
+    val n = corpus.count()
+    println(s"[stress] corpus: $n vectors x 64 dims")
+
+    val q = base.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val queries16 = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    def time(name: String)(body: => Long): Unit = {
+      body // warmup
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[stress] $name: $best%.2fs  (${n / best / 1e6}%.1fM vec/s)")
+    }
+
+    time("knn_flat_cosine") {
+      VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine").count() }
+    time("knn_batch_16q") {
+      VectorSearch.knnBatchAgg(corpus, queries16, "vec_id", "embedding", 10, "cosine").count() }
+    time("lsh_knn") {
+      VectorSearch.lshKnn(corpus, q, "vec_id", "embedding", 10).count() }
+    time("range_search") {
+      VectorSearch.rangeSearch(corpus, q, "vec_id", "embedding", 0.2, "cosine").count() }
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    spark.stop()
+  }
+}

@@ -42,24 +42,13 @@ trait VectorBinaryFold extends BinaryExpression {
 case class VectorDot(left: Expression, right: Expression) extends VectorBinaryFold {
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0; var i = 0
-    while (i < n) { acc += getL(a, i) * getR(b, i); i += 1 }
-    acc
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += ${genGet(a, i, leftIsFloat)} * ${genGet(b, i, rightIsFloat)}; }
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dot($a, $b, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -69,35 +58,13 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryFo
 case class VectorCosine(left: Expression, right: Expression) extends VectorBinaryFold {
   override def prettyName: String = "graft_cosine"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val x = getL(a, i); val y = getR(b, i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${genGet(a, i, leftIsFloat)};
-         |  double $y = ${genGet(b, i, rightIsFloat)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosine($a, $b, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -107,28 +74,13 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
 case class VectorL2Distance(left: Expression, right: Expression) extends VectorBinaryFold {
   override def prettyName: String = "graft_l2_distance"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0; var i = 0
-    while (i < n) { val d = getL(a, i) - getR(b, i); acc += d * d; i += 1 }
-    math.sqrt(acc)
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.l2(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${genGet(a, i, leftIsFloat)} - ${genGet(b, i, rightIsFloat)};
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.l2($a, $b, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -138,26 +90,13 @@ case class VectorL2Distance(left: Expression, right: Expression) extends VectorB
 case class VectorL1Distance(left: Expression, right: Expression) extends VectorBinaryFold {
   override def prettyName: String = "graft_l1_distance"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0; var i = 0
-    while (i < n) { acc += math.abs(getL(a, i) - getR(b, i)); i += 1 }
-    acc
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.l1(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.abs(${genGet(a, i, leftIsFloat)} - ${genGet(b, i, rightIsFloat)});
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.l1($a, $b, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -232,6 +171,54 @@ case class VectorL2Normalize(child: Expression) extends UnaryExpression {
 
 /** Static helpers callable from generated code. */
 object VectorOps {
+
+  /** Bulk-copy an ArrayData vector to double[] (accessor calls in the
+    * fold loops are virtual and dominate at millions of rows/s). */
+  @inline def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] = {
+    if (isFloat) {
+      val f = a.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i); i += 1 }
+      out
+    } else a.toDoubleArray()
+  }
+
+  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def l2(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def l1(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += math.abs(a(i) - b(i)); i += 1 }
+    acc
+  }
   def l2Normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
     val out = new Array[Double](n)

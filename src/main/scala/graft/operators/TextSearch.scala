@@ -44,4 +44,32 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topN)
   }
+
+  /**
+   * Hybrid retrieval: convex blend of dense (cosine over embeddings)
+   * and lexical (BM25) scores — the standard two-tower search stack.
+   * BM25 is min-max normalized over its candidate pool so both signals
+   * live on [0,1] before blending.
+   */
+  def hybrid(docs: DataFrame, queryText: String, alpha: Double = 0.5,
+             topN: Int = 20, dim: Int = 64): DataFrame = {
+    import graft.GraftFunctions._
+    val spark = docs.sparkSession
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val lexical = bm25(docs, terms, topN = Int.MaxValue)
+      .withColumnRenamed("score", "bm25")
+    val lexNorm = lexical.crossJoin(broadcast(
+        lexical.agg(max(col("bm25")).as("max_bm25"))))
+      .select(col("doc_id"), (col("bm25") / col("max_bm25")).as("lex_score"))
+    val qv = spark.range(1).select(embedText(lit(queryText), dim).as("qvec"))
+    val dense = docs.crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        cosineSim(embedText(col("text"), dim), col("qvec")).as("dense_score"))
+    dense.join(lexNorm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(alpha) * col("dense_score") +
+          lit(1.0 - alpha) * coalesce(col("lex_score"), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
 }

@@ -75,9 +75,9 @@ object VectorSearch {
       .select(col("query_id"), col(idCol).cast("long").as("id"),
         round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
     scored.groupBy(col("query_id"))
-      .agg(TopKAggregator.topK(k)(col("id"), col("score")).as("top"))
+      .agg(topKAgg(col("id"), col("score"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
-      .select(col("query_id"), col("pair._1").as(idCol), col("pair._2").as("score"),
+      .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
         (col("r0") + 1).cast("int").as("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
@@ -90,18 +90,20 @@ object VectorSearch {
   def lshKnn(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int, metric: String = "cosine",
              numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
-    def withBuckets(df: DataFrame, vc: String) = df
-      .withColumn("bs", lshBuckets(col(vc), numTables, bitsPerTable, seed))
-      .select(df.columns.map(col) :+
-        posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
-    val corpusB = withBuckets(corpus, vecCol)
-    val queryB = withBuckets(query, "qvec")
+    // Explode carries ONLY (id, table, bucket) — the embedding array
+    // never rides through the generate or the join.
+    def buckets(df: DataFrame, keep: Seq[String], vc: String) = df
+      .select(keep.map(col) :+
+        lshBuckets(col(vc), numTables, bitsPerTable, seed).as("bs"): _*)
+      .select(keep.map(col) :+ posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
+    val corpusB = buckets(corpus, Seq(idCol), vecCol)
+    val queryB = buckets(query, Seq.empty, "qvec")
     // Distinct candidate IDS first (hash-aggregable longs), then
     // semi-join the corpus — arrays are never carried through an
     // aggregate, and the corpus is filtered by a broadcast of the
     // (k-scale) candidate set rather than shuffled.
     val candIds = corpusB
-      .join(broadcast(queryB.select(col("tbl"), col("bucket"))), Seq("tbl", "bucket"))
+      .join(broadcast(queryB), Seq("tbl", "bucket"))
       .select(col(idCol)).distinct()
     corpus.join(broadcast(candIds), Seq(idCol), "left_semi")
       .crossJoin(broadcast(query))
@@ -195,6 +197,23 @@ object VectorSearch {
         round(max(vecNorm(col("embedding"))), 6).as("max_norm"),
         round(avg(vecNorm(col("embedding"))), 6).as("avg_norm"))
       .orderBy(col("label").asc)
+  }
+
+  /**
+   * Symmetric int8 scalar quantization: per-vector scale = max|x|/127,
+   * q_i = round(x_i/scale). 4x memory reduction for a 100 TB corpus
+   * (float32 -> int8 + one scale), with exact re-rank on the float
+   * originals for the survivors. Map-side only.
+   */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val vD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withScale = vD.select(col("vec_id"), col("v"),
+      (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("s"))
+    withScale.select(col("vec_id"),
+      round(col("s"), 9).as("scale"),
+      transform(col("v"), x => round(x / col("s")).cast("int")).as("quantized"))
+      .orderBy(col("vec_id").asc)
   }
 
   /** L2-normalized embedding column (dot == cosine fast path). */
