@@ -74,7 +74,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      VectorSearch.knnBatchAgg(emb.filter(col("vec_id") >= 5), qs,
+      VectorSearch.knnBatchFused(emb.filter(col("vec_id") >= 5), qs,
         "vec_id", "embedding", 5, "cosine") }),
     "vector_stats" -> ((s, d) => VectorSearch.vectorStats(t(s, d, "embeddings"))),
     "vector_normalize" -> ((s, d) => VectorSearch.normalized(t(s, d, "embeddings"))),

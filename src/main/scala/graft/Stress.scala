@@ -50,6 +50,8 @@ object Stress {
       VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine").count() }
     time("knn_batch_16q") {
       VectorSearch.knnBatchAgg(corpus, queries16, "vec_id", "embedding", 10, "cosine").count() }
+    time("knn_batch_16q_fused") {
+      VectorSearch.knnBatchFused(corpus, queries16, "vec_id", "embedding", 10, "cosine").count() }
     time("lsh_knn") {
       VectorSearch.lshKnn(corpus, q, "vec_id", "embedding", 10).count() }
     time("range_search") {

@@ -184,16 +184,19 @@ object VectorOps {
     } else a.toDoubleArray()
   }
 
-  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double =
+    dotArr(toDoubles(l, lf), toDoubles(r, rf))
+
+  // ---- raw-array kernels (shared by expressions and fused operators) ----
+
+  def dotArr(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
   }
 
-  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+  def cosineArr(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -204,21 +207,34 @@ object VectorOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def l2(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+  def l2Arr(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
     while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
     math.sqrt(acc)
   }
 
-  def l1(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val a = toDoubles(l, lf); val b = toDoubles(r, rf)
+  def l1Arr(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
     while (i < n) { acc += math.abs(a(i) - b(i)); i += 1 }
     acc
   }
+
+  /** Spark-compatible round-half-up to `scale` decimals (matches the
+    * codegen of catalyst Round on DoubleType: BigDecimal.valueOf). */
+  def roundTo(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double =
+    cosineArr(toDoubles(l, lf), toDoubles(r, rf))
+
+  def l2(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double =
+    l2Arr(toDoubles(l, lf), toDoubles(r, rf))
+
+  def l1(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double =
+    l1Arr(toDoubles(l, lf), toDoubles(r, rf))
   def l2Normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
     val out = new Array[Double](n)
