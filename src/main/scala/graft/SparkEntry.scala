@@ -98,6 +98,7 @@ object SparkEntry {
         embedText(col("text"), 64).as("embedding"))
         .orderBy(col("doc_id").asc)),
     "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
+    "chunk_sliding" -> ((s, d) => TextAnalysis.chunkSliding(t(s, d, "documents"))),
     "library_search_e2e" -> ((s, d) => librarySearchE2E(s, d)),
     // --- D. dedup suite ------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -249,6 +250,17 @@ object SparkEntry {
          |   i -> {'chunk_idx': CAST(i AS INT),
          |         'chunk_text': array_to_string(toks[i*32+1 : i*32+32], ' '),
          |         'n_tokens': CAST(least(32, len(toks) - i*32) AS INT)}),
+         |   recursive := true)
+         | FROM t WHERE len(toks) > 0)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk_sliding" ->
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id, source, chunk_idx, chunk_text, n_tokens FROM (
+         | SELECT doc_id, source, unnest(list_transform(
+         |   range(0, (greatest(len(toks) - 32, 0) + 15)//16 + 1),
+         |   i -> {'chunk_idx': CAST(i AS INT),
+         |         'chunk_text': array_to_string(toks[i*16+1 : i*16+32], ' '),
+         |         'n_tokens': CAST(least(32, len(toks) - i*16) AS INT)}),
          |   recursive := true)
          | FROM t WHERE len(toks) > 0)
          |ORDER BY doc_id, chunk_idx""".stripMargin,

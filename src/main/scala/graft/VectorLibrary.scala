@@ -90,6 +90,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .start()
   }
 
+  /**
+   * Delete documents by predicate (reference DELETE /chunks,
+   * /documents): lake-style copy-on-write — rewrite the store without
+   * the victims. At 100 TB the same flow runs per partition (only
+   * partitions containing victims rewrite, the rest are untouched
+   * files), which is exactly how Delta/Iceberg deletes compile.
+   */
+  def deleteDocuments(predicate: org.apache.spark.sql.Column): Unit = {
+    val survivors = chunks.filter(!predicate)
+    val tmpPath = s"$root/$name/.chunks_rewrite"
+    survivors.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /**
+   * Update a document's text (reference PUT /chunks + background
+   * re-embed, services/chunk_service.py:100-127): delete the old
+   * chunks, re-chunk/re-embed/re-index the new content.
+   */
+  def updateDocument(docId: Long, newDocs: DataFrame): Unit = {
+    deleteDocuments(col("doc_id") === docId)
+    addDocuments(newDocs)
+  }
+
   /** Drop the library store (reference DELETE /libraries/{id}). */
   def delete(): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -107,6 +107,25 @@ object TextAnalysis {
   }
 
   /**
+   * Sliding-window chunking with overlap (the RAG-style chunker:
+   * stride < window keeps context across boundaries). `stride` =
+   * `window` degenerates to chunkWords.
+   */
+  def chunkSliding(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val nChunks = (floor((greatest(size(col("toks")) - window, lit(0)) + stride - 1) / stride) + 1).cast("int")
+    toked
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(when(size(col("toks")) > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("toks")) - col("chunk_idx") * stride).as("n_tokens"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
+  /**
    * Corpus vocabulary statistics: document frequency per token (the
    * inverted-index build of a BM25/keyword layer, and the vocab step of
    * a tokenizer-training pipeline). One explode + one shuffle on the

@@ -35,6 +35,26 @@ class VectorLibrarySpec extends AnyFunSuite {
     assertThrows[Exception](lib.chunks.count())
   }
 
+  test("copy-on-write delete and update flows") {
+    val root = Files.createTempDirectory("graft-lib-crud").toString
+    val lib = new VectorLibrary(spark, root, "crud-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    lib.addDocuments(docs)
+    val before = lib.chunks.count()
+
+    lib.deleteDocuments(col("doc_id") < 5)
+    assert(lib.chunks.filter(col("doc_id") < 5).count() == 0)
+    assert(lib.chunks.count() < before)
+
+    val replacement = docs.filter(col("doc_id") === 7)
+      .withColumn("text", lit("entirely new replacement text body"))
+    lib.updateDocument(7L, replacement)
+    val updated = lib.chunks.filter(col("doc_id") === 7).collect()
+    assert(updated.nonEmpty)
+    assert(updated.head.getAs[String]("chunk_text").contains("replacement"))
+    lib.delete()
+  }
+
   test("streaming ingest embeds and indexes arriving documents") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-stream").toString
