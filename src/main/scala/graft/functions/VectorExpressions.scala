@@ -27,15 +27,6 @@ trait VectorBinaryFold extends BinaryExpression {
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient protected lazy val rightIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  protected def getL(a: ArrayData, i: Int): Double =
-    if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-  protected def getR(a: ArrayData, i: Int): Double =
-    if (rightIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-
-  /** Java source for reading element i of an array in codegen. */
-  protected def genGet(arr: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
 }
 
 /** Sum(a_i * b_i). */
