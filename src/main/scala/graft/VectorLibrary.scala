@@ -56,16 +56,23 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       q, "chunk_id", "embedding", k, seed = seed)
   }
 
-  /** Library stats (reference GET /libraries/{id}/index-info). */
+  /** Library stats (reference GET /libraries/{id}/index-info, incl.
+    * the vector-storage memory estimate of algorithms.py:197-201). */
   def stats: DataFrame = {
     chunks.agg(
       count(lit(1)).as("vector_count"),
       max(size(col("embedding"))).as("dimension"),
       countDistinct(col("doc_id")).as("n_documents"),
       countDistinct(col("source")).as("n_sources"),
-      round(avg(col("n_tokens")), 4).as("avg_chunk_tokens"))
+      round(avg(col("n_tokens")), 4).as("avg_chunk_tokens"),
+      sum(when(col("embedding").isNull, 1).otherwise(0)).as("unindexed_chunks"))
+      .withColumn("est_memory_mb",
+        round(col("vector_count") * col("dimension") * 4 / lit(1024.0 * 1024.0), 3))
       .withColumn("library", lit(name))
   }
+
+  /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
+  def unindexed: DataFrame = chunks.filter(col("embedding").isNull)
 
   /**
    * Streaming ingest: the reference's background embedding task
