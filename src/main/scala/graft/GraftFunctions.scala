@@ -50,6 +50,9 @@ object GraftFunctions {
       es => TextStats(es(0), stopwordsEn), "scala_udf")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKAgg(es(0), es(1), intLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_probes",
+      es => HyperplaneProbes(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)),
+        longLit(es(4))), "scala_udf")
   }
 
   /** Canonical english stopword list (mirrored in the DuckDB oracle). */
@@ -76,6 +79,10 @@ object GraftFunctions {
     call_function("graft_simhash", text, lit(seed))
   def lshBuckets(vec: Column, numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L): Column =
     call_function("graft_lsh_buckets", vec, lit(numTables), lit(bitsPerTable), lit(seed))
+  def lshProbes(vec: Column, numTables: Int = 8, bitsPerTable: Int = 8,
+                extraProbes: Int = 2, seed: Long = 42L): Column =
+    call_function("graft_lsh_probes", vec, lit(numTables), lit(bitsPerTable),
+      lit(extraProbes), lit(seed))
   def docFingerprint(text: Column, seed: Long = 42L): Column =
     call_function("graft_fingerprint", text, lit(seed))
   def shingleHashes(text: Column, shingleWords: Int = 3): Column =

@@ -57,6 +57,15 @@ object Stress {
     time("range_search") {
       VectorSearch.rangeSearch(corpus, q, "vec_id", "embedding", 0.2, "cosine").count() }
 
+    // IVF: one-off distributed index build, then partition-pruned probes.
+    val tb0 = System.nanoTime()
+    val (model, assigned) = operators.IvfIndex.build(corpus, "embedding", nCentroids = 64)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/ivf")
+    val indexed = spark.read.parquet(s"$tmp/ivf")
+    println(f"[stress] ivf_build(64 centroids + partitioned write): ${(System.nanoTime() - tb0) / 1e9}%.2fs")
+    time("ivf_probe(nProbe=4)") {
+      operators.IvfIndex.search(indexed, model, q, "vec_id", "embedding", 10, 4).count() }
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()
   }

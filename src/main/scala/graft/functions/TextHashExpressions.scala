@@ -301,6 +301,68 @@ object TextHash {
     hs
   }
 
+  /**
+   * Multi-probe LSH buckets for the QUERY side: per table, the main
+   * bucket plus `extraProbes` variants with the lowest-|margin| sign
+   * bits flipped (Lv et al. 2007, multi-probe LSH) — the buckets the
+   * true neighbors most likely fell into when a near-zero dot product
+   * landed on the other side of a hyperplane. Output length =
+   * numTables * (1 + extraProbes), grouped by table.
+   */
+  def hyperplaneProbes(vec: ArrayData, isFloat: Boolean, numTables: Int,
+                       bitsPerTable: Int, extraProbes: Int, seed: Long): ArrayData = {
+    val d = vec.numElements()
+    val planes = planesFor(numTables, bitsPerTable, d, seed)
+    val v = new Array[Double](d)
+    if (isFloat) {
+      val f = vec.toFloatArray()
+      var j = 0
+      while (j < d) { v(j) = f(j); j += 1 }
+    } else {
+      val dd = vec.toDoubleArray()
+      var j = 0
+      while (j < d) { v(j) = dd(j); j += 1 }
+    }
+    val perTable = 1 + extraProbes
+    val out = new Array[Int](numTables * perTable)
+    val margins = new Array[Double](bitsPerTable)
+    val order = new Array[Int](bitsPerTable)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0
+      var b = 0
+      while (b < bitsPerTable) {
+        val base = (t * bitsPerTable + b) * d
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += planes(base + j) * v(j); j += 1 }
+        if (dot >= 0.0) bucket |= (1 << b)
+        margins(b) = math.abs(dot)
+        order(b) = b
+        b += 1
+      }
+      // selection-sort bit indices by ascending margin (bitsPerTable is tiny)
+      var i = 0
+      while (i < bitsPerTable) {
+        var m = i; var j2 = i + 1
+        while (j2 < bitsPerTable) {
+          if (margins(order(j2)) < margins(order(m))) m = j2
+          j2 += 1
+        }
+        val tmp = order(i); order(i) = order(m); order(m) = tmp
+        i += 1
+      }
+      out(t * perTable) = bucket
+      var p = 0
+      while (p < extraProbes) {
+        out(t * perTable + 1 + p) = bucket ^ (1 << order(p % bitsPerTable))
+        p += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling Rabin-Karp style document fingerprint over tokens. */
   def fingerprint(text: UTF8String, seed: Long): Long = {
     val toks = tokenHashes(text.toString)
@@ -417,6 +479,27 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.TextHash.textStats($s, $stopRef);")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** vector -> multi-probe LSH bucket ids (query side), array<int>. */
+case class HyperplaneProbes(child: Expression, numTables: Int, bitsPerTable: Int,
+                            extraProbes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_probes"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.hyperplaneProbes(v.asInstanceOf[ArrayData], isFloat, numTables,
+      bitsPerTable, extraProbes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextHash.hyperplaneProbes($a, $isFloat, $numTables, $bitsPerTable, $extraProbes, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -145,7 +145,8 @@ object VectorSearch {
    */
   def lshKnn(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int, metric: String = "cosine",
-             numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L): DataFrame = {
+             numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
+             extraProbes: Int = 2): DataFrame = {
     // Explode carries ONLY (id, table, bucket) — the embedding array
     // never rides through the generate or the join.
     def buckets(df: DataFrame, keep: Seq[String], vc: String) = df
@@ -153,7 +154,15 @@ object VectorSearch {
         lshBuckets(col(vc), numTables, bitsPerTable, seed).as("bs"): _*)
       .select(keep.map(col) :+ posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
     val corpusB = buckets(corpus, Seq(idCol), vecCol)
-    val queryB = buckets(query, Seq.empty, "qvec")
+    // Query side probes extra buckets per table (multi-probe LSH:
+    // flip the lowest-margin sign bits) — recall rises without
+    // touching the stored index.
+    val perTable = 1 + extraProbes
+    val queryB = query
+      .select(lshProbes(col("qvec"), numTables, bitsPerTable, extraProbes, seed).as("bs"))
+      .select(posexplode(col("bs")).as(Seq("pos", "bucket")))
+      .select(floor(col("pos") / perTable).cast("int").as("tbl"), col("bucket"))
+      .distinct()
     // Distinct candidate IDS first (hash-aggregable longs), then
     // semi-join the corpus — arrays are never carried through an
     // aggregate, and the corpus is filtered by a broadcast of the
