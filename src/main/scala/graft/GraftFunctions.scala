@@ -53,6 +53,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_lsh_probes",
       es => HyperplaneProbes(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)),
         longLit(es(4))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantize",
+      es => QuantizeVec(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_quantized_dot",
+      es => QuantizedDot(es(0), es(1)), "scala_udf")
   }
 
   /** Canonical english stopword list (mirrored in the DuckDB oracle). */
@@ -92,6 +96,11 @@ object GraftFunctions {
   /** Native bounded top-k aggregate -> array<struct<id,score>>. */
   def topKAgg(id: Column, score: Column, k: Int): Column =
     call_function("graft_topk", id, score, lit(k))
+  /** vector -> struct(scale, int8 bytes): 4x compressed form. */
+  def quantizeVec(vec: Column): Column = call_function("graft_quantize", vec)
+  /** approximate dot of two quantized structs. */
+  def quantizedDot(a: Column, b: Column): Column =
+    call_function("graft_quantized_dot", a, b)
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

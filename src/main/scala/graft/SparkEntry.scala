@@ -87,6 +87,8 @@ object SparkEntry {
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       IvfIndex.ivfKnn(c, q, "vec_id", "embedding", 10) }),
+    "knn_quantized" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      VectorSearch.knnQuantized(c, q, "vec_id", "embedding", 10) }),
     "knn_filtered" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnFiltered(c, q, col("label") === 3,
         "vec_id", "embedding", 10, "cosine") }),

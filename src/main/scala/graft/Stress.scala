@@ -57,6 +57,9 @@ object Stress {
     time("range_search") {
       VectorSearch.rangeSearch(corpus, q, "vec_id", "embedding", 0.2, "cosine").count() }
 
+    time("knn_quantized") {
+      VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
+
     // IVF: one-off distributed index build, then partition-pruned probes.
     val tb0 = System.nanoTime()
     val (model, assigned) = operators.IvfIndex.build(corpus, "embedding", nCentroids = 64)

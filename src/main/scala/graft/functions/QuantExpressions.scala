@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Int8 scalar quantization for the high-throughput approximate scan
+ * (SURVEY.md paragraph 8): float32 vectors compress 4x into
+ * (scale, bytes); the approximate dot runs on byte arrays with one
+ * float multiply at the end, and survivors re-rank exactly on the
+ * float originals.
+ */
+object QuantOps {
+
+  /** vec -> InternalRow(scale, int8 bytes); scale = max|x| / 127. */
+  def quantize(vec: ArrayData, isFloat: Boolean): InternalRow = {
+    val v = VectorOps.toDoubles(vec, isFloat)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val scale = if (maxAbs > 0.0) maxAbs / 127.0 else 1.0
+    val q = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) { q(i) = math.round(v(i) / scale).toByte; i += 1 }
+    new GenericInternalRow(Array[Any](scale, q))
+  }
+
+  /** Approximate dot: sa * sb * sum(qa_i * qb_i) — integer inner loop. */
+  def dotQ(sa: Double, qa: Array[Byte], sb: Double, qb: Array[Byte]): Double = {
+    val n = math.min(qa.length, qb.length)
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += qa(i) * qb(i); i += 1 }
+    sa * sb * acc
+  }
+}
+
+/** vector -> struct(scale double, q binary). */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+  override def prettyName: String = "graft_quantize"
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    QuantOps.quantize(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.QuantOps.quantize($a, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (struct(scale,q), struct(scale,q)) -> approximate dot product. */
+case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_quantized_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[InternalRow]; val b = r.asInstanceOf[InternalRow]
+    QuantOps.dotQ(a.getDouble(0), a.getBinary(1), b.getDouble(0), b.getBinary(1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.QuantOps.dotQ(
+         |  $a.getDouble(0), $a.getBinary(1), $b.getDouble(0), $b.getBinary(1));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

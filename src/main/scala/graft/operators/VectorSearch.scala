@@ -252,6 +252,30 @@ object VectorSearch {
       .orderBy(col("score").desc, col(idCol).asc)
   }
 
+  /**
+   * Quantized two-phase search: int8 approximate scan (4x less data,
+   * integer inner loop) takes the top rerankFactor*k candidates, then
+   * exact similarity on the float originals ranks the final k.
+   * Vectors are L2-normalized before quantization so the approximate
+   * dot tracks cosine.
+   */
+  def knnQuantized(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                   k: Int, metric: String = "cosine", rerankFactor: Int = 4): DataFrame = {
+    val corpusQ = corpus.select(col(idCol), col(vecCol),
+      quantizeVec(l2Normalize(col(vecCol))).as("qv"))
+    val queryQ = broadcast(query.select(col("qvec"),
+      quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
+    val candidates = corpusQ.crossJoin(queryQ)
+      .select(col(idCol), col(vecCol), col("qvec"),
+        quantizedDot(col("qv"), col("qqv")).as("ascore"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(k * rerankFactor)
+    candidates
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Index-stats analog of the reference's get_stats(): per-label shape. */
   def vectorStats(emb: DataFrame): DataFrame = {
     emb.groupBy(col("label"))

@@ -31,6 +31,22 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized two-phase search recovers the exact top-10") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val overlaps = (0 until 5).map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val corpus = emb.filter(col("vec_id") =!= qid)
+      val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine")
+        .collect().map(_.getLong(0)).toSet
+      val quant = VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect quant).size / 10.0
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"quantized recall@10 over 5 queries: $mean%.2f")
+    assert(mean >= 0.9, s"int8 rerank lost too much: $overlaps")
+  }
+
   test("lsh recall@10 against exact search is measured and sane") {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val recalls = (0 until 5).map { qid =>
