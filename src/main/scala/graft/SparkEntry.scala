@@ -191,7 +191,7 @@ object SparkEntry {
          |  FROM t WHERE len(toks) > 0)
          |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
          | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         | ROUND(CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*), 6) AS avg_chunk_tokens
+         | floor(CAST(SUM(n_tokens) AS DOUBLE)/COUNT(*) * 1.0e6 + 0.5e0)/1.0e6 AS avg_chunk_tokens
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "knn_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
@@ -306,8 +306,9 @@ object SparkEntry {
          |   CASE WHEN nt > 0 THEN sh/nt ELSE 0.0 END sr,
          |   CASE WHEN nt > 0 THEN tl/nt ELSE 0.0 END al,
          |   least(1.0, nt/200.0) ls FROM m)
-         |SELECT doc_id, ROUND(sr, 6) AS stopword_ratio, ROUND(al, 6) AS avg_token_len,
-         | ROUND(0.4*sr + 0.3*ls + 0.3*greatest(0.0, 1.0 - abs(al - 5.0)/10.0), 6) AS quality_score
+         |SELECT doc_id, floor(sr * 1.0e6 + 0.5e0)/1.0e6 AS stopword_ratio,
+         | floor(al * 1.0e6 + 0.5e0)/1.0e6 AS avg_token_len,
+         | floor((0.4e0*sr + 0.3e0*ls + 0.3e0*greatest(0.0e0, 1.0e0 - abs(al - 5.0e0)/10.0e0)) * 1.0e6 + 0.5e0)/1.0e6 AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -315,7 +316,7 @@ object SparkEntry {
          | m AS (SELECT doc_id, CASE WHEN len(toks) > 0 THEN
          |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
          |     / len(toks) ELSE 0.0 END ratio FROM t)
-         |SELECT doc_id, ROUND(ratio, 6) AS stopword_ratio,
+         |SELECT doc_id, floor(ratio * 1.0e6 + 0.5e0)/1.0e6 AS stopword_ratio,
          | CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
          |FROM m ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->

@@ -18,6 +18,19 @@ object TextAnalysis {
 
   def tokens(c: Column): Column = Dedup.tokens(c)
 
+  /**
+   * Cross-engine-stable 6-decimal quantization for ratio-derived
+   * scores. Ratios of small integers regularly produce values that are
+   * EXACT 7-digit decimals (e.g. 0.3820625) whose nearest double sits
+   * one ulp below the decimal half-boundary; engines then disagree on
+   * round() depending on whether they round the double's shortest
+   * string (Spark: down) or scale-by-1e6 in floats (DuckDB: up). This
+   * identical IEEE expression — floor(x*1e6 + 0.5)/1e6 — evaluates
+   * bit-equally everywhere. (Full-entropy doubles like cosines never
+   * sit at the boundary; plain round stays fine for those.)
+   */
+  def quant6(c: Column): Column = floor(c * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+
   /** Small fixed english stopword list (shared with the DuckDB oracle). */
   val stopwordsEn: Seq[String] = graft.GraftFunctions.stopwordsEn
 
@@ -50,9 +63,9 @@ object TextAnalysis {
     val lenSat = least(lit(1.0), nTok / lit(200.0))
     val wordPlaus = greatest(lit(0.0), lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0))
     st.select(col("doc_id"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(avgLen, 6).as("avg_token_len"),
-      round(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * wordPlaus, 6)
+      quant6(stopRatio).as("stopword_ratio"),
+      quant6(avgLen).as("avg_token_len"),
+      quant6(lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * wordPlaus)
         .as("quality_score"))
       .orderBy(col("doc_id").asc)
   }
@@ -67,7 +80,7 @@ object TextAnalysis {
     val nTok = col("st.n_tokens").cast("double")
     val ratio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok).otherwise(lit(0.0))
     st.select(col("doc_id"),
-      round(ratio, 6).as("stopword_ratio"),
+      quant6(ratio).as("stopword_ratio"),
       when(ratio >= threshold, "en").otherwise("und").as("pred_lang"))
       .orderBy(col("doc_id").asc)
   }
@@ -147,7 +160,7 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(avg(col("n_tokens")), 6).as("avg_chunk_tokens"))
+        quant6(avg(col("n_tokens"))).as("avg_chunk_tokens"))
       .orderBy(col("source").asc)
   }
 }
