@@ -23,17 +23,24 @@ object Bench {
       // best of 2 timed runs: single-JVM local mode has multi-second
       // GC/compilation stalls that land on random queries; min is the
       // standard steady-state estimator under one-sided noise.
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: $t"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // A failed query must not masquerade as a fast one: report -1
+      // and list it under "errors" instead of feeding min()/total.
+      val okTimes = runs.collect { case (t, true) => t }
+      name -> (if (okTimes.nonEmpty) okTimes.min else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errs = failed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

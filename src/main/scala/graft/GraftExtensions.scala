@@ -50,7 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_shingle_hashes", "distinct token-shingle hashes (text, w)",
         es => ShingleHashesExpr(es(0), intLit(es(1)))),
       ("graft_text_stats", "token statistics struct (text)",
-        es => TextStats(es(0), GraftFunctions.stopwordsEn)))
+        es => TextStats(es(0), GraftFunctions.stopwordsEn)),
+      ("graft_topk", "bounded top-k aggregate (id, score, k)",
+        es => TopKAgg(es(0), es(1), intLit(es(2)))),
+      ("graft_lsh_probes", "multi-probe LSH buckets (vec, tables, bits, probes, seed)",
+        es => HyperplaneProbes(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)),
+          longLit(es(4)))),
+      ("graft_quantize", "int8 quantize vector -> struct(scale, bytes)",
+        es => QuantizeVec(es(0))),
+      ("graft_quantized_dot", "approximate dot of two quantized structs",
+        es => QuantizedDot(es(0), es(1))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -97,8 +97,9 @@ object SparkEntry {
     // --- C. embedding + chunking pipeline -----------------------------
     "embed_documents" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        embedText(col("text"), 64).as("embedding"))
-        .orderBy(col("doc_id").asc)),
+        posexplode(embedText(col("text"), 64)).as(Seq("pos", "emb_val")))
+        .select(col("doc_id"), col("pos"), round(col("emb_val"), 6).as("emb_val"))
+        .orderBy(col("doc_id").asc, col("pos").asc)),
     "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
     "chunk_sliding" -> ((s, d) => TextAnalysis.chunkSliding(t(s, d, "documents"))),
     "library_search_e2e" -> ((s, d) => librarySearchE2E(s, d)),
@@ -232,18 +233,24 @@ object SparkEntry {
          | ROUND(AVG(sqrt(list_dot_product($embD, $embD))), 6) AS avg_norm
          |FROM embeddings e GROUP BY label ORDER BY label""".stripMargin,
     "vector_normalize" ->
-      s"""SELECT vec_id,
-         | list_transform(CAST(e.embedding AS DOUBLE[]),
-         |   x -> ROUND(x / sqrt(list_dot_product($embD, $embD)), 6)) AS unit_vec,
-         | ROUND(sqrt(list_dot_product($embD, $embD)), 6) AS norm
-         |FROM embeddings e ORDER BY vec_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        | n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e)
+        |SELECT vec_id, pos, unit_val, norm FROM (
+        | SELECT vec_id, ROUND(nrm, 6) AS norm,
+        |  unnest(list_transform(v, (x, i) -> {'pos': CAST(i-1 AS INT),
+        |    'unit_val': ROUND(x / nrm, 6)}), recursive := true)
+        | FROM n)
+        |ORDER BY vec_id, pos""".stripMargin,
     "vector_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         | m AS (SELECT vec_id, v,
         |   list_max(list_transform(v, x -> abs(x)))/127.0e0 AS s FROM e)
-        |SELECT vec_id, ROUND(s, 9) AS scale,
-        | list_transform(v, x -> CAST(round(x/s) AS INT)) AS quantized
-        |FROM m ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, pos, qval, scale FROM (
+        | SELECT vec_id, ROUND(s, 9) AS scale,
+        |  unnest(list_transform(v, (x, i) -> {'pos': CAST(i-1 AS INT),
+        |    'qval': CAST(round(x/s) AS INT)}), recursive := true)
+        | FROM m)
+        |ORDER BY vec_id, pos""".stripMargin,
     "chunk_sentences" ->
       s"""WITH t AS ($toksCte)
          |SELECT doc_id, source, chunk_idx, chunk_text, n_tokens FROM (

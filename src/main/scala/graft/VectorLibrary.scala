@@ -105,13 +105,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * files), which is exactly how Delta/Iceberg deletes compile.
    */
   def deleteDocuments(predicate: org.apache.spark.sql.Column): Unit = {
-    val survivors = chunks.filter(!predicate)
+    // Null-safe keep condition: a NULL predicate result must KEEP the
+    // row (three-valued logic would silently drop it from filter(!p)).
+    val survivors = chunks.filter(not(coalesce(predicate, lit(false))))
     val tmpPath = s"$root/$name/.chunks_rewrite"
     survivors.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(path))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val aside = new org.apache.hadoop.fs.Path(s"$root/$name/.chunks_old")
+    // Swap via rename-aside: a crash mid-sequence leaves the old data
+    // recoverable at `aside` instead of losing the store entirely.
+    fs.delete(aside, true)
+    fs.rename(live, aside)
+    if (!fs.rename(tmp, live)) {
+      fs.rename(aside, live) // roll back
+      throw new java.io.IOException(s"deleteDocuments: swap failed for $path")
+    }
+    fs.delete(aside, true)
   }
 
   /**

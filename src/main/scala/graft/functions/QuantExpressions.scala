@@ -28,9 +28,14 @@ object QuantOps {
     new GenericInternalRow(Array[Any](scale, q))
   }
 
-  /** Approximate dot: sa * sb * sum(qa_i * qb_i) — integer inner loop. */
+  /** Approximate dot: sa * sb * sum(qa_i * qb_i) — integer inner loop.
+    * Mismatched dimensions throw (reference semantics; no silent
+    * truncation). */
   def dotQ(sa: Double, qa: Array[Byte], sb: Double, qb: Array[Byte]): Double = {
-    val n = math.min(qa.length, qb.length)
+    if (qa.length != qb.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${qa.length} vs ${qb.length}")
+    val n = qa.length
     var acc = 0
     var i = 0
     while (i < n) { acc += qa(i) * qb(i); i += 1 }

@@ -180,15 +180,25 @@ object VectorOps {
 
   // ---- raw-array kernels (shared by expressions and fused operators) ----
 
+  /** Shape check shared by every metric — the reference raises on
+    * mismatched dimensions (vector_db/similarity.py) rather than
+    * silently truncating, and so do we. */
+  @inline private def checkDims(a: Array[Double], b: Array[Double]): Int = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.length} vs ${b.length}")
+    a.length
+  }
+
   def dotArr(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    val n = checkDims(a, b)
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i) * b(i); i += 1 }
     acc
   }
 
   def cosineArr(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a(i); val y = b(i)
@@ -199,14 +209,14 @@ object VectorOps {
   }
 
   def l2Arr(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    val n = checkDims(a, b)
     var acc = 0.0; var i = 0
     while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
     math.sqrt(acc)
   }
 
   def l1Arr(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
+    val n = checkDims(a, b)
     var acc = 0.0; var i = 0
     while (i < n) { acc += math.abs(a(i) - b(i)); i += 1 }
     acc

@@ -36,8 +36,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // Docs too short to produce a shingle get the sentinel signature
+    // (all Long.MaxValue) and would collide in EVERY band — a quadratic
+    // false-positive bucket. They carry no content signal; drop them
+    // from candidate generation.
     val sigs = docs.select(col("doc_id"),
       minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))

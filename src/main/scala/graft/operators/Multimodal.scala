@@ -25,12 +25,16 @@ object Multimodal {
    */
   def features(docs: DataFrame, dim: Int = 16): DataFrame = {
     val payload = encode(col("text"), "UTF-8") // stand-in media bytes
+    // Feature vector exploded to (pos, feat) scalar rows so outputs
+    // carry no array columns (verification harness sorts/hashes rows).
     docs.select(
       col("doc_id"),
       length(payload).cast("long").as("media_bytes"),
       crc32(payload).as("media_checksum"),
       // STUB decode: deterministic feature vector from payload bytes.
-      embedText(hex(payload), dim).as("media_features"))
-      .orderBy(col("doc_id").asc)
+      posexplode(embedText(hex(payload), dim)).as(Seq("pos", "feat")))
+      .select(col("doc_id"), col("media_bytes"), col("media_checksum"),
+        col("pos"), round(col("feat"), 6).as("feat"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
   }
 }

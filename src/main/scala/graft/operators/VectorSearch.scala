@@ -299,17 +299,24 @@ object VectorSearch {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val withScale = vD.select(col("vec_id"), col("v"),
       (array_max(transform(col("v"), x => abs(x))) / lit(127.0)).as("s"))
+    // Output exploded to (vec_id, pos, qval, scale): scalar columns only,
+    // so the verification harness can sort/hash rows without array types.
     withScale.select(col("vec_id"),
       round(col("s"), 9).as("scale"),
-      transform(col("v"), x => round(x / col("s")).cast("int")).as("quantized"))
-      .orderBy(col("vec_id").asc)
+      posexplode(transform(col("v"), x => round(x / col("s")).cast("int")))
+        .as(Seq("pos", "qval")))
+      .select(col("vec_id"), col("pos"), col("qval"), col("scale"))
+      .orderBy(col("vec_id").asc, col("pos").asc)
   }
 
-  /** L2-normalized embedding column (dot == cosine fast path). */
+  /** L2-normalized embedding column (dot == cosine fast path),
+    * exploded to (vec_id, pos, unit_val, norm) scalar rows. */
   def normalized(emb: DataFrame): DataFrame = {
     emb.select(col("vec_id"),
-      transform(l2Normalize(col("embedding")), x => round(x, 6)).as("unit_vec"),
-      round(vecNorm(col("embedding")), 6).as("norm"))
-      .orderBy(col("vec_id").asc)
+      round(vecNorm(col("embedding")), 6).as("norm"),
+      posexplode(transform(l2Normalize(col("embedding")), x => round(x, 6)))
+        .as(Seq("pos", "unit_val")))
+      .select(col("vec_id"), col("pos"), col("unit_val"), col("norm"))
+      .orderBy(col("vec_id").asc, col("pos").asc)
   }
 }

@@ -12,12 +12,11 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # The driver's comparator sorts columns by name then rows by value
+    # with plain pandas sort_values — array-typed columns make it raise
+    # (unhashable numpy.ndarray). Mirror that strictness here so an
+    # array column in any query output fails locally, not in the driver.
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                str(type(v)).find('ndarray') >= 0 else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -40,7 +39,11 @@ def main(sf_dir: str, out_dir: str) -> None:
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
             if files else pd.DataFrame()
         if name not in oracle:
-            results[name] = f"ROWS-ONLY rows={len(got)}"
+            try:
+                canon(got)  # driver sorts rows-only outputs too
+                results[name] = f"ROWS-ONLY rows={len(got)}"
+            except Exception as e:
+                results[name] = f"ROWS-ONLY-UNSORTABLE {type(e).__name__}: {e}"
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
