@@ -18,6 +18,8 @@ object GraftFunctions {
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue
   private def longLit(e: Expression): Long =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue
+  private def strLit(e: Expression): String =
+    e.asInstanceOf[Literal].value.toString
 
   /** Idempotent; call once per SparkSession before using the helpers. */
   def register(spark: SparkSession): Unit = {
@@ -57,6 +59,13 @@ object GraftFunctions {
       es => QuantizeVec(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_quantized_dot",
       es => QuantizedDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokens",
+      es => AsciiTokens(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_distinct_tokens",
+      es => AsciiDistinctTokens(es(0)), "scala_udf")
+    // terms ride as one comma-separated literal (tokens never contain ',')
+    reg.createOrReplaceTempFunction("graft_term_freqs",
+      es => TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq), "scala_udf")
   }
 
   /** Canonical english stopword list (mirrored in the DuckDB oracle). */
@@ -104,4 +113,14 @@ object GraftFunctions {
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Lowercased [a-z0-9]-run tokens (cross-engine token contract). */
+  def tokensOf(text: Column): Column = call_function("graft_tokens", text)
+  /** Distinct lowercased tokens. */
+  def distinctTokens(text: Column): Column = call_function("graft_distinct_tokens", text)
+  /** struct(dl, tfs): doc length + per-term frequencies in one pass. */
+  def termFreqs(text: Column, terms: Seq[String]): Column = {
+    require(terms.forall(t => t.nonEmpty && !t.contains(",")))
+    call_function("graft_term_freqs", text, lit(terms.mkString(",")))
+  }
 }

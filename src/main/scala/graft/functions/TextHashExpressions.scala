@@ -104,9 +104,18 @@ object TextHash {
   def minhash(text: UTF8String, shingleWords: Int, numHashes: Int, seed: Long): ArrayData = {
     val toks = tokenHashes(text.toString)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val perm = new Array[Long](numHashes)
+    // Multiply-shift universal family h_i(x) = a_i*x + b_i (odd a_i)
+    // over the already-mixed shingle hash: 2 ops per (shingle, i)
+    // instead of a full 9-op mix64 — the inner product dominates at
+    // shingles x numHashes per document.
+    val pa = new Array[Long](numHashes)
+    val pb = new Array[Long](numHashes)
     var i = 0
-    while (i < numHashes) { perm(i) = mix64(seed + i); i += 1 }
+    while (i < numHashes) {
+      pa(i) = mix64(seed + 2L * i) | 1L
+      pb(i) = mix64(seed + 2L * i + 1L)
+      i += 1
+    }
     if (toks.length >= shingleWords) {
       var p = 0
       while (p <= toks.length - shingleWords) {
@@ -115,7 +124,7 @@ object TextHash {
         while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
         i = 0
         while (i < numHashes) {
-          val h = mix64(sh ^ perm(i))
+          val h = pa(i) * sh + pb(i)
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -363,6 +372,85 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  // ---- cross-engine ASCII tokenizer ------------------------------------
+  // The oracle-shared token contract is `lower(text)` split on
+  // `[^a-z0-9]+` (runs of ASCII letters/digits, lowercased). One char
+  // pass instead of a Java regex + interpreted HOF filter; Spark's
+  // lambda functions are CodegenFallback and dominated the text
+  // queries' profiles at 5k docs.
+
+  @inline private def tokLower(c: Char): Char = {
+    val l = Character.toLowerCase(c)
+    if ((l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')) l else 0
+  }
+
+  /** All tokens of a string, lowercased, in order. */
+  def asciiTokens(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0; val n = s.length
+    while (i <= n) {
+      val l = if (i < n) tokLower(s.charAt(i)) else 0.toChar
+      if (l != 0) sb.append(l)
+      else if (sb.length > 0) { out += UTF8String.fromString(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Distinct tokens of a string (order unspecified). */
+  def asciiDistinctTokens(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0; val n = s.length
+    while (i <= n) {
+      val l = if (i < n) tokLower(s.charAt(i)) else 0.toChar
+      if (l != 0) sb.append(l)
+      else if (sb.length > 0) { seen.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * One-pass document length + term frequencies for a small query-term
+   * set: (dl, tf per term). Terms must be lowercased [a-z0-9] strings.
+   */
+  def termFreqs(text: UTF8String, terms: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val tf = new Array[Int](terms.length)
+    var dl = 0
+    var i = 0; val n = s.length
+    var start = -1
+    while (i <= n) {
+      val l = if (i < n) tokLower(s.charAt(i)) else 0.toChar
+      if (l != 0) { if (start < 0) start = i }
+      else if (start >= 0) {
+        dl += 1
+        val len = i - start
+        var t = 0
+        while (t < terms.length) {
+          val term = terms(t)
+          if (term.length == len) {
+            var k = 0
+            while (k < len && tokLower(s.charAt(start + k)) == term.charAt(k)) k += 1
+            if (k == len) tf(t) += 1
+          }
+          t += 1
+        }
+        start = -1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dl, new GenericArrayData(tf)))
+  }
+
   /** Rolling Rabin-Karp style document fingerprint over tokens. */
   def fingerprint(text: UTF8String, seed: Long): Long = {
     val toks = tokenHashes(text.toString)
@@ -500,6 +588,58 @@ case class HyperplaneProbes(child: Expression, numTables: Int, bitsPerTable: Int
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextHash.hyperplaneProbes($a, $isFloat, $numTables, $bitsPerTable, $extraProbes, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> array<string> of lowercased [a-z0-9] tokens, in order. */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.asciiTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.asciiTokens($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> array<string> of distinct lowercased tokens. */
+case class AsciiDistinctTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_tokens"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.asciiDistinctTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.asciiDistinctTokens($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> struct(dl int, tfs array<int>): document length + term
+  * frequency per query term, one tokenizer pass. */
+case class TermFreqsExpr(child: Expression, terms: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tfs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_term_freqs"
+
+  @transient private lazy val termArr: Array[String] = terms.toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.termFreqs(v.asInstanceOf[UTF8String], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.termFreqs($s, $ref);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

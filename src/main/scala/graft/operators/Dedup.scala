@@ -14,9 +14,11 @@ import graft.GraftFunctions._
  */
 object Dedup {
 
-  /** Tokens of lowercased text (letters/digits runs), empties removed. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+  /** Tokens of lowercased text ([a-z0-9] runs), empties removed.
+    * Native single-pass tokenizer — same contract as
+    * `filter(split(lower(c), "[^a-z0-9]+"), _ =!= "")` but codegen'd
+    * (regex + interpreted HOF dominated text-query profiles). */
+  def tokens(c: Column): Column = tokensOf(c)
 
   /**
    * Exact dedup: group by content hash. Emits one row per distinct
@@ -47,19 +49,18 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
-    val pairs = banded.as("a")
+    // Estimate jaccard AT the join (before dedup) so the distinct
+    // shuffle carries three scalars per pair instead of two
+    // numHashes-long signature arrays.
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
-      .withColumn("jaccard_est",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes, 6))
+        round(size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard_est"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
@@ -74,14 +75,18 @@ object Dedup {
       posexplode(array((0 until 8).map(s =>
         shiftright(col("fp"), s * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("seg", "segval")))
+    // Hamming (xor+popcount on two longs) is far cheaper than the
+    // distinct shuffle, so filter candidates BEFORE deduplicating:
+    // random 8-bit segments over N docs yield O(N^2/256) candidate
+    // pairs, of which only the true near-dups survive the filter.
     segmented.as("a")
       .join(segmented.as("b"),
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.fp"), col("b.fp")).cast("int").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 

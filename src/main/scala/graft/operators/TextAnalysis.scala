@@ -145,7 +145,8 @@ object TextAnalysis {
    * token; top-n by (df desc, token asc).
    */
   def vocabulary(docs: DataFrame, topN: Int = 50): DataFrame = {
-    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+    import graft.GraftFunctions.distinctTokens
+    docs.select(col("doc_id"), explode(distinctTokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("token").asc)

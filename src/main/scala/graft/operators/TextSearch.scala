@@ -18,11 +18,15 @@ object TextSearch {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topN: Int = 20): DataFrame = {
     require(terms.nonEmpty)
-    val toked = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    val withTf = toked.select(
-      (col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("toks"), x => x === lit(t))).cast("double").as(s"tf$i")
+    // One tokenizer pass per document: dl + all term frequencies from a
+    // single native expression (vs |terms| interpreted HOF filters over
+    // a split() array — measured 3x slower at 5k docs).
+    val tfr = docs.select(col("doc_id"),
+      graft.GraftFunctions.termFreqs(col("text"), terms).as("tfr"))
+    val withTf = tfr.select(
+      (col("doc_id") +: col("tfr.dl").cast("double").as("dl") +:
+        terms.indices.map { i =>
+          col("tfr.tfs").getItem(i).cast("double").as(s"tf$i")
         }): _*)
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
@@ -38,11 +42,14 @@ object TextSearch {
       idf * (col(s"tf$i") * lit(k1 + 1.0)) / norm
     }.reduce(_ + _)
 
-    withTf.crossJoin(broadcast(stats))
+    val scored = withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 6).as("score"))
       .filter(col("score") > 0.0)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(topN)
+    // topN == MaxValue means "all scored docs" (hybrid's candidate
+    // pool): skip the ordering entirely — a downstream join would
+    // destroy it anyway, and orderBy+limit(2^31) plans a global sort.
+    if (topN == Int.MaxValue) scored
+    else scored.orderBy(col("score").desc, col("doc_id").asc).limit(topN)
   }
 
   /**
