@@ -38,7 +38,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // A run with failures must not report a (smaller) total that ranks
+    // it above clean runs: value is only comparable when errors == [].
+    val total =
+      if (failed.nonEmpty) "null" else results.values.sum.toString
     val errs = failed.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue
   private def longLit(e: Expression): Long =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue
+  private def strLit(e: Expression): String =
+    e.asInstanceOf[Literal].value.toString
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
@@ -59,7 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_quantize", "int8 quantize vector -> struct(scale, bytes)",
         es => QuantizeVec(es(0))),
       ("graft_quantized_dot", "approximate dot of two quantized structs",
-        es => QuantizedDot(es(0), es(1))))
+        es => QuantizedDot(es(0), es(1))),
+      ("graft_tokens", "lowercased [a-z0-9] tokens (text)",
+        es => AsciiTokens(es(0))),
+      ("graft_distinct_tokens", "distinct lowercased tokens (text)",
+        es => AsciiDistinctTokens(es(0))),
+      ("graft_term_freqs", "doc length + term frequencies (text, 'a,b,c')",
+        es => TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -120,7 +120,11 @@ object GraftFunctions {
   def distinctTokens(text: Column): Column = call_function("graft_distinct_tokens", text)
   /** struct(dl, tfs): doc length + per-term frequencies in one pass. */
   def termFreqs(text: Column, terms: Seq[String]): Column = {
-    require(terms.forall(t => t.nonEmpty && !t.contains(",")))
+    // The kernel matches tokens literally, so any term outside the
+    // lowercased [a-z0-9]+ token alphabet would silently score tf=0 —
+    // fail fast instead.
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"termFreqs terms must be lowercased [a-z0-9]+ strings: $terms")
     call_function("graft_term_freqs", text, lit(terms.mkString(",")))
   }
 }

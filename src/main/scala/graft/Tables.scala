@@ -17,4 +17,20 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else df
   }
+
+  // The documents table with its embedding column materialized ONCE
+  // per (session, dir) and pinned — the store-side precomputation a
+  // library performs at ingest (VectorLibrary.addDocuments), provided
+  // here for queries that run straight off the testdata layout.
+  // Embedding the corpus per query is the scale anti-pattern this
+  // replaces.
+  private val embeddedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def documentsEmbedded(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    embeddedCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$dim", _ =>
+        load(spark, dir, "documents")
+          .withColumn("embedding", graft.GraftFunctions.embedText(col("text"), dim))
+          .persist())
 }

@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftFunctions._
-import graft.operators.{TextAnalysis, VectorSearch}
+import graft.operators.{IvfIndex, TextAnalysis, VectorSearch}
 
 /**
  * Library-level facade: the reference service's API surface
@@ -15,45 +16,125 @@ import graft.operators.{TextAnalysis, VectorSearch}
  * Differences by design (SURVEY.md paragraph 3): persistence is parquet (not
  * PostgreSQL), embeddings come from the deterministic seeded embedder
  * (not Cohere), and "index build" materializes index columns
- * (LSH buckets) next to the data so a 1000-executor scan can
- * partition-prune instead of consulting driver-side state.
+ * (LSH buckets, int8 codes) next to the data so a 1000-executor scan
+ * can prune columns/partitions instead of consulting driver-side state.
  */
 class VectorLibrary(spark: SparkSession, root: String, val name: String,
                     dim: Int = 64, seed: Long = 42L) {
   SparkEntry.configure(spark)
 
   private val path = s"$root/$name/chunks"
+  private val numTables = 8
+  private val bitsPerTable = 8
+
+  /** Per-library index algorithm, switchable live (reference
+    * `preferred_index_algorithm`, services/vector_service.py:314
+    * set_library_algorithm / library_service.py:146). */
+  private var algo: String = "flat"
+  def algorithm: String = algo
+  def setAlgorithm(a: String): Unit = {
+    require(VectorLibrary.algorithms(a),
+      s"unknown index algorithm '$a' (expected one of ${VectorLibrary.algorithms.mkString(", ")})")
+    algo = a
+  }
+
+  // IVF is the one index with driver-side state (centroids); built
+  // lazily once per library generation and dropped on any mutation.
+  private var ivfState: Option[(KMeansModel, DataFrame)] = None
+  private def invalidateIndexes(): Unit = {
+    ivfState.foreach(_._2.unpersist())
+    ivfState = None
+  }
+  private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
+    val (model, assigned) = IvfIndex.build(chunks, "embedding")
+    val cached = assigned.persist()
+    ivfState = Some((model, cached))
+    (model, cached)
+  }
+
+  /** The reference clamps k to [1, 100] (schemas/search_schema.py:26). */
+  private def clampK(k: Int): Int = math.min(math.max(k, 1), 100)
 
   /**
    * Ingest documents (doc_id, text, source): chunk into fixed word
-   * windows, embed each chunk, precompute LSH buckets, append to the
-   * library store. The write is partitioned by source so per-source
-   * queries prune files.
+   * windows, embed each chunk, precompute the index columns (LSH
+   * buckets + int8 codes), append to the library store. The write is
+   * partitioned by source so per-source queries prune files.
    */
   def addDocuments(docs: DataFrame, chunkWindow: Int = 32): Unit = {
-    TextAnalysis.chunksUnordered(docs, chunkWindow)
+    indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow))
+      .write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+    invalidateIndexes()
+  }
+
+  /** Embedding + index columns for a chunk batch (shared by the batch
+    * and streaming ingest paths). */
+  private def indexColumns(chunked: DataFrame): DataFrame = {
+    chunked
       .withColumn("embedding", embedText(col("chunk_text"), dim, seed))
-      .withColumn("lsh_buckets", lshBuckets(col("embedding"), 8, 8, seed))
+      .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
+      .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("chunk_id",
         concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")))
-      .write.mode(SaveMode.Append).partitionBy("source").parquet(path)
   }
 
   /** All chunks of this library. */
   def chunks: DataFrame = spark.read.parquet(path)
 
-  /** k-NN search by query text (the reference's POST /search). */
+  /** Embed query text with the library's doc/query-symmetric embedder. */
+  private def queryFrame(queryText: String): DataFrame =
+    spark.range(1).select(embedText(lit(queryText), dim, seed).as("qvec"))
+
+  /**
+   * k-NN search by query text (the reference's POST /search), routed
+   * through the library's preferred index algorithm — the analog of
+   * the reference switching index classes per library
+   * (tests/test_integration_algorithms.py).
+   */
   def search(queryText: String, k: Int = 10, metric: String = "cosine"): DataFrame = {
-    val q = spark.range(1).select(embedText(lit(queryText), dim, seed).as("qvec"))
-    VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
-      q, "chunk_id", "embedding", k, metric)
+    val kk = clampK(k)
+    val q = queryFrame(queryText)
+    algo match {
+      case "flat" =>
+        VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
+          q, "chunk_id", "embedding", kk, metric)
+      case "lsh" =>
+        VectorSearch.lshKnnIndexed(chunks, q, "chunk_id", "embedding", "lsh_buckets",
+          kk, metric, numTables, bitsPerTable, seed)
+      case "grid" =>
+        VectorSearch.gridKnn(chunks.select(col("chunk_id"), col("embedding")),
+          q, "chunk_id", "embedding", kk, metric)
+      case "ivf" =>
+        val (model, assigned) = ivfIndex
+        IvfIndex.search(assigned, model, q, "chunk_id", "embedding", kk, metric = metric)
+      case "quantized" =>
+        VectorSearch.knnQuantizedIndexed(chunks, q, "chunk_id", "embedding", "quant",
+          kk, metric)
+    }
   }
 
-  /** Approximate search through the precomputed LSH index columns. */
+  /**
+   * k-NN search by raw query vector; validates the query dimension
+   * against the library before any scan (reference algorithms.py:79).
+   */
+  def searchVector(qvec: Seq[Float], k: Int = 10, metric: String = "cosine"): DataFrame = {
+    if (qvec.length != dim)
+      throw new IllegalArgumentException(
+        s"query dimension ${qvec.length} does not match library dimension $dim")
+    val kk = clampK(k)
+    val q = spark.range(1).select(
+      typedLit(qvec).cast("array<float>").as("qvec"))
+    VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
+      q, "chunk_id", "embedding", kk, metric)
+  }
+
+  /** Approximate search through the PRE-BUILT LSH index columns: the
+    * stored per-table bucket ids are probed directly — signatures are
+    * never recomputed over the corpus at query time. */
   def searchApprox(queryText: String, k: Int = 10): DataFrame = {
-    val q = spark.range(1).select(embedText(lit(queryText), dim, seed).as("qvec"))
-    VectorSearch.lshKnn(chunks.select(col("chunk_id"), col("embedding")),
-      q, "chunk_id", "embedding", k, seed = seed)
+    VectorSearch.lshKnnIndexed(chunks, queryFrame(queryText),
+      "chunk_id", "embedding", "lsh_buckets",
+      clampK(k), "cosine", numTables, bitsPerTable, seed)
   }
 
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
@@ -69,6 +150,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .withColumn("est_memory_mb",
         round(col("vector_count") * col("dimension") * 4 / lit(1024.0 * 1024.0), 3))
       .withColumn("library", lit(name))
+      .withColumn("algorithm", lit(algo))
+  }
+
+  /**
+   * LSH index health: the bucket-occupancy histogram of the stored
+   * index (reference LSHIndex.get_stats, algorithms.py:420-441 —
+   * total/avg/max/empty buckets, surfaced via
+   * vector_service.py:394 get_library_index_info). Computed from the
+   * materialized `lsh_buckets` column: one explode + one aggregate,
+   * no vector math.
+   */
+  def indexInfo: DataFrame = {
+    val perBucket = chunks
+      .select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val totalBuckets = numTables * (1 << bitsPerTable)
+    perBucket.agg(
+      count(lit(1)).as("occupied_buckets"),
+      round(avg(col("bucket_size")), 4).as("avg_bucket_size"),
+      max(col("bucket_size")).as("max_bucket_size"))
+      .withColumn("total_buckets", lit(totalBuckets))
+      .withColumn("empty_buckets", lit(totalBuckets) - col("occupied_buckets"))
+      .withColumn("num_tables", lit(numTables))
+      .withColumn("bits_per_table", lit(bitsPerTable))
+      .withColumn("library", lit(name))
+      .withColumn("algorithm", lit(algo))
   }
 
   /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
@@ -83,11 +191,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def ingestStream(docsStream: DataFrame, checkpoint: String,
                    chunkWindow: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
-    TextAnalysis.chunksUnordered(docsStream, chunkWindow)
-      .withColumn("embedding", embedText(col("chunk_text"), dim, seed))
-      .withColumn("lsh_buckets", lshBuckets(col("embedding"), 8, 8, seed))
-      .withColumn("chunk_id",
-        concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")))
+    indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -104,7 +208,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * partitions containing victims rewrite, the rest are untouched
    * files), which is exactly how Delta/Iceberg deletes compile.
    */
-  def deleteDocuments(predicate: org.apache.spark.sql.Column): Unit = {
+  def deleteDocuments(predicate: Column): Unit = {
     // Null-safe keep condition: a NULL predicate result must KEEP the
     // row (three-valued logic would silently drop it from filter(!p)).
     val survivors = chunks.filter(not(coalesce(predicate, lit(false))))
@@ -118,12 +222,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // Swap via rename-aside: a crash mid-sequence leaves the old data
     // recoverable at `aside` instead of losing the store entirely.
     fs.delete(aside, true)
-    fs.rename(live, aside)
+    // A failed aside-rename with `live` still present would make the
+    // next rename nest tmp INSIDE live (Hadoop rename-into-existing
+    // semantics) and silently no-op the delete; a missing `live`
+    // (empty library) is fine.
+    if (!fs.rename(live, aside) && fs.exists(live))
+      throw new java.io.IOException(s"deleteDocuments: cannot move $path aside")
     if (!fs.rename(tmp, live)) {
       fs.rename(aside, live) // roll back
       throw new java.io.IOException(s"deleteDocuments: swap failed for $path")
     }
     fs.delete(aside, true)
+    invalidateIndexes()
   }
 
   /**
@@ -138,8 +248,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the library store (reference DELETE /libraries/{id}). */
   def delete(): Unit = {
+    invalidateIndexes()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name"), true)
   }
+}
+
+object VectorLibrary {
+  /** Index algorithms a library can route search through (reference
+    * IndexAlgorithm enum + the quantized two-phase extension). */
+  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized")
 }

@@ -22,33 +22,45 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
-  /** FNV-1a 64-bit over the lowercase letters/digits of a token span. */
+  /** True iff c is a token character under the cross-engine contract:
+    * tokens are maximal [a-z0-9] runs of the STRING-lowercased text
+    * (`lower(text)` then split `[^a-z0-9]+` — identical to the DuckDB
+    * oracle, including multi-char lowercase mappings like U+0130 and
+    * non-ASCII letters acting as separators). */
+  @inline def isTok(c: Char): Boolean = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** String-level lowercase (full case mapping, like SQL lower()).
+    * JDK returns `this` when nothing changes, so all-lowercase ASCII
+    * text pays one scan and zero allocation. */
+  @inline def lowered(text: UTF8String): String = text.toString.toLowerCase
+
+  /** FNV-1a 64-bit over a token span of an already-lowered string. */
   @inline def fnv1a(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from
     while (i < until) {
-      h ^= Character.toLowerCase(s.charAt(i)).toLong
+      h ^= s.charAt(i).toLong
       h *= 0x100000001b3L
       i += 1
     }
     h
   }
 
-  /** Token spans (letter/digit runs) of a string, as (start,end) pairs. */
+  /** Token spans ([a-z0-9] runs) of a lowered string, as (start,end) pairs. */
   def tokenSpans(s: String): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0; val n = s.length
     while (i < n) {
-      if (Character.isLetterOrDigit(s.charAt(i))) {
+      if (isTok(s.charAt(i))) {
         val start = i
-        while (i < n && Character.isLetterOrDigit(s.charAt(i))) i += 1
+        while (i < n && isTok(s.charAt(i))) i += 1
         out += (start.toLong << 32) | (i.toLong & 0xffffffffL)
       } else i += 1
     }
     out.toArray
   }
 
-  /** Hashes of all tokens of a string. */
+  /** Hashes of all tokens of a lowered string. */
   def tokenHashes(s: String): Array[Long] = {
     val spans = tokenSpans(s)
     val out = new Array[Long](spans.length)
@@ -71,7 +83,7 @@ object TextHash {
    * network egress.
    */
   def embed(text: UTF8String, dim: Int, seed: Long): ArrayData = {
-    val s = text.toString
+    val s = lowered(text)
     val hashes = tokenHashes(s)
     val v = new Array[Double](dim)
     var t = 0
@@ -102,7 +114,7 @@ object TextHash {
    * (Broder 1997).
    */
   def minhash(text: UTF8String, shingleWords: Int, numHashes: Int, seed: Long): ArrayData = {
-    val toks = tokenHashes(text.toString)
+    val toks = tokenHashes(lowered(text))
     val sig = Array.fill(numHashes)(Long.MaxValue)
     // Multiply-shift universal family h_i(x) = a_i*x + b_i (odd a_i)
     // over the already-mixed shingle hash: 2 ops per (shingle, i)
@@ -141,7 +153,7 @@ object TextHash {
    * tracks shingle-Jaccard and banded buckets stay balanced.
    */
   def simhash(text: UTF8String, seed: Long, shingleWords: Int = 3): Long = {
-    val toks = tokenHashes(text.toString)
+    val toks = tokenHashes(lowered(text))
     val votes = new Array[Int](64)
     if (toks.length >= shingleWords) {
       var p = 0
@@ -255,7 +267,7 @@ object TextHash {
    * (modulo 2^-64 collisions).
    */
   def shingleHashes(text: UTF8String, shingleWords: Int): ArrayData = {
-    val toks = tokenHashes(text.toString)
+    val toks = tokenHashes(lowered(text))
     if (toks.length < shingleWords) return new GenericArrayData(Array.empty[Long])
     val n = toks.length - shingleWords + 1
     val hs = new Array[Long](n)
@@ -280,7 +292,7 @@ object TextHash {
    * derived column.
    */
   def textStats(text: UTF8String, stopHashes: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = text.toString
+    val s = lowered(text)
     val spans = tokenSpans(s)
     val hashes = new Array[Long](spans.length)
     var totalLen = 0L
@@ -386,7 +398,7 @@ object TextHash {
 
   /** All tokens of a string, lowercased, in order. */
   def asciiTokens(text: UTF8String): ArrayData = {
-    val s = text.toString
+    val s = lowered(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val sb = new java.lang.StringBuilder(16)
     var i = 0; val n = s.length
@@ -401,7 +413,7 @@ object TextHash {
 
   /** Distinct tokens of a string (order unspecified). */
   def asciiDistinctTokens(text: UTF8String): ArrayData = {
-    val s = text.toString
+    val s = lowered(text)
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(16)
     var i = 0; val n = s.length
@@ -422,7 +434,7 @@ object TextHash {
    * set: (dl, tf per term). Terms must be lowercased [a-z0-9] strings.
    */
   def termFreqs(text: UTF8String, terms: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = text.toString
+    val s = lowered(text)
     val tf = new Array[Int](terms.length)
     var dl = 0
     var i = 0; val n = s.length
@@ -453,7 +465,7 @@ object TextHash {
 
   /** Rolling Rabin-Karp style document fingerprint over tokens. */
   def fingerprint(text: UTF8String, seed: Long): Long = {
-    val toks = tokenHashes(text.toString)
+    val toks = tokenHashes(lowered(text))
     var h = mix64(seed)
     var i = 0
     while (i < toks.length) { h = mix64(h * 31L + toks(i)); i += 1 }

@@ -34,6 +34,14 @@ object Dedup {
    * MinHash + LSH near-dup pairs: 64-hash signature, banded into
    * `numBands` buckets; pairs sharing any band bucket are verified by
    * signature agreement (estimated Jaccard) >= threshold.
+   *
+   * QUERY SPEC (cross-engine rule): documents with fewer than
+   * `shingleWords` tokens have an EMPTY shingle set and are excluded
+   * from candidate generation entirely — they carry no content signal,
+   * and Jaccard over two empty sets is undefined (the reference's
+   * set-based Jaccard would divide by zero). Any counterpart engine
+   * must apply the same short-doc exclusion, NOT index an
+   * empty-set sentinel signature.
    */
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
@@ -132,9 +140,11 @@ object Dedup {
   }
 
   /**
-   * Embedding-cosine near-dup pairs, blocked by `label` (at 100 TB the
-   * block key is an LSH bucket from `lshBuckets`; the join shape is
-   * identical).
+   * Embedding-cosine near-dup pairs, blocked by `label` — the
+   * ORACLE TWIN: labels are SQL-expressible, so DuckDB can verify the
+   * exact pair set. Within-label is all-pairs, so this variant is for
+   * test-scale verification only; the scale path is
+   * [[embeddingNearDupLsh]], which blocks on LSH buckets instead.
    */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
@@ -145,5 +155,78 @@ object Dedup {
         round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs blocked by LSH bucket — the 100 TB
+   * shape (reference LSH construction, algorithms.py:213-418, reused
+   * as a dedup blocker): sign-random-projection buckets are computed
+   * map-side, candidate pairs come from an equi-join on (table,
+   * bucket) — sub-quadratic as long as buckets stay balanced — and
+   * only candidates are cosine-verified. Pair generation carries
+   * (vec_id, tbl, bucket) scalars; embeddings are fetched per side for
+   * just the surviving candidate set.
+   *
+   * Recall note: a pair is a candidate iff it collides in >= 1 of the
+   * numTables tables; with 8x8-bit tables, cosine >= 0.3 pairs at
+   * 64 dims are caught with high probability (spec-measured against
+   * the label-blocked oracle twin).
+   */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.3,
+                          numTables: Int = 8, bitsPerTable: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val banded = e
+      .select(col("vec_id"),
+        posexplode(lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
+          .as(Seq("tbl", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  /**
+   * Skew-proof duplicate CLUSTERING: instead of emitting all near-dup
+   * PAIRS (inherently quadratic when a corpus is dominated by one
+   * duplicate set — 99% identical docs means ~n^2/2 output pairs no
+   * matter how the join is organized), assign each doc a cluster
+   * representative: the minimum doc_id over every (band, bucket) it
+   * lands in. Both shuffles carry compact keys, each banded row joins
+   * exactly one representative row, and the output is LINEAR in the
+   * corpus — this is the form a 100 TB dedup pipeline actually keeps
+   * (keep rows where doc_id == cluster_rep, drop the rest).
+   *
+   * One min-propagation step (not full connected components): chains
+   * A~B~C where A,C never share a bucket can land in two clusters.
+   * For dedup-retention that is a conservative (safe) approximation;
+   * iterate to convergence if exact components are needed.
+   */
+  def minhashGroups(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
+                    seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = docs.select(col("doc_id"),
+      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val reps = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("rep"))
+    banded.join(reps, Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("rep")).as("cluster_rep"))
+      .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))
+      .orderBy(col("doc_id").asc)
   }
 }

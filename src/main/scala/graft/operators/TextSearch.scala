@@ -57,10 +57,17 @@ object TextSearch {
    * and lexical (BM25) scores — the standard two-tower search stack.
    * BM25 is min-max normalized over its candidate pool so both signals
    * live on [0,1] before blending.
+   *
+   * `docs` must carry a precomputed `embedding` column (the library
+   * store materializes one at ingest — embedding the corpus per query
+   * would re-derive every document vector on every search, a
+   * scale-killer at 100 TB). Only the QUERY text is embedded here.
    */
   def hybrid(docs: DataFrame, queryText: String, alpha: Double = 0.5,
              topN: Int = 20, dim: Int = 64): DataFrame = {
     import graft.GraftFunctions._
+    require(docs.columns.contains("embedding"),
+      "hybrid requires a precomputed `embedding` column (embed at ingest, not per query)")
     val spark = docs.sparkSession
     val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
     val lexical = bm25(docs, terms, topN = Int.MaxValue)
@@ -71,7 +78,7 @@ object TextSearch {
     val qv = spark.range(1).select(embedText(lit(queryText), dim).as("qvec"))
     val dense = docs.crossJoin(broadcast(qv))
       .select(col("doc_id"),
-        cosineSim(embedText(col("text"), dim), col("qvec")).as("dense_score"))
+        cosineSim(col("embedding"), col("qvec")).as("dense_score"))
     dense.join(lexNorm, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(lit(alpha) * col("dense_score") +

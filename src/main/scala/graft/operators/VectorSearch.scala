@@ -147,13 +147,32 @@ object VectorSearch {
              k: Int, metric: String = "cosine",
              numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
              extraProbes: Int = 2): DataFrame = {
-    // Explode carries ONLY (id, table, bucket) — the embedding array
-    // never rides through the generate or the join.
-    def buckets(df: DataFrame, keep: Seq[String], vc: String) = df
-      .select(keep.map(col) :+
-        lshBuckets(col(vc), numTables, bitsPerTable, seed).as("bs"): _*)
-      .select(keep.map(col) :+ posexplode(col("bs")).as(Seq("tbl", "bucket")): _*)
-    val corpusB = buckets(corpus, Seq(idCol), vecCol)
+    // Ad-hoc (index-free) path: signatures are derived on the fly, then
+    // the probe is identical to the indexed path. Column pruning keeps
+    // the generate to (id, table, bucket) — the embedding array never
+    // rides through the explode or the join.
+    val indexed = corpus.withColumn("__lsh_buckets",
+      lshBuckets(col(vecCol), numTables, bitsPerTable, seed))
+    lshKnnIndexed(indexed, query, idCol, vecCol, "__lsh_buckets", k, metric,
+      numTables, bitsPerTable, seed, extraProbes)
+  }
+
+  /**
+   * LSH probe against a PRE-BUILT index: `indexed` already carries the
+   * per-table bucket ids (materialized at ingest — VectorLibrary writes
+   * them next to the vectors), so a search touches stored integers
+   * only; signatures are never recomputed over the corpus. At 100 TB
+   * the exploded (id, tbl, bucket) projection is a narrow column scan,
+   * and the candidate semi-join is left to AQE (broadcast when small,
+   * shuffle when a hot bucket makes it large) instead of an
+   * unconditional driver-side broadcast.
+   */
+  def lshKnnIndexed(indexed: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                    bucketsCol: String, k: Int, metric: String = "cosine",
+                    numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
+                    extraProbes: Int = 2): DataFrame = {
+    val corpusB = indexed
+      .select(col(idCol), posexplode(col(bucketsCol)).as(Seq("tbl", "bucket")))
     // Query side probes extra buckets per table (multi-probe LSH:
     // flip the lowest-margin sign bits) — recall rises without
     // touching the stored index.
@@ -163,14 +182,15 @@ object VectorSearch {
       .select(posexplode(col("bs")).as(Seq("pos", "bucket")))
       .select(floor(col("pos") / perTable).cast("int").as("tbl"), col("bucket"))
       .distinct()
-    // Distinct candidate IDS first (hash-aggregable longs), then
+    // Distinct candidate IDS first (hash-aggregable scalars), then
     // semi-join the corpus — arrays are never carried through an
-    // aggregate, and the corpus is filtered by a broadcast of the
-    // (k-scale) candidate set rather than shuffled.
+    // aggregate. The probe-bucket side is a handful of rows and stays
+    // broadcast; the candidate set is NOT hinted (it grows with corpus
+    // size and hot buckets — AQE picks the join strategy at runtime).
     val candIds = corpusB
       .join(broadcast(queryB), Seq("tbl", "bucket"))
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(candIds), Seq(idCol), "left_semi")
+    indexed.join(candIds, Seq(idCol), "left_semi")
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -261,19 +281,74 @@ object VectorSearch {
    */
   def knnQuantized(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
                    k: Int, metric: String = "cosine", rerankFactor: Int = 4): DataFrame = {
-    val corpusQ = corpus.select(col(idCol), col(vecCol),
-      quantizeVec(l2Normalize(col(vecCol))).as("qv"))
-    val queryQ = broadcast(query.select(col("qvec"),
+    // Ad-hoc path: codes derived on the fly (one quantize per row, same
+    // scan that reads the floats), then the probe is identical to the
+    // indexed path. With a store, use knnQuantizedIndexed on codes
+    // materialized at ingest instead.
+    val indexed = corpus.withColumn("__codes", quantizeVec(l2Normalize(col(vecCol))))
+    knnQuantizedIndexed(indexed, query, idCol, vecCol, "__codes", k, metric, rerankFactor)
+  }
+
+  /**
+   * Quantized two-phase search against PRE-BUILT codes: phase 1 ranks
+   * by integer dot over the stored (scale, int8 bytes) column ONLY —
+   * a 4x narrower scan than the float column, and the float vectors
+   * never ride through the top-k sort. Phase 2 fetches floats for just
+   * the rerankFactor*k survivors (a semi-join, i.e. row-group-prunable
+   * point reads at scale) and re-ranks exactly.
+   */
+  def knnQuantizedIndexed(indexed: DataFrame, query: DataFrame, idCol: String,
+                          vecCol: String, codesCol: String, k: Int,
+                          metric: String = "cosine", rerankFactor: Int = 4): DataFrame = {
+    val queryQ = broadcast(query.select(
       quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
-    val candidates = corpusQ.crossJoin(queryQ)
-      .select(col(idCol), col(vecCol), col("qvec"),
-        quantizedDot(col("qv"), col("qqv")).as("ascore"))
+    val candIds = indexed.select(col(idCol), col(codesCol).as("codes"))
+      .crossJoin(queryQ)
+      .select(col(idCol), quantizedDot(col("codes"), col("qqv")).as("ascore"))
       .orderBy(col("ascore").desc, col(idCol).asc)
       .limit(k * rerankFactor)
-    candidates
+      .select(col(idCol))
+    indexed.join(candIds, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Grid-index health: cell-occupancy histogram of the uniform grid
+   * over the leading `gridDims` dimensions (reference
+   * GridIndex.get_stats, algorithms.py:688 — total/avg/max/empty
+   * cells, surfaced via vector_service.py:394 get_library_index_info).
+   * Fully SQL-expressible, so the DuckDB oracle verifies it exactly:
+   * bounds are one partial-aggregated pass, the cell key is map-side
+   * double arithmetic (bit-identical across engines), and the
+   * histogram is two tiny aggregates.
+   */
+  def gridIndexInfo(emb: DataFrame, vecCol: String = "embedding",
+                    gridDims: Int = 4, cellsPerDim: Int = 4): DataFrame = {
+    val boundCols = (0 until gridDims).flatMap { d =>
+      val x = col(vecCol).getItem(d).cast("double")
+      Seq(min(x).as(s"lo$d"), max(x).as(s"hi$d"))
+    }
+    val bounds = emb.agg(boundCols.head, boundCols.tail: _*)
+    def cellOf(d: Int): Column = {
+      val x = col(vecCol).getItem(d).cast("double")
+      val range = greatest(col(s"hi$d") - col(s"lo$d"), lit(1.0e-12))
+      least(greatest(floor((x - col(s"lo$d")) / range * cellsPerDim), lit(0)),
+        lit(cellsPerDim - 1)).cast("int")
+    }
+    val perCell = emb.crossJoin(broadcast(bounds))
+      .select(concat_ws(",", (0 until gridDims).map(cellOf): _*).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_size"))
+    val totalCells = math.pow(cellsPerDim.toDouble, gridDims.toDouble).toInt
+    perCell.agg(
+      count(lit(1)).as("occupied_cells"),
+      graft.operators.TextAnalysis.quant6(avg(col("cell_size"))).as("avg_cell_size"),
+      max(col("cell_size")).as("max_cell_size"))
+      .withColumn("total_cells", lit(totalCells))
+      .withColumn("empty_cells", lit(totalCells.toLong) - col("occupied_cells"))
   }
 
   /** Index-stats analog of the reference's get_stats(): per-label shape. */
