@@ -71,5 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // rank-k window idiom -> bounded top-k aggregate (map-side combine
+    // instead of a full shuffle+sort per group).
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }

@@ -18,6 +18,11 @@ object SparkEntry {
     // are identical (empty/null arrays simply generate no rows).
     spark.conf.set("spark.sql.optimizer.inferFiltersFromGenerate", "false")
     GraftFunctions.register(spark)
+    // Sessions not built with GraftExtensions still get the top-k
+    // rewrite (idempotent: the rule object is a singleton).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKWindowRewrite
     spark
   }
 

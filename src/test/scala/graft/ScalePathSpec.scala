@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IvfIndex, VectorSearch}
+
+/**
+ * Round-3 scale paths: top-k rewrite rule, indexed LSH/quantized
+ * probes, LSH-blocked embedding dedup, and skew-proof clustering.
+ */
+class ScalePathSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+
+  test("topk rewrite (safe): non-nullable rank-k window becomes a graft_topk aggregate") {
+    SparkEntry.configure(spark)
+    // hash() is non-nullable (unlike % — modulo is nullable under
+    // non-ANSI division-by-zero semantics), so safe mode can fire.
+    val df = spark.range(1000).select(
+      (col("id") % 10).as("g"), col("id").as("id"),
+      hash(col("id")).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val q = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk"), s"no rewrite in:\n$opt")
+    assert(!opt.contains("Window"), s"window survived in:\n$opt")
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val got = rows(q)
+    spark.conf.set("spark.graft.topk.rewrite", "off")
+    try {
+      val exp = rows(df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5))
+      assert(got.sameElements(exp))
+    } finally spark.conf.set("spark.graft.topk.rewrite", "safe")
+  }
+
+  test("topk rewrite (eager): knnBatch window plan runs as ObjectHashAggregate, unchanged results") {
+    // Own session: conf flips must not leak into concurrently-running suites.
+    val s2 = SparkEntry.configure(spark.newSession())
+    val e2 = Tables.load(s2, SparkTestSession.sfDir, "embeddings")
+    val qs = e2.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = e2.filter(col("vec_id") >= 3)
+    def run() = VectorSearch.knnBatch(corpus, qs, "vec_id", "embedding", 5, "cosine")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    s2.conf.set("spark.graft.topk.rewrite", "eager")
+    val rewritten = run()
+    val phys = rewritten.queryExecution.executedPlan.toString
+    assert(phys.contains("ObjectHashAggregate"), s"no aggregate in:\n$phys")
+    assert(!phys.contains("Window"), s"window exchange survived in:\n$phys")
+    val got = rows(rewritten)
+
+    s2.conf.set("spark.graft.topk.rewrite", "off")
+    val exp = rows(run())
+    assert(got.sameElements(exp), "rewrite changed knnBatch results")
+  }
+
+  test("topk rewrite leaves non-matching window queries untouched") {
+    SparkEntry.configure(spark)
+    // two window expressions over one spec (the q4 shape) must not match
+    val orders = Tables.load(spark, SparkTestSession.sfDir, "orders")
+    val q4 = operators.Relational.q4(orders)
+    assert(q4.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(q4.count() > 0)
+  }
+
+  test("indexed quantized probe: phase 1 scans stored codes only") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .withColumn("codes", GraftFunctions.quantizeVec(GraftFunctions.l2Normalize(col("embedding"))))
+    val codesStore = corpus.select(col("vec_id"), col("embedding"), col("codes"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val got = VectorSearch.knnQuantizedIndexed(codesStore, q, "vec_id", "embedding", "codes", 10)
+      .collect().map(_.getLong(0))
+    val exact = VectorSearch.knnFlat(emb.filter(col("vec_id") =!= 0), q,
+      "vec_id", "embedding", 10, "cosine").collect().map(_.getLong(0))
+    // recall@10 of the two-phase path against the exact scan
+    val recall = got.count(exact.contains).toDouble / exact.length
+    assert(recall >= 0.9, s"recall@10=$recall")
+  }
+
+  test("dedup_embedding_lsh: planted near-dups recovered with sub-quadratic candidates") {
+    val base = emb.filter(col("vec_id") < 500).select(col("vec_id"), col("embedding"))
+    // plant 50 perturbed copies: cos(original, copy) ~ 0.99
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i % 2 === 0, lit(0.02f)).otherwise(lit(-0.02f))).as("embedding"))
+    val corpus = base.unionByName(planted)
+
+    val pairs = Dedup.embeddingNearDupLsh(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 50L).map(i => (i, i + 100000L)).toSet
+    val recall = expected.count(pairs).toDouble / expected.size
+    assert(recall == 1.0, s"planted-pair recall=$recall")
+
+    // blocking is sub-quadratic: candidate pairs << all pairs
+    val banded = corpus.select(col("vec_id"),
+      posexplode(GraftFunctions.lshBuckets(col("embedding"), 8, 8, 42L)).as(Seq("tbl", "bucket")))
+    val nCand = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    // The synthetic embeddings are positively correlated, so sign-bit
+    // collisions run well above the random-vector rate (~3%); the
+    // blocking factor here is ~9x. At production scale bitsPerTable
+    // grows with corpus size to hold the candidate rate down.
+    assert(nCand < allPairs / 5, s"candidates $nCand vs all-pairs $allPairs")
+  }
+
+  test("minhashGroups: linear output, exact duplicates share a representative") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(200)
+    val copies = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"), col("source"))
+    val corpus = docs.select(col("doc_id"), col("text"), col("source")).unionByName(copies)
+    val groups = Dedup.minhashGroups(corpus)
+    assert(groups.count() <= corpus.count()) // linear, one row per doc
+    val reps = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { i =>
+      assert(reps(i + 500000) == reps(i), s"copy of doc $i not clustered with original")
+      assert(reps(i + 500000) <= i, "representative must be the minimum member")
+    }
+  }
+
+  test("ivfKnnCached: build once, probes reuse the pinned assignment") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val key = "spec-ivf-cache"
+    val r1 = IvfIndex.ivfKnnCached(corpus, q, "vec_id", "embedding", 10, key).collect()
+    val t0 = System.nanoTime()
+    val r2 = IvfIndex.ivfKnnCached(corpus, q, "vec_id", "embedding", 10, key).collect()
+    val probeSec = (System.nanoTime() - t0) / 1e9
+    assert(r1.map(_.getLong(0)).sameElements(r2.map(_.getLong(0))))
+    assert(probeSec < 5.0, s"cached probe took ${probeSec}s — cache miss?")
+  }
+}

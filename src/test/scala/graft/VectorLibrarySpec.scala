@@ -55,6 +55,51 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("indexed search paths, algorithm switching, validation, index info") {
+    val root = Files.createTempDirectory("graft-lib-algo").toString
+    val lib = new VectorLibrary(spark, root, "algo-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs)
+
+    // searchApprox serves from the persisted lsh_buckets column: the
+    // only signature work in the plan is the query-side probe — no
+    // graft_lsh_buckets recompute over the corpus.
+    val approx = lib.searchApprox("spark join stream table filter", k = 5)
+    val phys = approx.queryExecution.executedPlan.toString
+    assert(!phys.contains("graft_lsh_buckets"),
+      s"corpus-side signature recompute in:\n$phys")
+    // (the query-side graft_lsh_probes call constant-folds into a
+    // literal bucket array at plan time — even better than runtime)
+    assert(phys.contains("lsh_buckets"), "stored index column not scanned")
+    assert(approx.collect().nonEmpty)
+
+    // live per-library algorithm switching (reference
+    // set_library_algorithm, tests/test_integration_algorithms.py)
+    for (algo <- Seq("flat", "lsh", "grid", "ivf", "quantized")) {
+      lib.setAlgorithm(algo)
+      val hits = lib.search("spark join stream table filter", k = 3).collect()
+      assert(hits.length == 3, s"algo=$algo returned ${hits.length} rows")
+      assert(hits.map(_.getDouble(1)).sliding(2).forall(p => p.head >= p.last),
+        s"algo=$algo not sorted by score desc")
+    }
+    assertThrows[IllegalArgumentException](lib.setAlgorithm("hnsw"))
+    lib.setAlgorithm("flat")
+
+    // k clamp [1,100] (search_schema.py:26) + query-dim validation
+    assert(lib.search("spark", k = 500).count() <= 100)
+    assert(lib.search("spark", k = -3).count() == 1)
+    assertThrows[IllegalArgumentException](lib.searchVector(Seq.fill(32)(0.1f)))
+
+    // LSH bucket-occupancy histogram (LSHIndex.get_stats analog)
+    val info = lib.indexInfo.collect()(0)
+    val total = info.getAs[Int]("total_buckets")
+    assert(total == 8 * 256)
+    assert(info.getAs[Long]("occupied_buckets") + info.getAs[Long]("empty_buckets") == total)
+    assert(info.getAs[Long]("max_bucket_size") >= 1)
+    assert(info.getAs[Double]("avg_bucket_size") >= 1.0)
+    lib.delete()
+  }
+
   test("streaming ingest embeds and indexes arriving documents") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-stream").toString
