@@ -86,6 +86,23 @@ object GraftFunctions {
 
   def embedText(text: Column, dim: Int = 64, seed: Long = 42L): Column =
     call_function("graft_embed", text, lit(dim), lit(seed))
+
+  /** Embedding input types (reference embedding_service.py:169-233:
+    * `search_document` at ingest vs `search_query` at search time). */
+  val embedInputTypes: Set[String] = Set("search_document", "search_query")
+
+  /** Input-typed embedding. The deterministic stand-in is symmetric —
+    * both types map to the SAME projection so the doc and query spaces
+    * stay aligned, exactly like a single-tower embedder — but the
+    * contract point exists so a real two-tower model (distinct doc/
+    * query encoders) plugs in without an API change, and an invalid
+    * input type fails fast as in the reference. */
+  def embedTextTyped(text: Column, inputType: String,
+                     dim: Int = 64, seed: Long = 42L): Column = {
+    require(embedInputTypes(inputType),
+      s"unknown embedding input type '$inputType' (expected ${embedInputTypes.mkString(" or ")})")
+    embedText(text, dim, seed)
+  }
   def minhashSig(text: Column, shingleWords: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column =
     call_function("graft_minhash", text, lit(shingleWords), lit(numHashes), lit(seed))
   def simhash(text: Column, seed: Long = 42L): Column =

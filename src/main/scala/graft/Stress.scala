@@ -26,13 +26,17 @@ object Stress {
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-stress").toString
     val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    // Library-store shape: index columns (LSH buckets, int8 codes)
+    // materialized once at ingest, next to the vectors.
     base.crossJoin(spark.range(copies))
       .select((col("id") * 1000000 + col("vec_id")).as("vec_id"), col("embedding"))
+      .withColumn("lsh_buckets", GraftFunctions.lshBuckets(col("embedding")))
+      .withColumn("quant", GraftFunctions.quantizeVec(GraftFunctions.l2Normalize(col("embedding"))))
       .repartition(32) // one scan split per core
       .write.mode("overwrite").parquet(s"$tmp/vectors")
     val corpus = spark.read.parquet(s"$tmp/vectors")
     val n = corpus.count()
-    println(s"[stress] corpus: $n vectors x 64 dims")
+    println(s"[stress] corpus: $n vectors x 64 dims (stored lsh_buckets + int8 codes)")
 
     val q = base.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val queries16 = base.filter(col("vec_id") < 16)
@@ -52,13 +56,17 @@ object Stress {
       VectorSearch.knnBatchAgg(corpus, queries16, "vec_id", "embedding", 10, "cosine").count() }
     time("knn_batch_16q_fused") {
       VectorSearch.knnBatchFused(corpus, queries16, "vec_id", "embedding", 10, "cosine").count() }
-    time("lsh_knn") {
+    time("lsh_knn(ad-hoc: signatures recomputed)") {
       VectorSearch.lshKnn(corpus, q, "vec_id", "embedding", 10).count() }
+    time("lsh_knn_indexed(stored buckets)") {
+      VectorSearch.lshKnnIndexed(corpus, q, "vec_id", "embedding", "lsh_buckets", 10).count() }
     time("range_search") {
       VectorSearch.rangeSearch(corpus, q, "vec_id", "embedding", 0.2, "cosine").count() }
 
-    time("knn_quantized") {
+    time("knn_quantized(ad-hoc: codes recomputed)") {
       VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
+    time("knn_quantized_indexed(stored codes)") {
+      VectorSearch.knnQuantizedIndexed(corpus, q, "vec_id", "embedding", "quant", 10).count() }
 
     // IVF: one-off distributed index build, then partition-pruned probes.
     val tb0 = System.nanoTime()
@@ -68,6 +76,38 @@ object Stress {
     println(f"[stress] ivf_build(64 centroids + partitioned write): ${(System.nanoTime() - tb0) / 1e9}%.2fs")
     time("ivf_probe(nProbe=4)") {
       operators.IvfIndex.search(indexed, model, q, "vec_id", "embedding", 10, 4).count() }
+
+    // ---- adversarial skew: 99%-duplicate corpus --------------------------
+    // One boilerplate document dominates; every banded bucket it hashes
+    // into is a single giant cluster. Pair-emitting dedup is inherently
+    // quadratic here (~half-a-billion pairs at 100k dups); the linear
+    // paths must complete without a straggler partition.
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val boiler = docs.filter(col("doc_id") === 0)
+      .crossJoin(spark.range(99000))
+      .select((col("id") + 1000000).as("doc_id"), col("text"), col("source"))
+    val adversarial = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(boiler)
+      .repartition(32)
+      .cache()
+    println(s"[stress] adversarial corpus: ${adversarial.count()} docs, 99% one duplicate")
+    val na = adversarial.count()
+    def timeN(name: String, rows: Long)(body: => Long): Unit = {
+      body
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[stress] $name: $best%.2fs  (${rows / best / 1e3}%.1fk docs/s)")
+    }
+    timeN("dedup_minhash_groups(99%-dup)", na) {
+      operators.Dedup.minhashGroups(adversarial).count() }
+    timeN("dedup_exact(99%-dup)", na) {
+      operators.Dedup.exact(adversarial).count() }
+    timeN("dedup_minhash(99%-dup, bucket cap 1000)", na) {
+      operators.Dedup.minhashLsh(adversarial, maxBucketSize = Some(1000)).count() }
+    timeN("dedup_ngram_jaccard(99%-dup, df cap 1000)", na) {
+      operators.Dedup.ngramJaccard(adversarial, maxShingleDf = Some(1000)).count() }
+    adversarial.unpersist()
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     spark.stop()

@@ -71,7 +71,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * and streaming ingest paths). */
   private def indexColumns(chunked: DataFrame): DataFrame = {
     chunked
-      .withColumn("embedding", embedText(col("chunk_text"), dim, seed))
+      .withColumn("embedding",
+        embedTextTyped(col("chunk_text"), "search_document", dim, seed))
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("chunk_id",
@@ -83,7 +84,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Embed query text with the library's doc/query-symmetric embedder. */
   private def queryFrame(queryText: String): DataFrame =
-    spark.range(1).select(embedText(lit(queryText), dim, seed).as("qvec"))
+    spark.range(1).select(
+      embedTextTyped(lit(queryText), "search_query", dim, seed).as("qvec"))
 
   /**
    * k-NN search by query text (the reference's POST /search), routed
@@ -211,30 +213,59 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def deleteDocuments(predicate: Column): Unit = {
     // Null-safe keep condition: a NULL predicate result must KEEP the
     // row (three-valued logic would silently drop it from filter(!p)).
-    val survivors = chunks.filter(not(coalesce(predicate, lit(false))))
+    swapStore(chunks.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Rewrite the store to `newData` via rename-aside swap: a crash
+    * mid-sequence leaves the old data recoverable at `.chunks_old`
+    * instead of losing the store entirely. */
+  private def swapStore(newData: DataFrame): Unit = {
     val tmpPath = s"$root/$name/.chunks_rewrite"
-    survivors.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
+    newData.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val live = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)
     val aside = new org.apache.hadoop.fs.Path(s"$root/$name/.chunks_old")
-    // Swap via rename-aside: a crash mid-sequence leaves the old data
-    // recoverable at `aside` instead of losing the store entirely.
     fs.delete(aside, true)
     // A failed aside-rename with `live` still present would make the
     // next rename nest tmp INSIDE live (Hadoop rename-into-existing
-    // semantics) and silently no-op the delete; a missing `live`
+    // semantics) and silently no-op the rewrite; a missing `live`
     // (empty library) is fine.
     if (!fs.rename(live, aside) && fs.exists(live))
-      throw new java.io.IOException(s"deleteDocuments: cannot move $path aside")
+      throw new java.io.IOException(s"swapStore: cannot move $path aside")
     if (!fs.rename(tmp, live)) {
       fs.rename(aside, live) // roll back
-      throw new java.io.IOException(s"deleteDocuments: swap failed for $path")
+      throw new java.io.IOException(s"swapStore: swap failed for $path")
     }
     fs.delete(aside, true)
     invalidateIndexes()
   }
+
+  /**
+   * Rebuild the index columns in place (reference
+   * POST /libraries/{id}/index + the background batch re-index of
+   * unindexed chunks, background_tasks.py:260): chunks missing an
+   * embedding are re-embedded; lsh_buckets and quant codes are
+   * re-derived for every row; the store swaps atomically.
+   */
+  def rebuildIndex(): Unit = {
+    swapStore(chunks
+      .withColumn("embedding", coalesce(col("embedding"),
+        embedTextTyped(col("chunk_text"), "search_document", dim, seed)))
+      .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
+      .withColumn("quant", quantizeVec(l2Normalize(col("embedding")))))
+  }
+
+  /**
+   * Compact the store (the maintenance half of the reference's
+   * background reindex loop, adapted to a lake layout): streaming
+   * ingest appends one small parquet file per micro-batch per source;
+   * compaction rewrites them into `numPartitions` files clustered by
+   * source, restoring scan efficiency without touching row content.
+   */
+  def compact(numPartitions: Int = 1): Unit =
+    swapStore(chunks.repartition(numPartitions, col("source")))
 
   /**
    * Update a document's text (reference PUT /chunks + background

@@ -333,7 +333,6 @@ object TextHash {
   def hyperplaneProbes(vec: ArrayData, isFloat: Boolean, numTables: Int,
                        bitsPerTable: Int, extraProbes: Int, seed: Long): ArrayData = {
     val d = vec.numElements()
-    val planes = planesFor(numTables, bitsPerTable, d, seed)
     val v = new Array[Double](d)
     if (isFloat) {
       val f = vec.toFloatArray()
@@ -344,6 +343,17 @@ object TextHash {
       var j = 0
       while (j < d) { v(j) = dd(j); j += 1 }
     }
+    new GenericArrayData(
+      hyperplaneProbesArr(v, numTables, bitsPerTable, extraProbes, seed))
+  }
+
+  /** Driver-side twin of [[hyperplaneProbes]] over a plain array —
+    * used to resolve a single query's probe buckets into literal
+    * predicates (the gridKnn-style escape hatch). */
+  def hyperplaneProbesArr(v: Array[Double], numTables: Int,
+                          bitsPerTable: Int, extraProbes: Int, seed: Long): Array[Int] = {
+    val d = v.length
+    val planes = planesFor(numTables, bitsPerTable, d, seed)
     val perTable = 1 + extraProbes
     val out = new Array[Int](numTables * perTable)
     val margins = new Array[Double](bitsPerTable)
@@ -381,7 +391,7 @@ object TextHash {
       }
       t += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   // ---- cross-engine ASCII tokenizer ------------------------------------

@@ -44,7 +44,8 @@ object Dedup {
    * empty-set sentinel signature.
    */
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
-                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+                 threshold: Double = 0.5, seed: Long = 42L,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // Docs too short to produce a shingle get the sentinel signature
     // (all Long.MaxValue) and would collide in EVERY band — a quadratic
@@ -53,10 +54,23 @@ object Dedup {
     val sigs = docs.select(col("doc_id"),
       minhashSig(col("text"), 3, numHashes, seed).as("sig"))
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
+    // Skew hardening (off by default to keep exact pair semantics): a
+    // bucket of b members yields b^2/2 candidate pairs, so one
+    // boilerplate-duplicate cluster can dominate the whole job. With a
+    // cap, oversized buckets are excluded from PAIR generation — their
+    // members are better handled by the linear-output minhashGroups.
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val oversized = bandedAll.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bsize")).filter(col("bsize") > cap)
+          .select(col("band"), col("bucket"))
+        bandedAll.join(oversized, Seq("band", "bucket"), "left_anti")
+      case None => bandedAll
+    }
     // Estimate jaccard AT the join (before dedup) so the distinct
     // shuffle carries three scalars per pair instead of two
     // numHashes-long signature arrays.
@@ -103,7 +117,8 @@ object Dedup {
    * (block key at 100 TB would be an LSH band; the blocked join keeps
    * verification quadratic only within blocks).
    */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
     // Inverted-index formulation: explode distinct shingle hashes
     // (one-pass native expression — tokenize + hash + dedup per row),
     // count co-occurrences per pair (= intersection size) with one
@@ -113,10 +128,24 @@ object Dedup {
     // fixed-width longs, not strings.
     val shingled = docs.select(col("doc_id"), col("source"),
       shingleHashes(col("text"), n).as("sh"))
-    val inverted = shingled.select(col("doc_id"), col("source"),
+    val invertedAll = shingled.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("source"), col("n_sh"),
         xxhash64(col("source"), col("shingle")).as("sh_hash"))
+    // Skew hardening (off by default — it changes Jaccard values): a
+    // stop-shingle present in d documents contributes d^2/2 pairs to
+    // the co-occurrence join. With a document-frequency cap those
+    // shingles are dropped from the inverted index, UNDER-estimating
+    // the similarity of pairs that share them (the CCNet-style
+    // boilerplate filter) in exchange for bounded join fan-out.
+    val inverted = maxShingleDf match {
+      case Some(cap) =>
+        val hot = invertedAll.groupBy(col("sh_hash"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("sh_hash"))
+        invertedAll.join(hot, Seq("sh_hash"), "left_anti")
+      case None => invertedAll
+    }
     val inter = inverted.as("a")
       .join(inverted.as("b"),
         col("a.sh_hash") === col("b.sh_hash") && col("a.doc_id") < col("b.doc_id"))

@@ -100,6 +100,39 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("rebuildIndex and compact preserve content; embed input types validated") {
+    val root = Files.createTempDirectory("graft-lib-maint").toString
+    val lib = new VectorLibrary(spark, root, "maint-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30)
+    // several small appends = the streaming-ingest file layout
+    lib.addDocuments(docs.filter(col("doc_id") < 10))
+    lib.addDocuments(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+    lib.addDocuments(docs.filter(col("doc_id") >= 20))
+    val before = lib.chunks.count()
+    val hitsBefore = lib.search("spark join stream", k = 5).collect().map(_.getString(0))
+
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/maint-lib/chunks"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles()
+    lib.compact(numPartitions = 1)
+    assert(parquetFiles() < filesBefore, s"compaction did not merge files ($filesBefore)")
+    assert(lib.chunks.count() == before)
+
+    lib.rebuildIndex()
+    assert(lib.chunks.count() == before)
+    assert(lib.chunks.filter(col("lsh_buckets").isNull || col("quant").isNull).count() == 0)
+    val hitsAfter = lib.search("spark join stream", k = 5).collect().map(_.getString(0))
+    assert(hitsBefore.sameElements(hitsAfter), "maintenance changed search results")
+
+    assertThrows[IllegalArgumentException](
+      GraftFunctions.embedTextTyped(col("text"), "clustering"))
+    lib.delete()
+  }
+
   test("streaming ingest embeds and indexes arriving documents") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-stream").toString
