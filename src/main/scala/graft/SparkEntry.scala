@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"))),
     "dedup_minhash_groups" -> ((s, d) => Dedup.minhashGroups(t(s, d, "documents"))),
+    "dedup_components" -> ((s, d) => Dedup.minhashComponents(t(s, d, "documents"))),
     // --- E. text analysis ----------------------------------------------
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),

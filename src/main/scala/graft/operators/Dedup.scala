@@ -242,20 +242,68 @@ object Dedup {
    */
   def minhashGroups(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                     seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val sigs = docs.select(col("doc_id"),
-      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-    val banded = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bucket")))
-    val reps = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("rep"))
-    banded.join(reps, Seq("band", "bucket"))
+    val reps = bucketEdges(docs, numHashes, numBands, seed)
+      .groupBy(col("bkt")).agg(min(col("doc_id")).as("rep"))
+    bucketEdges(docs, numHashes, numBands, seed).join(reps, Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(min(col("rep")).as("cluster_rep"))
       .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** doc -> LSH-band-bucket bipartite edges (one row per doc per band). */
+  private def bucketEdges(docs: DataFrame, numHashes: Int, numBands: Int,
+                          seed: Long): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    docs.select(col("doc_id"),
+      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bkt"))
+  }
+
+  /**
+   * FULL duplicate-component clustering: iterate the min-label
+   * propagation of [[minhashGroups]] over the doc<->bucket bipartite
+   * graph to a fixed point, so chains A~B~C collapse into one
+   * component even when A and C never share a bucket (the alternating
+   * label-propagation formulation of MapReduce connected components,
+   * Kiveris et al. 2014). Each round is two shuffles on compact
+   * (long, long) keys; converges in O(diameter) <= O(log n) rounds;
+   * lineage is cut per round with localCheckpoint.
+   */
+  def componentsFromEdges(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    var comp = edges.select(col("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val bucketMin = edges.join(comp, Seq("doc_id"))
+        .groupBy(col("bkt")).agg(min(col("comp")).as("bmin"))
+      val pulled = edges.join(bucketMin, Seq("bkt"))
+        .groupBy(col("doc_id")).agg(min(col("bmin")).as("pulled"))
+      val next = comp.join(pulled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("pulled"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("doc_id"))
+        .filter(col("comp") =!= col("prev")).count()
+      comp = next
+      iter += 1
+    }
+    comp
+  }
+
+  /** Connected-component duplicate clusters over minhash buckets:
+    * (doc_id, component, is_duplicate) — component = min doc_id of the
+    * full transitive duplicate set. */
+  def minhashComponents(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
+                        seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    componentsFromEdges(bucketEdges(docs, numHashes, numBands, seed), maxIter)
+      .withColumn("is_duplicate", col("comp") < col("doc_id"))
       .orderBy(col("doc_id").asc)
   }
 }

@@ -128,6 +128,33 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsFromEdges: chains collapse transitively, exact components") {
+    import spark.implicits._
+    // bipartite doc<->bucket graph: docs 1-2 share bucket 10, 2-3 share
+    // 11, 3-4 share 12 (a chain where 1 and 4 never co-bucket); docs
+    // 8,9 share 20; doc 99 isolated.
+    val edges = Seq(
+      (1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 12L),
+      (8L, 20L), (9L, 20L), (99L, 30L)).toDF("doc_id", "bkt")
+    val comp = Dedup.componentsFromEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"chain not collapsed: $comp")
+    assert(comp(8L) == 8L && comp(9L) == 8L)
+    assert(comp(99L) == 99L)
+  }
+
+  test("minhashComponents clusters exact duplicates with their originals") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(100)
+    val copies = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"), col("source"))
+    val corpus = docs.select(col("doc_id"), col("text"), col("source")).unionByName(copies)
+    val comp = Dedup.minhashComponents(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { i =>
+      assert(comp(i + 700000) == comp(i), s"copy of doc $i not in its component")
+    }
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
