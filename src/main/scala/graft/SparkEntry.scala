@@ -388,6 +388,56 @@ object SparkEntry {
         |  FROM f, st)
         |SELECT doc_id, score FROM sc WHERE score > 0.0e0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Quantized two-phase search is seed-free, so the oracle replicates
+    // it exactly: l2-normalize (zero-norm guard), scale = max|x|/127
+    // (zero guard -> 1.0), q_i = floor(x/s + 0.5) (= Java Math.round),
+    // phase-1 ascore = (s_a*s_q)*int_dot with (ascore desc, id) ties,
+    // then exact cosine re-rank of the 40 survivors.
+    "knn_quantized" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | en AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) > 0
+         |          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |          ELSE v END AS nv FROM e),
+         | qn AS (SELECT qv, CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+         |          THEN list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+         |          ELSE qv END AS nqv FROM q0),
+         | es AS (SELECT vec_id, v, nv, CASE WHEN list_max(list_transform(nv, y -> abs(y))) > 0
+         |          THEN list_max(list_transform(nv, y -> abs(y))) / 127.0e0
+         |          ELSE 1.0e0 END AS s FROM en),
+         | eq AS (SELECT vec_id, v, s, list_transform(nv, x -> floor(x / s + 0.5e0)) AS qc FROM es),
+         | qs AS (SELECT qv, nqv, CASE WHEN list_max(list_transform(nqv, y -> abs(y))) > 0
+         |          THEN list_max(list_transform(nqv, y -> abs(y))) / 127.0e0
+         |          ELSE 1.0e0 END AS s FROM qn),
+         | qq AS (SELECT qv, s, list_transform(nqv, x -> floor(x / s + 0.5e0)) AS qc FROM qs),
+         | p1 AS (SELECT e.vec_id, e.v, q.qv,
+         |          e.s * q.s * list_dot_product(e.qc, q.qc) AS ascore
+         |        FROM eq e, qq q ORDER BY ascore DESC, e.vec_id LIMIT 40)
+         |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |FROM p1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // The grid index is seed-free too: per-dim float min/max bounds,
+    // cell = clamp(floor((x-lo)/max(hi-lo,1e-12)*4)), probe = all cells
+    // within +/-1 of the query cell per dim, exact 1/(1+L2) re-rank.
+    "grid_knn" -> {
+      def cell(src: String, d: Int): String =
+        s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
+      s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT embedding qef, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | b AS (SELECT ${(0 until 4).map(d =>
+                  s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
+                  s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
+                  .mkString(", ")} FROM e),
+         | qc AS (SELECT ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
+         |        FROM q0, b),
+         | c AS (SELECT vec_id, v, ${(0 until 4).map(d => s"${cell("ef", d)} AS c$d").mkString(", ")}
+         |       FROM e, b)
+         |SELECT vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
+         |FROM c, qc
+         |WHERE ${(0 until 4).map(d => s"abs(c$d - qc$d) <= 1").mkString(" AND ")}
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
     "knn_filtered" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosSql(embD, "q.qv")}, 6) AS score
