@@ -149,7 +149,87 @@ object SparkEntry {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
   private val embD = "CAST(e.embedding AS DOUBLE[])"
 
+  // ---- LSH oracle machinery --------------------------------------------
+  // The hyperplane matrix is seeded-deterministic, so it can ride into
+  // the oracle as SQL literals: Double.toString is shortest-round-trip
+  // (DuckDB parses it back to the identical double), and DuckDB's
+  // list_dot_product is a sequential fold — bit-identical to the
+  // HyperplaneBuckets kernel. That upgrades the LSH queries from
+  // rows-only to hash-verified.
+  private val lshTables = 8
+  private val lshBits = 8
+  private val lshDim = 64
+  /** [p0, p1, ...] literal for hyperplane (t, b). */
+  private def planeLit(t: Int, b: Int): String = {
+    val planes = graft.functions.TextHash.planesFor(lshTables, lshBits, lshDim, 42L)
+    val off = (t * lshBits + b) * lshDim
+    (0 until lshDim).map(j => planes(off + j).toString).mkString("[", ", ", "]")
+  }
+  /** SELECT-list fragment: one dot product per (table, bit), named d{t}_{b}. */
+  private def lshDotsSql(v: String, prefix: String): String =
+    (for (t <- 0 until lshTables; b <- 0 until lshBits)
+      yield s"list_dot_product($v, ${planeLit(t, b)}) AS $prefix${t}_$b").mkString(", ")
+  /** Bucket id of table t from the named dots: sign bits packed. */
+  private def lshBucketFromDots(prefix: String, t: Int): String =
+    (0 until lshBits).map(b =>
+      s"(CASE WHEN $prefix${t}_$b >= 0e0 THEN ${1 << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
+    // LSH top-k: corpus bucket per table from stored-index semantics;
+    // query probes = main bucket + the 2 lowest-|margin| bit flips per
+    // table (list_sort on (margin, bit) structs = the kernel's
+    // earliest-index-on-tie selection sort); candidate = any table's
+    // bucket among that table's probes; exact cosine re-rank.
+    "lsh_knn" -> {
+      val qBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("qd", t)} AS qb$t").mkString(", ")
+      val qSorts = (0 until lshTables).map { t =>
+        val pairs = (0 until lshBits).map(b =>
+          s"{'m': abs(qd${t}_$b), 'bit': $b}").mkString("[", ", ", "]")
+        s"list_sort($pairs) AS ms$t"
+      }.mkString(", ")
+      val qProbes = (0 until lshTables).map(t =>
+        s"[qb$t, xor(qb$t, 1 << struct_extract(ms$t[1], 'bit')), " +
+          s"xor(qb$t, 1 << struct_extract(ms$t[2], 'bit'))] AS p$t").mkString(", ")
+      val eBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("ed", t)} AS c$t").mkString(", ")
+      val candidate = (0 until lshTables).map(t =>
+        s"list_contains(p$t, c$t)").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | qd AS (SELECT qv, ${lshDotsSql("qv", "qd")} FROM q0),
+         | qb AS (SELECT *, $qBuckets FROM qd),
+         | qs AS (SELECT *, $qSorts FROM qb),
+         | qp AS (SELECT qv, $qProbes FROM qs),
+         | ed AS (SELECT vec_id, v, ${lshDotsSql("v", "ed")} FROM e),
+         | ec AS (SELECT vec_id, v, $eBuckets FROM ed)
+         |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |FROM ec, qp WHERE $candidate
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // LSH-blocked near-dup pairs: same bucket construction over the
+    // full embeddings table; candidate pairs share any table's bucket;
+    // cosine-verified at threshold 0.3.
+    "dedup_embedding_lsh" -> {
+      val eBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("ed", t)} AS c$t").mkString(", ")
+      val bucketStructs = (0 until lshTables).map(t =>
+        s"{'t': $t, 'b': c$t}").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         | ed AS (SELECT vec_id, v, ${lshDotsSql("v", "ed")} FROM e),
+         | ec AS (SELECT vec_id, $eBuckets FROM ed),
+         | eb AS (SELECT vec_id, unnest($bucketStructs, recursive := true) FROM ec),
+         | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM eb a JOIN eb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+         | sc AS (SELECT vec_a, vec_b,
+         |          ROUND(${cosSql("ea.v", "eb2.v")}, 6) AS cos_sim
+         |        FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
+         |                  JOIN e eb2 ON cand.vec_b = eb2.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
