@@ -175,7 +175,83 @@ object SparkEntry {
       s"(CASE WHEN $prefix${t}_$b >= 0e0 THEN ${1 << b} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  // ---- 64-bit wrapping-hash oracle machinery ---------------------------
+  // DuckDB integer ops ERROR on overflow instead of wrapping, but the
+  // splitmix64/FNV-1a chains are still expressible exactly: keep values
+  // as UBIGINT, do each multiply in HUGEINT split into 32-bit halves
+  // (products stay < 2^96 < HUGEINT max) mod 2^64, and emulate
+  // let-bindings with single-element list_transform so every
+  // intermediate evaluates once. Verified bit-exact against the
+  // TextHash kernels; upgrades dedup_simhash to hash-verified.
+  private object HashSql {
+    private var n = 0
+    private def let(expr: String)(body: String => String): String = {
+      n += 1; val v = s"v$n"
+      s"list_transform([$expr], $v -> ${body(v)})[1]"
+    }
+    private def wrapMulConst(a: String, c: BigInt): String = {
+      val lo = c & 0xffffffffL
+      val hi = c >> 32
+      s"CAST((CAST($a AS HUGEINT) * $lo % 18446744073709551616 + " +
+        s"(CAST($a AS HUGEINT) * $hi % 4294967296) * 4294967296) " +
+        "% 18446744073709551616 AS UBIGINT)"
+    }
+    /** splitmix64 finalizer over a UBIGINT expression. */
+    def mix(x: String): String =
+      let(s"CAST((CAST($x AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT)") { z1 =>
+        let(s"xor($z1, $z1 >> 30)") { a2 =>
+          let(wrapMulConst(a2, BigInt("bf58476d1ce4e5b9", 16))) { z2 =>
+            let(s"xor($z2, $z2 >> 27)") { a3 =>
+              let(wrapMulConst(a3, BigInt("94d049bb133111eb", 16))) { z3 =>
+                s"xor($z3, $z3 >> 31)"
+              }
+            }
+          }
+        }
+      }
+    /** FNV-1a 64 over the chars of token variable `tok`. */
+    val fnvTok: String =
+      "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
+        "list_transform(range(1, length(tok)+1), i -> " +
+        "CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS UBIGINT))), " +
+        "(h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) " +
+        "% 18446744073709551616 AS UBIGINT))"
+    /** 3-token shingle hash at offset variable `p` over hash list `hs`. */
+    val shingle: String =
+      mix("xor(" +
+        mix("xor(" +
+          mix("xor(CAST(2870177450012600261 AS UBIGINT), hs[CAST(p+1 AS INT)])") +
+          ", hs[CAST(p+2 AS INT)])") +
+        ", hs[CAST(p+3 AS INT)])")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // SimHash near-dup pairs, fully replicated: FNV token hashes ->
+    // 3-shingle mix chains -> seeded per-shingle hash -> majority-vote
+    // 64-bit fingerprint -> 8x8-bit segment blocking -> Hamming <= 7.
+    "dedup_simhash" -> {
+      val hmix = HashSql.mix("xor(s, CAST(42 AS UBIGINT))")
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | hx AS (SELECT doc_id, len(shs) AS n, list_transform(shs, s -> $hmix) AS hv FROM shx),
+         | fp AS (SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+         |   CASE WHEN 2*COALESCE(list_sum(list_transform(hv,
+         |          h -> CAST((h >> CAST(b AS UBIGINT)) & 1 AS BIGINT))), 0) > n
+         |   THEN CAST(1 AS UBIGINT) << CAST(b AS INT) ELSE CAST(0 AS UBIGINT) END)) AS fp
+         |  FROM hx),
+         | seg AS (SELECT doc_id, fp, unnest(list_transform(range(0, 8), s ->
+         |   {'sg': CAST(s AS INT), 'sv': CAST((fp >> CAST(8*s AS UBIGINT)) & 255 AS INT)}),
+         |   recursive := true) FROM fp),
+         | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM seg a JOIN seg b
+         |   ON a.sg = b.sg AND a.sv = b.sv AND a.doc_id < b.doc_id),
+         | hm AS (SELECT da AS doc_a, db AS doc_b,
+         |          CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+         |        FROM cand JOIN fp fa ON da = fa.doc_id JOIN fp fb ON db = fb.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // LSH top-k: corpus bucket per table from stored-index semantics;
     // query probes = main bucket + the 2 lowest-|margin| bit flips per
     // table (list_sort on (margin, bit) structs = the kernel's
