@@ -110,7 +110,10 @@ object SparkEntry {
     "embed_documents" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         posexplode(embedText(col("text"), 64)).as(Seq("pos", "emb_val")))
-        .select(col("doc_id"), col("pos"), round(col("emb_val"), 6).as("emb_val"))
+        // widen to double BEFORE rounding: the cross-engine contract is
+        // "round the float's exact double value", not float-typed round
+        .select(col("doc_id"), col("pos"),
+          round(col("emb_val").cast("double"), 6).as("emb_val"))
         .orderBy(col("doc_id").asc, col("pos").asc)),
     "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
     "chunk_sliding" -> ((s, d) => TextAnalysis.chunkSliding(t(s, d, "documents"))),
@@ -223,9 +226,238 @@ object SparkEntry {
           mix("xor(CAST(2870177450012600261 AS UBIGINT), hs[CAST(p+1 AS INT)])") +
           ", hs[CAST(p+2 AS INT)])") +
         ", hs[CAST(p+3 AS INT)])")
+
+    /** Per-token-hash embed contribution: DOUBLE[dim] from the seeded
+      * PRNG chain state = mix^j(mix(h ^ seed)), each component
+      * (state >>> 11)/2^52*2-1. Fold carries {state, values} struct. */
+    def tokVec(dim: Int): String = {
+      val step = let(mix("acc.st")) { st =>
+        s"{'st': $st, 'vs': list_append(acc.vs, " +
+          s"CAST($st >> 11 AS DOUBLE)/4503599627370496.0*2.0 - 1.0)}"
+      }
+      "list_reduce(list_prepend(" +
+        s"{'st': ${mix("xor(h, CAST(42 AS UBIGINT))")}, 'vs': CAST([] AS DOUBLE[])}, " +
+        s"list_transform(range(0, $dim), j -> {'st': CAST(0 AS UBIGINT), 'vs': CAST([] AS DOUBLE[])})), " +
+        s"(acc, ignored) -> $step).vs"
+    }
+
+    /** Raw (unnormalized) embed vector of a token-hash list expression:
+      * elementwise sum of per-token contributions; zeros when empty. */
+    def embedRaw(hsExpr: String, dim: Int = 64): String =
+      s"CASE WHEN len($hsExpr) = 0 THEN list_transform(range(0, $dim), j -> 0.0) " +
+        s"ELSE list_reduce(list_transform($hsExpr, h -> ${tokVec(dim)}), " +
+        s"(a, b) -> list_transform(range(0, $dim), j -> a[CAST(j+1 AS INT)] + b[CAST(j+1 AS INT)])) END"
+
+    /** zlib CRC32 table as a literal (computed here, standard polynomial). */
+    val crcTableLit: String = {
+      val tbl = (0 until 256).map { n =>
+        var c = n.toLong
+        for (_ <- 0 until 8)
+          c = if ((c & 1L) == 1L) 0xEDB88320L ^ (c >>> 1) else c >>> 1
+        c
+      }
+      tbl.mkString("[", ",", "]")
+    }
+
+    /** The FakeEmbed output: L2-normalize in double, then narrow each
+      * component to FLOAT (the kernel emits float32), re-widened to
+      * DOUBLE for downstream math — over a raw-vector variable `v`. */
+    val normFloats: String =
+      let("sqrt(list_dot_product(v, v))") { nrm =>
+        s"list_transform(v, x -> CAST(CAST(CASE WHEN $nrm > 0.0 THEN x / $nrm ELSE 0.0 END AS REAL) AS DOUBLE))"
+      }
+
+    /** Exact double literal of a float array (qvec of a literal query
+      * text, embedded at build time — Double.toString round-trips). */
+    def vecLit(v: Array[Float]): String =
+      v.map(f => f.toDouble.toString).mkString("[", ", ", "]")
   }
 
+  /** Embedding of a literal query text through the real kernel (for
+    * inlining into oracles as an exact literal). */
+  private def embedLit(text: String): Array[Float] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    graft.functions.TextHash
+      .embed(org.apache.spark.unsafe.types.UTF8String.fromString(text), 64, 42L)
+      .asInstanceOf[ArrayData].toFloatArray()
+  }
+
+  /** Shared CTE prefix: tokens -> FNV hashes -> raw embed vector `v`
+    * per document (docs with zero tokens keep v = zeros). */
+  private def embedDocsCtes: String =
+    s"""t AS ($toksCte),
+       | th AS (SELECT doc_id, source, toks, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+       | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
+       | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // Deterministic embedder, fully replicated: FNV token hash seeds a
+    // per-token splitmix64 chain, 64 components summed over tokens,
+    // L2-normalized in double, narrowed to float32 (the kernel's
+    // output type), re-widened and rounded.
+    "embed_documents" ->
+      s"""WITH $embedDocsCtes
+         |SELECT doc_id, pos, emb_val FROM (
+         | SELECT doc_id, unnest(list_transform(fv, (x, i) ->
+         |   {'pos': CAST(i-1 AS INT), 'emb_val': ROUND(x, 6)}), recursive := true)
+         | FROM ef)
+         |ORDER BY doc_id, pos""".stripMargin,
+    // Flagship end-to-end: 32-token window chunks, per-chunk embedding
+    // from the token-hash slice, cosine against the query text's
+    // embedding (a literal — the query is constant, so its float
+    // vector is computed by the real kernel at build time).
+    "library_search_e2e" -> {
+      val q = HashSql.vecLit(embedLit("spark join stream table filter"))
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, source, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, source, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS (SELECT doc_id, source, chunk_idx, ${HashSql.normFloats} AS fv FROM cv)
+         |SELECT source, doc_id, chunk_idx,
+         | ROUND(${cosSql("fv", q)}, 6) AS score
+         |FROM cf ORDER BY score DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+    },
+    // Hybrid = 0.5 * dense cosine over stored embeddings + 0.5 *
+    // max-normalized BM25 (same 4 terms as keyword_bm25), blended
+    // before the single rounding.
+    "hybrid_search" -> {
+      val q = HashSql.vecLit(embedLit("spark join stream window"))
+      s"""WITH $embedDocsCtes,
+         | f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl,
+         |   CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) tf0,
+         |   CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) tf1,
+         |   CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) tf2,
+         |   CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) tf3 FROM th),
+         | st AS (SELECT CAST(COUNT(*) AS DOUBLE) n_docs, CAST(SUM(dl) AS DOUBLE) sum_dl,
+         |   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df0,
+         |   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df1,
+         |   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df2,
+         |   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df3 FROM f),
+         | bm AS (SELECT doc_id, ROUND(
+         |   ln(1.0e0 + (n_docs - df0 + 0.5e0)/(df0 + 0.5e0)) * (tf0 * (1.2e0 + 1.0e0)) / (tf0 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df1 + 0.5e0)/(df1 + 0.5e0)) * (tf1 * (1.2e0 + 1.0e0)) / (tf1 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df2 + 0.5e0)/(df2 + 0.5e0)) * (tf2 * (1.2e0 + 1.0e0)) / (tf2 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df3 + 0.5e0)/(df3 + 0.5e0)) * (tf3 * (1.2e0 + 1.0e0)) / (tf3 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs))), 6) AS bm25
+         |  FROM f, st),
+         | lex AS (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0.0e0),
+         | mx AS (SELECT MAX(bm25) m FROM lex),
+         | dense AS (SELECT doc_id,
+         |   CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE ${cosSql("fv", q)} END AS ds
+         |  FROM ef)
+         |SELECT d.doc_id,
+         | ROUND(0.5e0 * ds + 0.5e0 * COALESCE(l.bm25 / mx.m, 0.0e0), 6) AS score
+         |FROM mx, dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
+         |ORDER BY score DESC, d.doc_id LIMIT 20""".stripMargin
+    },
+    // Multimodal stub pipeline, fully replicated: payload = UTF-8
+    // bytes of text; media_bytes = byte length; media_checksum = zlib
+    // CRC32 (literal-table fold over hex-derived byte values); feature
+    // vector = the seeded embedder over the lowercased hex string,
+    // which tokenizes to a single [0-9a-f] run.
+    "multimodal_features" -> {
+      val byteList =
+        "list_transform(range(0, length(hx)//2), i -> " +
+          "16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) " +
+          "+ (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1))"
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         | b AS (SELECT doc_id, hx, length(hx)//2 AS media_bytes, $byteList AS bs FROM t),
+         | cr AS (SELECT doc_id, hx, media_bytes,
+         |   xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), bs),
+         |     (c, byt) -> xor(list_extract(${HashSql.crcTableLit},
+         |       CAST((xor(c, byt) & 255) + 1 AS INT)), c >> 8)), 4294967295) AS media_checksum
+         |  FROM b),
+         | hv AS (SELECT doc_id, media_bytes, media_checksum,
+         |   CASE WHEN length(hx) = 0 THEN CAST([] AS UBIGINT[])
+         |        ELSE [list_transform([lower(hx)], tok -> ${HashSql.fnvTok})[1]] END AS hs
+         |  FROM cr),
+         | ev AS (SELECT doc_id, media_bytes, media_checksum,
+         |          ${HashSql.embedRaw("hs", 16)} AS v FROM hv),
+         | ef AS (SELECT doc_id, media_bytes, media_checksum,
+         |          ${HashSql.normFloats} AS fv FROM ev)
+         |SELECT doc_id, media_bytes, media_checksum, pos, feat FROM (
+         | SELECT doc_id, media_bytes, media_checksum,
+         |   unnest(list_transform(fv, (x, i) ->
+         |     {'pos': CAST(i-1 AS INT), 'feat': ROUND(x, 6)}), recursive := true)
+         | FROM ef)
+         |ORDER BY doc_id, pos""".stripMargin
+    },
+    // MinHash+LSH near-dup pairs, fully replicated: FNV token hashes
+    // -> 3-shingle mix chains -> 64 multiply-shift permutation minima
+    // (kept in sign-bias form: signed compare == unsigned compare of
+    // x^2^63, and equality/banding are bias-invariant) -> 16 bands of
+    // 4 rows joined on the raw slice (Spark buckets by xxhash64 of the
+    // slice; equal modulo 2^-64 collisions) -> signature-agreement
+    // Jaccard >= 0.5. k/64 is dyadic with exactly 6 decimal digits, so
+    // ROUND(.,6) is the identity on both engines.
+    "dedup_minhash" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, sig, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         | j AS (SELECT da AS doc_a, db AS doc_b,
+         |         ROUND(CAST(len(list_filter(range(0, 64),
+         |           i -> sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)])) AS DOUBLE)
+         |           / 64, 6) AS jaccard_est
+         |       FROM cand JOIN sigs sa ON da = sa.doc_id JOIN sigs sb ON db = sb.doc_id)
+         |SELECT doc_a, doc_b, jaccard_est FROM j WHERE jaccard_est >= 0.5e0
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // Same signature/banding construction; one-step min-representative
+    // clustering (Spark keys buckets by xxhash64(band, slice-hash);
+    // grouping on (band, raw slice) is identical modulo collisions).
+    "dedup_minhash_groups" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | reps AS (SELECT band, key, MIN(doc_id) AS rep FROM banded GROUP BY band, key),
+         | g AS (SELECT banded.doc_id, MIN(rep) AS cluster_rep
+         |       FROM banded JOIN reps USING (band, key) GROUP BY banded.doc_id)
+         |SELECT doc_id, cluster_rep, cluster_rep < doc_id AS is_duplicate
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     // SimHash near-dup pairs, fully replicated: FNV token hashes ->
     // 3-shingle mix chains -> seeded per-shingle hash -> majority-vote
     // 64-bit fingerprint -> 8x8-bit segment blocking -> Hamming <= 7.
@@ -236,7 +468,7 @@ object SparkEntry {
          | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
          |           p -> ${HashSql.shingle}) AS shs FROM th),
          | hx AS (SELECT doc_id, len(shs) AS n, list_transform(shs, s -> $hmix) AS hv FROM shx),
-         | fp AS (SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+         | fp AS MATERIALIZED (SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
          |   CASE WHEN 2*COALESCE(list_sum(list_transform(hv,
          |          h -> CAST((h >> CAST(b AS UBIGINT)) & 1 AS BIGINT))), 0) > n
          |   THEN CAST(1 AS UBIGINT) << CAST(b AS INT) ELSE CAST(0 AS UBIGINT) END)) AS fp

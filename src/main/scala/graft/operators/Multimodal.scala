@@ -34,7 +34,9 @@ object Multimodal {
       // STUB decode: deterministic feature vector from payload bytes.
       posexplode(embedText(hex(payload), dim)).as(Seq("pos", "feat")))
       .select(col("doc_id"), col("media_bytes"), col("media_checksum"),
-        col("pos"), round(col("feat"), 6).as("feat"))
+        // widen to double before rounding (cross-engine contract:
+        // round the float's exact double value)
+        col("pos"), round(col("feat").cast("double"), 6).as("feat"))
       .orderBy(col("doc_id").asc, col("pos").asc)
   }
 }
