@@ -155,6 +155,17 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf probe recall@10 against exact flat search") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine")
+      .collect().map(_.getLong(0)).toSet
+    val ivf = IvfIndex.ivfKnn(corpus, q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0))
+    val recall = ivf.count(exact).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@10=$recall")
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
