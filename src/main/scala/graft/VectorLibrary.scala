@@ -184,6 +184,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
   def unindexed: DataFrame = chunks.filter(col("embedding").isNull)
 
+  /** Batch chunk fetch by id (reference get_chunks_batch): a semi-join
+    * against a broadcast id frame rather than an IN literal, so a
+    * large id batch stays a hash join instead of a giant predicate. */
+  def chunksBatch(chunkIds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    chunks.join(broadcast(chunkIds.toDF("chunk_id")), Seq("chunk_id"), "left_semi")
+  }
+
+  /** All chunks of one document, in order (reference
+    * GET /documents/{id}/chunks). */
+  def documentChunks(docId: Long): DataFrame =
+    chunks.filter(col("doc_id") === docId).orderBy(col("chunk_idx").asc)
+
   /**
    * Streaming ingest: the reference's background embedding task
    * (services/background_tasks.py:15-40 — embed-and-index each new

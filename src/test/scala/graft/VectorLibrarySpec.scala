@@ -27,6 +27,14 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(st.getAs[Long]("vector_count") == nChunks)
     assert(st.getAs[Int]("dimension") == 64)
 
+    // batch fetch + per-document chunk listing (reference
+    // get_chunks_batch / GET /documents/{id}/chunks)
+    val someIds = lib.chunks.limit(3).collect().map(_.getAs[String]("chunk_id")).toSeq
+    assert(lib.chunksBatch(someIds).count() == 3)
+    val dc = lib.documentChunks(docs.head.getAs[Long]("doc_id")).collect()
+    assert(dc.nonEmpty)
+    assert(dc.map(_.getAs[Int]("chunk_idx")).toSeq == dc.indices.toSeq)
+
     // incremental add (the reference's background re-index path)
     lib.addDocuments(docs.withColumn("doc_id", col("doc_id") + 100000))
     assert(lib.chunks.count() == 2 * nChunks)
