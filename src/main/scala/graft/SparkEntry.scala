@@ -131,6 +131,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
+    "text_langid_multi" -> ((s, d) => TextAnalysis.langIdMulti(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.contentFingerprint(t(s, d, "documents"))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
@@ -746,6 +747,33 @@ object SparkEntry {
          |SELECT doc_id, floor(ratio * 1.0e6 + 0.5e0)/1.0e6 AS stopword_ratio,
          | CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
          |FROM m ORDER BY doc_id""".stripMargin,
+    // Multi-language variant: per-language stopword density over the
+    // same profiles as TextAnalysis.langProfiles; prediction = first
+    // language in profile order with density >= 0.05 and >= all others
+    // (comparisons on RAW ratios — one IEEE division of integer-valued
+    // doubles, bit-identical cross-engine; outputs quantized).
+    "text_langid_multi" -> {
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val hitCols = TextAnalysis.langProfiles.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, x -> list_contains($lst, x))) h_$l"
+      }.mkString(", ")
+      val ratioCols = langs.map(l =>
+        s"CASE WHEN n > 0 THEN CAST(h_$l AS DOUBLE)/n ELSE 0.0e0 END r_$l").mkString(", ")
+      val predCases = langs.map { l =>
+        val geAll = langs.filterNot(_ == l).map(m => s"r_$l >= r_$m").mkString(" AND ")
+        s"WHEN r_$l >= 0.05e0 AND $geAll THEN '$l'"
+      }.mkString(" ")
+      val outCols = langs.map(l =>
+        s"floor(r_$l * 1.0e6 + 0.5e0)/1.0e6 AS r_$l").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | h AS (SELECT doc_id, len(toks) n, $hitCols FROM t),
+         | r AS (SELECT doc_id, $ratioCols FROM h)
+         |SELECT doc_id, $outCols,
+         | CASE $predCases ELSE 'und' END AS pred_lang
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -63,6 +63,19 @@ object Stress {
     time("range_search") {
       VectorSearch.rangeSearch(corpus, q, "vec_id", "embedding", 0.2, "cosine").count() }
 
+    // Bucket-partitioned exploded index: probe reads only the probed
+    // (tbl, bucket) directories — I/O scales with the candidate set,
+    // not the corpus.
+    val ti0 = System.nanoTime()
+    corpus.select(col("vec_id"), col("embedding"),
+      posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(s"$tmp/lsh_part")
+    val lshPart = spark.read.parquet(s"$tmp/lsh_part")
+    println(f"[stress] lsh_partitioned_build(8x256 dirs): ${(System.nanoTime() - ti0) / 1e9}%.2fs")
+    time("lsh_knn_partitioned(pruned dirs)") {
+      VectorSearch.lshKnnPartitioned(lshPart, q, "vec_id", "embedding", 10).count() }
+
     time("knn_quantized(ad-hoc: codes recomputed)") {
       VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
     time("knn_quantized_indexed(stored codes)") {

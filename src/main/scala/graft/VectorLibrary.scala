@@ -24,8 +24,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   SparkEntry.configure(spark)
 
   private val path = s"$root/$name/chunks"
+  private val indexPath = s"$root/$name/lsh_index"
   private val numTables = 8
   private val bitsPerTable = 8
+
+  private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Per-library index algorithm, switchable live (reference
     * `preferred_index_algorithm`, services/vector_service.py:314
@@ -62,8 +66,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * partitioned by source so per-source queries prune files.
    */
   def addDocuments(docs: DataFrame, chunkWindow: Int = 32): Unit = {
-    indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow))
-      .write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+    val batch = indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow))
+    if (hasPartitionedIndex) {
+      // Dual write: cache the embedded batch so the expensive embed +
+      // signature pass runs once, not once per sink.
+      val b = batch.persist()
+      b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+      indexRows(b).write.mode(SaveMode.Append)
+        .partitionBy("tbl", "bucket").parquet(indexPath)
+      b.unpersist()
+    } else {
+      batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+    }
     invalidateIndexes()
   }
 
@@ -130,14 +144,59 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       q, "chunk_id", "embedding", kk, metric)
   }
 
-  /** Approximate search through the PRE-BUILT LSH index columns: the
-    * stored per-table bucket ids are probed directly — signatures are
-    * never recomputed over the corpus at query time. */
+  /** Approximate search through the PRE-BUILT LSH index: signatures
+    * are never recomputed over the corpus at query time. With the
+    * bucket-partitioned index present, the probe is a partition-pruned
+    * scan of only the probed (tbl, bucket) directories — the 100 TB
+    * shape; otherwise it falls back to the integer column probe over
+    * the stored `lsh_buckets` (full scan of one small column). Both
+    * paths return identical results (same probes, same stored
+    * signatures, same exact re-rank). */
   def searchApprox(queryText: String, k: Int = 10): DataFrame = {
-    VectorSearch.lshKnnIndexed(chunks, queryFrame(queryText),
-      "chunk_id", "embedding", "lsh_buckets",
-      clampK(k), "cosine", numTables, bitsPerTable, seed)
+    if (hasPartitionedIndex)
+      VectorSearch.lshKnnPartitioned(partitionedIndex, queryFrame(queryText),
+        "chunk_id", "embedding", clampK(k), "cosine", numTables, bitsPerTable, seed)
+    else
+      VectorSearch.lshKnnIndexed(chunks, queryFrame(queryText),
+        "chunk_id", "embedding", "lsh_buckets",
+        clampK(k), "cosine", numTables, bitsPerTable, seed)
   }
+
+  // --- bucket-partitioned exploded LSH index -------------------------
+  // The on-disk analog of the reference's in-memory per-bucket lists
+  // (LSHIndex._tables, algorithms.py:300-360): one directory per
+  // (table, bucket) holding the (chunk_id, embedding) rows hashed
+  // there. A probe reads ~numTables*(1+extraProbes) of the
+  // numTables*2^bits directories — I/O proportional to the candidate
+  // set, not the corpus. Embeddings are duplicated numTables times
+  // (the classic LSH space/time trade); the chunk store remains the
+  // source of truth and the index is derived, rebuildable data.
+
+  /** True when the partitioned index has been built for this library. */
+  def hasPartitionedIndex: Boolean = hadoopFs(indexPath)
+    .exists(new org.apache.hadoop.fs.Path(indexPath))
+
+  private def partitionedIndex: DataFrame = spark.read.parquet(indexPath)
+
+  /** Exploded index rows of an embedded chunk batch, clustered so each
+    * (tbl, bucket) partition directory receives exactly one file per
+    * write (the shuffle moves only id+vector, never the text). */
+  private def indexRows(embedded: DataFrame): DataFrame =
+    embedded.select(col("chunk_id"), col("embedding"),
+      posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+
+  /** Build (or rebuild) the bucket-partitioned index from the store.
+    * Later `addDocuments` / `ingestStreamIndexed` batches append only
+    * their own rows to the affected partitions — incremental, never a
+    * full rewrite. */
+  def buildPartitionedIndex(): Unit =
+    indexRows(chunks).write.mode(SaveMode.Overwrite)
+      .partitionBy("tbl", "bucket").parquet(indexPath)
+
+  /** Drop the partitioned index (search falls back to the column probe). */
+  def dropPartitionedIndex(): Unit =
+    hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
 
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
     * the vector-storage memory estimate of algorithms.py:197-201). */
@@ -217,6 +276,34 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /**
+   * Streaming ingest that ALSO maintains the bucket-partitioned LSH
+   * index incrementally: each micro-batch appends its chunks to the
+   * store and its exploded (tbl, bucket) rows to the index — the
+   * streaming form of the reference's background embed-and-index loop
+   * (background_tasks.py:15-40), with the index never rebuilt from
+   * scratch. foreachBatch drives the two sinks, so recovery is
+   * at-least-once per batch; chunk_ids are deterministic
+   * (library#doc#idx), making replayed rows exact duplicates that a
+   * downstream distinct-on-chunk_id removes if exactness matters.
+   */
+  def ingestStreamIndexed(docsStream: DataFrame, checkpoint: String,
+                          chunkWindow: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+        indexRows(b).write.mode(SaveMode.Append)
+          .partitionBy("tbl", "bucket").parquet(indexPath)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Delete documents by predicate (reference DELETE /chunks,
    * /documents): lake-style copy-on-write — rewrite the store without
    * the victims. At 100 TB the same flow runs per partition (only
@@ -253,6 +340,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
     fs.delete(aside, true)
     invalidateIndexes()
+    // The partitioned index is derived data: re-derive it from the
+    // rewritten store so deletes/updates never serve ghost candidates.
+    // At 100 TB a delete would instead copy-on-write only the index
+    // partitions holding victims (same anti-join, lake-style); the
+    // full re-derive keeps the local semantics identical and simple.
+    if (hasPartitionedIndex) buildPartitionedIndex()
   }
 
   /**

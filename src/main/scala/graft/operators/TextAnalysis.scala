@@ -85,6 +85,61 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Stopword profiles for the multi-language classifier. ASCII-only by
+    * construction: the tokenizer alphabet is [a-z0-9], so accented
+    * function words (für, è, à) can never appear as tokens and are
+    * omitted from the profiles. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+      "es", "por", "con", "para", "su", "se", "no", "al", "lo", "como"),
+    "fr" -> Seq("le", "la", "les", "des", "un", "une", "et", "est", "que",
+      "pour", "dans", "qui", "pas", "sur", "avec", "ne", "ce", "il", "au", "du"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "von", "mit", "den", "auf", "dem", "sich", "des", "im", "dass",
+      "auch", "wird"),
+    "it" -> Seq("il", "la", "le", "di", "che", "e", "un", "una", "per",
+      "con", "non", "sono", "del", "si", "da", "in", "al", "dei", "nel", "alla"))
+
+  /**
+   * Multi-language heuristic language ID: per-language stopword density
+   * (hits / tokens) over the profiles above; prediction = the first
+   * language in profile order whose density is >= `threshold` and >=
+   * every other language's density ("argmax with priority tie-break").
+   * One tokenizer pass per row: a single termFreqs call over the
+   * concatenated profiles, per-language hits summed from slices of the
+   * materialized count array — map-side only, codegen-friendly.
+   */
+  def langIdMulti(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    import graft.GraftFunctions.termFreqs
+    val allTerms = langProfiles.flatMap(_._2)
+    val starts = langProfiles.map(_._2.length).scanLeft(0)(_ + _)
+    val langs = langProfiles.map(_._1)
+
+    val base = docs.select(col("doc_id"), textStats(col("text")).as("st"),
+      termFreqs(col("text"), allTerms).as("tf"))
+    val hits = base.select(Seq(col("doc_id"), col("st")) ++
+      langProfiles.zipWithIndex.map { case ((l, ws), i) =>
+        aggregate(slice(col("tf.tfs"), starts(i) + 1, ws.length),
+          lit(0), _ + _).as(s"h_$l")
+      }: _*)
+    val nTok = col("st.n_tokens").cast("double")
+    val ratios = hits.select(col("doc_id") +: langs.map { l =>
+      when(nTok > 0, col(s"h_$l").cast("double") / nTok)
+        .otherwise(lit(0.0)).as(s"r_$l")
+    }: _*)
+    // Prediction compares RAW ratios (bit-identical cross-engine: one
+    // IEEE division of integer-valued doubles); only the OUTPUT ratios
+    // are quantized.
+    val pred = langs.map { l =>
+      (col(s"r_$l") >= lit(threshold)) &&
+        langs.filterNot(_ == l).map(m => col(s"r_$l") >= col(s"r_$m")).reduce(_ && _)
+    }.zip(langs).foldRight(lit("und")) { case ((c, l), acc) => when(c, lit(l)).otherwise(acc) }
+    ratios.select(col("doc_id") +: langs.map(l => quant6(col(s"r_$l")).as(s"r_$l"))
+        :+ pred.as("pred_lang"): _*)
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Normalized-content fingerprint (whitespace-collapsed, lowercased). */
   def contentFingerprint(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"),

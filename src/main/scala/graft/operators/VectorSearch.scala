@@ -180,8 +180,8 @@ object VectorSearch {
     * bit-flip variants, deduplicated. The driver-side resolve is the
     * same escape hatch gridKnn uses for its literal cell probe — the
     * query side is one row by contract. */
-  private def probeBuckets(query: DataFrame, numTables: Int, bitsPerTable: Int,
-                           seed: Long, extraProbes: Int): Array[Array[Int]] = {
+  private[graft] def probeBuckets(query: DataFrame, numTables: Int, bitsPerTable: Int,
+                                  seed: Long, extraProbes: Int): Array[Array[Int]] = {
     import graft.functions.TextHash
     val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
     val flat = TextHash.hyperplaneProbesArr(qv, numTables, bitsPerTable, extraProbes, seed)
@@ -217,6 +217,39 @@ object VectorSearch {
     indexed.filter(candidate)
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * LSH probe against a bucket-PARTITIONED exploded index table:
+   * rows (id, vector) stored under (tbl, bucket) PARTITION columns
+   * (VectorLibrary.buildPartitionedIndex writes this layout). The
+   * probe predicate references only partition columns, so Catalyst
+   * prunes at planning time — of numTables * 2^bits directories the
+   * scan opens only numTables * (1 + extraProbes), i.e. ~1/100th of
+   * the index regardless of corpus size. This is the 100 TB serving
+   * shape: `lshKnnIndexed`'s column probe still reads every row's
+   * bucket array once; here the non-probed data is never opened.
+   *
+   * A candidate caught by several probed tables appears once per hit;
+   * occurrences are deduplicated AFTER scoring via a max aggregate on
+   * scalar (id, score) pairs — hash-aggregable, map-side-combinable,
+   * so no embedding array ever rides a shuffle. The score is
+   * occurrence-invariant, making max a pure dedup.
+   */
+  def lshKnnPartitioned(index: DataFrame, query: DataFrame, idCol: String,
+                        vecCol: String, k: Int, metric: String = "cosine",
+                        numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
+                        extraProbes: Int = 2): DataFrame = {
+    val pred = probeBuckets(query, numTables, bitsPerTable, seed, extraProbes)
+      .zipWithIndex.map { case (bs, t) =>
+        col("tbl") === t && col("bucket").isin(bs.map(Int.box).toSeq: _*)
+      }.reduce(_ || _)
+    index.filter(pred)
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .groupBy(col(idCol)).agg(max(col("score")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

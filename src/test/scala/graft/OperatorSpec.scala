@@ -104,6 +104,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(qs.getDouble(0) >= 0.0 && qs.getDouble(1) <= 1.0)
   }
 
+  test("multi-language langid classifies planted texts and agrees with single-lang en") {
+    import spark.implicits._
+    val planted = Seq(
+      (9001L, "el perro corre por la calle y el gato duerme en la casa de su amigo"),
+      (9002L, "le chien court dans la rue et le chat dort dans la maison avec le garcon"),
+      (9003L, "der hund lauft auf der strasse und die katze schlaft in dem haus mit dem jungen"),
+      (9004L, "the dog runs on the street and the cat sleeps in the house with the boy"),
+      (9005L, "xqzt vbnm wrtp lkjh qwer asdf zxcv poiu mnbv")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdMulti(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(9001L) == "es", s"es text got ${out(9001L)}")
+    assert(out(9002L) == "fr", s"fr text got ${out(9002L)}")
+    assert(out(9003L) == "de", s"de text got ${out(9003L)}")
+    assert(out(9004L) == "en", s"en text got ${out(9004L)}")
+    assert(out(9005L) == "und", s"gibberish got ${out(9005L)}")
+
+    // On the corpus: anything single-lang langId calls "en" must score
+    // en-ratio >= threshold in the multi model too (same list, same
+    // denominator), so multi never demotes an en doc to "und".
+    val single = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+      .withColumnRenamed("pred_lang", "single")
+    val multi = TextAnalysis.langIdMulti(docs).select("doc_id", "pred_lang")
+    val demoted = multi.join(single, "doc_id")
+      .filter(col("single") === "en" && col("pred_lang") === "und").count()
+    assert(demoted == 0)
+  }
+
   // ---- plan-shape assertions (scale hygiene) -----------------------------
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q1(Tables.load(spark, sfDir, "lineitem")))

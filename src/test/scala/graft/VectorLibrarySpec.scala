@@ -141,6 +141,82 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("partitioned LSH index: pruned probe, identical results, incremental append") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft-lib-part").toString
+    val lib = new VectorLibrary(spark, root, "part-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+
+    val colProbe = lib.searchApprox("spark join stream table filter", k = 10).collect()
+    assert(!lib.hasPartitionedIndex)
+    lib.buildPartitionedIndex()
+    assert(lib.hasPartitionedIndex)
+
+    val part = lib.searchApprox("spark join stream table filter", k = 10)
+    val partRows = part.collect()
+    assert(partRows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      colProbe.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "partitioned probe diverged from the column probe")
+
+    // The probe must be partition-pruned: the lsh_index scan carries
+    // partition filters and opens at most tables*(1+extraProbes) of
+    // the tables*2^bits directories.
+    // AQE wraps materialized stages in leaf QueryStageExec nodes;
+    // descend through them to reach the file scans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(part.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_index")))
+    assert(scan.nonEmpty, "no file scan over lsh_index in the plan")
+    assert(scan.head.partitionFilters.nonEmpty, "probe not pushed as partition filters")
+    val numFiles = scan.head.metrics("numFiles").value
+    assert(numFiles <= 8 * 3, s"probe opened $numFiles files — not pruned")
+
+    // Incremental append: a later batch extends the index in place.
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val idx = spark.read.parquet(s"$root/part-lib/lsh_index")
+    assert(idx.count() == 8 * lib.chunks.count(), "index rows != tables * chunks after append")
+
+    // Store rewrites re-derive the index: no ghost candidates.
+    lib.deleteDocuments(col("doc_id") < 5)
+    val idx2 = spark.read.parquet(s"$root/part-lib/lsh_index")
+    assert(idx2.count() == 8 * lib.chunks.count(), "index stale after delete")
+    assert(idx2.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
+    lib.delete()
+  }
+
+  test("streaming indexed ingest maintains store and partitioned index per batch") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-lib-spart").toString
+    val docsDir = Files.createTempDirectory("graft-docs-spart").toString
+    val lib = new VectorLibrary(spark, root, "spart-lib")
+
+    Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = lib.ingestStreamIndexed(
+      spark.readStream.schema(schema).parquet(docsDir), s"$root/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    assert(lib.hasPartitionedIndex)
+    val n = lib.chunks.count()
+    assert(n > 0)
+    assert(spark.read.parquet(s"$root/spart-lib/lsh_index").count() == 8 * n)
+    val hits = lib.searchApprox("spark join stream", k = 3).collect()
+    assert(hits.nonEmpty)
+    lib.delete()
+  }
+
   test("streaming ingest embeds and indexes arriving documents") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-stream").toString
