@@ -118,6 +118,11 @@ object SparkEntry {
     "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
     "chunk_sliding" -> ((s, d) => TextAnalysis.chunkSliding(t(s, d, "documents"))),
     "library_search_e2e" -> ((s, d) => librarySearchE2E(s, d)),
+    "library_lsh_partitioned" -> ((s, d) => { configure(s)
+      // probe of the bucket-partitioned on-disk LSH index of a
+      // build-once library (the 100 TB serving layout: I/O scales with
+      // the candidate set, not the corpus).
+      VectorLibrary.forDataset(s, d).searchApprox("spark join stream table filter", 10) }),
     // --- D. dedup suite ------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
@@ -320,6 +325,39 @@ object SparkEntry {
          |SELECT source, doc_id, chunk_idx,
          | ROUND(${cosSql("fv", q)}, 6) AS score
          |FROM cf ORDER BY score DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+    },
+    // Partitioned-index library probe, fully replicated: chunk
+    // embeddings from the token-hash slices (as library_search_e2e),
+    // per-chunk LSH buckets from the literal hyperplane matrix, query
+    // probes resolved AT ORACLE BUILD TIME by the same kernel the
+    // engine uses (the query text is constant, so its multi-probe
+    // bucket lists inline as integer literals), exact cosine re-rank.
+    "library_lsh_partitioned" -> {
+      val qf = embedLit("spark join stream table filter")
+      val q = HashSql.vecLit(qf)
+      val perTable = 3 // 1 main bucket + 2 extra probes
+      val flat = graft.functions.TextHash.hyperplaneProbesArr(
+        qf.map(_.toDouble), lshTables, lshBits, 2, 42L)
+      val probes = Array.tabulate(lshTables)(t =>
+        flat.slice(t * perTable, (t + 1) * perTable).distinct)
+      val cBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("cd", t)} AS cb$t").mkString(", ")
+      val candidate = (0 until lshTables).map(t =>
+        s"list_contains([${probes(t).mkString(",")}], cb$t)").mkString(" OR ")
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS MATERIALIZED (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | cd AS MATERIALIZED (SELECT doc_id, chunk_idx, fv, ${lshDotsSql("fv", "cd")} FROM cf),
+         | cb AS (SELECT doc_id, chunk_idx, fv, $cBuckets FROM cd)
+         |SELECT 'bench#' || CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+         | ROUND(${cosSql("fv", q)}, 6) AS score
+         |FROM cb WHERE $candidate
+         |ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
     },
     // Hybrid = 0.5 * dense cosine over stored embeddings + 0.5 *
     // max-normalized BM25 (same 4 terms as keyword_bm25), blended

@@ -31,15 +31,69 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Per-library index algorithm, switchable live (reference
-    * `preferred_index_algorithm`, services/vector_service.py:314
-    * set_library_algorithm / library_service.py:146). */
-  private var algo: String = "flat"
+  // --- persisted library metadata ------------------------------------
+  // The reference keeps LibraryMetadata (description/created_at/
+  // updated_at/extra) and preferred_index_algorithm on the Library row
+  // (schemas/library_schema.py, PUT /libraries/{id}); here they live
+  // in a _library.json next to the store so a NEW session (or another
+  // cluster) reopens the library with the same algorithm and metadata.
+  private val metaPath = s"$root/$name/_library.json"
+
+  private def readMeta(): Map[String, String] = {
+    val fs = hadoopFs(metaPath)
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // flat string-to-string JSON object (written by writeMeta below)
+      "\"([^\"]+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(raw)
+        .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .toMap
+    }
+  }
+
+  private def writeMeta(m: Map[String, String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    val fs = hadoopFs(metaPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(metaPath), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def touchMeta(updates: (String, String)*): Unit = {
+    val now = java.time.Instant.now().toString
+    val base = readMeta()
+    writeMeta(base
+      ++ Map("name" -> name,
+        "created_at" -> base.getOrElse("created_at", now),
+        "updated_at" -> now)
+      ++ updates)
+  }
+
+  /** Library metadata as last persisted (reference GET /libraries/{id}). */
+  def metadata: Map[String, String] = readMeta()
+
+  /** Update description/extra metadata (reference PUT /libraries/{id}). */
+  def updateMetadata(updates: (String, String)*): Unit = {
+    require(!updates.exists(u => Set("name", "created_at")(u._1)),
+      "name and created_at are immutable")
+    touchMeta(updates: _*)
+  }
+
+  /** Per-library index algorithm, switchable live AND persisted
+    * (reference `preferred_index_algorithm`, services/vector_service
+    * .py:314 set_library_algorithm / library_service.py:146) — a new
+    * session reopening this store routes search the same way. */
+  private var algo: String = readMeta().getOrElse("algorithm", "flat")
   def algorithm: String = algo
   def setAlgorithm(a: String): Unit = {
     require(VectorLibrary.algorithms(a),
       s"unknown index algorithm '$a' (expected one of ${VectorLibrary.algorithms.mkString(", ")})")
     algo = a
+    touchMeta("algorithm" -> a)
   }
 
   // IVF is the one index with driver-side state (centroids); built
@@ -65,8 +119,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * buckets + int8 codes), append to the library store. The write is
    * partitioned by source so per-source queries prune files.
    */
-  def addDocuments(docs: DataFrame, chunkWindow: Int = 32): Unit = {
-    val batch = indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow))
+  def addDocuments(docs: DataFrame, chunkWindow: Int = 32): Unit =
+    appendBatch(indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow)))
+
+  /** Append an embedded+indexed batch to the store (and, when the
+    * partitioned index exists, its exploded rows to the index). */
+  private def appendBatch(batch: DataFrame): Unit = {
     if (hasPartitionedIndex) {
       // Dual write: cache the embedded batch so the expensive embed +
       // signature pass runs once, not once per sink.
@@ -79,6 +137,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
     }
     invalidateIndexes()
+    touchMeta()
+  }
+
+  /**
+   * Ingest PRE-CHUNKED content (reference POST /documents
+   * create_document_from_chunks, document_router.py:33: the caller
+   * supplies the chunks; the service embeds and indexes them). Rows:
+   * (doc_id, chunk_idx, chunk_text, source) — token counts, embedding
+   * and index columns are derived exactly as for auto-chunked ingest,
+   * so both paths produce interchangeable store rows.
+   */
+  def addChunkedDocuments(chunked: DataFrame): Unit = {
+    val required = Set("doc_id", "chunk_idx", "chunk_text", "source")
+    val missing = required -- chunked.columns.toSet
+    require(missing.isEmpty, s"addChunkedDocuments: missing columns $missing")
+    appendBatch(indexColumns(chunked
+      .select(col("doc_id"), col("source"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk_text"),
+        textStats(col("chunk_text")).getField("n_tokens").as("n_tokens"))))
   }
 
   /** Embedding + index columns for a chunk batch (shared by the batch
@@ -243,6 +320,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
   def unindexed: DataFrame = chunks.filter(col("embedding").isNull)
 
+  /**
+   * Remove chunks whose parent document is not in `documents` — the
+   * reference's background orphan cleanup (background_tasks.py:94),
+   * as a semi-join copy-on-write rewrite. Returns removed-chunk count.
+   */
+  def cleanupOrphans(documents: DataFrame): Long = {
+    val before = chunks.count()
+    swapStore(chunks.join(
+      documents.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+    before - chunks.count()
+  }
+
   /** Batch chunk fetch by id (reference get_chunks_batch): a semi-join
     * against a broadcast id frame rather than an IN literal, so a
     * large id batch stays a hash join instead of a giant predicate. */
@@ -346,6 +435,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // partitions holding victims (same anti-join, lake-style); the
     // full re-derive keeps the local semantics identical and simple.
     if (hasPartitionedIndex) buildPartitionedIndex()
+    touchMeta()
   }
 
   /**
@@ -396,4 +486,38 @@ object VectorLibrary {
   /** Index algorithms a library can route search through (reference
     * IndexAlgorithm enum + the quantized two-phase extension). */
   val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized")
+
+  /** All libraries under a root (reference GET /libraries): one row
+    * per library directory with its persisted metadata. */
+  def list(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val names =
+      if (!fs.exists(rootPath)) Seq.empty[String]
+      else fs.listStatus(rootPath).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    names.sorted.map { n =>
+      val m = new VectorLibrary(spark, root, n).metadata
+      (n, m.getOrElse("description", ""), m.getOrElse("algorithm", "flat"),
+        m.getOrElse("created_at", ""), m.getOrElse("updated_at", ""))
+    }.toDF("library", "description", "algorithm", "created_at", "updated_at")
+  }
+
+  private val datasetCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), VectorLibrary]
+
+  /** Build-once library over a dataset's documents table (temp store,
+    * partitioned LSH index built) — the bench/verify stand-in for a
+    * long-lived library: queries against it measure the PROBE, not
+    * ingest, mirroring how a serving cluster reads a store built by an
+    * earlier ingest job. */
+  def forDataset(spark: SparkSession, dir: String): VectorLibrary =
+    datasetCache.getOrElseUpdate((spark, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-benchlib").toString
+      val lib = new VectorLibrary(spark, root, "bench")
+      lib.addDocuments(Tables.load(spark, dir, "documents"))
+      lib.buildPartitionedIndex()
+      lib
+    })
 }

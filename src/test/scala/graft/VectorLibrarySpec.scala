@@ -141,6 +141,48 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("metadata persistence, listing, pre-chunked ingest, orphan cleanup") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lib-meta").toString
+    val lib = new VectorLibrary(spark, root, "meta-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    lib.addDocuments(docs)
+
+    assert(lib.metadata("name") == "meta-lib" && lib.metadata.contains("created_at"))
+    lib.updateMetadata("description" -> "test \"quoted\" library")
+    lib.setAlgorithm("lsh")
+    // a NEW facade over the same store restores algorithm + metadata
+    val reopened = new VectorLibrary(spark, root, "meta-lib")
+    assert(reopened.algorithm == "lsh")
+    assert(reopened.metadata("description") == "test \"quoted\" library")
+    assertThrows[IllegalArgumentException](lib.updateMetadata("name" -> "x"))
+
+    val second = new VectorLibrary(spark, root, "meta-lib2")
+    second.addDocuments(docs.limit(5))
+    val listed = VectorLibrary.list(spark, root).collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("meta-lib", "meta-lib2"))
+    assert(listed.find(_.getString(0) == "meta-lib").get
+      .getAs[String]("algorithm") == "lsh")
+
+    // pre-chunked ingest produces store rows interchangeable with
+    // auto-chunked ones (embedded, indexed, token-counted)
+    val pre = Seq(
+      (90001L, 0, "alpha beta gamma delta", "manual"),
+      (90001L, 1, "epsilon zeta eta theta", "manual")
+    ).toDF("doc_id", "chunk_idx", "chunk_text", "source")
+    lib.addChunkedDocuments(pre)
+    val got = lib.documentChunks(90001L)
+    assert(got.count() == 2)
+    assert(got.filter(col("n_tokens") === 4 && size(col("embedding")) === 64 &&
+      size(col("lsh_buckets")) === 8).count() == 2)
+
+    // orphan cleanup: doc 90001 is not in the documents table
+    val removed = lib.cleanupOrphans(docs)
+    assert(removed == 2)
+    assert(lib.documentChunks(90001L).count() == 0)
+    lib.delete(); second.delete()
+  }
+
   test("partitioned LSH index: pruned probe, identical results, incremental append") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = Files.createTempDirectory("graft-lib-part").toString
