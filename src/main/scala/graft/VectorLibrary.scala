@@ -122,22 +122,46 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def addDocuments(docs: DataFrame, chunkWindow: Int = 32): Unit =
     appendBatch(indexColumns(TextAnalysis.chunksUnordered(docs, chunkWindow)))
 
-  /** Append an embedded+indexed batch to the store (and, when the
-    * partitioned index exists, its exploded rows to the index). */
+  /** Append an embedded+indexed batch to the store and, for each
+    * on-disk index present, its derived rows to that index — ingest
+    * stays incremental, indexes never rebuild on append. */
   private def appendBatch(batch: DataFrame): Unit = {
-    if (hasPartitionedIndex) {
-      // Dual write: cache the embedded batch so the expensive embed +
-      // signature pass runs once, not once per sink.
+    if (hasPartitionedIndex || hasIvfIndex) {
+      // Multi-sink write: cache the embedded batch so the expensive
+      // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
       b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
-      indexRows(b).write.mode(SaveMode.Append)
-        .partitionBy("tbl", "bucket").parquet(indexPath)
+      if (hasPartitionedIndex)
+        indexRows(b).write.mode(SaveMode.Append)
+          .partitionBy("tbl", "bucket").parquet(indexPath)
+      if (hasIvfIndex)
+        assignToCentroids(b.select(col("chunk_id"), col("embedding")))
+          .write.mode(SaveMode.Append).partitionBy("cluster")
+          .parquet(s"$ivfPath/assigned")
       b.unpersist()
     } else {
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
     }
     invalidateIndexes()
     touchMeta()
+  }
+
+  /** Assign a batch to the EXISTING centroids (incremental IVF: no
+    * refit — the standard add path of an inverted-file index). The
+    * centroid table is tiny by design, so the assignment is one
+    * broadcast join + a batch-sized min aggregate; ties break to the
+    * lowest cluster id via the (distance, cluster) struct ordering. */
+  private def assignToCentroids(batch: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$ivfPath/centroids")
+    batch.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _))
+      .groupBy(col("chunk_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("chunk_id"), col("embedding"), col("m.cluster").as("cluster"))
   }
 
   /**
@@ -197,6 +221,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "grid" =>
         VectorSearch.gridKnn(chunks.select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
+      case "ivf" if hasIvfIndex =>
+        IvfIndex.searchIndexed(spark, ivfPath, q, "chunk_id", "embedding", kk,
+          metric = metric)
       case "ivf" =>
         val (model, assigned) = ivfIndex
         IvfIndex.search(assigned, model, q, "chunk_id", "embedding", kk, metric = metric)
@@ -274,6 +301,31 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Drop the partitioned index (search falls back to the column probe). */
   def dropPartitionedIndex(): Unit =
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
+
+  // --- on-disk IVF index ---------------------------------------------
+  // Cluster-partitioned assignment + tiny centroid table (the serving
+  // layout IvfIndex.writeIndex documents). Unlike the in-memory cached
+  // build, this survives the session: a new cluster reopening the
+  // library probes it with zero build cost.
+  private val ivfPath = s"$root/$name/ivf_index"
+
+  /** True when the on-disk IVF index has been built. */
+  def hasIvfIndex: Boolean = hadoopFs(ivfPath)
+    .exists(new org.apache.hadoop.fs.Path(s"$ivfPath/centroids"))
+
+  /** Build (or rebuild) the on-disk IVF index: one distributed k-means
+    * fit + a cluster-partitioned write. `search` under algorithm "ivf"
+    * then probes nProbe directories instead of scanning the store. */
+  def buildIvfIndex(nCentroids: Int = 16): Unit = {
+    val (model, assigned) = IvfIndex.build(
+      chunks.select(col("chunk_id"), col("embedding")), "embedding", nCentroids)
+    IvfIndex.writeIndex(assigned, model, ivfPath)
+  }
+
+  /** Drop the on-disk IVF index (search falls back to the lazy
+    * in-memory build). */
+  def dropIvfIndex(): Unit =
+    hadoopFs(ivfPath).delete(new org.apache.hadoop.fs.Path(ivfPath), true)
 
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
     * the vector-storage memory estimate of algorithms.py:197-201). */
@@ -435,6 +487,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // partitions holding victims (same anti-join, lake-style); the
     // full re-derive keeps the local semantics identical and simple.
     if (hasPartitionedIndex) buildPartitionedIndex()
+    if (hasIvfIndex) buildIvfIndex()
     touchMeta()
   }
 

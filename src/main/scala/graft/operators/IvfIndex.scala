@@ -32,26 +32,67 @@ object IvfIndex {
     (model, assigned)
   }
 
+  /** The nProbe cluster ids nearest to `qv` (squared-L2 to centroids,
+    * resolved on the driver — the centroid table is tiny by design). */
+  private def nearestClusters(centers: Seq[(Int, Array[Double])],
+                              qv: Array[Double], nProbe: Int): Seq[Int] =
+    centers.map { case (i, arr) =>
+      var d = 0.0; var j = 0
+      while (j < arr.length) { val t = arr(j) - qv(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
+  private def rerank(candidates: DataFrame, query: DataFrame, idCol: String,
+                     vecCol: String, k: Int, metric: String): DataFrame =
+    candidates.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** Exact re-rank within the nProbe nearest cells to the query. */
   def search(assigned: DataFrame, model: KMeansModel, query: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
              metric: String = "cosine"): DataFrame = {
     val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
-    val probeClusters = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        var d = 0.0; var j = 0
-        while (j < arr.length) { val t = arr(j) - qv(j); d += t * t; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val probe = nearestClusters(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
+      qv, nProbe)
+    rerank(assigned.filter(col("cluster").isin(probe: _*)),
+      query, idCol, vecCol, k, metric)
+  }
 
-    assigned.filter(col("cluster").isin(probeClusters: _*))
-      .crossJoin(broadcast(query))
-      .select(col(idCol),
-        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+  /**
+   * Persist the index in its on-disk serving layout: the assignment
+   * written partitionBy(cluster) — one directory per Voronoi cell —
+   * and the centroids as a tiny parquet beside it. This is the 100 TB
+   * shape: a probe resolves its nProbe cells from the centroid table
+   * and scans ONLY those directories (partition pruning at planning
+   * time); the non-probed corpus is never opened.
+   */
+  def writeIndex(assigned: DataFrame, model: KMeansModel, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assigned")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a written index: nProbe cells resolved driver-side from the
+    * centroid table, then a partition-pruned scan of those cluster
+    * directories + exact re-rank. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: DataFrame, idCol: String, vecCol: String, k: Int,
+                    nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val probe = nearestClusters(centers, qv, nProbe)
+    rerank(spark.read.parquet(s"$path/assigned").filter(col("cluster").isin(probe: _*)),
+      query, idCol, vecCol, k, metric)
   }
 
   /** One-call convenience: build + probe (the `ivf_knn` query). */

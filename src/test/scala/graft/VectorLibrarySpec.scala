@@ -234,6 +234,51 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("on-disk IVF index: pruned probe, incremental assign, survives reopen") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-ivf").toString
+    val lib = new VectorLibrary(spark, root, "ivf-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+    lib.buildIvfIndex(nCentroids = 8)
+    assert(lib.hasIvfIndex)
+    lib.setAlgorithm("ivf")
+
+    val res = lib.search("spark join stream table filter", k = 5)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+
+    // the probe must scan only the probed cluster directories
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivf_index")))
+    assert(scan.nonEmpty, "no file scan over ivf_index in the plan")
+    assert(scan.head.partitionFilters.nonEmpty, "probe not pushed as partition filters")
+    assert(scan.head.metrics("numFiles").value <= 4,
+      s"probe opened ${scan.head.metrics("numFiles").value} files for nProbe=4")
+
+    // incremental append assigns new vectors to existing centroids
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val assigned = spark.read.parquet(s"$root/ivf-lib/ivf_index/assigned")
+    assert(assigned.count() == lib.chunks.count(), "ivf assignment stale after append")
+    assert(assigned.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+
+    // a NEW facade over the same store probes with zero build cost and
+    // the same routing (algorithm persisted in metadata)
+    val reopened = new VectorLibrary(spark, root, "ivf-lib")
+    assert(reopened.algorithm == "ivf" && reopened.hasIvfIndex)
+    assert(reopened.search("spark join stream table filter", k = 5).count() == 5)
+    lib.delete()
+  }
+
   test("streaming indexed ingest maintains store and partitioned index per batch") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-spart").toString
