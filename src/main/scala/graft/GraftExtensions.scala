@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => VectorL2Normalize(es(0))),
       ("graft_embed", "deterministic text embedding (text, dim, seed)",
         es => FakeEmbed(es(0), intLit(es(1)), longLit(es(2)))),
+      ("graft_mix64", "splitmix64 finalizer of a long (sampling hash)",
+        es => Mix64(es(0))),
       ("graft_minhash", "minhash signature (text, shingleWords, numHashes, seed)",
         es => MinHashSig(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3)))),
       ("graft_simhash", "64-bit simhash (text, seed)",

@@ -38,6 +38,8 @@ object GraftFunctions {
       es => VectorL2Normalize(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_embed",
       es => FakeEmbed(es(0), intLit(es(1)), longLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_mix64",
+      es => Mix64(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSig(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
@@ -86,6 +88,9 @@ object GraftFunctions {
 
   def embedText(text: Column, dim: Int = 64, seed: Long = 42L): Column =
     call_function("graft_embed", text, lit(dim), lit(seed))
+
+  /** splitmix64 finalizer of a long column (deterministic sampling). */
+  def mix64(c: Column): Column = call_function("graft_mix64", c)
 
   /** Embedding input types (reference embedding_service.py:169-233:
     * `search_document` at ingest vs `search_query` at search time). */

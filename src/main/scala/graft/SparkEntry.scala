@@ -141,11 +141,14 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
       Seq("spark", "join", "stream", "window"))),
+    "sample_split" -> ((s, d) => Pipeline.sampleSplit(t(s, d, "documents"))),
+    "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     // --- G. multimodal --------------------------------------------------
-    "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents")))
+    "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
+    "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
   )
 
   // --- DuckDB oracle SQL (see SURVEY.md paragraph 5 for parity rules) -----
@@ -422,6 +425,37 @@ object SparkEntry {
          |     {'pos': CAST(i-1 AS INT), 'feat': ROUND(x, 6)}), recursive := true)
          | FROM ef)
          |ORDER BY doc_id, pos""".stripMargin
+    },
+    // Frame sampling + stride-2 downsample, fully replicated: 4 evenly
+    // spaced byte windows per payload (hex-space slicing), zlib CRC32
+    // of each frame and of its every-second-byte view via the literal
+    // CRC table fold. An empty byte list folds to CRC 0, matching
+    // Spark's crc32 of empty binary.
+    "multimodal_framesample" -> {
+      def bytesOf(hxExpr: String): String =
+        s"list_transform(range(0, length($hxExpr)//2), i -> " +
+          s"16*(strpos('0123456789ABCDEF', substr($hxExpr, CAST(2*i+1 AS INT), 1)) - 1) " +
+          s"+ (strpos('0123456789ABCDEF', substr($hxExpr, CAST(2*i+2 AS INT), 1)) - 1))"
+      def crcOf(bsExpr: String): String =
+        s"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), $bsExpr), " +
+          s"(c, byt) -> xor(list_extract(${HashSql.crcTableLit}, " +
+          "CAST((xor(c, byt) & 255) + 1 AS INT)), c >> 8)), 4294967295)"
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         | b AS (SELECT doc_id, hx, (length(hx)//2)//4 AS flen FROM t),
+         | f AS (SELECT doc_id, hx, flen, CAST(unnest(range(0, 4)) AS INT) AS frame_idx
+         |        FROM b WHERE flen > 0),
+         | fr AS (SELECT doc_id, frame_idx, flen,
+         |          substr(hx, frame_idx*flen*2 + 1, flen*2) AS fhx FROM f),
+         | ds AS (SELECT doc_id, frame_idx, flen, fhx,
+         |          array_to_string(list_transform(range(0, flen//2),
+         |            j -> substr(fhx, CAST(4*j+1 AS INT), 2)), '') AS dshx FROM fr)
+         |SELECT doc_id, frame_idx,
+         | CAST(frame_idx*flen AS BIGINT) AS frame_offset,
+         | CAST(flen AS INT) AS frame_len,
+         | ${crcOf(bytesOf("fhx"))} AS frame_checksum,
+         | CAST(flen//2 AS INT) AS ds_len,
+         | ${crcOf(bytesOf("dshx"))} AS ds_checksum
+         |FROM ds ORDER BY doc_id, frame_idx""".stripMargin
     },
     // MinHash+LSH near-dup pairs, fully replicated: FNV token hashes
     // -> 3-shingle mix chains -> 64 multiply-shift permutation minima
@@ -815,6 +849,29 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Deterministic split: splitmix64 of (doc_id + seed), sign bit
+    // cleared, mod 100 — Spark long arithmetic wraps exactly like the
+    // HUGEINT emulation, so buckets are bit-identical.
+    "sample_split" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST((${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1) % 100 AS INT) AS bucket
+         | FROM documents)
+         |SELECT doc_id, bucket,
+         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // Greedy token packing: shard = exclusive prefix sum of token
+    // counts over (source, doc_id order) div budget — integer window
+    // math, exact on both engines.
+    "shard_pack" ->
+      s"""WITH t AS ($toksCte),
+         | c AS (SELECT doc_id, source, CAST(len(toks) AS INT) n_tokens FROM t),
+         | w AS (SELECT doc_id, source, n_tokens,
+         |   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) cum FROM c)
+         |SELECT doc_id, source, n_tokens,
+         | CAST((cum - n_tokens) // 4096 AS INT) AS shard_idx
+         |FROM w ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(
         |  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token

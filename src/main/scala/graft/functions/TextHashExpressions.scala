@@ -484,6 +484,24 @@ object TextHash {
 }
 
 /** text -> deterministic Array[Float] embedding (Cohere stand-in). */
+/** splitmix64 finalizer over a long column — the engine's canonical
+  * cheap hash for deterministic sampling/splitting. A native
+  * expression because Spark's ANSI mode (default in 4.x) rejects the
+  * wrapping long multiplies the finalizer needs. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.mix64(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.mix64($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FakeEmbed(child: Expression, dim: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)

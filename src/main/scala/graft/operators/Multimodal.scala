@@ -39,4 +39,42 @@ object Multimodal {
         col("pos"), round(col("feat").cast("double"), 6).as("feat"))
       .orderBy(col("doc_id").asc, col("pos").asc)
   }
+
+  /**
+   * Frame sampling + downsample plumbing (the video half of the
+   * multimodal pipeline): the payload is treated as a media container
+   * and `nFrames` evenly-spaced byte windows are sampled from it; each
+   * frame also gets a stride-2 "resized" view (every second byte — the
+   * stand-in for a real resize kernel, same data flow). All per-frame
+   * work is row-local binary slicing inside whole-stage codegen: at
+   * 100 TB this is a map-only pass over the media column, no shuffle
+   * until the presentation sort. Checksums make the whole pipeline
+   * hash-verifiable cross-engine with no codec in the loop.
+   */
+  def frameSample(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val payload = encode(col("text"), "UTF-8") // stand-in media bytes
+    val frames = docs
+      .select(col("doc_id"), payload.as("media"),
+        floor(length(payload) / nFrames).cast("int").as("flen"))
+      // payloads shorter than nFrames bytes have no full frame
+      .filter(col("flen") > 0)
+      .select(col("doc_id"), col("media"), col("flen"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .withColumn("frame", expr("substring(media, frame_idx * flen + 1, flen)"))
+    frames
+      // stride-2 downsample via the hex view: bytes at even offsets
+      // (guarded: sequence(0, -1) would generate a DESCENDING range)
+      .withColumn("fhx", hex(col("frame")))
+      .withColumn("ds", unhex(when(col("flen") >= 2,
+        array_join(transform(sequence(lit(0), (col("flen") / 2).cast("int") - 1),
+          j => col("fhx").substr(j * lit(4) + 1, lit(2))), ""))
+        .otherwise(lit(""))))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("flen")).cast("long").as("frame_offset"),
+        col("flen").as("frame_len"),
+        crc32(col("frame")).as("frame_checksum"),
+        (col("flen") / 2).cast("int").as("ds_len"),
+        crc32(col("ds")).as("ds_checksum"))
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+  }
 }

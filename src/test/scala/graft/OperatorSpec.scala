@@ -132,6 +132,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(demoted == 0)
   }
 
+  test("frame sampling emits nFrames equal windows with consistent geometry") {
+    import spark.implicits._
+    val one = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345")) // 32 bytes
+      .toDF("doc_id", "text")
+    val fs = Multimodal.frameSample(one).collect()
+    assert(fs.length == 4)
+    assert(fs.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(fs.forall(_.getAs[Int]("frame_len") == 8))
+    assert(fs.map(_.getAs[Long]("frame_offset")).toSeq == Seq(0L, 8L, 16L, 24L))
+    assert(fs.forall(_.getAs[Int]("ds_len") == 4))
+    // frame 0 = "abcdefgh", stride-2 = "aceg" — verifiable checksums
+    assert(fs(0).getAs[Long]("frame_checksum") ==
+      new java.util.zip.CRC32 { update("abcdefgh".getBytes("UTF-8")) }.getValue)
+    assert(fs(0).getAs[Long]("ds_checksum") ==
+      new java.util.zip.CRC32 { update("aceg".getBytes("UTF-8")) }.getValue)
+    // sub-frame-size payloads are excluded
+    assert(Multimodal.frameSample(Seq((2L, "abc")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("sample split is deterministic, complete, and roughly proportional") {
+    val s1 = Pipeline.sampleSplit(docs).collect()
+    val s2 = Pipeline.sampleSplit(docs).collect()
+    assert(s1.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      s2.map(r => (r.getLong(0), r.getString(2))).toSeq, "split not deterministic")
+    assert(s1.length == docs.count())
+    val byName = s1.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    val trainFrac = byName("train").toDouble / s1.length
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // growing the corpus never reassigns an existing doc
+    val grown = Pipeline.sampleSplit(docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1.forall(r => grown(r.getLong(0)) == r.getString(2)))
+  }
+
+  test("shard packing matches the exclusive-prefix-sum contract per source") {
+    val packed = Pipeline.shardPack(docs, budgetTokens = 1000).collect()
+    for ((_, rows) <- packed.groupBy(_.getString(1))) {
+      val sorted = rows.sortBy(_.getLong(0))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Int]("shard_idx") == (cum / 1000).toInt,
+          s"doc ${r.getLong(0)}: shard ${r.getAs[Int]("shard_idx")} != ${cum / 1000}")
+        cum += r.getAs[Int]("n_tokens")
+      }
+      // shard ids start at 0 and never decrease in doc order
+      assert(sorted.head.getAs[Int]("shard_idx") == 0)
+    }
+  }
+
   // ---- plan-shape assertions (scale hygiene) -----------------------------
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q1(Tables.load(spark, sfDir, "lineitem")))
