@@ -41,6 +41,40 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  case class DocKeyed(doc_id: Long, content_hash: String)
+  case class DedupLabel(doc_id: Long, content_hash: String,
+                        cluster_rep: Long, is_duplicate: Boolean)
+
+  /**
+   * Streaming exact dedup with labeling (the incremental twin of
+   * Dedup.exact): one state cell per content hash holding the cluster
+   * representative; every arriving document is emitted with its
+   * representative and a duplicate flag, so downstream filters keep
+   * `!is_duplicate` rows without a second pass.
+   *
+   * Semantics: FIRST ARRIVAL wins (the streaming contract — an
+   * already-emitted winner is never retracted); within a micro-batch,
+   * the lowest doc_id wins for determinism, which makes a single-batch
+   * run agree exactly with the batch twin's min(doc_id) representative.
+   * At scale: state is one (hash -> long) entry per distinct content —
+   * the same footprint as the reference's in-memory content index, but
+   * sharded across executors by the groupByKey hash.
+   */
+  def dedupLabelStream(docs: Dataset[DocKeyed])
+                      (implicit spark: SparkSession): Dataset[DedupLabel] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, DedupLabel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (hash: String, rows: Iterator[DocKeyed], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toSeq.sorted
+          val rep = state.getOption.getOrElse(ids.min)
+          state.update(rep)
+          ids.iterator.map(id => DedupLabel(id, hash, rep, id != rep))
+      }
+  }
+
   /**
    * Gap-based sessionization with explicit state: one SessionState per
    * user; a session closes (emits) when the gap exceeds `gapMinutes`.

@@ -43,6 +43,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup labels every doc once and agrees with the batch twin") {
+    import spark.implicits._
+    implicit val s = spark
+    val docsDir = Files.createTempDirectory("graft-dedup-stream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.write.mode("overwrite").parquet(docsDir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val keyed = spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .as[EventStreams.DocKeyed]
+    val q = EventStreams.dedupLabelStream(keyed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Boolean]("is_duplicate")))
+    assert(streamed.length == docs.count(), "every doc labeled exactly once")
+    // single-batch run: representatives = the batch twin's min(doc_id)
+    val batchReps = operators.Dedup.exact(docs).collect()
+      .map(r => r.getAs[String]("content_hash") -> r.getAs[Long]("min_doc_id")).toMap
+    val streamedByHash = spark.table("dedup_out").collect()
+      .map(r => r.getAs[String]("content_hash") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(streamedByHash == batchReps)
+    assert(streamed.forall { case (id, rep, dup) => dup == (id != rep) })
+  }
+
   test("streaming sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     implicit val s = spark
