@@ -143,6 +143,7 @@ object SparkEntry {
       Seq("spark", "join", "stream", "window"))),
     "sample_split" -> ((s, d) => Pipeline.sampleSplit(t(s, d, "documents"))),
     "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
+    "clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
@@ -860,6 +861,33 @@ object SparkEntry {
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM m ORDER BY doc_id""".stripMargin,
+    // Composed corpus cleaning: exact-dup window + the text_quality
+    // arithmetic, first failing rule wins (rule order is part of the
+    // contract); thresholds compared on RAW doubles, output quantized.
+    "clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) nt,
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) sh,
+         |   CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) tl,
+         |   MIN(doc_id) OVER (PARTITION BY md5(text)) rep FROM t),
+         | c AS (SELECT doc_id, nt, rep,
+         |   CASE WHEN nt > 0 THEN sh/nt ELSE 0.0 END sr,
+         |   CASE WHEN nt > 0 THEN tl/nt ELSE 0.0 END al,
+         |   least(1.0, nt/200.0) ls FROM m),
+         | sc AS (SELECT doc_id, nt, rep, sr,
+         |   0.4e0*sr + 0.3e0*ls + 0.3e0*greatest(0.0e0, 1.0e0 - abs(al - 5.0e0)/10.0e0) AS qs
+         |  FROM c),
+         | r AS (SELECT doc_id, qs,
+         |   CASE WHEN doc_id <> rep THEN 'duplicate'
+         |        WHEN nt < 10 THEN 'too_short'
+         |        WHEN sr < 0.05e0 THEN 'non_english'
+         |        WHEN qs < 0.3e0 THEN 'low_quality'
+         |        ELSE 'ok' END AS reason
+         |  FROM sc)
+         |SELECT doc_id, reason, reason = 'ok' AS keep,
+         | floor(qs * 1.0e6 + 0.5e0)/1.0e6 AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
     // Greedy token packing: shard = exclusive prefix sum of token
     // counts over (source, doc_id order) div budget — integer window
     // math, exact on both engines.

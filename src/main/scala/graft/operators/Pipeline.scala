@@ -38,6 +38,40 @@ object Pipeline {
   }
 
   /**
+   * Corpus cleaning: the composed filter every training pipeline runs
+   * before tokenization — exact dedup, length, language, and quality
+   * gates in one pass, each document labeled keep/reject with the
+   * FIRST failing rule as the reason (fixed rule order is part of the
+   * cross-engine contract). One shuffle total: the min-doc_id
+   * representative window on the content hash; every other gate is
+   * map-side arithmetic over the one-pass TextStats struct.
+   */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
+                  minQuality: Double = 0.3, langThreshold: Double = 0.05): DataFrame = {
+    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
+      md5(col("text")).as("content_hash"))
+      .withColumn("rep", min(col("doc_id"))
+        .over(Window.partitionBy(col("content_hash"))))
+    val nTok = col("st.n_tokens").cast("double")
+    val stopRatio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val avgLen = when(nTok > 0, col("st.total_token_chars").cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val quality = lit(0.4) * stopRatio +
+      lit(0.3) * least(lit(1.0), nTok / lit(200.0)) +
+      lit(0.3) * greatest(lit(0.0), lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0))
+    val reason = when(col("doc_id") =!= col("rep"), "duplicate")
+      .when(col("st.n_tokens") < minTokens, "too_short")
+      .when(stopRatio < langThreshold, "non_english")
+      .when(quality < minQuality, "low_quality")
+      .otherwise("ok")
+    st.select(col("doc_id"), reason.as("reason"),
+      (reason === "ok").as("keep"),
+      graft.operators.TextAnalysis.quant6(quality).as("quality_score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Token-budget shard packing: within each source, documents (in
    * doc_id order) are packed greedily into shards of ~`budgetTokens`
    * — shard = exclusive-prefix-sum of token counts / budget, so a

@@ -183,6 +183,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("clean corpus applies the gate rules in order") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs " * 5
+    val planted = Seq(
+      (1L, good),                                  // ok
+      (2L, good),                                  // duplicate of 1
+      (3L, "just a few words here"),               // too_short (< 10 tokens)
+      (4L, Seq.fill(50)("zqxv").mkString(" ")),    // non_english (no stopwords)
+      // >= 10 tokens, has a stopword (ratio >= 0.05), but implausibly
+      // long tokens drive the quality score under 0.3
+      (5L, ("the " + Seq.fill(9)("z" * 20).mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = Pipeline.cleanCorpus(planted).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ("ok", true))
+    assert(out(2L) == ("duplicate", false))
+    assert(out(3L) == ("too_short", false))
+    assert(out(4L) == ("non_english", false))
+    assert(out(5L) == ("low_quality", false))
+  }
+
   // ---- plan-shape assertions (scale hygiene) -----------------------------
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q1(Tables.load(spark, sfDir, "lineitem")))

@@ -166,6 +166,20 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall@10=$recall")
   }
 
+  test("pipeline ops plan scale-clean: split map-only, pack/clean one exchange") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    def exchanges(d: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(d.queryExecution.executedPlan.toString).length
+    // sample_split: pure map + presentation sort — exactly 1 exchange
+    assert(exchanges(operators.Pipeline.sampleSplit(docs)) <= 1)
+    // shard_pack / clean_corpus: one data exchange (window partition)
+    // + the presentation sort
+    assert(exchanges(operators.Pipeline.shardPack(docs)) <= 2)
+    assert(exchanges(operators.Pipeline.cleanCorpus(docs)) <= 2)
+    // frame sampling: map-only generate + presentation sort
+    assert(exchanges(operators.Multimodal.frameSample(docs)) <= 1)
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
