@@ -92,6 +92,12 @@ object SparkEntry {
       TextSearch.hybrid(Tables.documentsEmbedded(s, d), "spark join stream window") }),
     "lsh_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
+    "lsh_knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.lshKnnBatch(emb.filter(col("vec_id") >= 5), qs,
+        "vec_id", "embedding", 10) }),
     "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
@@ -590,6 +596,42 @@ object SparkEntry {
          |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
          |FROM ec, qp WHERE $candidate
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // Batch variant of the same machinery: 5 query rows each derive
+    // their buckets + 2-probe lists; candidates per (query, corpus)
+    // pair; exact cosine re-rank and per-query row_number <= 10.
+    "lsh_knn_batch" -> {
+      val qBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("qd", t)} AS qb$t").mkString(", ")
+      val qSorts = (0 until lshTables).map { t =>
+        val pairs = (0 until lshBits).map(b =>
+          s"{'m': abs(qd${t}_$b), 'bit': $b}").mkString("[", ", ", "]")
+        s"list_sort($pairs) AS ms$t"
+      }.mkString(", ")
+      val qProbes = (0 until lshTables).map(t =>
+        s"[qb$t, xor(qb$t, 1 << struct_extract(ms$t[1], 'bit')), " +
+          s"xor(qb$t, 1 << struct_extract(ms$t[2], 'bit'))] AS p$t").mkString(", ")
+      val eBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("ed", t)} AS c$t").mkString(", ")
+      val candidate = (0 until lshTables).map(t =>
+        s"list_contains(p$t, c$t)").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 5),
+         | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 5),
+         | qd AS (SELECT query_id, qv, ${lshDotsSql("qv", "qd")} FROM q0),
+         | qb AS (SELECT *, $qBuckets FROM qd),
+         | qs AS (SELECT *, $qSorts FROM qb),
+         | qp AS (SELECT query_id, qv, $qProbes FROM qs),
+         | ed AS (SELECT vec_id, v, ${lshDotsSql("v", "ed")} FROM e),
+         | ec AS MATERIALIZED (SELECT vec_id, v, $eBuckets FROM ed),
+         | sc AS (SELECT query_id, vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |        FROM ec, qp WHERE $candidate),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank
+         |       FROM sc)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
     },
     // LSH-blocked near-dup pairs: same bucket construction over the
     // full embeddings table; candidate pairs share any table's bucket;

@@ -222,6 +222,44 @@ object VectorSearch {
   }
 
   /**
+   * Batch LSH top-k: N queries against the bucketed corpus in ONE
+   * pass. Corpus signatures are computed once (map-side explode of
+   * (id, tbl, bucket) — vectors never ride the bucket join); each
+   * query contributes its multi-probe (tbl, bucket) pairs via the
+   * graft_lsh_probes kernel; candidates are the distinct (query, id)
+   * pairs sharing any bucket. Candidate vectors are fetched once per
+   * pair (not per bucket hit), scored against the broadcast query set,
+   * and ranked per query by the bounded top-k aggregate — the shuffle
+   * after scoring carries k-row partials, never the full score matrix.
+   */
+  def lshKnnBatch(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, metric: String = "cosine",
+                  numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
+                  extraProbes: Int = 2): DataFrame = {
+    val perTable = 1 + extraProbes
+    val corpusB = corpus.select(col(idCol),
+      posexplode(lshBuckets(col(vecCol), numTables, bitsPerTable, seed))
+        .as(Seq("tbl", "bucket")))
+    val queryB = queries.select(col("query_id"),
+      posexplode(lshProbes(col("qvec"), numTables, bitsPerTable, extraProbes, seed))
+        .as(Seq("p", "bucket")))
+      .select(col("query_id"), (col("p") / perTable).cast("int").as("tbl"), col("bucket"))
+      .distinct()
+    val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
+      .select(col("query_id"), col(idCol)).distinct()
+    val scored = corpus.join(cand, idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
+      .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
+        (col("r0") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /**
    * LSH probe against a bucket-PARTITIONED exploded index table:
    * rows (id, vector) stored under (tbl, bucket) PARTITION columns
    * (VectorLibrary.buildPartitionedIndex writes this layout). The

@@ -50,6 +50,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("lshKnnBatch matches per-query single lshKnn results") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = VectorSearch.lshKnnBatch(corpus, qs, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val single = VectorSearch.lshKnn(corpus,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+  }
+
   test("knnBatch produces k rows per query ranked 1..k") {
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
