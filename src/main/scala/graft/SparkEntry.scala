@@ -129,6 +129,13 @@ object SparkEntry {
       // build-once library (the 100 TB serving layout: I/O scales with
       // the candidate set, not the corpus).
       VectorLibrary.forDataset(s, d).searchApprox("spark join stream table filter", 10) }),
+    "library_lsh_batch" -> ((s, d) => { configure(s)
+      // N query texts against the SAME partitioned index in one pass:
+      // the scan reads the union of all queries' probe partitions once.
+      VectorLibrary.forDataset(s, d).searchApproxBatch(Seq(
+        "spark join stream table filter",
+        "vector index search embedding",
+        "window aggregate partition shuffle"), 5) }),
     // --- D. dedup suite ------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
@@ -368,6 +375,47 @@ object SparkEntry {
          | ROUND(${cosSql("fv", q)}, 6) AS score
          |FROM cb WHERE $candidate
          |ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
+    },
+    // Batch twin of library_lsh_partitioned: the chunk/bucket CTEs are
+    // shared (computed once, MATERIALIZED); each query contributes its
+    // own probe predicate + rank window, unioned.
+    "library_lsh_batch" -> {
+      val texts = Seq("spark join stream table filter",
+        "vector index search embedding",
+        "window aggregate partition shuffle")
+      val perTable = 3 // 1 main bucket + 2 extra probes
+      val cBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("cd", t)} AS cb$t").mkString(", ")
+      val perQueryCtes = texts.zipWithIndex.map { case (txt, i) =>
+        val qf = embedLit(txt)
+        val q = HashSql.vecLit(qf)
+        val flat = graft.functions.TextHash.hyperplaneProbesArr(
+          qf.map(_.toDouble), lshTables, lshBits, 2, 42L)
+        val probes = Array.tabulate(lshTables)(t =>
+          flat.slice(t * perTable, (t + 1) * perTable).distinct)
+        val candidate = (0 until lshTables).map(t =>
+          s"list_contains([${probes(t).mkString(",")}], cb$t)").mkString(" OR ")
+        s""" s$i AS (SELECT 'bench#' || CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+           |   ROUND(${cosSql("fv", q)}, 6) AS score FROM cb WHERE $candidate),
+           | r$i AS (SELECT CAST($i AS BIGINT) AS query_id, chunk_id, score,
+           |   CAST(row_number() OVER (ORDER BY score DESC, chunk_id) AS INT) AS rank
+           |  FROM s$i)""".stripMargin
+      }
+      val unionAll = texts.indices
+        .map(i => s"SELECT * FROM r$i WHERE rank <= 5").mkString(" UNION ALL ")
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS MATERIALIZED (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | cd AS MATERIALIZED (SELECT doc_id, chunk_idx, fv, ${lshDotsSql("fv", "cd")} FROM cf),
+         | cb AS MATERIALIZED (SELECT doc_id, chunk_idx, fv, $cBuckets FROM cd),
+         |${perQueryCtes.mkString(",\n")}
+         |SELECT query_id, chunk_id, score, rank FROM ($unionAll)
+         |ORDER BY query_id, rank""".stripMargin
     },
     // Hybrid = 0.5 * dense cosine over stored embeddings + 0.5 *
     // max-normalized BM25 (same 4 terms as keyword_bm25), blended

@@ -266,6 +266,29 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         clampK(k), "cosine", numTables, bitsPerTable, seed)
   }
 
+  /** Batch approximate search: N query texts answered in ONE pass over
+    * the index. With the partitioned index present, the scan reads the
+    * UNION of all queries' probe partitions once (planning-time
+    * pruning), so Q queries cost one pruned scan, not Q; otherwise the
+    * stored `lsh_buckets` column probes in a single bucket join. Rows:
+    * (query_id, chunk_id, score, rank), query_id = position in input. */
+  def searchApproxBatch(queryTexts: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTexts.nonEmpty, "queryTexts must be non-empty")
+    val kk = clampK(k)
+    import spark.implicits._
+    val queries = queryTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        embedTextTyped(col("qtext"), "search_query", dim, seed).as("qvec"))
+    if (hasPartitionedIndex)
+      VectorSearch.lshKnnPartitionedBatch(partitionedIndex, queries,
+        "chunk_id", "embedding", kk, "cosine", numTables, bitsPerTable, seed)
+    else
+      VectorSearch.lshKnnBatchIndexed(chunks, queries,
+        "chunk_id", "embedding", "lsh_buckets", kk, "cosine",
+        numTables, bitsPerTable, seed)
+  }
+
   // --- bucket-partitioned exploded LSH index -------------------------
   // The on-disk analog of the reference's in-memory per-bucket lists
   // (LSHIndex._tables, algorithms.py:300-360): one directory per

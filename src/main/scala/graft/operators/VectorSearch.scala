@@ -236,10 +236,38 @@ object VectorSearch {
                   k: Int, metric: String = "cosine",
                   numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
                   extraProbes: Int = 2): DataFrame = {
-    val perTable = 1 + extraProbes
     val corpusB = corpus.select(col(idCol),
       posexplode(lshBuckets(col(vecCol), numTables, bitsPerTable, seed))
         .as(Seq("tbl", "bucket")))
+    batchFromBuckets(corpus, corpusB, queries, idCol, vecCol, k, metric,
+      numTables, bitsPerTable, seed, extraProbes)
+  }
+
+  /** Batch LSH against PRE-STORED signatures: same shape as
+    * `lshKnnBatch`, but the bucket side explodes the materialized
+    * `bucketsCol` written at ingest instead of recomputing the
+    * signature kernel over every vector — the batch twin of
+    * `lshKnnIndexed`. */
+  def lshKnnBatchIndexed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, bucketsCol: String, k: Int,
+                         metric: String = "cosine",
+                         numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 42L,
+                         extraProbes: Int = 2): DataFrame = {
+    val corpusB = corpus.select(col(idCol),
+      posexplode(col(bucketsCol)).as(Seq("tbl", "bucket")))
+    batchFromBuckets(corpus.select(col(idCol), col(vecCol)), corpusB, queries,
+      idCol, vecCol, k, metric, numTables, bitsPerTable, seed, extraProbes)
+  }
+
+  /** Shared tail of the batch LSH paths: bucket join → distinct
+    * (query, id) candidates → one vector fetch per pair → exact score
+    * → bounded per-query top-k. */
+  private def batchFromBuckets(corpus: DataFrame, corpusB: DataFrame,
+                               queries: DataFrame, idCol: String, vecCol: String,
+                               k: Int, metric: String, numTables: Int,
+                               bitsPerTable: Int, seed: Long,
+                               extraProbes: Int): DataFrame = {
+    val perTable = 1 + extraProbes
     val queryB = queries.select(col("query_id"),
       posexplode(lshProbes(col("qvec"), numTables, bitsPerTable, extraProbes, seed))
         .as(Seq("p", "bucket")))
@@ -251,13 +279,28 @@ object VectorSearch {
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col(idCol),
         round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
-      .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
-        (col("r0") + 1).cast("int").as("rank"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    finishPerQueryTopK(scored, idCol, k)
   }
+
+  /** Per-query bounded top-k finisher over (query_id, id, score) rows:
+    * the native heap aggregate for long ids (k-row shuffle partials);
+    * a rank window otherwise (string ids — still k rows out, and the
+    * window shuffles only the scored candidates, never the corpus). */
+  private def finishPerQueryTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    if (scored.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+      scored.groupBy(col("query_id"))
+        .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
+        .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
+          (col("r0") + 1).cast("int").as("rank"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol).asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }
 
   /**
    * LSH probe against a bucket-PARTITIONED exploded index table:
@@ -290,6 +333,62 @@ object VectorSearch {
       .groupBy(col(idCol)).agg(max(col("score")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Batch probe of the bucket-PARTITIONED index: the UNION of all
+   * queries' probe partitions prunes the scan (still literal
+   * (tbl, bucket) predicates, so pruning happens at planning time),
+   * then a broadcast join on (tbl, bucket) assigns each surviving row
+   * to the queries that probed it. Scores dedup per (query, id) via a
+   * map-side max, then the bounded top-k aggregate per query. Serving
+   * amortizes: Q queries cost one pruned scan of their combined
+   * partitions, not Q scans.
+   */
+  def lshKnnPartitionedBatch(index: DataFrame, queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int, metric: String = "cosine",
+                             numTables: Int = 8, bitsPerTable: Int = 8,
+                             seed: Long = 42L, extraProbes: Int = 2): DataFrame = {
+    finishPerQueryTopK(
+      partitionedBatchScores(index, queries, idCol, vecCol, metric,
+        numTables, bitsPerTable, seed, extraProbes),
+      idCol, k)
+  }
+
+  /** Shared scoring stage of the partitioned batch probe: union-pruned
+    * scan, pair assignment, exact scores deduplicated per (query, id).
+    * Returns (query_id, id, score); callers attach a top-k finisher
+    * (topKAgg for long ids, a rank window for string ids). */
+  private[graft] def partitionedBatchScores(index: DataFrame, queries: DataFrame,
+                                            idCol: String, vecCol: String, metric: String,
+                                            numTables: Int, bitsPerTable: Int,
+                                            seed: Long, extraProbes: Int): DataFrame = {
+    import graft.functions.TextHash
+    val spark = index.sparkSession
+    // Driver-side probe resolve per query (the query set is small by
+    // contract — it broadcasts below).
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    val perTable = 1 + extraProbes
+    val qProbePairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val flat = TextHash.hyperplaneProbesArr(qv, numTables, bitsPerTable, extraProbes, seed)
+      (0 until numTables).flatMap(t =>
+        flat.slice(t * perTable, (t + 1) * perTable).distinct
+          .map(b => (r.getLong(0), t, b)))
+    }.distinct.toSeq
+    val union = qProbePairs.map { case (_, t, b) => (t, b) }.distinct
+      .groupBy(_._1).map { case (t, bs) =>
+        col("tbl") === t && col("bucket").isin(bs.map(p => Int.box(p._2)): _*)
+      }.reduce(_ || _)
+    import spark.implicits._
+    val pairFrame = qProbePairs.toDF("query_id", "tbl", "bucket")
+    index.filter(union)
+      .join(broadcast(pairFrame), Seq("tbl", "bucket"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("score")).as("score"))
   }
 
   /**

@@ -234,6 +234,53 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("batch approximate search matches per-query results on both index paths") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-batch").toString
+    val lib = new VectorLibrary(spark, root, "batch-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs)
+    val qs = Seq("spark join stream table filter",
+                 "vector index search embedding",
+                 "window aggregate partition shuffle")
+
+    def perQuery(): Seq[Seq[(String, Double)]] = qs.map(q =>
+      lib.searchApprox(q, k = 5).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    def viaBatch(): Seq[Seq[(String, Double)]] = {
+      val rows = lib.searchApproxBatch(qs, k = 5).collect()
+      qs.indices.map(i => rows.filter(_.getLong(0) == i.toLong)
+        .sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2))).toSeq)
+    }
+
+    // Column-probe fallback path.
+    assert(!lib.hasPartitionedIndex)
+    assert(viaBatch() == perQuery(), "column-probe batch diverged from per-query")
+
+    // Partitioned path: same results, and ONE pruned scan serves all
+    // three queries (union of probe partitions, still planning-time).
+    lib.buildPartitionedIndex()
+    val batch = lib.searchApproxBatch(qs, k = 5)
+    val batchRows = qs.indices.map(i => batch.collect().filter(_.getLong(0) == i.toLong)
+      .sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2))).toSeq)
+    assert(batchRows == perQuery(), "partitioned batch diverged from per-query")
+
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(batch.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_index")))
+    assert(idxScans.size == 1, s"expected one index scan, got ${idxScans.size}")
+    assert(idxScans.head.partitionFilters.nonEmpty, "batch probe not partition-pruned")
+    val numFiles = idxScans.head.metrics("numFiles").value
+    assert(numFiles <= qs.size * 8 * 3, s"batch probe opened $numFiles files — not pruned")
+    lib.delete()
+  }
+
   test("on-disk IVF index: pruned probe, incremental assign, survives reopen") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
