@@ -325,6 +325,61 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def dropPartitionedIndex(): Unit =
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
 
+  /**
+   * Selective compaction of the partitioned index (the OPTIMIZE half
+   * of a lake table's maintenance loop): incremental/streaming appends
+   * leave one small file per batch in every touched (tbl, bucket)
+   * directory; this rewrites ONLY the directories holding more than
+   * `maxFilesPerPartition` files — one partition-pruned scan of the
+   * oversized directories, one clustered write, then a per-directory
+   * rename swap. Untouched directories keep their files byte-for-byte,
+   * so at 100 TB the cost tracks the churn, not the index size.
+   * Returns the number of directories compacted.
+   */
+  def compactPartitionedIndex(maxFilesPerPartition: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    if (!hasPartitionedIndex) return 0
+    val fs = hadoopFs(indexPath)
+    def visible(p: Path) = { val n = p.getName; !n.startsWith(".") && !n.startsWith("_") }
+    val oversized = for {
+      tblDir <- fs.listStatus(new Path(indexPath)).toSeq
+      if tblDir.isDirectory && visible(tblDir.getPath)
+      bDir <- fs.listStatus(tblDir.getPath).toSeq
+      if bDir.isDirectory && visible(bDir.getPath)
+      if fs.listStatus(bDir.getPath).count(f => visible(f.getPath)) > maxFilesPerPartition
+    } yield (tblDir.getPath.getName.stripPrefix("tbl=").toInt,
+             bDir.getPath.getName.stripPrefix("bucket=").toInt)
+    if (oversized.isEmpty) return 0
+    // Partition-column-only predicate: the rewrite scan is pruned to
+    // exactly the oversized directories at planning time.
+    val pred = oversized.map { case (t, b) =>
+      col("tbl") === t && col("bucket") === b }.reduce(_ || _)
+    val tmpPath = s"$root/$name/.lsh_index_compact"
+    fs.delete(new Path(tmpPath), true)
+    partitionedIndex.filter(pred)
+      .repartition(col("tbl"), col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket").parquet(tmpPath)
+    // A directory whose files hold zero rows produces no rewrite
+    // output; leave it untouched rather than installing nothing.
+    val swappable = oversized.filter { case (t, b) =>
+      fs.exists(new Path(s"$tmpPath/tbl=$t/bucket=$b")) }
+    swappable.foreach { case (t, b) =>
+      val live = new Path(s"$indexPath/tbl=$t/bucket=$b")
+      val fresh = new Path(s"$tmpPath/tbl=$t/bucket=$b")
+      val aside = new Path(s"$indexPath/tbl=$t/.bucket=$b.old")
+      fs.delete(aside, true)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"compact: cannot move $live aside")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(aside, live) // roll back; directory is still intact
+        throw new java.io.IOException(s"compact: cannot install $fresh")
+      }
+      fs.delete(aside, true)
+    }
+    fs.delete(new Path(tmpPath), true)
+    swappable.size
+  }
+
   // --- on-disk IVF index ---------------------------------------------
   // Cluster-partitioned assignment + tiny centroid table (the serving
   // layout IvfIndex.writeIndex documents). Unlike the in-memory cached

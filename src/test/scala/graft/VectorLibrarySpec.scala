@@ -234,6 +234,50 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("partitioned index compaction: only oversized dirs rewrite, results unchanged") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-compact").toString
+    val lib = new VectorLibrary(spark, root, "compact-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    lib.buildPartitionedIndex()
+    // Three incremental appends leave up to 4 files per touched dir.
+    (1 to 3).foreach(i => lib.addDocuments(
+      docs.filter(col("doc_id") >= i * 20 - 20 && col("doc_id") < i * 20)
+        .withColumn("doc_id", col("doc_id") + i * 1000)))
+
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxRoot = new Path(s"$root/compact-lib/lsh_index")
+    def fileCounts(): Map[String, Int] = (for {
+      t <- fs.listStatus(idxRoot).toSeq if t.isDirectory
+      b <- fs.listStatus(t.getPath).toSeq if b.isDirectory
+    } yield s"${t.getPath.getName}/${b.getPath.getName}" ->
+        fs.listStatus(b.getPath).count(f => !f.getPath.getName.startsWith("."))).toMap
+
+    val before = fileCounts()
+    assert(before.values.max > 1, "appends did not produce multi-file dirs")
+    val hitsBefore = lib.searchApprox("spark join stream table filter", k = 10).collect()
+    val rowsBefore = spark.read.parquet(idxRoot.toString).count()
+
+    val n = lib.compactPartitionedIndex(maxFilesPerPartition = 1)
+    assert(n == before.count(_._2 > 1), "compacted dir count != oversized dir count")
+    val after = fileCounts()
+    assert(after.values.max == 1, s"dirs still oversized: ${after.filter(_._2 > 1)}")
+    // Untouched (already-single-file) dirs kept their file unmodified.
+    assert(after.keySet == before.keySet, "compaction changed the directory set")
+
+    assert(spark.read.parquet(idxRoot.toString).count() == rowsBefore,
+      "compaction changed index row count")
+    val hitsAfter = lib.searchApprox("spark join stream table filter", k = 10).collect()
+    assert(hitsAfter.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      hitsBefore.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "compaction changed search results")
+
+    // Second pass is a no-op.
+    assert(lib.compactPartitionedIndex(maxFilesPerPartition = 1) == 0)
+    lib.delete()
+  }
+
   test("batch approximate search matches per-query results on both index paths") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
