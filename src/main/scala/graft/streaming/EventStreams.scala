@@ -75,6 +75,78 @@ object EventStreams {
       }
   }
 
+  case class BandedDoc(doc_id: Long, sig: Seq[Long], band: Int, bucket: Long)
+  case class BucketSigs(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class NearDupPair(doc_a: Long, doc_b: Long, jaccard_est: Double)
+
+  /**
+   * Streaming MinHash near-dup pairs (the incremental twin of
+   * Dedup.minhashLsh): signatures and band buckets are computed
+   * map-side by the same codegen'd kernels as the batch twin; state is
+   * one capped member list per (band, bucket) — each arriving document
+   * is compared against the bucket's stored signatures, emitting pairs
+   * with estimated Jaccard >= threshold.
+   *
+   * Semantics: a pair is emitted when its LATER document arrives
+   * (first `maxBucketSize` arrivals per bucket are retained as
+   * comparison targets — the streaming form of the batch cap, which
+   * stops one boilerplate cluster from exploding state). Within a
+   * micro-batch, arrivals process in doc_id order, so a single-batch
+   * run emits exactly the batch twin's pairs (when no bucket
+   * overflows). A pair sharing several band buckets is emitted once
+   * PER matching band (at-least-once contract — the estimate is
+   * derived from the full signatures, so duplicates are identical
+   * rows; consumers dedup on (doc_a, doc_b), exactly as the batch
+   * twin's dropDuplicates does).
+   *
+   * At scale: state is at most maxBucketSize signatures per non-empty
+   * bucket, sharded across executors by the groupByKey hash; the
+   * shuffle carries (band, bucket, sig) per document — numBands rows
+   * of numHashes longs, no text.
+   */
+  def minhashPairStream(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
+                        threshold: Double = 0.5, seed: Long = 42L,
+                        maxBucketSize: Int = 64)
+                       (implicit spark: SparkSession): Dataset[NearDupPair] = {
+    import spark.implicits._
+    import graft.GraftFunctions.minhashSig
+    val rowsPerBand = numHashes / numBands
+    // Same short-doc exclusion as the batch twin (QUERY SPEC there):
+    // sentinel signatures are never indexed.
+    val banded = docs
+      .select(col("doc_id"), minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketSigs, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketSigs]) =>
+          val arrivals = rows.toSeq.sortBy(_.doc_id)
+          var members = state.getOption.getOrElse(BucketSigs(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          for (d <- arrivals) {
+            members.ids.zip(members.sigs).foreach { case (oid, osig) =>
+              if (oid != d.doc_id) {
+                val agree = osig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+                val est = BigDecimal(agree.toDouble / numHashes)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (est >= threshold)
+                  out += NearDupPair(math.min(oid, d.doc_id), math.max(oid, d.doc_id), est)
+              }
+            }
+            if (members.ids.size < maxBucketSize)
+              members = BucketSigs(members.ids :+ d.doc_id, members.sigs :+ d.sig)
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   /**
    * Gap-based sessionization with explicit state: one SessionState per
    * user; a session closes (emits) when the gap exceeds `gapMinutes`.

@@ -75,6 +75,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, rep, dup) => dup == (id != rep) })
   }
 
+  test("streaming minhash near-dup pairs converge to the batch twin across batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-minhash-stream").toString
+    // First wave: lower half of the corpus.
+    docs.filter(col("doc_id") < 250).coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val q = EventStreams.minhashPairStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_out").start()
+    q.processAllAvailable()
+    val firstWave = spark.table("minhash_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // Second wave arrives: cross-wave pairs must appear (later doc
+    // pairs against the state members of the first wave).
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("minhash_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batch = operators.Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"streamed pairs diverged: extra=${streamed -- batch} missing=${batch -- streamed}")
+    assert(firstWave.subsetOf(streamed) && firstWave != streamed,
+      "second wave contributed no new pairs — cross-batch state not exercised")
+  }
+
   test("streaming sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     implicit val s = spark
