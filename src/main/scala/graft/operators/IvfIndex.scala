@@ -95,6 +95,39 @@ object IvfIndex {
       query, idCol, vecCol, k, metric)
   }
 
+  /**
+   * Batch probe of the on-disk IVF index: N queries in one pass. Each
+   * query resolves its nProbe nearest centroids driver-side (the
+   * centroid table is tiny by construction); the scan then reads the
+   * UNION of all probed cluster partitions ONCE (literal isin over the
+   * partition column — planning-time pruning), a broadcast
+   * (query_id, cluster) pair table assigns surviving rows to the
+   * queries that probed their cell, and the per-query bounded top-k
+   * finisher ranks. Q queries cost one pruned scan of their combined
+   * cells, not Q scans.
+   */
+  def searchIndexedBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                         nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    val pairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      nearestClusters(centers, qv, nProbe).map(c => (r.getLong(0), c))
+    }.toSeq
+    val union = pairs.map(_._2).distinct
+    val pairFrame = pairs.toDF("query_id", "cluster")
+    val scored = spark.read.parquet(s"$path/assigned")
+      .filter(col("cluster").isin(union.map(Int.box): _*))
+      .join(broadcast(pairFrame), "cluster")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    VectorSearch.finishPerQueryTopK(scored, idCol, k)
+  }
+
   /** One-call convenience: build + probe (the `ivf_knn` query). */
   def ivfKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {

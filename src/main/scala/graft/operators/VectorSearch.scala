@@ -286,7 +286,7 @@ object VectorSearch {
     * the native heap aggregate for long ids (k-row shuffle partials);
     * a rank window otherwise (string ids — still k rows out, and the
     * window shuffles only the scored candidates, never the corpus). */
-  private def finishPerQueryTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  private[operators] def finishPerQueryTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     if (scored.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
       scored.groupBy(col("query_id"))
         .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))

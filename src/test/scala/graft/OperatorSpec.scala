@@ -68,6 +68,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF batch probe matches per-query searchIndexed on the same index") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    val (model, assigned) = IvfIndex.build(
+      corpus.select(col("vec_id"), col("embedding")), "embedding")
+    IvfIndex.writeIndex(assigned, model, idxPath)
+
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = IvfIndex.searchIndexedBatch(spark, idxPath, qs,
+      "vec_id", "embedding", 10)
+    val grouped = batch.collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val single = IvfIndex.searchIndexed(spark, idxPath,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = grouped(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+    // The union probe is partition-pruned at planning time.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(batch.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("assigned")))
+    assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty,
+      "IVF batch probe not partition-pruned")
+  }
+
   test("knnBatch produces k rows per query ranked 1..k") {
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
