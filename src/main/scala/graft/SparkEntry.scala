@@ -146,6 +146,11 @@ object SparkEntry {
     "chunk_sentences" -> ((s, d) => TextAnalysis.chunkWords(t(s, d, "documents"))),
     "chunk_sliding" -> ((s, d) => TextAnalysis.chunkSliding(t(s, d, "documents"))),
     "library_search_e2e" -> ((s, d) => librarySearchE2E(s, d)),
+    "library_search_chunks" -> ((s, d) => { configure(s)
+      // the reference's SearchResponse: each hit carries its chunk
+      // payload — k-row broadcast semi-join back into the store scan.
+      VectorLibrary.forDataset(s, d)
+        .searchWithChunks("spark join stream table filter", 10) }),
     "library_lsh_partitioned" -> ((s, d) => { configure(s)
       // probe of the bucket-partitioned on-disk LSH index of a
       // build-once library (the 100 TB serving layout: I/O scales with
@@ -364,6 +369,29 @@ object SparkEntry {
          |SELECT source, doc_id, chunk_idx,
          | ROUND(${cosSql("fv", q)}, 6) AS score
          |FROM cf ORDER BY score DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+    },
+    // library_search_e2e plus the chunk payload each hit carries
+    // (chunk_id, text, token count): the chunk text is reconstructed
+    // from the same token list the engine chunks — a space-joined
+    // slice — so the payload round-trips exactly.
+    "library_search_chunks" -> {
+      val q = HashSql.vecLit(embedLit("spark join stream table filter"))
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, source, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32],
+         |                'chunk_text': array_to_string(toks[i*32+1 : i*32+32], ' '),
+         |                'n_tokens': CAST(LEAST(32, len(toks) - i*32) AS INT)}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, source, chunk_idx, chunk_text, n_tokens,
+         |          ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS (SELECT doc_id, source, chunk_idx, chunk_text, n_tokens,
+         |          ${HashSql.normFloats} AS fv FROM cv)
+         |SELECT 'bench#' || CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+         | doc_id, source, chunk_idx, chunk_text, n_tokens,
+         | ROUND(${cosSql("fv", q)}, 6) AS score
+         |FROM cf ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
     },
     // Partitioned-index library probe, fully replicated: chunk
     // embeddings from the token-hash slices (as library_search_e2e),

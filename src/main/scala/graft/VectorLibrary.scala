@@ -248,6 +248,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       q, "chunk_id", "embedding", kk, metric)
   }
 
+  /**
+   * Search returning the full chunk payload (the reference's
+   * SearchResponse carries each hit's chunk, not just its id —
+   * schemas/search_schema.py SearchResult.chunk). The hit set is k
+   * rows by construction, so the payload fetch broadcasts the hits
+   * into ONE scan of the store — no shuffle, no per-hit lookups; at
+   * 100 TB this is a semi-join pushdown over the chunk table, the
+   * same shape chunksBatch uses.
+   */
+  def searchWithChunks(queryText: String, k: Int = 10,
+                       metric: String = "cosine"): DataFrame = {
+    val hits = search(queryText, k, metric)
+    chunks
+      .select(col("chunk_id"), col("doc_id"), col("source"),
+        col("chunk_idx"), col("chunk_text"), col("n_tokens"))
+      .join(broadcast(hits), "chunk_id")
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
+
   /** Approximate search through the PRE-BUILT LSH index: signatures
     * are never recomputed over the corpus at query time. With the
     * bucket-partitioned index present, the probe is a partition-pruned

@@ -23,6 +23,14 @@ class VectorLibrarySpec extends AnyFunSuite {
     val approx = lib.searchApprox("spark join stream table filter", k = 5).collect()
     assert(approx.nonEmpty)
 
+    // full-payload search (reference SearchResult.chunk): same ranking
+    // as the id search, chunk columns riding along.
+    val withChunks = lib.searchWithChunks("spark join stream table filter", k = 5).collect()
+    assert(withChunks.map(_.getAs[String]("chunk_id")).toSeq ==
+      hits.map(_.getString(0)).toSeq)
+    assert(withChunks.forall(r => r.getAs[String]("chunk_text").nonEmpty &&
+      r.getAs[Int]("n_tokens") > 0))
+
     val st = lib.stats.collect()(0)
     assert(st.getAs[Long]("vector_count") == nChunks)
     assert(st.getAs[Int]("dimension") == 64)
