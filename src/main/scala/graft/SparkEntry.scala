@@ -164,6 +164,12 @@ object SparkEntry {
         "vector index search embedding",
         "window aggregate partition shuffle"), 5) }),
     // --- D. dedup suite ------------------------------------------------
+    "contamination" -> ((s, d) => {
+      // benchmark decontamination: eval = the low-id slice standing in
+      // for a held-out benchmark; train = the rest of the corpus.
+      val docs = t(s, d, "documents")
+      Pipeline.contamination(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50)) }),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
@@ -907,6 +913,26 @@ object SparkEntry {
          |   recursive := true)
          | FROM t WHERE len(toks) > 0)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "contamination" ->
+      s"""WITH t AS ($toksCte),
+         | g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |          range(0, len(toks) - 7),
+         |          i -> array_to_string(toks[i+1 : i+8], ' ')))) AS ngram
+         |       FROM t WHERE len(toks) >= 8),
+         | ev AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 50),
+         | agg AS (SELECT g.doc_id, COUNT(*) AS n_ngrams,
+         |          COUNT(e.ngram) AS n_contaminated
+         |         FROM g LEFT JOIN ev e USING (ngram)
+         |         WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         | COALESCE(n_ngrams, 0) AS n_ngrams,
+         | COALESCE(n_contaminated, 0) AS n_contaminated,
+         | ROUND(COALESCE(CAST(n_contaminated AS DOUBLE) / n_ngrams, 0.0e0), 6)
+         |   AS contamination,
+         | ROUND(COALESCE(CAST(n_contaminated AS DOUBLE) / n_ngrams, 0.0e0), 6) > 0.1e0
+         |   AS is_contaminated
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

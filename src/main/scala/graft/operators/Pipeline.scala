@@ -38,6 +38,46 @@ object Pipeline {
   }
 
   /**
+   * Benchmark decontamination: for every training document, the
+   * fraction of its distinct token n-grams that appear anywhere in
+   * the evaluation corpus (the standard containment test run before
+   * training to catch test-set leakage).
+   *
+   * Scale shape: the eval side is a benchmark — orders of magnitude
+   * smaller than the training corpus — so its distinct n-gram set
+   * broadcasts and the training side stays map-local until one
+   * per-doc count aggregation; the 100 TB corpus is never shuffled
+   * by n-gram. Docs shorter than `n` tokens have no n-grams and score
+   * 0.0 (no signal, nothing to leak).
+   */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                    threshold: Double = 0.1): DataFrame = {
+    // Guard the sequence: Spark generates DESCENDING for sequence(0, -1),
+    // so short docs must yield an empty array, not a reversed range.
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+    val evalGrams = grams(evalDocs).select(col("ngram")).distinct()
+    val counted = grams(train)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_contaminated"))
+    train.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated") / col("n_ngrams"), lit(0.0)), 6)
+          .as("contamination"))
+      .withColumn("is_contaminated", col("contamination") > threshold)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Corpus cleaning: the composed filter every training pipeline runs
    * before tokenization — exact dedup, length, language, and quality
    * gates in one pass, each document labeled keep/reject with the

@@ -223,6 +223,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(s1.forall(r => grown(r.getLong(0)) == r.getString(2)))
   }
 
+  test("contamination scores containment against the eval corpus") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val train = Seq(
+      // full copy of the eval doc: every 8-gram contained -> 1.0
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // half-overlapping window: some 8-grams contained
+      (11L, "gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      // disjoint vocabulary: zero containment
+      (12L, "one two three four five six seven eight nine ten"),
+      // too short for any 8-gram: no signal, scores 0.0
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val out = Pipeline.contamination(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((3L, 3L, 1.0, true)))       // 10 toks -> 3 distinct 8-grams
+    assert(out(11L)._2 > 0 && out(11L)._2 < out(11L)._1 && out(11L)._4)
+    assert(out(12L) == ((3L, 0L, 0.0, false)))
+    assert(out(13L) == ((0L, 0L, 0.0, false)))
+  }
+
   test("shard packing matches the exclusive-prefix-sum contract per source") {
     val packed = Pipeline.shardPack(docs, budgetTokens = 1000).collect()
     for ((_, rows) <- packed.groupBy(_.getString(1))) {
