@@ -75,6 +75,9 @@ object Stress {
     println(f"[stress] lsh_partitioned_build(8x256 dirs): ${(System.nanoTime() - ti0) / 1e9}%.2fs")
     time("lsh_knn_partitioned(pruned dirs)") {
       VectorSearch.lshKnnPartitioned(lshPart, q, "vec_id", "embedding", 10).count() }
+    time("lsh_partitioned_batch_16q(one union-pruned scan)") {
+      VectorSearch.lshKnnPartitionedBatch(lshPart, queries16,
+        "vec_id", "embedding", 10).count() }
 
     time("knn_quantized(ad-hoc: codes recomputed)") {
       VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
@@ -89,6 +92,10 @@ object Stress {
     println(f"[stress] ivf_build(64 centroids + partitioned write): ${(System.nanoTime() - tb0) / 1e9}%.2fs")
     time("ivf_probe(nProbe=4)") {
       operators.IvfIndex.search(indexed, model, q, "vec_id", "embedding", 10, 4).count() }
+    operators.IvfIndex.writeIndex(assigned, model, s"$tmp/ivf_disk")
+    time("ivf_batch_16q(one union-pruned scan)") {
+      operators.IvfIndex.searchIndexedBatch(spark, s"$tmp/ivf_disk", queries16,
+        "vec_id", "embedding", 10, 4).count() }
 
     // ---- adversarial skew: 99%-duplicate corpus --------------------------
     // One boilerplate document dominates; every banded bucket it hashes
