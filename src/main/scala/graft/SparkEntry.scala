@@ -114,6 +114,12 @@ object SparkEntry {
         "vec_id", "embedding", 10) }),
     "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
+    "grid_knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.gridKnnBatch(emb.filter(col("vec_id") >= 3), qs,
+        "vec_id", "embedding", 10) }),
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // build-once / probe-many: the first call fits + pins the index,
       // every later call measures the partition-pruned probe only.
@@ -129,6 +135,14 @@ object SparkEntry {
         "vec_id", "embedding", 5) }),
     "knn_quantized" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnQuantized(c, q, "vec_id", "embedding", 10) }),
+    "knn_quantized_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = emb.filter(col("vec_id") >= 3).withColumn("codes",
+        quantizeVec(l2Normalize(col("embedding"))))
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.knnQuantizedBatch(store, qs,
+        "vec_id", "embedding", "codes", 10) }),
     "knn_filtered" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnFiltered(c, q, col("label") === 3,
         "vec_id", "embedding", 10, "cosine") }),
@@ -1121,6 +1135,39 @@ object SparkEntry {
          |        FROM eq e, qq q ORDER BY ascore DESC, e.vec_id LIMIT 40)
          |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
          |FROM p1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // Batch two-phase quantized search: per-query rank window over the
+    // int8 approximate scores picks 40 candidates, exact cosine
+    // re-ranks to 10 — same arithmetic chain as knn_quantized.
+    "knn_quantized_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 3),
+         | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 3),
+         | en AS (SELECT vec_id, v, CASE WHEN sqrt(list_dot_product(v, v)) > 0
+         |          THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         |          ELSE v END AS nv FROM e),
+         | qn AS (SELECT query_id, qv, CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+         |          THEN list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+         |          ELSE qv END AS nqv FROM q0),
+         | es AS (SELECT vec_id, v, nv, CASE WHEN list_max(list_transform(nv, y -> abs(y))) > 0
+         |          THEN list_max(list_transform(nv, y -> abs(y))) / 127.0e0
+         |          ELSE 1.0e0 END AS s FROM en),
+         | eq AS (SELECT vec_id, v, s, list_transform(nv, x -> floor(x / s + 0.5e0)) AS qc FROM es),
+         | qs AS (SELECT query_id, qv, nqv, CASE WHEN list_max(list_transform(nqv, y -> abs(y))) > 0
+         |          THEN list_max(list_transform(nqv, y -> abs(y))) / 127.0e0
+         |          ELSE 1.0e0 END AS s FROM qn),
+         | qq AS (SELECT query_id, qv, s, list_transform(nqv, x -> floor(x / s + 0.5e0)) AS qc FROM qs),
+         | p1 AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+         |          e.s * q.s * list_dot_product(e.qc, q.qc) AS ascore
+         |        FROM eq e, qq q),
+         | pr AS (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY ascore DESC, vec_id) AS arn FROM p1),
+         | p2 AS (SELECT query_id, vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |        FROM pr WHERE arn <= 40),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM p2)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // The grid index is seed-free too: per-dim float min/max bounds,
     // cell = clamp(floor((x-lo)/max(hi-lo,1e-12)*4)), probe = all cells
     // within +/-1 of the query cell per dim, exact 1/(1+L2) re-rank.
@@ -1142,6 +1189,31 @@ object SparkEntry {
          |FROM c, qc
          |WHERE ${(0 until 4).map(d => s"abs(c$d - qc$d) <= 1").mkString(" AND ")}
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // Batch grid probe: same bounds/cell arithmetic, one rank window
+    // per query over the +/-1-cell candidates.
+    "grid_knn_batch" -> {
+      def cell(src: String, d: Int): String =
+        s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
+      s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 3),
+         | q0 AS (SELECT vec_id AS query_id, embedding qef, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 3),
+         | b AS (SELECT ${(0 until 4).map(d =>
+                  s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
+                  s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
+                  .mkString(", ")} FROM e),
+         | qc AS (SELECT query_id, ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
+         |        FROM q0, b),
+         | c AS (SELECT vec_id, v, ${(0 until 4).map(d => s"${cell("ef", d)} AS c$d").mkString(", ")}
+         |       FROM e, b),
+         | sc AS (SELECT query_id, vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
+         |        FROM c, qc
+         |        WHERE ${(0 until 4).map(d => s"abs(c$d - qc$d) <= 1").mkString(" AND ")}),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
     },
     "knn_filtered" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)

@@ -285,20 +285,56 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         clampK(k), "cosine", numTables, bitsPerTable, seed)
   }
 
-  /** Batch approximate search: N query texts answered in ONE pass over
-    * the index. With the partitioned index present, the scan reads the
-    * UNION of all queries' probe partitions once (planning-time
-    * pruning), so Q queries cost one pruned scan, not Q; otherwise the
-    * stored `lsh_buckets` column probes in a single bucket join. Rows:
-    * (query_id, chunk_id, score, rank), query_id = position in input. */
-  def searchApproxBatch(queryTexts: Seq[String], k: Int = 10): DataFrame = {
+  /** Embedded query frame for the batch endpoints: query_id = position
+    * in the input list. */
+  private def queriesFrame(queryTexts: Seq[String]): DataFrame = {
     require(queryTexts.nonEmpty, "queryTexts must be non-empty")
-    val kk = clampK(k)
     import spark.implicits._
-    val queries = queryTexts.zipWithIndex
+    queryTexts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "qtext")
       .select(col("query_id"),
         embedTextTyped(col("qtext"), "search_query", dim, seed).as("qvec"))
+  }
+
+  /**
+   * Batch k-NN search routed through the library's preferred index
+   * algorithm — the batch twin of `search`, so N query texts cost one
+   * pass over whichever index serves them (union-pruned scan for
+   * lsh/ivf/grid, one int8 scan for quantized, one corpus scan for
+   * flat) instead of N.
+   */
+  def searchBatch(queryTexts: Seq[String], k: Int = 10,
+                  metric: String = "cosine"): DataFrame = {
+    val kk = clampK(k)
+    val queries = queriesFrame(queryTexts)
+    algo match {
+      case "flat" =>
+        VectorSearch.knnBatchGeneric(chunks.select(col("chunk_id"), col("embedding")),
+          queries, "chunk_id", "embedding", kk, metric)
+      case "lsh" => approxBatch(queries, kk)
+      case "grid" =>
+        VectorSearch.gridKnnBatch(chunks.select(col("chunk_id"), col("embedding")),
+          queries, "chunk_id", "embedding", kk, metric)
+      case "ivf" =>
+        if (!hasIvfIndex) buildIvfIndex()
+        IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
+          "chunk_id", "embedding", kk, metric = metric)
+      case "quantized" =>
+        VectorSearch.knnQuantizedBatch(chunks, queries,
+          "chunk_id", "embedding", "quant", kk, metric)
+    }
+  }
+
+  /** Batch approximate search: N query texts answered in ONE pass over
+    * the LSH index. With the partitioned index present, the scan reads
+    * the UNION of all queries' probe partitions once (planning-time
+    * pruning), so Q queries cost one pruned scan, not Q; otherwise the
+    * stored `lsh_buckets` column probes in a single bucket join. Rows:
+    * (query_id, chunk_id, score, rank), query_id = position in input. */
+  def searchApproxBatch(queryTexts: Seq[String], k: Int = 10): DataFrame =
+    approxBatch(queriesFrame(queryTexts), clampK(k))
+
+  private def approxBatch(queries: DataFrame, kk: Int): DataFrame = {
     if (hasPartitionedIndex)
       VectorSearch.lshKnnPartitionedBatch(partitionedIndex, queries,
         "chunk_id", "embedding", kk, "cosine", numTables, bitsPerTable, seed)

@@ -69,6 +69,17 @@ object VectorSearch {
    * carries k rows per query per partition instead of the whole scored
    * cross product. Same output contract as knnBatch.
    */
+  /** Batch exact k-NN for arbitrary id types: broadcast queries over
+    * one corpus scan, per-query bounded top-k (native heap aggregate
+    * for long ids, a rank window over the scored rows otherwise). */
+  def knnBatchGeneric(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, metric: String = "cosine"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
+  }
+
   def knnBatchAgg(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, metric: String): DataFrame = {
     val scored = corpus.join(broadcast(queries))
@@ -286,21 +297,23 @@ object VectorSearch {
     * the native heap aggregate for long ids (k-row shuffle partials);
     * a rank window otherwise (string ids — still k rows out, and the
     * window shuffles only the scored candidates, never the corpus). */
-  private[operators] def finishPerQueryTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
-    if (scored.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
-      scored.groupBy(col("query_id"))
-        .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
-        .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
-          (col("r0") + 1).cast("int").as("rank"))
-        .orderBy(col("query_id").asc, col("rank").asc)
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol).asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .orderBy(col("query_id").asc, col("rank").asc)
-    }
+  private[graft] def finishPerQueryTopK(scored: DataFrame, idCol: String, k: Int,
+                                        ordered: Boolean = true): DataFrame = {
+    val ranked =
+      if (scored.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+        scored.groupBy(col("query_id"))
+          .agg(graft.GraftFunctions.topKAgg(col(idCol), col("score"), k).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "pair")))
+          .select(col("query_id"), col("pair.id").as(idCol), col("pair.score").as("score"),
+            (col("r0") + 1).cast("int").as("rank"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol).asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+      }
+    if (ordered) ranked.orderBy(col("query_id").asc, col("rank").asc) else ranked
+  }
 
   /**
    * LSH probe against a bucket-PARTITIONED exploded index table:
@@ -402,29 +415,45 @@ object VectorSearch {
   def gridKnn(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
               k: Int, metric: String = "euclidean",
               gridDims: Int = 4, cellsPerDim: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // One pass for per-dimension bounds (partial agg map-side).
-    val bounds = corpus
-      .select(posexplode(slice(col(vecCol), 1, gridDims)).as(Seq("d", "x")))
-      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
-      .collect().sortBy(_.getInt(0))
-    val lo = bounds.map(r => r.getFloat(1).toDouble)
-    val hi = bounds.map(r => r.getFloat(2).toDouble)
-
-    def cellOf(vc: Column, d: Int): Column = {
-      val range = math.max(hi(d) - lo(d), 1e-12)
-      least(greatest(floor((vc.getItem(d) - lit(lo(d))) / lit(range) * cellsPerDim), lit(0)),
-        lit(cellsPerDim - 1)).cast("int")
-    }
-    def cellKey(vc: Column): Column =
-      concat_ws(",", (0 until gridDims).map(d => cellOf(vc, d)): _*)
-
-    val corpusC = corpus.withColumn("cell", cellKey(col(vecCol)))
+    val (lo, hi) = gridBounds(corpus, vecCol, gridDims)
+    val corpusC = corpus.withColumn("cell",
+      cellKeyCol(col(vecCol), lo, hi, cellsPerDim))
 
     // The query side is one row: resolve its cell on the driver and
     // probe the corpus with literal neighbor-cell keys (a tiny IN
     // filter pushed into the scan — no generated 81-way expression).
     val qv = query.select(col("qvec")).head.getSeq[Float](0)
+    val probeKeys = queryProbeKeys(qv, lo, hi, gridDims, cellsPerDim)
+
+    corpusC.filter(col("cell").isin(probeKeys: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One partial-aggregated pass for per-dimension grid bounds. */
+  private def gridBounds(corpus: DataFrame, vecCol: String,
+                         gridDims: Int): (Array[Double], Array[Double]) = {
+    val bounds = corpus
+      .select(posexplode(slice(col(vecCol), 1, gridDims)).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().sortBy(_.getInt(0))
+    (bounds.map(r => r.getFloat(1).toDouble), bounds.map(r => r.getFloat(2).toDouble))
+  }
+
+  /** Clamped cell key of a stored vector, as "c0,c1,...". */
+  private def cellKeyCol(vc: Column, lo: Array[Double], hi: Array[Double],
+                         cellsPerDim: Int): Column =
+    concat_ws(",", lo.indices.map { d =>
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      least(greatest(floor((vc.getItem(d) - lit(lo(d))) / lit(range) * cellsPerDim), lit(0)),
+        lit(cellsPerDim - 1)).cast("int")
+    }: _*)
+
+  /** Driver-resolved neighbor-cell probe keys for one query vector. */
+  private def queryProbeKeys(qv: Seq[Float], lo: Array[Double], hi: Array[Double],
+                             gridDims: Int, cellsPerDim: Int): Seq[String] = {
     def qCell(d: Int): Int = {
       val range = math.max(hi(d) - lo(d), 1e-12)
       math.min(math.max(math.floor((qv(d) - lo(d)) / range * cellsPerDim).toInt, 0),
@@ -432,14 +461,38 @@ object VectorSearch {
     }
     val offsets = Seq.fill(gridDims)(Seq(-1, 0, 1))
       .foldLeft(Seq(Seq.empty[Int]))((acc, s) => acc.flatMap(p => s.map(p :+ _)))
-    val probeKeys = offsets.map(off =>
+    offsets.map(off =>
       (0 until gridDims).map(d => qCell(d) + off(d)).mkString(",")).distinct
+  }
 
-    corpusC.filter(col("cell").isin(probeKeys: _*))
-      .crossJoin(broadcast(query))
-      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+  /**
+   * Batch grid top-k: N queries against the cell-keyed corpus in one
+   * pass. Probe keys resolve driver-side per query; the scan filters
+   * on the UNION of all queries' neighbor cells (one literal IN), a
+   * broadcast (query_id, cell) table assigns survivors to queries
+   * (each corpus row has exactly ONE cell, so no per-pair dedup is
+   * needed), and the bounded per-query top-k finisher ranks.
+   */
+  def gridKnnBatch(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, metric: String = "euclidean",
+                   gridDims: Int = 4, cellsPerDim: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (lo, hi) = gridBounds(corpus, vecCol, gridDims)
+    val corpusC = corpus.withColumn("cell",
+      cellKeyCol(col(vecCol), lo, hi, cellsPerDim))
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    val pairs = qRows.flatMap { r =>
+      queryProbeKeys(r.getSeq[Float](1), lo, hi, gridDims, cellsPerDim)
+        .map(cell => (r.getLong(0), cell))
+    }.toSeq
+    val pairFrame = pairs.toDF("query_id", "cell")
+    val scored = corpusC.filter(col("cell").isin(pairs.map(_._2).distinct: _*))
+      .join(broadcast(pairFrame), "cell")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
   }
 
   /**
@@ -507,6 +560,31 @@ object VectorSearch {
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /**
+   * Batch two-phase quantized top-k: ONE int8 scan scores every query
+   * (codes never leave the map side — the phase-1 shuffle carries
+   * k*rerankFactor (id, ascore) partials per query per partition via
+   * the bounded heap), then the union of all candidate sets joins the
+   * float column once for the exact per-query re-rank.
+   */
+  def knnQuantizedBatch(indexed: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, codesCol: String, k: Int,
+                        metric: String = "cosine", rerankFactor: Int = 4): DataFrame = {
+    val queryQ = queries.select(col("query_id"),
+      quantizeVec(l2Normalize(col("qvec"))).as("qqv"))
+    val phase1 = indexed.select(col(idCol), col(codesCol).as("codes"))
+      .crossJoin(broadcast(queryQ))
+      .select(col("query_id"), col(idCol),
+        quantizedDot(col("codes"), col("qqv")).cast("double").as("score"))
+    val cand = finishPerQueryTopK(phase1, idCol, k * rerankFactor, ordered = false)
+      .select(col("query_id"), col(idCol))
+    val scored = indexed.join(broadcast(cand), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
   }
 
   /**

@@ -105,6 +105,44 @@ class OperatorSpec extends AnyFunSuite {
       "IVF batch probe not partition-pruned")
   }
 
+  test("gridKnnBatch matches per-query gridKnn results") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = VectorSearch.gridKnnBatch(corpus, qs, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val single = VectorSearch.gridKnn(corpus,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+  }
+
+  test("knnQuantizedBatch matches per-query knnQuantizedIndexed results") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val store = emb.filter(col("vec_id") >= 3).withColumn("codes",
+      GraftFunctions.quantizeVec(GraftFunctions.l2Normalize(col("embedding"))))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = VectorSearch.knnQuantizedBatch(store, qs,
+      "vec_id", "embedding", "codes", 10)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val single = VectorSearch.knnQuantizedIndexed(store,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        "vec_id", "embedding", "codes", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+  }
+
   test("knnBatch produces k rows per query ranked 1..k") {
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -242,6 +242,25 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("searchBatch routes every algorithm and matches per-query search") {
+    val root = Files.createTempDirectory("graft-lib-dispatch").toString
+    val lib = new VectorLibrary(spark, root, "dispatch-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40))
+    val qs = Seq("spark join stream table filter", "vector index search embedding")
+    for (alg <- Seq("flat", "lsh", "grid", "ivf", "quantized")) {
+      lib.setAlgorithm(alg)
+      // batch first: under "ivf" it builds the on-disk index that the
+      // per-query path then probes, so both sides serve the same index.
+      val rows = lib.searchBatch(qs, 5).collect()
+      val byQuery = qs.indices.map(i => rows.filter(_.getLong(0) == i.toLong)
+        .sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2))).toSeq)
+      val single = qs.map(q => lib.search(q, 5).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+      assert(byQuery == single, s"algorithm $alg: batch diverged from per-query")
+    }
+    lib.delete()
+  }
+
   test("partitioned index compaction: only oversized dirs rewrite, results unchanged") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-lib-compact").toString
