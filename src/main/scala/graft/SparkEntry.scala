@@ -202,6 +202,9 @@ object SparkEntry {
     "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
       Seq("spark", "join", "stream", "window"))),
     "sample_split" -> ((s, d) => Pipeline.sampleSplit(t(s, d, "documents"))),
+    "mix_sample" -> ((s, d) => Pipeline.mixSample(t(s, d, "documents"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
+      defaultRate = 0.75)),
     "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
     "clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
@@ -1040,6 +1043,14 @@ object SparkEntry {
          |SELECT doc_id, bucket,
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "mix_sample" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CAST((${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1) % 10000 AS INT) AS bucket,
+         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+         |    WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0 ELSE 7500 END AS rate_bp
+         | FROM documents)
+         |SELECT doc_id, source, bucket, rate_bp, bucket < rate_bp AS kept
          |FROM m ORDER BY doc_id""".stripMargin,
     // Composed corpus cleaning: exact-dup window + the text_quality
     // arithmetic, first failing rule wins (rule order is part of the

@@ -38,6 +38,34 @@ object Pipeline {
   }
 
   /**
+   * Deterministic domain-mix sampling: each source (domain) keeps a
+   * configured fraction of its documents — the rebalancing step that
+   * turns a raw crawl into a training mixture. Like sampleSplit, the
+   * keep decision is a pure function of (doc_id, seed) against a
+   * 10000-bucket grid, so the sample is reproducible, stable under
+   * corpus growth, and map-only at any scale (no per-source counts, no
+   * RNG state, no shuffle).
+   */
+  def mixSample(docs: DataFrame, rates: Map[String, Double],
+                defaultRate: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0) &&
+      defaultRate >= 0.0 && defaultRate <= 1.0,
+      "sampling rates must be in [0, 1]")
+    // Rates quantize to 1/10000 so the threshold compare is integral
+    // (no float-boundary divergence across engines).
+    val rateCol = rates.foldLeft(lit((defaultRate * 10000).round.toInt)) {
+      case (acc, (src, r)) =>
+        when(col("source") === src, lit((r * 10000).round.toInt)).otherwise(acc)
+    }
+    val bucket = (shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1) % 10000)
+      .cast("int")
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"),
+      rateCol.as("rate_bp"))
+      .withColumn("kept", col("bucket") < col("rate_bp"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Benchmark decontamination: for every training document, the
    * fraction of its distinct token n-grams that appear anywhere in
    * the evaluation corpus (the standard containment test run before

@@ -261,6 +261,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(s1.forall(r => grown(r.getLong(0)) == r.getString(2)))
   }
 
+  test("mix sampling applies per-source rates deterministically") {
+    val rates = Map("src0" -> 1.0, "src3" -> 0.0, "src5" -> 0.5)
+    val out = Pipeline.mixSample(docs, rates, defaultRate = 0.75).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    assert(out.length == docs.count())
+    assert(out.filter(_._2 == "src0").forall(_._3), "rate 1.0 must keep all")
+    assert(!out.exists(r => r._2 == "src3" && r._3), "rate 0.0 must keep none")
+    // roughly half of src5 survives (exact membership is the oracle's job)
+    val src5 = out.filter(_._2 == "src5")
+    val frac5 = src5.count(_._3).toDouble / src5.length
+    assert(frac5 > 0.2 && frac5 < 0.8, s"src5 kept fraction $frac5")
+    // a doc's decision never changes when the corpus grows
+    val grown = Pipeline.mixSample(docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 500000)), rates, 0.75).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out.forall(r => grown(r._1) == r._3))
+  }
+
   test("contamination scores containment against the eval corpus") {
     import spark.implicits._
     val evalDocs = Seq(
