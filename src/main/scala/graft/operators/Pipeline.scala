@@ -116,10 +116,25 @@ object Pipeline {
    */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 10,
                   minQuality: Double = 0.3, langThreshold: Double = 0.05): DataFrame = {
-    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
-      md5(col("text")).as("content_hash"))
+    val gates = cleanGates(docs, minTokens, minQuality, langThreshold)
       .withColumn("rep", min(col("doc_id"))
         .over(Window.partitionBy(col("content_hash"))))
+    val reason = when(col("doc_id") =!= col("rep"), "duplicate")
+      .otherwise(col("pre_reason"))
+    gates.select(col("doc_id"), reason.as("reason"),
+      (reason === "ok").as("keep"), col("quality_score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Stateless half of the cleaning gates (everything except the
+    * duplicate rule, which needs cross-document state): per-doc
+    * content hash, first-failing-rule label among too_short /
+    * non_english / low_quality, and the quantized quality score.
+    * Shared by the batch window path and the streaming twin. */
+  private[graft] def cleanGates(docs: DataFrame, minTokens: Int,
+                                minQuality: Double, langThreshold: Double): DataFrame = {
+    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
+      md5(col("text")).as("content_hash"))
     val nTok = col("st.n_tokens").cast("double")
     val stopRatio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok)
       .otherwise(lit(0.0))
@@ -128,15 +143,12 @@ object Pipeline {
     val quality = lit(0.4) * stopRatio +
       lit(0.3) * least(lit(1.0), nTok / lit(200.0)) +
       lit(0.3) * greatest(lit(0.0), lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0))
-    val reason = when(col("doc_id") =!= col("rep"), "duplicate")
-      .when(col("st.n_tokens") < minTokens, "too_short")
+    val preReason = when(col("st.n_tokens") < minTokens, "too_short")
       .when(stopRatio < langThreshold, "non_english")
       .when(quality < minQuality, "low_quality")
       .otherwise("ok")
-    st.select(col("doc_id"), reason.as("reason"),
-      (reason === "ok").as("keep"),
+    st.select(col("doc_id"), col("content_hash"), preReason.as("pre_reason"),
       graft.operators.TextAnalysis.quant6(quality).as("quality_score"))
-      .orderBy(col("doc_id").asc)
   }
 
   /**

@@ -75,6 +75,44 @@ object EventStreams {
       }
   }
 
+  case class CleanDoc(doc_id: Long, content_hash: String,
+                      pre_reason: String, quality_score: Double)
+  case class CleanLabel(doc_id: Long, reason: String, keep: Boolean,
+                        quality_score: Double)
+
+  /**
+   * Streaming corpus cleaning (the incremental twin of
+   * Pipeline.cleanCorpus): the stateless gates — too_short /
+   * non_english / low_quality, first failing rule wins — run map-side
+   * through the shared cleanGates columns; only the duplicate rule
+   * needs state, one cell per content hash holding the cluster
+   * representative (first arrival wins; within a micro-batch the
+   * lowest doc_id, so a single-batch run agrees exactly with the
+   * batch twin's min-doc_id representative). Every arriving document
+   * is labeled exactly once, in arrival order — the always-on form of
+   * the pre-training gate.
+   */
+  def cleanCorpusStream(docs: DataFrame, minTokens: Int = 10,
+                        minQuality: Double = 0.3, langThreshold: Double = 0.05)
+                       (implicit spark: SparkSession): Dataset[CleanLabel] = {
+    import spark.implicits._
+    graft.operators.Pipeline
+      .cleanGates(docs, minTokens, minQuality, langThreshold)
+      .as[CleanDoc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, CleanLabel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[CleanDoc], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          val rep = state.getOption.getOrElse(sorted.head.doc_id)
+          state.update(rep)
+          sorted.iterator.map { d =>
+            val reason = if (d.doc_id != rep) "duplicate" else d.pre_reason
+            CleanLabel(d.doc_id, reason, reason == "ok", d.quality_score)
+          }
+      }
+  }
+
   case class BandedDoc(doc_id: Long, sig: Seq[Long], band: Int, bucket: Long)
   case class BucketSigs(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class NearDupPair(doc_a: Long, doc_b: Long, jaccard_est: Double)

@@ -75,6 +75,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall { case (id, rep, dup) => dup == (id != rep) })
   }
 
+  test("streaming corpus cleaning labels converge to the batch twin across batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-clean-stream").toString
+    // Waves split by ascending doc_id, so first arrival == min doc_id
+    // and the streaming representative matches the batch window's.
+    docs.filter(col("doc_id") < 250).coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.cleanCorpusStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clean_out").start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("clean_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getDouble(3))).toSet
+    val batch = operators.Pipeline.cleanCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getDouble(3))).toSet
+    assert(streamed.size == docs.count(), "every doc labeled exactly once")
+    assert(streamed == batch,
+      s"labels diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming minhash near-dup pairs converge to the batch twin across batches") {
     import spark.implicits._
     implicit val s = spark
