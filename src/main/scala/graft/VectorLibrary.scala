@@ -125,7 +125,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Append an embedded+indexed batch to the store and, for each
     * on-disk index present, its derived rows to that index — ingest
     * stays incremental, indexes never rebuild on append. */
-  private def appendBatch(batch: DataFrame): Unit = {
+  private def appendBatch(batch0: DataFrame): Unit = {
+    // Cluster store files by doc_id: parquet keeps per-row-group
+    // min/max stats, so a doc_id predicate (documentChunks, targeted
+    // deletes) skips whole row groups of a sorted file. At 100 TB this
+    // is the poor-man's z-order — free at write time, no layout change.
+    val batch = batch0.sortWithinPartitions(col("source"), col("doc_id"))
     if (hasPartitionedIndex || hasIvfIndex) {
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
@@ -595,7 +600,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * instead of losing the store entirely. */
   private def swapStore(newData: DataFrame): Unit = {
     val tmpPath = s"$root/$name/.chunks_rewrite"
-    newData.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
+    newData.sortWithinPartitions(col("source"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val live = new org.apache.hadoop.fs.Path(path)
