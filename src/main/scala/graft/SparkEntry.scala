@@ -194,6 +194,8 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => Dedup.minhashComponents(t(s, d, "documents"))),
     // --- E. text analysis ----------------------------------------------
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(t(s, d, "documents"))),
+    "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_langid_multi" -> ((s, d) => TextAnalysis.langIdMulti(t(s, d, "documents"))),
@@ -1044,6 +1046,28 @@ object SparkEntry {
          | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |      ELSE 'test' END AS split
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS ($toksCte),
+         | g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(0, len(toks) - 2),
+         |          i -> array_to_string(toks[i+1 : i+3], ' '))
+         |   ELSE CAST([] AS VARCHAR[]) END AS grams FROM t)
+         |SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+         | CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+         | floor((CASE WHEN len(grams) > 0
+         |   THEN 1.0e0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |   ELSE 0.0e0 END) * 1.0e6 + 0.5e0) / 1.0e6 AS repetition
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH t AS ($toksCte),
+         | m AS (SELECT source, CAST(len(toks) AS INT) AS nt FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         | floor(AVG(nt) * 1.0e6 + 0.5e0) / 1.0e6 AS mean_tokens,
+         | floor(quantile_cont(nt, 0.5e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p50_tokens,
+         | floor(quantile_cont(nt, 0.9e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p90_tokens,
+         | floor(quantile_cont(nt, 0.99e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p99_tokens
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "mix_sample" ->
       s"""WITH m AS (SELECT doc_id, source,
          |  CAST((${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1) % 10000 AS INT) AS bucket,

@@ -40,6 +40,48 @@ object TextAnalysis {
   // tokenizer per lambda reference and falls out of whole-stage codegen.
 
   /** Token statistics per document. */
+  /**
+   * Intra-document repetition: 1 - distinct/total token n-grams — the
+   * standard boilerplate/degenerate-text gate (a doc that repeats the
+   * same phrase scores near 1). Map-side only; docs shorter than `n`
+   * tokens have no n-grams and score 0.
+   */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = when(size(col("toks")) >= n,
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), graft.GraftFunctions.tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_ngrams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("repetition", quant6(
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0))))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
+   * Per-source corpus report: doc counts, token totals, and exact
+   * interpolated token-count percentiles — the dataset card every
+   * training mixture ships with. One partial-aggregated pass; the
+   * percentile aggregate shuffles per-source sorted buffers, fine for
+   * the group count (sources are domains, not documents).
+   */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    docs.select(col("source"),
+      textStats(col("text")).getField("n_tokens").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        quant6(avg(col("nt"))).as("mean_tokens"),
+        quant6(expr("percentile(nt, 0.5)")).as("p50_tokens"),
+        quant6(expr("percentile(nt, 0.9)")).as("p90_tokens"),
+        quant6(expr("percentile(nt, 0.99)")).as("p99_tokens"))
+      .orderBy(col("source").asc)
+  }
+
   def tokenStats(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"), textStats(col("text")).as("st"),
       length(col("text")).cast("int").as("n_chars"))
