@@ -212,6 +212,7 @@ object SparkEntry {
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
+    "events_funnel" -> ((s, d) => Events.funnel(t(s, d, "events"))),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
     "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
@@ -1278,6 +1279,23 @@ object SparkEntry {
         |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
         | COUNT(*) AS n_events,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
-        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // Ordered funnel: the same window chain — c(i) = event reaches
+    // stage i strictly after the running minimum of stage i-1.
+    "events_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+        | f AS (SELECT *,
+        |   CASE WHEN event_type = 'view' THEN ts END c0 FROM e),
+        | f0 AS (SELECT *, MIN(c0) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) r0 FROM f),
+        | f1 AS (SELECT *, CASE WHEN event_type = 'click' AND r0 < ts THEN ts END c1 FROM f0),
+        | f1r AS (SELECT *, MIN(c1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) r1 FROM f1),
+        | f2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND r1 < ts THEN ts END c2 FROM f1r)
+        |SELECT user_id, MIN(c0) AS t_view, MIN(c1) AS t_click, MIN(c2) AS t_purchase,
+        | CAST((CASE WHEN MIN(c0) IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN MIN(c1) IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN MIN(c2) IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
+        |FROM f2 GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -26,6 +26,42 @@ object Events {
   }
 
   /**
+   * Ordered conversion funnel: per user, the first time each stage is
+   * reached STRICTLY after the previous stage (a purchase before the
+   * first view does not count). One pass: running per-stage minima as
+   * window columns over the (ts, event_id)-ordered user timeline, then
+   * a single per-user aggregate — one shuffle on user_id regardless of
+   * stage count, no self-joins (the naive per-stage join chain would
+   * shuffle the events table once per stage).
+   */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // candidate c(i) = this event reaches stage i (right type, strictly
+    // after r(i-1), the earliest time stage i-1 was reached so far);
+    // r(i) = running min of c(i). Built column by column since each
+    // candidate references the previous running minimum.
+    val candCols = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val cand =
+          if (i == 0) when(col("event_type") === stage, col("ts"))
+          else when(col("event_type") === stage && col(s"r${i - 1}") < col("ts"), col("ts"))
+        df.withColumn(s"c$i", cand)
+          .withColumn(s"r$i", min(col(s"c$i")).over(w))
+    }
+    val stageTimes = stages.indices.map(i => min(col(s"c$i")).as(s"t_${stages(i)}"))
+    val reached = stages.indices.map(i =>
+      when(min(col(s"c$i")).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    candCols.groupBy(col("user_id"))
+      .agg(stageTimes.head, stageTimes.tail :+ reached.cast("int").as("stage"): _*)
+      .orderBy(col("user_id").asc)
+  }
+
+  /**
    * Gap-based sessionization: a new session starts after `gapMinutes`
    * of inactivity. Window-function formulation (lag + running sum) —
    * one shuffle on user_id; the streaming twin uses

@@ -261,6 +261,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(s1.forall(r => grown(r.getLong(0)) == r.getString(2)))
   }
 
+  test("funnel counts only in-order stage progressions") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(3), 1L, "purchase", 0.0),
+      // user 2: purchase BEFORE view/click never counts
+      (4L, ts(1), 2L, "purchase", 0.0), (5L, ts(2), 2L, "view", 0.0),
+      (6L, ts(3), 2L, "click", 0.0),
+      // user 3: click only — stage 0 (no view yet)
+      (7L, ts(1), 3L, "click", 0.0),
+      // user 4: view -> purchase without click — purchase needs click first
+      (8L, ts(1), 4L, "view", 0.0), (9L, ts(2), 4L, "purchase", 0.0),
+      // user 5: out-of-order then re-ordered later arrivals complete it
+      (10L, ts(1), 5L, "click", 0.0), (11L, ts(2), 5L, "view", 0.0),
+      (12L, ts(3), 5L, "click", 0.0), (13L, ts(4), 5L, "purchase", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnel(ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 1, 5L -> 3))
+  }
+
   test("mix sampling applies per-source rates deterministically") {
     val rates = Map("src0" -> 1.0, "src3" -> 0.0, "src5" -> 0.5)
     val out = Pipeline.mixSample(docs, rates, defaultRate = 0.75).collect()
