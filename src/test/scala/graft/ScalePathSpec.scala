@@ -178,6 +178,22 @@ class ScalePathSpec extends AnyFunSuite {
     assert(exchanges(operators.Pipeline.cleanCorpus(docs)) <= 2)
     // frame sampling: map-only generate + presentation sort
     assert(exchanges(operators.Multimodal.frameSample(docs)) <= 1)
+    // funnel: one data exchange (user window) + presentation sort —
+    // stage count must NOT add shuffles
+    assert(exchanges(operators.Events.funnel(
+      Tables.load(spark, SparkTestSession.sfDir, "events"))) <= 3)
+    // mix sampling: pure map + presentation sort
+    assert(exchanges(operators.Pipeline.mixSample(docs, Map("src0" -> 0.5))) <= 1)
+  }
+
+  test("contamination: eval side broadcasts, training side never shuffles by ngram") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = operators.Pipeline.contamination(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval n-gram set not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "training corpus shuffled through a sort-merge join")
   }
 
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
