@@ -185,6 +185,55 @@ object EventStreams {
       }
   }
 
+  case class FunnelProgress(user_id: Long, stage: Int, times: Seq[Long])
+
+  /**
+   * Streaming conversion funnel (the incremental twin of
+   * Events.funnel): one state cell per user holding the first-reach
+   * time of each stage (microseconds; -1 = unreached). An event
+   * advances stage i when its stage-(i-1) time is set and strictly
+   * earlier. A progress row is emitted whenever a batch changes a
+   * user's state — the per-user progress log; consumers read the
+   * latest row per user.
+   *
+   * Ordering contract: events are folded in (ts, event_id) order
+   * WITHIN a micro-batch; across batches, arrival order is processing
+   * order (the sessionizeStream contract). When waves arrive in event-
+   * time order the final state equals the batch twin exactly.
+   */
+  def funnelStream(events: Dataset[Event],
+                   stages: Seq[String] = Seq("view", "click", "purchase"))
+                  (implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Seq[Long]]) =>
+          val times = state.getOption.getOrElse(Seq.fill(stages.size)(-1L)).toArray
+          val before = times.toSeq
+          def us(e: Event): Long = {
+            val i = e.ts.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val sorted = rows.toSeq
+            .filter(e => stageIdx.contains(e.event_type))
+            .sortBy(e => (us(e), e.event_id))
+          for (e <- sorted) {
+            val i = stageIdx(e.event_type)
+            val t = us(e)
+            val prevOk = i == 0 || (times(i - 1) >= 0L && times(i - 1) < t)
+            if (prevOk && (times(i) < 0L || t < times(i))) times(i) = t
+          }
+          val after = times.toSeq
+          state.update(after)
+          if (after != before)
+            Iterator.single(FunnelProgress(userId, after.count(_ >= 0L), after))
+          else Iterator.empty
+      }
+  }
+
   /**
    * Gap-based sessionization with explicit state: one SessionState per
    * user; a session closes (emits) when the gap exceeds `gapMinutes`.

@@ -141,6 +141,47 @@ class StreamingSpec extends AnyFunSuite {
       "second wave contributed no new pairs — cross-batch state not exercised")
   }
 
+  test("streaming funnel converges to the batch twin when waves arrive in time order") {
+    import spark.implicits._
+    implicit val s = spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Tables.load(spark, sfDir, "events")
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft-funnel-stream").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    events.filter(unix_micros(col("ts")) <= cut)
+      .selectExpr(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = events.selectExpr(cols: _*).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    q.processAllAvailable()
+    events.filter(unix_micros(col("ts")) > cut)
+      .selectExpr(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+
+    // stage strictly increases per emission, so max stage = final state
+    val streamed = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    val batch = operators.Events.funnel(events).collect().map { r =>
+      def micros(i: Int): Long =
+        if (r.isNullAt(i)) -1L
+        else { val t = r.getTimestamp(i).toInstant
+               t.getEpochSecond * 1000000L + t.getNano / 1000L }
+      r.getLong(0) -> (r.getInt(4), Seq(micros(1), micros(2), micros(3)))
+    }.toMap
+    // batch emits every user; the stream only users with progress
+    val batchReached = batch.filter(_._2._1 > 0)
+    assert(streamed.keySet == batchReached.keySet, "user sets diverged")
+    streamed.foreach { case (u, (_, stage, times)) =>
+      assert((stage, times) == batchReached(u), s"user $u diverged")
+    }
+  }
+
   test("streaming sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     implicit val s = spark
