@@ -104,6 +104,12 @@ object SparkEntry {
       // once per dataset, as a library store would at ingest) — only
       // the query text is embedded per search.
       TextSearch.hybrid(Tables.documentsEmbedded(s, d), "spark join stream window") }),
+    "hybrid_search_batch" -> ((s, d) => { configure(s)
+      // N hybrid queries in one corpus pass: all terms share a single
+      // tokenizer scan, stats aggregate once, vectors ride as literals.
+      TextSearch.hybridBatch(Tables.documentsEmbedded(s, d),
+        Seq("spark join stream window", "table scan filter hash",
+          "sort merge partition key"), topN = 10) }),
     "lsh_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
     "lsh_knn_batch" -> ((s, d) => {
@@ -524,6 +530,44 @@ object SparkEntry {
          | ROUND(0.5e0 * ds + 0.5e0 * COALESCE(l.bm25 / mx.m, 0.0e0), 6) AS score
          |FROM mx, dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
          |ORDER BY score DESC, d.doc_id LIMIT 20""".stripMargin
+    },
+    // Batch hybrid: the single-query CTE chain templated per query
+    // over the shared embedded-docs CTEs, unioned with rank windows.
+    "hybrid_search_batch" -> {
+      val queries = Seq("spark join stream window", "table scan filter hash",
+        "sort merge partition key")
+      def bmTerm(j: Int): String =
+        s"ln(1.0e0 + (n_docs - df$j + 0.5e0)/(df$j + 0.5e0)) * (tf$j * (1.2e0 + 1.0e0))" +
+          s" / (tf$j + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))"
+      val blocks = queries.zipWithIndex.map { case (qt, i) =>
+        val terms = qt.split(" ").toSeq
+        val q = HashSql.vecLit(embedLit(qt))
+        val tfCols = terms.indices.map(j =>
+          s"CAST(len(list_filter(toks, x -> x = '${terms(j)}')) AS DOUBLE) tf$j").mkString(", ")
+        val dfCols = terms.indices.map(j =>
+          s"CAST(SUM(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END) AS DOUBLE) df$j").mkString(", ")
+        val bmSum = terms.indices.map(bmTerm).mkString("\n |   + ")
+        s""" f$i AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl, $tfCols FROM th),
+           | st$i AS (SELECT CAST(COUNT(*) AS DOUBLE) n_docs,
+           |   CAST(SUM(dl) AS DOUBLE) sum_dl, $dfCols FROM f$i),
+           | bm$i AS (SELECT doc_id, ROUND($bmSum, 6) AS bm25 FROM f$i, st$i),
+           | lex$i AS (SELECT doc_id, bm25 FROM bm$i WHERE bm25 > 0.0e0),
+           | mx$i AS (SELECT MAX(bm25) m FROM lex$i),
+           | dn$i AS (SELECT doc_id,
+           |   CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE ${cosSql("fv", q)} END AS ds
+           |  FROM ef),
+           | sc$i AS (SELECT CAST($i AS BIGINT) AS query_id, d.doc_id,
+           |   ROUND(0.5e0 * ds + 0.5e0 * COALESCE(l.bm25 / mx$i.m, 0.0e0), 6) AS score
+           |  FROM mx$i, dn$i d LEFT JOIN lex$i l ON d.doc_id = l.doc_id),
+           | r$i AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
+           |   ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc$i)""".stripMargin
+      }
+      val unionAll = queries.indices
+        .map(i => s"SELECT * FROM r$i WHERE rank <= 10").mkString(" UNION ALL ")
+      s"""WITH $embedDocsCtes,
+         |${blocks.mkString(",\n")}
+         |SELECT query_id, doc_id, score, rank FROM ($unionAll)
+         |ORDER BY query_id, rank""".stripMargin
     },
     // Multimodal stub pipeline, fully replicated: payload = UTF-8
     // bytes of text; media_bytes = byte length; media_checksum = zlib

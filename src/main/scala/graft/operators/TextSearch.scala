@@ -63,6 +63,72 @@ object TextSearch {
    * would re-derive every document vector on every search, a
    * scale-killer at 100 TB). Only the QUERY text is embedded here.
    */
+  /**
+   * Batch hybrid retrieval: N queries in ONE corpus pass. All queries'
+   * terms concatenate into a single termFreqs call (one tokenizer scan
+   * of every document regardless of query count — the langIdMulti
+   * trick), corpus statistics aggregate once, query vectors ride in as
+   * literals, and each document emits one (query, bm25, dense) row per
+   * query via a generated struct array. Per-query BM25 max-normalizes
+   * through a tiny broadcast aggregate; the blended score ranks via
+   * the bounded per-query top-k.
+   */
+  def hybridBatch(docs: DataFrame, queryTexts: Seq[String], alpha: Double = 0.5,
+                  topN: Int = 20, dim: Int = 64,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.GraftFunctions._
+    require(queryTexts.nonEmpty)
+    require(docs.columns.contains("embedding"),
+      "hybridBatch requires a precomputed `embedding` column")
+    val spark = docs.sparkSession
+    val perQueryTerms = queryTexts.map(
+      _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    require(perQueryTerms.forall(_.nonEmpty), "every query needs at least one term")
+    val allTerms = perQueryTerms.flatten.distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    // Query embeddings resolve driver-side (Q is small by contract)
+    // and ride into the scan as literals — no query-side join at all.
+    val qvecs = queryTexts.map(t => spark.range(1)
+      .select(embedText(lit(t), dim).as("qv")).head.getSeq[Float](0))
+
+    val tfr = docs.select(col("doc_id"), col("embedding"),
+      termFreqs(col("text"), allTerms).as("tfr"))
+    val withTf = tfr.select(col("doc_id") +: col("embedding") +:
+      col("tfr.dl").cast("double").as("dl") +:
+      allTerms.indices.map(i => col("tfr.tfs").getItem(i).cast("double").as(s"tf$i")): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      allTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+
+    def bm25For(qi: Int): Column = perQueryTerms(qi).map { term =>
+      val i = termIdx(term)
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val norm = col(s"tf$i") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / (col("sum_dl") / col("n_docs")))
+      idf * (col(s"tf$i") * lit(k1 + 1.0)) / norm
+    }.reduce(_ + _)
+
+    val perQuery = queryTexts.indices.map(qi => struct(
+      lit(qi.toLong).as("query_id"),
+      round(bm25For(qi), 6).as("bm25"),
+      cosineSim(col("embedding"),
+        typedLit(qvecs(qi)).cast("array<float>")).as("dense")))
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("doc_id"), col("q.query_id"), col("q.bm25"), col("q.dense"))
+    val maxes = scored.groupBy(col("query_id"))
+      .agg(max(when(col("bm25") > 0.0, col("bm25"))).as("max_bm25"))
+    val blended = scored.join(broadcast(maxes), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(lit(alpha) * col("dense") + lit(1.0 - alpha) *
+          coalesce(when(col("bm25") > 0.0, col("bm25") / col("max_bm25")),
+            lit(0.0)), 6).as("score"))
+    VectorSearch.finishPerQueryTopK(blended, "doc_id", topN)
+  }
+
   def hybrid(docs: DataFrame, queryText: String, alpha: Double = 0.5,
              topN: Int = 20, dim: Int = 64): DataFrame = {
     import graft.GraftFunctions._

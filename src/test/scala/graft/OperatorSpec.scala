@@ -261,6 +261,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(s1.forall(r => grown(r.getLong(0)) == r.getString(2)))
   }
 
+  test("hybridBatch matches per-query hybrid results") {
+    val corpus = Tables.documentsEmbedded(spark, sfDir)
+    val qs = Seq("spark join stream window", "table scan filter hash",
+      "sort merge partition key")
+    val batch = TextSearch.hybridBatch(corpus, qs, topN = 10)
+      .collect().groupBy(_.getLong(0))
+    qs.zipWithIndex.foreach { case (q, qi) =>
+      val single = TextSearch.hybrid(corpus, q, topN = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qi.toLong).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query '$q' diverged")
+    }
+  }
+
   test("funnel counts only in-order stage progressions") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
