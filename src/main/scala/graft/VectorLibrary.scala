@@ -465,6 +465,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def dropIvfIndex(): Unit =
     hadoopFs(ivfPath).delete(new org.apache.hadoop.fs.Path(ivfPath), true)
 
+  /** Current IVF drift ratio (1.0 = as healthy as at build). */
+  def ivfDrift: Double = IvfIndex.assignmentDrift(spark, ivfPath)
+
+  /**
+   * Re-fit the IVF centroids when appended data has drifted away from
+   * the frozen ones (the reference's background reindex trigger,
+   * adapted: appends assign cheaply to existing centroids; once the
+   * mean assignment distance exceeds `threshold` x the build-time
+   * mean, one distributed re-fit restores probe selectivity). Returns
+   * true when a re-fit ran.
+   */
+  def refitIvfIfDrifted(threshold: Double = 1.5, nCentroids: Int = 16): Boolean = {
+    if (!hasIvfIndex) return false
+    if (ivfDrift <= threshold) return false
+    buildIvfIndex(nCentroids)
+    true
+  }
+
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
     * the vector-storage memory estimate of algorithms.py:197-201). */
   def stats: DataFrame = {
@@ -565,18 +583,30 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * (library#doc#idx), making replayed rows exact duplicates that a
    * downstream distinct-on-chunk_id removes if exactness matters.
    */
+  /**
+   * Streaming ingest with index maintenance (reference
+   * background_tasks: embed + index each arrival, plus the periodic
+   * cleanup loop): each micro-batch dual-writes store + partitioned
+   * index; every `compactEvery` batches the fragmented index
+   * directories compact in place (compactEvery = 0 disables). This is
+   * the always-on form of a lake table's OPTIMIZE schedule — the
+   * stream itself keeps its own files healthy, no external daemon.
+   */
   def ingestStreamIndexed(docsStream: DataFrame, checkpoint: String,
-                          chunkWindow: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+                          chunkWindow: Int = 32, compactEvery: Int = 0,
+                          maxFilesPerPartition: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
         indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
         b.unpersist()
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactPartitionedIndex(maxFilesPerPartition)
         ()
       }
       .start()

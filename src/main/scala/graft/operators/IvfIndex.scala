@@ -70,15 +70,67 @@ object IvfIndex {
    * and scans ONLY those directories (partition pruning at planning
    * time); the non-probed corpus is never opened.
    */
-  def writeIndex(assigned: DataFrame, model: KMeansModel, path: String): Unit = {
+  def writeIndex(assigned: DataFrame, model: KMeansModel, path: String,
+                 vecCol: String = "embedding"): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assigned")
-    model.clusterCenters.zipWithIndex
+    val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // Build-time assignment quality: the drift baseline. Appends
+    // assign to FROZEN centroids, so the current mean distance rising
+    // against this number is the re-fit signal (the reference's
+    // background reindex trigger, lake-style).
+    meanSqDist(spark.read.parquet(s"$path/assigned"), centroids, vecCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** (n, mean_sq_dist) of rows against their assigned centroid. */
+  private def meanSqDist(assigned: DataFrame, centroids: DataFrame,
+                         vecCol: String): DataFrame =
+    assigned.join(broadcast(centroids), "cluster")
+      .select(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("sqd"))
+      .agg(count(lit(1)).as("n"), avg(col("sqd")).as("mean_sq_dist"))
+
+  /** Assign rows to the EXISTING centroids and append them to the
+    * on-disk index (the standard add path of an inverted file — no
+    * refit; `assignmentDrift` tells you when a refit is due). */
+  def appendAssign(spark: org.apache.spark.sql.SparkSession, path: String,
+                   rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    rows.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("m.cluster").as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+  }
+
+  /**
+   * Drift ratio of the index: current mean squared assignment
+   * distance (over the original build PLUS every frozen-centroid
+   * append) divided by the build-time mean. ~1.0 = healthy; rising
+   * means appended data no longer matches the fitted centroids and a
+   * re-fit (rebuild) is due. One pruned scan + two tiny aggregates.
+   */
+  def assignmentDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+                      vecCol: String = "embedding"): Double = {
+    val base = spark.read.parquet(s"$path/stats").head.getAs[Double]("mean_sq_dist")
+    val cur = meanSqDist(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"), vecCol)
+      .head.getAs[Double]("mean_sq_dist")
+    if (base > 0.0) cur / base else 1.0
   }
 
   /** Probe a written index: nProbe cells resolved driver-side from the

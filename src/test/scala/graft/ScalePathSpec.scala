@@ -196,6 +196,31 @@ class ScalePathSpec extends AnyFunSuite {
       "training corpus shuffled through a sort-merge join")
   }
 
+  test("IVF drift: frozen-centroid appends raise the ratio, a refit restores it") {
+    val corpus = emb.filter(col("vec_id") < 400).select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    val (model, assigned) = IvfIndex.build(corpus, "embedding")
+    IvfIndex.writeIndex(assigned, model, path)
+    val healthy = IvfIndex.assignmentDrift(spark, path)
+    assert(healthy > 0.95 && healthy < 1.05, s"fresh index drift $healthy")
+
+    // appended vectors from a shifted distribution: far from every
+    // fitted centroid, so the mean assignment distance must rise
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 3.0f + 2.0f).as("embedding"))
+    IvfIndex.appendAssign(spark, path, shifted, "vec_id", "embedding")
+    val drifted = IvfIndex.assignmentDrift(spark, path)
+    assert(drifted > 1.5, s"drift $drifted did not register the shifted appends")
+
+    // re-fit over the full current contents restores health
+    val all = spark.read.parquet(s"$path/assigned").select(col("vec_id"), col("embedding"))
+    val (m2, a2) = IvfIndex.build(all, "embedding")
+    IvfIndex.writeIndex(a2, m2, path)
+    val refit = IvfIndex.assignmentDrift(spark, path)
+    assert(refit > 0.95 && refit < 1.05, s"refit drift $refit")
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))

@@ -369,6 +369,10 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
 
+    // fresh index is healthy; the drift-gated refit declines to run
+    assert(lib.ivfDrift > 0.95 && lib.ivfDrift < 1.05)
+    assert(!lib.refitIvfIfDrifted())
+
     // the probe must scan only the probed cluster directories
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
@@ -419,6 +423,39 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/spart-lib/lsh_index").count() == 8 * n)
     val hits = lib.searchApprox("spark join stream", k = 3).collect()
     assert(hits.nonEmpty)
+    lib.delete()
+  }
+
+  test("streaming ingest self-compacts the partitioned index on schedule") {
+    import org.apache.spark.sql.types._
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-mtick").toString
+    val docsDir = Files.createTempDirectory("graft-docs-mtick").toString
+    val lib = new VectorLibrary(spark, root, "mtick-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(48)
+    // four files -> four micro-batches with maxFilesPerTrigger=1
+    (0 until 4).foreach(i => docs.filter(col("doc_id") % 4 === i)
+      .coalesce(1).write.mode("append").parquet(docsDir))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = lib.ingestStreamIndexed(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(docsDir),
+      s"$root/ckpt", compactEvery = 2, maxFilesPerPartition = 1)
+    q.processAllAvailable(); q.stop()
+
+    // the periodic compaction kept fragmentation bounded: no dir holds
+    // more than (batches since last tick) + already-compacted 1 file
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxFiles = (for {
+      t <- fs.listStatus(new Path(s"$root/mtick-lib/lsh_index")).toSeq if t.isDirectory
+      b <- fs.listStatus(t.getPath).toSeq if b.isDirectory
+    } yield fs.listStatus(b.getPath).count(f => !f.getPath.getName.startsWith("."))).max
+    assert(maxFiles <= 2, s"index fragmented: $maxFiles files in one dir")
+    assert(spark.read.parquet(s"$root/mtick-lib/lsh_index").count() == 8 * lib.chunks.count())
+    assert(lib.searchApprox("spark join stream", k = 3).collect().nonEmpty)
     lib.delete()
   }
 
