@@ -219,6 +219,8 @@ object SparkEntry {
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "events_funnel" -> ((s, d) => Events.funnel(t(s, d, "events"))),
+    "events_retention" -> ((s, d) => Events.retention(t(s, d, "events"))),
+    "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
     "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
@@ -1324,6 +1326,27 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "text_entropy" ->
+      s"""WITH t AS ($toksCte),
+         | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         | c AS (SELECT doc_id, tok, COUNT(*) c FROM u GROUP BY doc_id, tok),
+         | p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n, COUNT(*) n_distinct,
+         |        SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) clogc
+         |       FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n, 0) AS n_tokens,
+         | COALESCE(n_distinct, 0) AS n_distinct,
+         | COALESCE(floor((ln(CAST(n AS DOUBLE)) - clogc / n) * 1.0e6 + 0.5e0) / 1.0e6,
+         |   0.0e0) AS entropy
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) aday
+        |           FROM events),
+        | c AS (SELECT user_id, MIN(aday) cohort_day FROM e GROUP BY user_id),
+        | j AS (SELECT cohort_day, CAST(date_diff('day', cohort_day, aday) AS INT) AS day_offset
+        |       FROM e JOIN c USING (user_id))
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset, COUNT(*) AS n_users
+        |FROM j WHERE day_offset <= 14 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Ordered funnel: the same window chain — c(i) = event reaches
     // stage i strictly after the running minimum of stage i-1.
     "events_funnel" ->

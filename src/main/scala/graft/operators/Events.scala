@@ -26,6 +26,30 @@ object Events {
   }
 
   /**
+   * Cohort retention: users grouped by their first-activity day
+   * (cohort); for each (cohort, day-offset) cell, how many of the
+   * cohort's users were active that day. Two aggregations on compact
+   * keys — (user, day) distinct activity, then the cohort matrix; the
+   * cohort day joins back via a broadcast-size per-user table at any
+   * realistic user count, or a co-partitioned shuffle join beyond.
+   */
+  def retention(events: DataFrame, maxOffsetDays: Int = 14): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      // ISO string for the cohort key: cross-engine comparators render
+      // DATE differently (date vs midnight timestamp)
+      .groupBy(col("cohort_day").cast("string").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day").asc, col("day_offset").asc)
+  }
+
+  /**
    * Ordered conversion funnel: per user, the first time each stage is
    * reached STRICTLY after the previous stage (a purchase before the
    * first view does not count). One pass: running per-stage minima as

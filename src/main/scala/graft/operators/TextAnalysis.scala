@@ -41,6 +41,30 @@ object TextAnalysis {
 
   /** Token statistics per document. */
   /**
+   * Token-distribution entropy per document (nats): low entropy =
+   * degenerate/repetitive vocabulary, a quality signal complementary
+   * to n-gram repetition. Two narrow shuffles on compact keys
+   * ((doc_id, token) counts, then per-doc fold) — the token text
+   * never rides a wide row.
+   */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(graft.GraftFunctions.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      // H = ln(n) - (1/n) * sum(c * ln c) — one pass, no per-token p
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        quant6(log(col("n").cast("double")) - col("clogc") / col("n")).as("entropy"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Intra-document repetition: 1 - distinct/total token n-grams — the
    * standard boilerplate/degenerate-text gate (a doc that repeats the
    * same phrase scores near 1). Map-side only; docs shorter than `n`
