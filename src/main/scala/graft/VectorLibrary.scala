@@ -339,6 +339,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def searchApproxBatch(queryTexts: Seq[String], k: Int = 10): DataFrame =
     approxBatch(queriesFrame(queryTexts), clampK(k))
 
+  /** Batch search with full chunk payloads: the Q*k-row hit set
+    * broadcasts into ONE store scan, same as searchWithChunks. */
+  def searchBatchWithChunks(queryTexts: Seq[String], k: Int = 10,
+                            metric: String = "cosine"): DataFrame = {
+    val hits = searchBatch(queryTexts, k, metric)
+    chunks
+      .select(col("chunk_id"), col("doc_id"), col("source"),
+        col("chunk_idx"), col("chunk_text"), col("n_tokens"))
+      .join(broadcast(hits), "chunk_id")
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   private def approxBatch(queries: DataFrame, kk: Int): DataFrame = {
     if (hasPartitionedIndex)
       VectorSearch.lshKnnPartitionedBatch(partitionedIndex, queries,

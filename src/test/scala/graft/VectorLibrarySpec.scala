@@ -258,6 +258,12 @@ class VectorLibrarySpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getDouble(1))).toSeq)
       assert(byQuery == single, s"algorithm $alg: batch diverged from per-query")
     }
+
+    // payload variant: same hits, chunk columns riding along
+    lib.setAlgorithm("flat")
+    val withChunks = lib.searchBatchWithChunks(qs, 5).collect()
+    assert(withChunks.length == qs.size * 5)
+    assert(withChunks.forall(r => r.getAs[String]("chunk_text").nonEmpty))
     lib.delete()
   }
 
