@@ -80,6 +80,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def updateMetadata(updates: (String, String)*): Unit = {
     require(!updates.exists(u => Set("name", "created_at")(u._1)),
       "name and created_at are immutable")
+    // algorithm must go through setAlgorithm: a raw metadata write
+    // would bypass its validation and persist a value the search
+    // dispatch cannot route, breaking every future session.
+    require(!updates.exists(_._1 == "algorithm"),
+      "set the index algorithm via setAlgorithm, not updateMetadata")
     touchMeta(updates: _*)
   }
 
@@ -140,33 +145,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
       if (hasIvfIndex)
-        assignToCentroids(b.select(col("chunk_id"), col("embedding")))
-          .write.mode(SaveMode.Append).partitionBy("cluster")
-          .parquet(s"$ivfPath/assigned")
+        IvfIndex.appendAssign(spark, ivfPath,
+          b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
       b.unpersist()
     } else {
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
     }
     invalidateIndexes()
     touchMeta()
-  }
-
-  /** Assign a batch to the EXISTING centroids (incremental IVF: no
-    * refit — the standard add path of an inverted-file index). The
-    * centroid table is tiny by design, so the assignment is one
-    * broadcast join + a batch-sized min aggregate; ties break to the
-    * lowest cluster id via the (distance, cluster) struct ordering. */
-  private def assignToCentroids(batch: DataFrame): DataFrame = {
-    val cents = spark.read.parquet(s"$ivfPath/centroids")
-    batch.crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col("embedding").cast("array<double>"), col("centroid"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _))
-      .groupBy(col("chunk_id"))
-      .agg(min(struct(col("d"), col("cluster"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("chunk_id"), col("embedding"), col("m.cluster").as("cluster"))
   }
 
   /**
@@ -316,13 +302,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "flat" =>
         VectorSearch.knnBatchGeneric(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
-      case "lsh" => approxBatch(queries, kk)
+      case "lsh" => approxBatch(queries, kk, metric)
       case "grid" =>
         VectorSearch.gridKnnBatch(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
-      case "ivf" =>
-        if (!hasIvfIndex) buildIvfIndex()
+      case "ivf" if hasIvfIndex =>
         IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
+          "chunk_id", "embedding", kk, metric = metric)
+      case "ivf" =>
+        // same lazy in-memory build the single-query path uses — a
+        // read API must not persist a new on-disk layout as a side
+        // effect
+        val (model, assigned) = ivfIndex
+        IvfIndex.searchBatch(assigned, model, queries,
           "chunk_id", "embedding", kk, metric = metric)
       case "quantized" =>
         VectorSearch.knnQuantizedBatch(chunks, queries,
@@ -351,13 +343,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
-  private def approxBatch(queries: DataFrame, kk: Int): DataFrame = {
+  private def approxBatch(queries: DataFrame, kk: Int,
+                          metric: String = "cosine"): DataFrame = {
     if (hasPartitionedIndex)
       VectorSearch.lshKnnPartitionedBatch(partitionedIndex, queries,
-        "chunk_id", "embedding", kk, "cosine", numTables, bitsPerTable, seed)
+        "chunk_id", "embedding", kk, metric, numTables, bitsPerTable, seed)
     else
       VectorSearch.lshKnnBatchIndexed(chunks, queries,
-        "chunk_id", "embedding", "lsh_buckets", kk, "cosine",
+        "chunk_id", "embedding", "lsh_buckets", kk, metric,
         numTables, bitsPerTable, seed)
   }
 
@@ -470,7 +463,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val (model, assigned) = IvfIndex.build(
       chunks.select(col("chunk_id"), col("embedding")), "embedding", nCentroids)
     IvfIndex.writeIndex(assigned, model, ivfPath)
+    // Persist the centroid count: store rewrites and drift refits must
+    // rebuild at the SAME granularity, not a hardcoded default.
+    touchMeta("ivf_centroids" -> nCentroids.toString)
   }
+
+  /** The centroid count this library's IVF index was built with. */
+  private def ivfCentroids: Int =
+    readMeta().get("ivf_centroids").map(_.toInt).getOrElse(16)
 
   /** Drop the on-disk IVF index (search falls back to the lazy
     * in-memory build). */
@@ -488,10 +488,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * mean, one distributed re-fit restores probe selectivity). Returns
    * true when a re-fit ran.
    */
-  def refitIvfIfDrifted(threshold: Double = 1.5, nCentroids: Int = 16): Boolean = {
+  def refitIvfIfDrifted(threshold: Double = 1.5): Boolean = {
     if (!hasIvfIndex) return false
     if (ivfDrift <= threshold) return false
-    buildIvfIndex(nCentroids)
+    buildIvfIndex(ivfCentroids)
     true
   }
 
@@ -607,6 +607,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def ingestStreamIndexed(docsStream: DataFrame, checkpoint: String,
                           chunkWindow: Int = 32, compactEvery: Int = 0,
                           maxFilesPerPartition: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    // A pre-existing store WITHOUT the partitioned index would
+    // otherwise end up with a PARTIAL index holding only streamed
+    // rows (the first append creates the directory, flipping
+    // hasPartitionedIndex while every earlier chunk is missing).
+    if (!hasPartitionedIndex &&
+        hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)))
+      buildPartitionedIndex()
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
@@ -616,7 +623,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
         indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
+        // mirror appendBatch: every derived index stays current and
+        // session caches drop, so ivf/flat search sees the arrivals
+        if (hasIvfIndex)
+          IvfIndex.appendAssign(spark, ivfPath,
+            b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
         b.unpersist()
+        invalidateIndexes()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactPartitionedIndex(maxFilesPerPartition)
         ()
@@ -668,7 +681,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // partitions holding victims (same anti-join, lake-style); the
     // full re-derive keeps the local semantics identical and simple.
     if (hasPartitionedIndex) buildPartitionedIndex()
-    if (hasIvfIndex) buildIvfIndex()
+    if (hasIvfIndex) buildIvfIndex(ivfCentroids)
     touchMeta()
   }
 

@@ -242,9 +242,11 @@ object Dedup {
    */
   def minhashGroups(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                     seed: Long = 42L): DataFrame = {
-    val reps = bucketEdges(docs, numHashes, numBands, seed)
-      .groupBy(col("bkt")).agg(min(col("doc_id")).as("rep"))
-    bucketEdges(docs, numHashes, numBands, seed).join(reps, Seq("bkt"))
+    // one signature pass: both sides of the rep join read the pinned
+    // narrow (doc_id, bkt) rows, not the minhash kernel's lineage
+    val edges = bucketEdges(docs, numHashes, numBands, seed).localCheckpoint()
+    val reps = edges.groupBy(col("bkt")).agg(min(col("doc_id")).as("rep"))
+    edges.join(reps, Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(min(col("rep")).as("cluster_rep"))
       .withColumn("is_duplicate", col("cluster_rep") < col("doc_id"))
@@ -275,7 +277,12 @@ object Dedup {
    * (long, long) keys; converges in O(diameter) <= O(log n) rounds;
    * lineage is cut per round with localCheckpoint.
    */
-  def componentsFromEdges(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def componentsFromEdges(edges0: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Pin the edge list: each iteration references it twice (plus the
+    // convergence count), so an expensive lineage (the minhash kernel)
+    // would otherwise re-execute ~3x per round. The pinned rows are
+    // two longs each — nothing wide rides the checkpoint.
+    val edges = edges0.localCheckpoint()
     var comp = edges.select(col("doc_id")).distinct()
       .withColumn("comp", col("doc_id")).localCheckpoint()
     var iter = 0

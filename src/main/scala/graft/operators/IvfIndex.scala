@@ -161,17 +161,35 @@ object IvfIndex {
   def searchIndexedBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, idCol: String, vecCol: String, k: Int,
                          nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
-    import spark.implicits._
     val centers = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    batchProbe(spark.read.parquet(s"$path/assigned"), centers, queries,
+      idCol, vecCol, k, nProbe, metric)
+  }
+
+  /** Batch probe of an in-memory (model, assigned) index — the batch
+    * twin of `search`, same union-pruned shape as the on-disk path. */
+  def searchBatch(assigned: DataFrame, model: KMeansModel, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                  metric: String = "cosine"): DataFrame =
+    batchProbe(assigned, model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq, queries,
+      idCol, vecCol, k, nProbe, metric)
+
+  private def batchProbe(assigned: DataFrame, centers: Seq[(Int, Array[Double])],
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nProbe: Int, metric: String): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "searchBatch needs at least one query")
     val pairs = qRows.flatMap { r =>
       val qv = r.getSeq[Float](1).map(_.toDouble).toArray
       nearestClusters(centers, qv, nProbe).map(c => (r.getLong(0), c))
     }.toSeq
     val union = pairs.map(_._2).distinct
     val pairFrame = pairs.toDF("query_id", "cluster")
-    val scored = spark.read.parquet(s"$path/assigned")
+    val scored = assigned
       .filter(col("cluster").isin(union.map(Int.box): _*))
       .join(broadcast(pairFrame), "cluster")
       .join(broadcast(queries), "query_id")

@@ -381,6 +381,7 @@ object VectorSearch {
     // Driver-side probe resolve per query (the query set is small by
     // contract — it broadcasts below).
     val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "lshKnnPartitionedBatch needs at least one query")
     val perTable = 1 + extraProbes
     val qProbePairs = qRows.flatMap { r =>
       val qv = r.getSeq[Float](1).map(_.toDouble).toArray
