@@ -465,6 +465,51 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("streaming ingest onto a pre-existing store indexes the old chunks too") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-lib-preexist").toString
+    val docsDir = Files.createTempDirectory("graft-docs-preexist").toString
+    val lib = new VectorLibrary(spark, root, "preexist-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    // batch-ingested history, NO index built yet
+    lib.addDocuments(docs.filter(col("doc_id") < 40))
+    assert(!lib.hasPartitionedIndex)
+    val preexisting = lib.chunks.count()
+
+    docs.filter(col("doc_id") >= 40).write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = lib.ingestStreamIndexed(
+      spark.readStream.schema(schema).parquet(docsDir), s"$root/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    // the index must cover BOTH the pre-existing and the streamed rows
+    assert(lib.hasPartitionedIndex)
+    val idx = spark.read.parquet(s"$root/preexist-lib/lsh_index")
+    assert(idx.count() == 8 * lib.chunks.count(),
+      "partitioned index does not cover the full store")
+    assert(idx.select("chunk_id").distinct().count() == lib.chunks.count())
+    lib.delete()
+  }
+
+  test("searchBatch honors the metric under every algorithm") {
+    val root = Files.createTempDirectory("graft-lib-metric").toString
+    val lib = new VectorLibrary(spark, root, "metric-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30))
+    val q = "spark join stream table filter"
+    for (alg <- Seq("flat", "lsh", "quantized")) {
+      lib.setAlgorithm(alg)
+      val single = lib.search(q, 5, "euclidean").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val batch = lib.searchBatch(Seq(q), 5, "euclidean").collect()
+        .sortBy(_.getInt(3)).map(r => (r.getString(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"algorithm $alg ignored the metric in batch")
+    }
+    lib.delete()
+  }
+
   test("streaming ingest embeds and indexes arriving documents") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-stream").toString
