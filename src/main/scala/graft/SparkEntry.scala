@@ -176,6 +176,12 @@ object SparkEntry {
       // build-once library (the 100 TB serving layout: I/O scales with
       // the candidate set, not the corpus).
       VectorLibrary.forDataset(s, d).searchApprox("spark join stream table filter", 10) }),
+    "library_lsh_quantized" -> ((s, d) => { configure(s)
+      // two-phase probe served ENTIRELY from the partitioned index:
+      // int8 phase-1 over the stored codes in the pruned directories,
+      // exact float re-rank of the survivors from the same directories.
+      VectorLibrary.forDataset(s, d)
+        .searchApproxQuantized("spark join stream table filter", 10) }),
     "library_lsh_batch" -> ((s, d) => { configure(s)
       // N query texts against the SAME partitioned index in one pass:
       // the scan reads the union of all queries' probe partitions once.
@@ -357,6 +363,17 @@ object SparkEntry {
       v.map(f => f.toDouble.toString).mkString("[", ", ", "]")
   }
 
+  /** Quantized form of a literal query vector through the REAL kernels
+    * (VectorOps.l2Normalize then QuantOps.quantize — the same chain
+    * `quantizeVec(l2Normalize(qvec))` runs at query time), so the
+    * oracle's phase-1 scores use the engine's exact scale and codes. */
+  private def quantLit(qf: Array[Float]): (Double, Array[Int]) = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nv = graft.functions.VectorOps.l2Normalize(new GenericArrayData(qf), true)
+    val row = graft.functions.QuantOps.quantize(nv, isFloat = false)
+    (row.getDouble(0), row.getBinary(1).map(_.toInt))
+  }
+
   /** Embedding of a literal query text through the real kernel (for
     * inlining into oracles as an exact literal). */
   private def embedLit(text: String): Array[Float] = {
@@ -459,6 +476,49 @@ object SparkEntry {
          | ROUND(${cosSql("fv", q)}, 6) AS score
          |FROM cb WHERE $candidate
          |ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
+    },
+    // library_lsh_partitioned with the quantized phase 1: candidates
+    // from the bucket predicate rank by (s_c*s_q)*int_dot over
+    // floor(nv/s + 0.5) codes (the exact QuantOps chain; the query's
+    // scale and codes inline as literals computed by the real
+    // kernels), top 40 survive, exact cosine ranks the final 10.
+    "library_lsh_quantized" -> {
+      val qf = embedLit("spark join stream table filter")
+      val q = HashSql.vecLit(qf)
+      val (qScale, qCodes) = quantLit(qf)
+      val qCodesLit = qCodes.map(c => s"$c.0e0").mkString("[", ", ", "]")
+      val perTable = 3 // 1 main bucket + 2 extra probes
+      val flat = graft.functions.TextHash.hyperplaneProbesArr(
+        qf.map(_.toDouble), lshTables, lshBits, 2, 42L)
+      val probes = Array.tabulate(lshTables)(t =>
+        flat.slice(t * perTable, (t + 1) * perTable).distinct)
+      val cBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("cd", t)} AS cb$t").mkString(", ")
+      val candidate = (0 until lshTables).map(t =>
+        s"list_contains([${probes(t).mkString(",")}], cb$t)").mkString(" OR ")
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS MATERIALIZED (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | cd AS MATERIALIZED (SELECT doc_id, chunk_idx, fv, ${lshDotsSql("fv", "cd")} FROM cf),
+         | cb AS (SELECT doc_id, chunk_idx, fv, $cBuckets FROM cd),
+         | cand AS (SELECT 'bench#' || CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+         |            fv FROM cb WHERE $candidate),
+         | cn AS (SELECT chunk_id, fv, CASE WHEN sqrt(list_dot_product(fv, fv)) > 0
+         |          THEN list_transform(fv, x -> x / sqrt(list_dot_product(fv, fv)))
+         |          ELSE fv END AS nv FROM cand),
+         | cs AS (SELECT chunk_id, fv, nv, CASE WHEN list_max(list_transform(nv, y -> abs(y))) > 0
+         |          THEN list_max(list_transform(nv, y -> abs(y))) / 127.0e0
+         |          ELSE 1.0e0 END AS s FROM cn),
+         | cqc AS (SELECT chunk_id, fv, s, list_transform(nv, x -> floor(x / s + 0.5e0)) AS qc FROM cs),
+         | p1 AS (SELECT chunk_id, fv, s * $qScale * list_dot_product(qc, $qCodesLit) AS ascore
+         |        FROM cqc ORDER BY ascore DESC, chunk_id LIMIT 40)
+         |SELECT chunk_id, ROUND(${cosSql("fv", q)}, 6) AS score
+         |FROM p1 ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
     },
     // Batch twin of library_lsh_partitioned: the chunk/bucket CTEs are
     // shared (computed once, MATERIALIZED); each query contributes its

@@ -276,6 +276,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         clampK(k), "cosine", numTables, bitsPerTable, seed)
   }
 
+  /**
+   * Two-phase approximate search served ENTIRELY from the partitioned
+   * index: the pruned (tbl, bucket) directories are scanned twice —
+   * once reading only the int8 `quant` codes (phase-1 ranking, ~1/4
+   * the bytes of the float probe) and once reading floats for just the
+   * rerankFactor*k phase-1 survivors (exact re-rank). Falls back to
+   * `searchApprox` when the partitioned index is absent or predates
+   * the codes column. Recall matches `searchApprox` whenever the int8
+   * ranking preserves the true top-k inside its rerank window.
+   */
+  def searchApproxQuantized(queryText: String, k: Int = 10,
+                            rerankFactor: Int = 4): DataFrame = {
+    if (hasPartitionedIndex && partitionedIndex.columns.contains("quant"))
+      VectorSearch.lshKnnPartitionedQuantized(partitionedIndex, queryFrame(queryText),
+        "chunk_id", "embedding", "quant", clampK(k), "cosine",
+        numTables, bitsPerTable, seed, rerankFactor = rerankFactor)
+    else searchApprox(queryText, k)
+  }
+
   /** Embedded query frame for the batch endpoints: query_id = position
     * in the input list. */
   private def queriesFrame(queryTexts: Seq[String]): DataFrame = {
@@ -372,9 +391,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Exploded index rows of an embedded chunk batch, clustered so each
     * (tbl, bucket) partition directory receives exactly one file per
-    * write (the shuffle moves only id+vector, never the text). */
+    * write (the shuffle moves only id+vector+codes, never the text).
+    * The int8 `quant` codes ride along so a two-phase probe can run
+    * fully index-resident (phase 1 over codes, phase 2 over floats —
+    * both column-pruned reads of the same directories). */
   private def indexRows(embedded: DataFrame): DataFrame =
-    embedded.select(col("chunk_id"), col("embedding"),
+    embedded.select(col("chunk_id"), col("embedding"), col("quant"),
       posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
 

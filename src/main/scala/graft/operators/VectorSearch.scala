@@ -349,6 +349,50 @@ object VectorSearch {
   }
 
   /**
+   * Fully index-resident two-phase probe of the bucket-PARTITIONED
+   * index: phase 1 ranks the pruned directories' rows by integer dot
+   * over the stored int8 `codes` column ONLY (column pruning keeps the
+   * float vectors on disk — the phase-1 I/O is ~1/4 of the float
+   * probe's), phase 2 re-reads the SAME pruned directories for just
+   * the rerankFactor*k survivors' floats and ranks exactly. The store
+   * is never touched: both phases live entirely inside the index
+   * partitions, so at 100 TB a probe costs two pruned scans of
+   * ~numTables*(1+extraProbes) directories — the second one
+   * semi-joined down to the candidate ids.
+   *
+   * Multi-table duplicate hits dedup BEFORE the phase-1 top-k (max on
+   * the occurrence-invariant ascore), so the candidate budget is spent
+   * on distinct vectors.
+   */
+  def lshKnnPartitionedQuantized(index: DataFrame, query: DataFrame, idCol: String,
+                                 vecCol: String, codesCol: String, k: Int,
+                                 metric: String = "cosine",
+                                 numTables: Int = 8, bitsPerTable: Int = 8,
+                                 seed: Long = 42L, extraProbes: Int = 2,
+                                 rerankFactor: Int = 4): DataFrame = {
+    val pred = probeBuckets(query, numTables, bitsPerTable, seed, extraProbes)
+      .zipWithIndex.map { case (bs, t) =>
+        col("tbl") === t && col("bucket").isin(bs.map(Int.box).toSeq: _*)
+      }.reduce(_ || _)
+    val pruned = index.filter(pred)
+    val queryQ = broadcast(query.select(
+      quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
+    val candIds = pruned.select(col(idCol), col(codesCol).as("codes"))
+      .crossJoin(queryQ)
+      .select(col(idCol), quantizedDot(col("codes"), col("qqv")).as("ascore"))
+      .groupBy(col(idCol)).agg(max(col("ascore")).as("ascore"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    pruned.join(candIds, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .groupBy(col(idCol)).agg(max(col("score")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Batch probe of the bucket-PARTITIONED index: the UNION of all
    * queries' probe partitions prunes the scan (still literal
    * (tbl, bucket) predicates, so pruning happens at planning time),

@@ -242,6 +242,47 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("quantized index probe: fully index-resident, codes-only phase 1") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-quant").toString
+    val lib = new VectorLibrary(spark, root, "quant-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80))
+    lib.buildPartitionedIndex()
+
+    // With a rerank window covering every candidate, the two-phase
+    // probe must equal the exact float probe over the same buckets.
+    val exact = lib.searchApprox("spark join stream table filter", k = 10).collect()
+    val wide = lib.searchApproxQuantized("spark join stream table filter",
+      k = 10, rerankFactor = 10000).collect()
+    assert(wide.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      exact.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "wide-window quantized probe diverged from the float probe")
+
+    val res = lib.searchApproxQuantized("spark join stream table filter", k = 10)
+    assert(res.count() == 10)
+
+    // Both phases scan the index, never the store; phase 1 reads the
+    // codes column only (the float embeddings stay on disk).
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_index")))
+    assert(idxScans.size >= 2, "expected phase-1 and phase-2 scans over lsh_index")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty), "probe not partition-pruned")
+    assert(idxScans.exists(s => s.schema.fieldNames.contains("quant") &&
+      !s.schema.fieldNames.contains("embedding")),
+      "no codes-only phase-1 scan — embedding column read in phase 1")
+    val storeScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("chunks")))
+    assert(storeScans.isEmpty, "quantized probe touched the chunk store")
+    lib.delete()
+  }
+
   test("searchBatch routes every algorithm and matches per-query search") {
     val root = Files.createTempDirectory("graft-lib-dispatch").toString
     val lib = new VectorLibrary(spark, root, "dispatch-lib")
