@@ -131,6 +131,12 @@ object SparkEntry {
       // every later call measures the partition-pruned probe only.
       IvfIndex.ivfKnnCached(c, q, "vec_id", "embedding", 10,
         cacheKey = s"$d/embeddings-sans-q") }),
+    "ivf_knn_spill" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // spilled (boundary-replicated) index probed at nProbe=1: the
+      // index-side multi-probe trick — recall from replication, I/O
+      // from a single Voronoi cell.
+      IvfIndex.ivfKnnSpillCached(c, q, "vec_id", "embedding", 10,
+        cacheKey = s"$d/embeddings-sans-q") }),
     "ivf_knn_batch" -> ((s, d) => {
       // batch probe of the build-once ON-DISK index: one pruned scan
       // of the union of all queries' cells serves every query.

@@ -198,6 +198,71 @@ object IvfIndex {
     VectorSearch.finishPerQueryTopK(scored, idCol, k)
   }
 
+  /**
+   * Spill assignment — the index-side multi-probe trick (SPANN-style
+   * boundary replication): each row lands in its nearest cell and ALSO
+   * in up to `maxAssign - 1` further cells whose squared distance is
+   * within `spillFactor` of the nearest. Boundary vectors — the ones a
+   * low-nProbe probe misses — become reachable from both sides of the
+   * Voronoi edge, buying recall at nProbe=1 for a bounded storage
+   * premium (≤ maxAssign×, typically far less since only boundary rows
+   * spill). The distance ranking is computed map-side against the
+   * broadcast centroid literal (sort of an nCentroids-length array per
+   * row, no shuffle before the write's own clustering), so the build
+   * stays one pass at 100 TB.
+   */
+  def buildSpill(emb: DataFrame, vecCol: String, nCentroids: Int = 16,
+                 seed: Long = 42L, maxIter: Int = 5, spillFactor: Double = 1.2,
+                 maxAssign: Int = 2): (KMeansModel, DataFrame) = {
+    require(spillFactor >= 1.0, "spillFactor must be >= 1.0")
+    require(maxAssign >= 1, "maxAssign must be >= 1")
+    val featured = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .fit(featured)
+    (model, spillAssign(emb, vecCol,
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
+      spillFactor, maxAssign))
+  }
+
+  /** Rows exploded to their spill cells: nearest always, further cells
+    * while d <= d_nearest * spillFactor, at most maxAssign total. */
+  private[graft] def spillAssign(rows: DataFrame, vecCol: String,
+                                 centers: Seq[(Int, Array[Double])],
+                                 spillFactor: Double, maxAssign: Int): DataFrame = {
+    val centLit = typedLit(centers.map { case (i, c) => (i, c.toSeq) })
+    // struct(d, cluster): array_sort's default struct order (field by
+    // field) ranks by distance with the cluster id as the tie-break.
+    val dists = transform(centLit, c => struct(
+      aggregate(zip_with(col(vecCol).cast("array<double>"), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"),
+      c.getField("_1").as("cluster")))
+    val sorted = array_sort(dists)
+    val kept = filter(slice(sorted, 1, maxAssign),
+      s => s.getField("d") <= element_at(sorted, 1).getField("d") * lit(spillFactor))
+    rows.withColumn("cluster", explode(transform(kept, s => s.getField("cluster"))))
+  }
+
+  /** Probe a spilled assignment: identical pruning to `search`, but a
+    * row replicated into several probed cells must count once — scores
+    * dedup on the occurrence-invariant (id, score) scalar pair before
+    * the top-k, so no embedding array rides the aggregate. */
+  def searchSpill(assigned: DataFrame, model: KMeansModel, query: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+                  metric: String = "cosine"): DataFrame = {
+    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val probe = nearestClusters(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
+      qv, nProbe)
+    assigned.filter(col("cluster").isin(probe: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .groupBy(col(idCol)).agg(max(col("score")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** One-call convenience: build + probe (the `ivf_knn` query). */
   def ivfKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -228,5 +293,20 @@ object IvfIndex {
       (m, a.persist())
     })
     search(assigned, model, query, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build-once/probe-many twin of `ivfKnnCached` over a SPILLED
+    * assignment: the probe reads fewer cells (nProbe=1 by default) and
+    * the boundary replication recovers the recall the narrower probe
+    * would lose. */
+  def ivfKnnSpillCached(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                        k: Int, cacheKey: String, nCentroids: Int = 16,
+                        nProbe: Int = 1, spillFactor: Double = 1.2): DataFrame = {
+    val key = s"${System.identityHashCode(emb.sparkSession)}|$cacheKey|spill$nCentroids|$spillFactor"
+    val (model, assigned) = built.computeIfAbsent(key, _ => {
+      val (m, a) = buildSpill(emb, vecCol, nCentroids, spillFactor = spillFactor)
+      (m, a.persist())
+    })
+    searchSpill(assigned, model, query, idCol, vecCol, k, nProbe)
   }
 }

@@ -83,6 +83,33 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10=$recall")
   }
 
+  test("spilled IVF: recall at nProbe=1 matches or beats the plain assignment") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine")
+      .collect().map(_.getLong(0))
+
+    // Same seed → same centroids: the only difference is the boundary
+    // replication, so any recall delta is attributable to the spill.
+    val (m0, a0) = IvfIndex.build(corpus, "embedding", 16)
+    val plain = IvfIndex.search(a0, m0, q, "vec_id", "embedding", 10, nProbe = 1)
+      .collect().map(_.getLong(0))
+    val (m1, a1) = IvfIndex.buildSpill(corpus, "embedding", 16, spillFactor = 1.3)
+    val spill = IvfIndex.searchSpill(a1, m1, q, "vec_id", "embedding", 10, nProbe = 1)
+      .collect().map(_.getLong(0))
+
+    assert(spill.distinct.length == spill.length, "replicated rows not deduplicated")
+    val rPlain = plain.count(exact.contains).toDouble / exact.length
+    val rSpill = spill.count(exact.contains).toDouble / exact.length
+    assert(rSpill >= rPlain, s"spill recall $rSpill < plain recall $rPlain")
+
+    // bounded premium: every row keeps its nearest cell, spills to at
+    // most one more
+    val n = corpus.count()
+    val spilled = a1.count()
+    assert(spilled >= n && spilled <= 2 * n, s"spill rows $spilled outside [$n, ${2 * n}]")
+  }
+
   test("dedup_embedding_lsh: planted near-dups recovered with sub-quadratic candidates") {
     val base = emb.filter(col("vec_id") < 500).select(col("vec_id"), col("embedding"))
     // plant 50 perturbed copies: cos(original, copy) ~ 0.99
