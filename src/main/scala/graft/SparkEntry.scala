@@ -218,6 +218,20 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"))),
     "text_langid_multi" -> ((s, d) => TextAnalysis.langIdMulti(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.contentFingerprint(t(s, d, "documents"))),
+    "text_pii" -> ((s, d) => {
+      // The synthetic corpus carries no PII, so the query plants a
+      // deterministic contact block per document (pure function of
+      // doc_id + source) and verifies the scrubber end to end —
+      // detection counts AND the redacted text round-trip through the
+      // oracle.
+      val docs = t(s, d, "documents")
+      Pipeline.piiScrub(docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via https://"),
+          col("source"), lit(".org/doc/"), col("doc_id"),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")).as("text")))
+    }),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
     "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
       Seq("spark", "join", "stream", "window"))),
@@ -1148,6 +1162,32 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII scrub over the deterministically-enriched corpus: counts per
+    // pattern on the original text, redaction applied url → email →
+    // ip → phone (DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all). Patterns are the Java/RE2-common subset.
+    "text_pii" -> {
+      val enrich = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com via https://' || source || '.org/doc/' || " +
+        "CAST(doc_id AS VARCHAR) || ' call 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+      val counts = graft.operators.Pipeline.PII_PATTERNS.map { case (pat, tag) =>
+        val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$name"
+      }.mkString(",\n |  ")
+      val redacted = graft.operators.Pipeline.PII_PATTERNS
+        .foldLeft("t") { case (acc, (pat, tag)) =>
+          s"regexp_replace($acc, '$pat', '$tag', 'g')"
+        }
+      s"""WITH e AS (SELECT doc_id, $enrich AS t FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  $redacted AS redacted,
+         |  CAST(${graft.operators.Pipeline.PII_PATTERNS.map { case (pat, _) =>
+             s"len(regexp_extract_all(t, '$pat'))" }.mkString(" + ")} AS INT) AS pii_total
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
     // Deterministic split: splitmix64 of (doc_id + seed), sign bit
     // cleared, mod 100 — Spark long arithmetic wraps exactly like the
     // HUGEINT emulation, so buckets are bit-identical.

@@ -161,6 +161,41 @@ object Pipeline {
    * at 100 TB this is range-partitioned cumulative-sum shape, the
    * standard distributed scan for packing problems.
    */
+  /**
+   * PII scrubbing gate: detect and redact the four machine-matchable
+   * PII shapes a corpus pipeline strips before training — URLs,
+   * email addresses, IPv4 addresses, and phone-shaped digit runs.
+   * Counts are measured on the ORIGINAL text (each pattern
+   * independently); redaction applies the patterns in order
+   * (url → email → ip → phone) so a longer match swallows its
+   * substrings before the narrower patterns run. Map-side only: one
+   * regex pass per pattern inside whole-stage codegen, no shuffle at
+   * any scale. Patterns restrict to syntax Java regex and RE2 agree
+   * on (classes, \\d, \\b, bounded repetition) so the DuckDB oracle
+   * replays them byte-identically.
+   */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted = PII_PATTERNS.foldLeft(t) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+    docs.select(Seq(col("doc_id")) ++
+      PII_PATTERNS.map { case (pat, tag) =>
+        val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+        regexp_count(t, lit(pat)).cast("int").as(s"n_$name")
+      } ++ Seq(redacted.as("redacted")): _*)
+      .withColumn("pii_total",
+        col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** (pattern, redaction tag) in application order. */
+  val PII_PATTERNS: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>")
+
   def shardPack(docs: DataFrame, budgetTokens: Int = 4096): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -375,6 +375,31 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   // ---- plan-shape assertions (scale hygiene) -----------------------------
+  test("pii scrub counts and redacts each pattern; clean text passes through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 from 192.168.0.1 call 555-0199"),
+      (2L, "no pii here just words"),
+      (3L, "two mails a@b.io c@d.org and ips 10.0.0.1 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val rows = Pipeline.piiScrub(docs).collect()
+
+    val r1 = rows(0)
+    assert(r1.getAs[Int]("n_url") == 1 && r1.getAs[Int]("n_email") == 1 &&
+      r1.getAs[Int]("n_ip") == 1 && r1.getAs[Int]("n_phone") == 1 &&
+      r1.getAs[Int]("pii_total") == 4)
+    val red1 = r1.getAs[String]("redacted")
+    assert(red1 == "reach me at <EMAIL> or <URL> from <IP> call <PHONE>", red1)
+
+    val r2 = rows(1)
+    assert(r2.getAs[Int]("pii_total") == 0 &&
+      r2.getAs[String]("redacted") == "no pii here just words")
+
+    val r3 = rows(2)
+    assert(r3.getAs[Int]("n_email") == 2 && r3.getAs[Int]("n_ip") == 2 &&
+      r3.getAs[String]("redacted") == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q1(Tables.load(spark, sfDir, "lineitem")))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
