@@ -67,7 +67,7 @@ object Stress {
     // (tbl, bucket) directories — I/O scales with the candidate set,
     // not the corpus.
     val ti0 = System.nanoTime()
-    corpus.select(col("vec_id"), col("embedding"),
+    corpus.select(col("vec_id"), col("embedding"), col("quant"),
       posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(s"$tmp/lsh_part")
@@ -75,6 +75,9 @@ object Stress {
     println(f"[stress] lsh_partitioned_build(8x256 dirs): ${(System.nanoTime() - ti0) / 1e9}%.2fs")
     time("lsh_knn_partitioned(pruned dirs)") {
       VectorSearch.lshKnnPartitioned(lshPart, q, "vec_id", "embedding", 10).count() }
+    time("lsh_knn_partitioned_quantized(codes phase 1)") {
+      VectorSearch.lshKnnPartitionedQuantized(lshPart, q,
+        "vec_id", "embedding", "quant", 10).count() }
     time("lsh_partitioned_batch_16q(one union-pruned scan)") {
       VectorSearch.lshKnnPartitionedBatch(lshPart, queries16,
         "vec_id", "embedding", 10).count() }
@@ -96,6 +99,30 @@ object Stress {
     time("ivf_batch_16q(one union-pruned scan)") {
       operators.IvfIndex.searchIndexedBatch(spark, s"$tmp/ivf_disk", queries16,
         "vec_id", "embedding", 10, 4).count() }
+
+    // Spilled IVF: boundary-replicated assignment probed at nProbe=1 —
+    // recall from replication, I/O from a single Voronoi cell. Report
+    // the replication premium and recall vs the exact scan alongside
+    // the probe time.
+    val ts0 = System.nanoTime()
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+    operators.IvfIndex.spillAssign(corpus, "embedding", centers, 1.2, 2)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/ivf_spill")
+    val spilled = spark.read.parquet(s"$tmp/ivf_spill")
+    val nSpill = spilled.count()
+    println(f"[stress] ivf_spill_build(reuse centroids): ${(System.nanoTime() - ts0) / 1e9}%.2fs  " +
+      f"(${nSpill.toDouble / n}%.2fx rows)")
+    val exactTop = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "cosine")
+      .collect().map(_.getLong(0)).toSet
+    val plainTop = operators.IvfIndex.search(indexed, model, q,
+      "vec_id", "embedding", 10, 1).collect().map(_.getLong(0))
+    val spillTop = operators.IvfIndex.searchSpill(spilled, model, q,
+      "vec_id", "embedding", 10, 1).collect().map(_.getLong(0))
+    println(f"[stress] ivf_recall@10 nProbe=1: plain ${plainTop.count(exactTop).toDouble / 10}%.2f " +
+      f"spilled ${spillTop.count(exactTop).toDouble / 10}%.2f")
+    time("ivf_spill_probe(nProbe=1)") {
+      operators.IvfIndex.searchSpill(spilled, model, q, "vec_id", "embedding", 10, 1).count() }
 
     // ---- adversarial skew: 99%-duplicate corpus --------------------------
     // One boilerplate document dominates; every banded bucket it hashes

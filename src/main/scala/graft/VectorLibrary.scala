@@ -266,14 +266,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * the stored `lsh_buckets` (full scan of one small column). Both
     * paths return identical results (same probes, same stored
     * signatures, same exact re-rank). */
-  def searchApprox(queryText: String, k: Int = 10): DataFrame = {
+  def searchApprox(queryText: String, k: Int = 10,
+                   metric: String = "cosine"): DataFrame = {
     if (hasPartitionedIndex)
       VectorSearch.lshKnnPartitioned(partitionedIndex, queryFrame(queryText),
-        "chunk_id", "embedding", clampK(k), "cosine", numTables, bitsPerTable, seed)
+        "chunk_id", "embedding", clampK(k), metric, numTables, bitsPerTable, seed)
     else
       VectorSearch.lshKnnIndexed(chunks, queryFrame(queryText),
         "chunk_id", "embedding", "lsh_buckets",
-        clampK(k), "cosine", numTables, bitsPerTable, seed)
+        clampK(k), metric, numTables, bitsPerTable, seed)
   }
 
   /**
@@ -287,12 +288,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * ranking preserves the true top-k inside its rerank window.
    */
   def searchApproxQuantized(queryText: String, k: Int = 10,
-                            rerankFactor: Int = 4): DataFrame = {
+                            rerankFactor: Int = 4,
+                            metric: String = "cosine"): DataFrame = {
     if (hasPartitionedIndex && partitionedIndex.columns.contains("quant"))
       VectorSearch.lshKnnPartitionedQuantized(partitionedIndex, queryFrame(queryText),
-        "chunk_id", "embedding", "quant", clampK(k), "cosine",
+        "chunk_id", "embedding", "quant", clampK(k), metric,
         numTables, bitsPerTable, seed, rerankFactor = rerankFactor)
-    else searchApprox(queryText, k)
+    else searchApprox(queryText, k, metric)
   }
 
   /** Embedded query frame for the batch endpoints: query_id = position
@@ -347,8 +349,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * pruning), so Q queries cost one pruned scan, not Q; otherwise the
     * stored `lsh_buckets` column probes in a single bucket join. Rows:
     * (query_id, chunk_id, score, rank), query_id = position in input. */
-  def searchApproxBatch(queryTexts: Seq[String], k: Int = 10): DataFrame =
-    approxBatch(queriesFrame(queryTexts), clampK(k))
+  def searchApproxBatch(queryTexts: Seq[String], k: Int = 10,
+                        metric: String = "cosine"): DataFrame =
+    approxBatch(queriesFrame(queryTexts), clampK(k), metric)
 
   /** Batch search with full chunk payloads: the Q*k-row hit set
     * broadcasts into ONE store scan, same as searchWithChunks. */
@@ -740,6 +743,26 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def updateDocument(docId: Long, newDocs: DataFrame): Unit = {
     deleteDocuments(col("doc_id") === docId)
     addDocuments(newDocs)
+  }
+
+  /**
+   * Update a single chunk's text in place (reference PUT /chunks/{id},
+   * chunk_service.py:100-127 + background re-embed): the chunk keeps
+   * its (doc_id, source, chunk_idx) identity — and therefore its
+   * chunk_id — while text, token count, embedding and index columns
+   * re-derive. Store semantics are the same copy-on-write swap every
+   * other mutation uses; per-chunk cost only matters on a hot path,
+   * which single-chunk edits are not.
+   */
+  def updateChunk(chunkId: String, newText: String): Unit = {
+    val old = chunks.filter(col("chunk_id") === chunkId)
+      .select(col("doc_id"), col("source"), col("chunk_idx")).collect()
+    require(old.nonEmpty, s"chunk $chunkId does not exist")
+    deleteDocuments(col("chunk_id") === chunkId)
+    import spark.implicits._
+    addChunkedDocuments(
+      Seq((old(0).getLong(0), old(0).getInt(2), newText, old(0).getString(1)))
+        .toDF("doc_id", "chunk_idx", "chunk_text", "source"))
   }
 
   /** Drop the library store (reference DELETE /libraries/{id}). */

@@ -237,10 +237,20 @@ object IvfIndex {
       aggregate(zip_with(col(vecCol).cast("array<double>"), c.getField("_2"),
         (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"),
       c.getField("_1").as("cluster")))
-    val sorted = array_sort(dists)
-    val kept = filter(slice(sorted, 1, maxAssign),
-      s => s.getField("d") <= element_at(sorted, 1).getField("d") * lit(spillFactor))
-    rows.withColumn("cluster", explode(transform(kept, s => s.getField("cluster"))))
+    // Materialize the sorted distance array ONCE through a generator:
+    // referencing the array_sort expression from both the slice and
+    // the margin filter would re-evaluate the full nCentroids x dim
+    // distance matrix per reference (CollapseProject re-inlines plain
+    // projections; a Generate output is a real attribute and cannot
+    // be inlined). Halves the build cost of the hot expression.
+    val sorted = explode(array(array_sort(dists)))
+    val withSorted = rows.withColumn("__cands", sorted)
+    val kept = filter(slice(col("__cands"), 1, maxAssign),
+      s => s.getField("d") <=
+        element_at(col("__cands"), 1).getField("d") * lit(spillFactor))
+    withSorted
+      .withColumn("cluster", explode(transform(kept, s => s.getField("cluster"))))
+      .drop("__cands")
   }
 
   /** Probe a spilled assignment: identical pruning to `search`, but a

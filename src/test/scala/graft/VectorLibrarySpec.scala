@@ -283,6 +283,32 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("updateChunk re-embeds one chunk in place, identity preserved") {
+    val root = Files.createTempDirectory("graft-lib-upd").toString
+    val lib = new VectorLibrary(spark, root, "upd-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20))
+    val target = lib.chunks.orderBy(col("chunk_id")).limit(1).collect()(0)
+    val id = target.getAs[String]("chunk_id")
+    val before = lib.chunks.count()
+
+    lib.updateChunk(id, "replacement text about spark joins")
+    assert(lib.chunks.count() == before, "chunk count changed")
+    val updated = lib.chunks.filter(col("chunk_id") === id).collect()(0)
+    assert(updated.getAs[String]("chunk_text") == "replacement text about spark joins")
+    assert(updated.getAs[Long]("doc_id") == target.getAs[Long]("doc_id"))
+    assert(updated.getAs[String]("source") == target.getAs[String]("source"))
+    assert(updated.getSeq[Float](updated.fieldIndex("embedding")) !=
+      target.getSeq[Float](target.fieldIndex("embedding")),
+      "embedding not re-derived")
+
+    intercept[IllegalArgumentException] { lib.updateChunk("no-such-chunk", "x") }
+
+    // metric threads through the approx paths (candidates from the
+    // LSH buckets, ranking by the requested similarity)
+    assert(lib.searchApprox("spark joins", 3, "dot_product").count() == 3)
+    lib.delete()
+  }
+
   test("searchBatch routes every algorithm and matches per-query search") {
     val root = Files.createTempDirectory("graft-lib-dispatch").toString
     val lib = new VectorLibrary(spark, root, "dispatch-lib")
