@@ -120,6 +120,10 @@ object SparkEntry {
         "vec_id", "embedding", 10) }),
     "grid_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.gridKnn(c, q, "vec_id", "embedding", 10) }),
+    "grid_knn_expanding" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // the reference's expanding-radius probe: widen the cell
+      // neighborhood until >= 2k candidates, then exact re-rank.
+      VectorSearch.gridKnnExpanding(c, q, "vec_id", "embedding", 10) }),
     "grid_knn_batch" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 3)
@@ -1376,6 +1380,32 @@ object SparkEntry {
          |SELECT vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
          |FROM c, qc
          |WHERE ${(0 until 4).map(d => s"abs(c$d - qc$d) <= 1").mkString(" AND ")}
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // Expanding-radius grid probe: the radius-r box is the cells at
+    // Chebyshev distance <= r from the query cell; the chosen radius
+    // is the smallest with >= 2k candidates (else maxRadius=3),
+    // replicated as a cumulative-count pick over the cheb histogram.
+    "grid_knn_expanding" -> {
+      def cell(src: String, d: Int): String =
+        s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
+      s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT embedding qef, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | b AS (SELECT ${(0 until 4).map(d =>
+                  s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
+                  s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
+                  .mkString(", ")} FROM e),
+         | qc AS (SELECT ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
+         |        FROM q0, b),
+         | ch AS (SELECT vec_id, v, qv, greatest(${(0 until 4).map(d =>
+                    s"abs(${cell("ef", d)} - qc$d)").mkString(", ")}) AS cheb
+         |        FROM e, b, qc),
+         | rads AS (SELECT unnest([0, 1, 2, 3]) AS rr),
+         | pick AS (SELECT COALESCE(MIN(rr), 3) AS radius FROM rads
+         |          WHERE (SELECT COUNT(*) FROM ch WHERE cheb <= rr) >= 20)
+         |SELECT vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
+         |FROM ch, pick WHERE cheb <= radius
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
     // Batch grid probe: same bounds/cell arithmetic, one rank window

@@ -375,6 +375,27 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   // ---- plan-shape assertions (scale hygiene) -----------------------------
+  test("expanding grid probe reaches k where the fixed +/-1 probe cannot") {
+    import spark.implicits._
+    // 40 vectors in the low corner of the 4-dim grid prefix, 3 near
+    // the high corner, query at the high corner: the +/-1 neighborhood
+    // holds only 3 candidates, so the fixed probe under-fills while
+    // the expanding probe widens to radius 3 and returns k.
+    def vec(base: Float, id: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < 4) base + (id % 7) * 0.01f else 0.5f)
+    val corpus = ((1 to 40).map(i => (i.toLong, vec(0.02f, i))) ++
+      (41 to 43).map(i => (i.toLong, vec(0.90f, i)))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(vec(0.95f, 0))).toDF("qvec")
+
+    val fixed = VectorSearch.gridKnn(corpus, q, "vec_id", "embedding", 10).count()
+    val expanded = VectorSearch.gridKnnExpanding(corpus, q, "vec_id", "embedding", 10)
+      .collect()
+    assert(fixed == 3, s"fixed probe found $fixed (expected the 3 high-corner docs)")
+    assert(expanded.length == 10, s"expanding probe returned ${expanded.length} rows")
+    // the 3 high-corner docs must rank first (they are closest)
+    assert(expanded.take(3).map(_.getLong(0)).toSet == Set(41L, 42L, 43L))
+  }
+
   test("pii scrub counts and redacts each pattern; clean text passes through") {
     import spark.implicits._
     val docs = Seq(
