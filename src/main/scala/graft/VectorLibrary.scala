@@ -199,9 +199,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * the reference switching index classes per library
    * (tests/test_integration_algorithms.py).
    */
-  def search(queryText: String, k: Int = 10, metric: String = "cosine"): DataFrame = {
-    val kk = clampK(k)
-    val q = queryFrame(queryText)
+  def search(queryText: String, k: Int = 10, metric: String = "cosine"): DataFrame =
+    dispatch(queryFrame(queryText), clampK(k), metric)
+
+  /** Single-query search routed through the preferred algorithm —
+    * shared by the text and raw-vector entry points. */
+  private def dispatch(q: DataFrame, kk: Int, metric: String): DataFrame = {
     algo match {
       case "flat" =>
         VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
@@ -225,18 +228,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /**
-   * k-NN search by raw query vector; validates the query dimension
-   * against the library before any scan (reference algorithms.py:79).
+   * k-NN search by raw query vector, routed through the library's
+   * preferred index algorithm exactly like the text entry point;
+   * validates the query dimension against the library before any scan
+   * (reference algorithms.py:79).
    */
   def searchVector(qvec: Seq[Float], k: Int = 10, metric: String = "cosine"): DataFrame = {
     if (qvec.length != dim)
       throw new IllegalArgumentException(
         s"query dimension ${qvec.length} does not match library dimension $dim")
-    val kk = clampK(k)
-    val q = spark.range(1).select(
-      typedLit(qvec).cast("array<float>").as("qvec"))
-    VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
-      q, "chunk_id", "embedding", kk, metric)
+    dispatch(spark.range(1).select(
+      typedLit(qvec).cast("array<float>").as("qvec")), clampK(k), metric)
   }
 
   /**

@@ -331,6 +331,17 @@ class VectorLibrarySpec extends AnyFunSuite {
     val withChunks = lib.searchBatchWithChunks(qs, 5).collect()
     assert(withChunks.length == qs.size * 5)
     assert(withChunks.forall(r => r.getAs[String]("chunk_text").nonEmpty))
+
+    // raw-vector entry point routes through the same dispatch: with a
+    // non-flat algorithm, searchVector(embed(q)) == search(q)
+    lib.setAlgorithm("quantized")
+    val qv = spark.range(1).select(graft.GraftFunctions.embedTextTyped(
+      lit(qs.head), "search_query", 64, 42L).as("v")).head.getSeq[Float](0)
+    val viaVector = lib.searchVector(qv, 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaText = lib.search(qs.head, 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaVector == viaText, "searchVector did not route through the algorithm dispatch")
     lib.delete()
   }
 
