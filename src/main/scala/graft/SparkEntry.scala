@@ -213,6 +213,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"))),
     "dedup_minhash_groups" -> ((s, d) => Dedup.minhashGroups(t(s, d, "documents"))),
+    "dedup_keep_best" -> ((s, d) =>
+      // keep-best clustering: representative = longest member (token
+      // count as the pluggable quality score), lowest id on ties.
+      Dedup.minhashGroupsBest(t(s, d, "documents"),
+        textStats(col("text")).getField("n_tokens"))),
+    "source_overlap" -> ((s, d) => Pipeline.sourceOverlap(t(s, d, "documents"))),
     "dedup_components" -> ((s, d) => Dedup.minhashComponents(t(s, d, "documents"))),
     // --- E. text analysis ----------------------------------------------
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
@@ -792,6 +798,60 @@ object SparkEntry {
          |SELECT doc_id, cluster_rep, cluster_rep < doc_id AS is_duplicate
          |FROM g ORDER BY doc_id""".stripMargin
     },
+    // Keep-best variant: identical signature/banding chain; the bucket
+    // representative is the member with the highest score (token
+    // count), lowest doc_id on ties, and each doc adopts the
+    // best-scoring rep among its buckets.
+    "dedup_keep_best" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS score,
+         |          list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, score, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, score, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, score, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | reps AS (SELECT band, key, doc_id AS rep, score AS rep_score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, key
+         |      ORDER BY score DESC, doc_id ASC) AS rn FROM banded) WHERE rn = 1),
+         | g AS (SELECT banded.doc_id, rep, row_number() OVER (
+         |        PARTITION BY banded.doc_id ORDER BY rep_score DESC, rep ASC) AS rn2
+         |       FROM banded JOIN reps USING (band, key))
+         |SELECT doc_id, rep AS cluster_rep, doc_id <> rep AS is_duplicate
+         |FROM g WHERE rn2 = 1 ORDER BY doc_id""".stripMargin
+    },
+    // Cross-source n-gram containment matrix: distinct (source, 8-gram)
+    // rows, gram-keyed self-join, one count per ordered source pair;
+    // containment = shared / grams_a.
+    "source_overlap" ->
+      s"""WITH t AS ($toksCte),
+         | g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+         |          range(0, len(toks) - 7),
+         |          i -> array_to_string(toks[i+1 : i+8], ' ')))) AS ngram
+         |       FROM t WHERE len(toks) >= 8),
+         | c AS (SELECT source, COUNT(*) AS grams_a FROM g GROUP BY source),
+         | p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_grams
+         |       FROM g a JOIN g b ON a.ngram = b.ngram AND a.source <> b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, grams_a, shared_grams,
+         | ROUND(CAST(shared_grams AS DOUBLE) / grams_a, 6) AS containment
+         |FROM p JOIN c ON c.source = p.source_a
+         |ORDER BY source_a, source_b""".stripMargin,
     // SimHash near-dup pairs, fully replicated: FNV token hashes ->
     // 3-shingle mix chains -> seeded per-shingle hash -> majority-vote
     // 64-bit fingerprint -> 8x8-bit segment blocking -> Hamming <= 7.

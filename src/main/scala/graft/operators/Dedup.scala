@@ -253,6 +253,42 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /**
+   * Keep-best duplicate clustering: [[minhashGroups]] with the bucket
+   * representative chosen by highest `score` (lowest doc_id on ties)
+   * instead of lowest id — the form real pipelines retain ("keep the
+   * longest / highest-quality copy of each near-dup group"). `score`
+   * is any per-document scalar (token count, quality score, ...)
+   * evaluated once on the signature pass. Same scale shape as
+   * minhashGroups: two compact-key shuffles, linear output, and the
+   * same one-step caveat (chains that only meet transitively need
+   * [[components]] for an exact fixed point).
+   */
+  def minhashGroupsBest(docs: DataFrame, score: Column, numHashes: Int = 64,
+                        numBands: Int = 16, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val edges = docs.select(col("doc_id"), score.cast("double").as("score"),
+        minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("doc_id"), col("score"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("score"),
+        xxhash64(col("band"), col("bucket")).as("bkt"))
+      .localCheckpoint()
+    // argmax via struct max: highest score, then highest -id = lowest id
+    val reps = edges.groupBy(col("bkt"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("bkt"), (-col("m.nid")).as("rep"), col("m.score").as("rep_score"))
+    edges.join(reps, Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("rep_score"), (-col("rep")).as("nrep"))).as("m"))
+      .select(col("doc_id"), (-col("m.nrep")).as("cluster_rep"))
+      .withColumn("is_duplicate", col("cluster_rep") =!= col("doc_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** doc -> LSH-band-bucket bipartite edges (one row per doc per band). */
   private def bucketEdges(docs: DataFrame, numHashes: Int, numBands: Int,
                           seed: Long): DataFrame = {

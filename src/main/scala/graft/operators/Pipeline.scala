@@ -162,6 +162,42 @@ object Pipeline {
    * standard distributed scan for packing problems.
    */
   /**
+   * Cross-source n-gram containment matrix (a dataset-card
+   * diagnostic: which sources replicate each other's content): for
+   * each ordered source pair (a, b) sharing at least one distinct
+   * token n-gram, the fraction of a's distinct n-grams also present
+   * in b. Shapes: one distinct aggregate to (source, ngram) rows,
+   * then the gram-keyed self-join — the inverted-index shape; the
+   * pair space is per-gram source lists, never doc pairs — then one
+   * count per source pair. Zero-overlap pairs are omitted (the matrix
+   * is sparse by construction). At 100 TB, cap gram document
+   * frequency first (ngramJaccard's stop-shingle trick) so boilerplate
+   * grams don't fan out.
+   */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("source"), tokensOf(col("text")).as("toks"))
+      .select(col("source"), explode(
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+      .distinct()
+      // three consumers (both join sides + counts): pin the distinct
+      // gram set so the tokenize/explode pass runs once
+      .localCheckpoint()
+    val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("grams_a"))
+    grams.as("a").join(grams.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(counts.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("grams_a"), col("shared_grams"),
+        round(col("shared_grams") / col("grams_a"), 6).as("containment"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
+  /**
    * PII scrubbing gate: detect and redact the four machine-matchable
    * PII shapes a corpus pipeline strips before training — URLs,
    * email addresses, IPv4 addresses, and phone-shaped digit runs.

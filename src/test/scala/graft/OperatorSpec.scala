@@ -375,6 +375,37 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   // ---- plan-shape assertions (scale hygiene) -----------------------------
+  test("keep-best dedup picks the highest-score member as representative") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, txt), (2L, txt),
+      (3L, "completely different content about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val score = when(col("doc_id") === 2, 5.0).otherwise(1.0)
+    val rows = Dedup.minhashGroupsBest(docs, score).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // identical texts share every bucket; the higher-score doc 2 wins
+    // the representative slot (minhashGroups would pick doc 1)
+    assert(rows(1L) == ((2L, true)), s"doc 1 -> ${rows(1L)}")
+    assert(rows(2L) == ((2L, false)))
+    assert(rows(3L) == ((3L, false)), "unrelated doc clustered")
+  }
+
+  test("source overlap reports n-gram containment per source pair") {
+    import spark.implicits._
+    val g = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"x $g", "s1"), (2L, s"$g y", "s2"),
+      (3L, "q r s t u v w z nine ten", "s3"))
+      .toDF("doc_id", "text", "source")
+    val rows = Pipeline.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // s1 = {x a..g, a..h}, s2 = {a..h, b..h y}: one shared gram of two
+    assert(rows == Seq(("s1", "s2", 2L, 1L, 0.5), ("s2", "s1", 2L, 1L, 0.5)),
+      rows.toString)
+  }
+
   test("expanding grid probe reaches k where the fixed +/-1 probe cannot") {
     import spark.implicits._
     // 40 vectors in the low corner of the 4-dim grid prefix, 3 near
