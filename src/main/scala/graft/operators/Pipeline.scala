@@ -210,19 +210,23 @@ object Pipeline {
    * on (classes, \\d, \\b, bounded repetition) so the DuckDB oracle
    * replays them byte-identically.
    */
-  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+               ordered: Boolean = true): DataFrame = {
     val t = col(textCol)
     val redacted = PII_PATTERNS.foldLeft(t) { case (acc, (pat, tag)) =>
       regexp_replace(acc, pat, tag)
     }
-    docs.select(Seq(col("doc_id")) ++
+    val out = docs.select(Seq(col("doc_id")) ++
       PII_PATTERNS.map { case (pat, tag) =>
         val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
         regexp_count(t, lit(pat)).cast("int").as(s"n_$name")
       } ++ Seq(redacted.as("redacted")): _*)
       .withColumn("pii_total",
         col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
-      .orderBy(col("doc_id").asc)
+    // ordered=false keeps the op map-only end to end — usable directly
+    // on a stream (global sorts are unsupported in append mode) and
+    // the shape a 100 TB batch pipeline wants anyway.
+    if (ordered) out.orderBy(col("doc_id").asc) else out
   }
 
   /** (pattern, redaction tag) in application order. */

@@ -105,6 +105,33 @@ class StreamingSpec extends AnyFunSuite {
       s"labels diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming pii scrub is map-only and matches the batch twin") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-pii-stream").toString
+    docs.withColumn("text", concat(col("text"),
+        lit(" mail "), col("doc_id"), lit("@ex.org ip 10.0.0.1")))
+      .select("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // ordered=false: the scrub is pure map-side work, so it runs
+    // unchanged under append mode with no state and no watermark.
+    val q = operators.Pipeline.piiScrub(stream, ordered = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("pii_out").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("pii_total"), r.getAs[String]("redacted"))).toSet
+    val batch = operators.Pipeline.piiScrub(
+      spark.read.schema(schema).parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("pii_total"), r.getAs[String]("redacted"))).toSet
+    assert(streamed == batch, "streaming scrub diverged from batch")
+    assert(streamed.forall(_._2 >= 2), "planted email+ip not detected")
+  }
+
   test("streaming minhash near-dup pairs converge to the batch twin across batches") {
     import spark.implicits._
     implicit val s = spark
