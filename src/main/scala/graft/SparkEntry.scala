@@ -219,6 +219,7 @@ object SparkEntry {
       Dedup.minhashGroupsBest(t(s, d, "documents"),
         textStats(col("text")).getField("n_tokens"))),
     "source_overlap" -> ((s, d) => Pipeline.sourceOverlap(t(s, d, "documents"))),
+    "prepare_corpus" -> ((s, d) => Pipeline.prepareCorpus(t(s, d, "documents"))),
     "dedup_components" -> ((s, d) => Dedup.minhashComponents(t(s, d, "documents"))),
     // --- E. text analysis ----------------------------------------------
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(t(s, d, "documents"))),
@@ -1320,6 +1321,40 @@ object SparkEntry {
          |SELECT doc_id, reason, reason = 'ok' AS keep,
          | floor(qs * 1.0e6 + 0.5e0)/1.0e6 AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Composed preprocessing DAG: clean_corpus's gate chain + the
+    // sample_split bucket + the shard_pack window masked to kept train
+    // docs, all in one statement.
+    "prepare_corpus" ->
+      s"""WITH t AS (SELECT doc_id, source, text, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, source, CAST(len(toks) AS INT) nti, CAST(len(toks) AS DOUBLE) nt,
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) sh,
+         |   CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) tl,
+         |   MIN(doc_id) OVER (PARTITION BY md5(text)) rep FROM t),
+         | c AS (SELECT doc_id, source, nti, nt, rep,
+         |   CASE WHEN nt > 0 THEN sh/nt ELSE 0.0 END sr,
+         |   CASE WHEN nt > 0 THEN tl/nt ELSE 0.0 END al,
+         |   least(1.0, nt/200.0) ls FROM m),
+         | sc AS (SELECT doc_id, source, nti, nt, rep, sr,
+         |   0.4e0*sr + 0.3e0*ls + 0.3e0*greatest(0.0e0, 1.0e0 - abs(al - 5.0e0)/10.0e0) AS qs
+         |  FROM c),
+         | r AS (SELECT doc_id, source, nti,
+         |   CASE WHEN doc_id <> rep THEN 'duplicate'
+         |        WHEN nt < 10 THEN 'too_short'
+         |        WHEN sr < 0.05e0 THEN 'non_english'
+         |        WHEN qs < 0.3e0 THEN 'low_quality'
+         |        ELSE 'ok' END AS reason
+         |  FROM sc),
+         | s AS (SELECT doc_id, source, nti, reason, reason = 'ok' AS keep,
+         |   CASE WHEN reason <> 'ok' THEN NULL
+         |        WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |        ELSE 'test' END AS split
+         |   FROM (SELECT *, CAST((${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1) % 100 AS INT) AS bucket FROM r)),
+         | w AS (SELECT *, SUM(CASE WHEN split = 'train' THEN nti ELSE 0 END) OVER (
+         |   PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         |SELECT doc_id, source, reason, keep, split,
+         | CASE WHEN split = 'train' THEN CAST((cum - nti) // 4096 AS INT) ELSE NULL END AS shard_idx
+         |FROM w ORDER BY doc_id""".stripMargin,
     // Greedy token packing: shard = exclusive prefix sum of token
     // counts over (source, doc_id order) div budget — integer window
     // math, exact on both engines.

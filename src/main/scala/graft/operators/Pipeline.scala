@@ -152,15 +152,42 @@ object Pipeline {
   }
 
   /**
-   * Token-budget shard packing: within each source, documents (in
-   * doc_id order) are packed greedily into shards of ~`budgetTokens`
-   * — shard = exclusive-prefix-sum of token counts / budget, so a
-   * shard closes once its budget is crossed. Partitioned by source:
-   * each source packs independently and in parallel; the within-source
-   * prefix sum is one window over a (source)-partitioned exchange —
-   * at 100 TB this is range-partitioned cumulative-sum shape, the
-   * standard distributed scan for packing problems.
+   * The full preprocessing DAG in one call — raw documents to
+   * training disposition: cleaning gates (duplicate / too_short /
+   * non_english / low_quality), deterministic split assignment for
+   * survivors, token-budget shard packing for the kept train docs.
+   * One content-hash window (the dedup rule), one doc_id join, one
+   * (source)-partitioned packing window whose cumulative sum MASKS
+   * non-train rows — rejected and val/test docs contribute zero, so
+   * the packing needs no second pass and no re-join. Output: one row
+   * per doc with reason, keep, split (null when dropped), shard_idx
+   * (null unless a kept train doc).
    */
+  def prepareCorpus(docs: DataFrame, minTokens: Int = 10, minQuality: Double = 0.3,
+                    langThreshold: Double = 0.05, trainPct: Int = 80, valPct: Int = 10,
+                    seed: Long = 42L, budgetTokens: Int = 4096): DataFrame = {
+    val labeled = cleanCorpus(docs, minTokens, minQuality, langThreshold)
+      .select(col("doc_id"), col("reason"), col("keep"))
+    val bucket = (shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1) % 100)
+      .cast("int")
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val").otherwise("test")
+    val base = docs.select(col("doc_id"), col("source"),
+        textStats(col("text")).getField("n_tokens").as("n_tokens"))
+      .join(labeled, "doc_id")
+      .withColumn("split", when(col("keep"), split).otherwise(lit(null).cast("string")))
+    val isTrain = col("split") === "train"
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(when(isTrain, col("n_tokens")).otherwise(lit(0))).over(w)
+    base.withColumn("shard_idx",
+        when(isTrain, ((cum - col("n_tokens")) / budgetTokens).cast("int"))
+          .otherwise(lit(null).cast("int")))
+      .select(col("doc_id"), col("source"), col("reason"), col("keep"),
+        col("split"), col("shard_idx"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /**
    * Cross-source n-gram containment matrix (a dataset-card
    * diagnostic: which sources replicate each other's content): for
@@ -236,6 +263,16 @@ object Pipeline {
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>")
 
+  /**
+   * Token-budget shard packing: within each source, documents (in
+   * doc_id order) are packed greedily into shards of ~`budgetTokens`
+   * — shard = exclusive-prefix-sum of token counts / budget, so a
+   * shard closes once its budget is crossed. Partitioned by source:
+   * each source packs independently and in parallel; the within-source
+   * prefix sum is one window over a (source)-partitioned exchange —
+   * at 100 TB this is range-partitioned cumulative-sum shape, the
+   * standard distributed scan for packing problems.
+   */
   def shardPack(docs: DataFrame, budgetTokens: Int = 4096): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -375,6 +375,32 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   // ---- plan-shape assertions (scale hygiene) -----------------------------
+  test("prepare corpus composes clean, split, and pack consistently") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Pipeline.prepareCorpus(docs).collect()
+    assert(out.length == docs.count())
+    val clean = Pipeline.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val split = Pipeline.sampleSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(2) == clean(id)._1, s"reason mismatch for $id")
+      assert(r.getBoolean(3) == clean(id)._2)
+      if (r.getBoolean(3)) assert(r.getString(4) == split(id), s"split mismatch for $id")
+      else assert(r.isNullAt(4), s"rejected doc $id has a split")
+      if (r.isNullAt(4) || r.getString(4) != "train")
+        assert(r.isNullAt(5), s"non-train doc $id has a shard")
+    }
+    // kept train docs pack into contiguous shards from 0 per source
+    val trains = out.filter(r => !r.isNullAt(5))
+    assert(trains.nonEmpty)
+    trains.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val shards = rs.map(_.getInt(5)).distinct.sorted.toSeq
+      assert(shards == (0 to shards.max), s"non-contiguous shards in $src: $shards")
+    }
+  }
+
   test("keep-best dedup picks the highest-score member as representative") {
     import spark.implicits._
     val txt = "the quick brown fox jumps over the lazy dog again and again"
