@@ -564,6 +564,31 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .withColumn("algorithm", lit(algo))
   }
 
+  /**
+   * IVF index health (the cluster-occupancy analog of the LSH bucket
+   * histogram — reference get_stats surfaced per index type via
+   * get_library_index_info): cell count, occupancy, size skew, plus
+   * the assignment-drift ratio that gates refits. Requires the
+   * on-disk index; the aggregate reads ONLY the cluster partition
+   * column, so at 100 TB this is directory listing + row-group
+   * counts, not a data scan.
+   */
+  def ivfIndexInfo: DataFrame = {
+    require(hasIvfIndex, s"library $name has no IVF index (buildIvfIndex first)")
+    val perCluster = spark.read.parquet(s"$ivfPath/assigned")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val total = ivfCentroids
+    perCluster.agg(
+      count(lit(1)).as("occupied_clusters"),
+      round(avg(col("cluster_size")), 4).as("avg_cluster_size"),
+      max(col("cluster_size")).as("max_cluster_size"))
+      .withColumn("total_clusters", lit(total))
+      .withColumn("empty_clusters", lit(total) - col("occupied_clusters"))
+      .withColumn("drift_ratio", round(lit(ivfDrift), 6))
+      .withColumn("library", lit(name))
+      .withColumn("algorithm", lit(algo))
+  }
+
   /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
   def unindexed: DataFrame = chunks.filter(col("embedding").isNull)
 

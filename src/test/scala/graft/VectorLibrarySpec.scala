@@ -283,6 +283,26 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("ivf index info reports cluster occupancy and drift") {
+    val root = Files.createTempDirectory("graft-lib-ivfinfo").toString
+    val lib = new VectorLibrary(spark, root, "ivfinfo-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40))
+    intercept[IllegalArgumentException] { lib.ivfIndexInfo }
+    lib.buildIvfIndex(nCentroids = 8)
+
+    val info = lib.ivfIndexInfo.collect()(0)
+    val occupied = info.getAs[Long]("occupied_clusters")
+    assert(info.getAs[Int]("total_clusters") == 8)
+    assert(occupied > 0 && occupied <= 8)
+    assert(info.getAs[Long]("empty_clusters") == 8 - occupied)
+    assert(info.getAs[Long]("max_cluster_size") >=
+      math.ceil(info.getAs[Double]("avg_cluster_size")).toLong)
+    // a freshly built index has drift ~ 1.0 by construction
+    val drift = info.getAs[Double]("drift_ratio")
+    assert(drift > 0.99 && drift < 1.01, s"fresh-build drift $drift")
+    lib.delete()
+  }
+
   test("updateChunk re-embeds one chunk in place, identity preserved") {
     val root = Files.createTempDirectory("graft-lib-upd").toString
     val lib = new VectorLibrary(spark, root, "upd-lib")
