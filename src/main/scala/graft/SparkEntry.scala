@@ -130,6 +130,12 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       VectorSearch.gridKnnBatch(emb.filter(col("vec_id") >= 3), qs,
         "vec_id", "embedding", 10) }),
+    "grid_knn_expanding_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.gridKnnExpandingBatch(emb.filter(col("vec_id") >= 3), qs,
+        "vec_id", "embedding", 10) }),
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // build-once / probe-many: the first call fits + pins the index,
       // every later call measures the partition-pruned probe only.
@@ -1523,6 +1529,37 @@ object SparkEntry {
          | sc AS (SELECT query_id, vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
          |        FROM c, qc
          |        WHERE ${(0 until 4).map(d => s"abs(c$d - qc$d) <= 1").mkString(" AND ")}),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // Batch expanding-radius grid probe: per-query cheb histogram via
+    // a cross join with the radius candidates, per-query smallest
+    // radius with >= 2k candidates, then the per-query rank window.
+    "grid_knn_expanding_batch" -> {
+      def cell(src: String, d: Int): String =
+        s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
+      s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 3),
+         | q0 AS (SELECT vec_id AS query_id, embedding qef, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 3),
+         | b AS (SELECT ${(0 until 4).map(d =>
+                  s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
+                  s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
+                  .mkString(", ")} FROM e),
+         | qc AS (SELECT query_id, ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
+         |        FROM q0, b),
+         | ch AS (SELECT query_id, vec_id, v, qv, greatest(${(0 until 4).map(d =>
+                    s"abs(${cell("ef", d)} - qc$d)").mkString(", ")}) AS cheb
+         |        FROM e, b, qc),
+         | rads AS (SELECT unnest([0, 1, 2, 3]) AS rr),
+         | cnt AS (SELECT query_id, rr, COUNT(*) FILTER (WHERE cheb <= rr) AS c
+         |         FROM ch, rads GROUP BY query_id, rr),
+         | pick AS (SELECT query_id, COALESCE(MIN(rr) FILTER (WHERE c >= 20), 3) AS radius
+         |          FROM cnt GROUP BY query_id),
+         | sc AS (SELECT ch.query_id, vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
+         |        FROM ch JOIN pick USING (query_id) WHERE cheb <= radius),
          | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
          |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
          |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10

@@ -560,6 +560,63 @@ object VectorSearch {
   }
 
   /**
+   * Batch twin of [[gridKnnExpanding]]: every query gets its own
+   * radius (smallest with >= 2k candidates, capped at maxRadius) from
+   * ONE histogram pass — per-(query, cheb) counts against the
+   * broadcast query-cell table — then one scoring pass filters each
+   * row to the queries whose chosen box contains it and feeds the
+   * bounded per-query top-k. Two corpus passes total for any Q, same
+   * as the single-query variant.
+   */
+  def gridKnnExpandingBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                            vecCol: String, k: Int, metric: String = "euclidean",
+                            gridDims: Int = 4, cellsPerDim: Int = 4,
+                            maxRadius: Int = 3): DataFrame = {
+    require(gridDims >= 2, "gridKnnExpandingBatch needs at least 2 grid dimensions")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (lo, hi) = gridBounds(corpus, vecCol, gridDims)
+    def cellCol(d: Int): Column = {
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      least(greatest(
+        floor((col(vecCol).getItem(d) - lit(lo(d))) / lit(range) * cellsPerDim),
+        lit(0)), lit(cellsPerDim - 1)).cast("int")
+    }
+    val corpusC = corpus.withColumn("__cells",
+      array((0 until gridDims).map(cellCol): _*))
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "gridKnnExpandingBatch needs at least one query")
+    def qCells(qv: Seq[Float]): Seq[Int] = (0 until gridDims).map { d =>
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      math.min(math.max(math.floor((qv(d) - lo(d)) / range * cellsPerDim).toInt, 0),
+        cellsPerDim - 1)
+    }
+    val qCellRows = qRows.map(r => (r.getLong(0), qCells(r.getSeq[Float](1)))).toSeq
+    val qCellFrame = qCellRows.toDF("query_id", "qcells")
+    val cheb = greatest((0 until gridDims).map(d =>
+      abs(element_at(col("__cells"), d + 1) - element_at(col("qcells"), d + 1))): _*)
+    val hists = corpusC.crossJoin(broadcast(qCellFrame))
+      .select(col("query_id"), cheb.as("cheb"))
+      .filter(col("cheb") <= maxRadius)
+      .groupBy(col("query_id"), col("cheb")).count().collect()
+      .groupBy(_.getLong(0))
+    val radii = qCellRows.map { case (qid, _) =>
+      val hist = hists.get(qid).toSeq.flatten
+        .map(r => (r.getInt(1), r.getLong(2))).toMap
+      val cum = (0 to maxRadius).map(r => (0 to r).map(hist.getOrElse(_, 0L)).sum)
+      (qid, (0 to maxRadius).find(r => cum(r) >= 2L * k).getOrElse(maxRadius))
+    }
+    val qSide = qCellFrame
+      .join(radii.toDF("query_id", "radius"), "query_id")
+      .join(queries, "query_id")
+    val scored = corpusC.crossJoin(broadcast(qSide))
+      .filter(cheb <= col("radius"))
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
+  }
+
+  /**
    * Batch grid top-k: N queries against the cell-keyed corpus in one
    * pass. Probe keys resolve driver-side per query; the scan filters
    * on the UNION of all queries' neighbor cells (one literal IN), a

@@ -453,6 +453,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(expanded.take(3).map(_.getLong(0)).toSet == Set(41L, 42L, 43L))
   }
 
+  test("batch expanding grid matches per-query expanding probes") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val batch = VectorSearch.gridKnnExpandingBatch(corpus, qs,
+      "vec_id", "embedding", 5).collect()
+    (0L until 3L).foreach { qid =>
+      val single = VectorSearch.gridKnnExpanding(corpus,
+        qs.filter(col("query_id") === qid).select(col("qvec")),
+        "vec_id", "embedding", 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch.filter(_.getLong(0) == qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+  }
+
   test("pii scrub counts and redacts each pattern; clean text passes through") {
     import spark.implicits._
     val docs = Seq(
