@@ -213,7 +213,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         VectorSearch.lshKnnIndexed(chunks, q, "chunk_id", "embedding", "lsh_buckets",
           kk, metric, numTables, bitsPerTable, seed)
       case "grid" =>
-        VectorSearch.gridKnn(chunks.select(col("chunk_id"), col("embedding")),
+        // expanding-radius probe — the reference's GridIndex.search
+        // semantics (widen until >= 2k candidates), so sparse
+        // neighborhoods still fill k
+        VectorSearch.gridKnnExpanding(chunks.select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
         IvfIndex.searchIndexed(spark, ivfPath, q, "chunk_id", "embedding", kk,
@@ -327,7 +330,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           queries, "chunk_id", "embedding", kk, metric)
       case "lsh" => approxBatch(queries, kk, metric)
       case "grid" =>
-        VectorSearch.gridKnnBatch(chunks.select(col("chunk_id"), col("embedding")),
+        VectorSearch.gridKnnExpandingBatch(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
         IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
