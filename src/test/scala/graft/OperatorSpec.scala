@@ -476,7 +476,7 @@ class OperatorSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "reach me at jo.doe+x@mail-host.co or https://ex.org/a?b=1 from 192.168.0.1 call 555-0199"),
       (2L, "no pii here just words"),
-      (3L, "two mails a@b.io c@d.org and ips 10.0.0.1 8.8.8.8")
+      (3L, "two mails a@b.io c@d.org and ips 10.0.0.1 172.16.0.9")
     ).toDF("doc_id", "text")
     val rows = Pipeline.piiScrub(docs).collect()
 
