@@ -154,6 +154,14 @@ object Stress {
       operators.Dedup.minhashLsh(adversarial, maxBucketSize = Some(1000)).count() }
     timeN("dedup_ngram_jaccard(99%-dup, df cap 1000)", na) {
       operators.Dedup.ngramJaccard(adversarial, maxShingleDf = Some(1000)).count() }
+    timeN("prepare_corpus(99%-dup)", na) {
+      // the composed DAG's dedup rule puts all 99k duplicates into ONE
+      // content-hash window partition — the min is linear, no pair
+      // space, so the skew costs a single fat-but-linear task
+      operators.Pipeline.prepareCorpus(adversarial).count() }
+    timeN("source_overlap(99%-dup)", na) {
+      // per-gram fan-out bounded by source count, immune to the dup skew
+      operators.Pipeline.sourceOverlap(adversarial).count() }
     adversarial.unpersist()
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -197,9 +197,10 @@ object Pipeline {
    * then the gram-keyed self-join — the inverted-index shape; the
    * pair space is per-gram source lists, never doc pairs — then one
    * count per source pair. Zero-overlap pairs are omitted (the matrix
-   * is sparse by construction). At 100 TB, cap gram document
-   * frequency first (ngramJaccard's stop-shingle trick) so boilerplate
-   * grams don't fan out.
+   * is sparse by construction). Unlike doc-level dedup, the per-gram
+   * fan-out here is bounded by the SOURCE count squared (sources are
+   * tens, not billions), so boilerplate grams cannot explode the join
+   * — no frequency cap needed at any corpus size.
    */
   def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
     val grams = docs
