@@ -185,8 +185,23 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")))
   }
 
-  /** All chunks of this library. */
-  def chunks: DataFrame = spark.read.parquet(path)
+  /** All chunks of this library. A library that has never ingested
+    * returns an EMPTY frame with the full store schema (reference:
+    * searching/listing an empty library yields [] — vector_service
+    * returns no results, not an error), so every read path works
+    * before the first write. */
+  def chunks: DataFrame =
+    if (hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else {
+      import org.apache.spark.sql.types._
+      val base = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("chunk_idx", IntegerType), StructField("chunk_text", StringType),
+        StructField("n_tokens", IntegerType)))
+      indexColumns(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base))
+    }
 
   /** Embed query text with the library's doc/query-symmetric embedder. */
   private def queryFrame(queryText: String): DataFrame =

@@ -48,7 +48,9 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.count() == 2 * nChunks)
 
     lib.delete()
-    assertThrows[Exception](lib.chunks.count())
+    // a deleted library reads as empty, like one that never ingested
+    // (the reference returns [] for an empty library, not an error)
+    assert(lib.chunks.count() == 0)
   }
 
   test("copy-on-write delete and update flows") {
@@ -280,6 +282,19 @@ class VectorLibrarySpec extends AnyFunSuite {
     val storeScans = scans(res.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("chunks")))
     assert(storeScans.isEmpty, "quantized probe touched the chunk store")
+    lib.delete()
+  }
+
+  test("empty library: reads and searches yield empty results, not errors") {
+    val root = Files.createTempDirectory("graft-lib-empty").toString
+    val lib = new VectorLibrary(spark, root, "empty-lib")
+    assert(lib.chunks.count() == 0)
+    assert(lib.search("anything", 5).count() == 0)
+    assert(lib.searchApprox("anything", 5).count() == 0)
+    assert(lib.searchVector(Seq.fill(64)(0.1f), 5).count() == 0)
+    assert(lib.searchBatch(Seq("a", "b"), 5).count() == 0)
+    val st = lib.stats.collect()(0)
+    assert(st.getAs[Long]("vector_count") == 0)
     lib.delete()
   }
 
