@@ -141,9 +141,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
       b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
-      if (hasPartitionedIndex)
-        indexRows(b).write.mode(SaveMode.Append)
+      if (hasPartitionedIndex) {
+        // Schema migration = rebuild, never a mixed-generation append:
+        // an index written before `quant` rode along would read the
+        // new files' codes as null for old rows and silently drop them
+        // from a quantized phase 1. Rebuilding from the (already
+        // appended) store upgrades every row at once.
+        if (!partitionedIndex.columns.contains("quant")) buildPartitionedIndex()
+        else indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
+      }
       if (hasIvfIndex)
         IvfIndex.appendAssign(spark, ivfPath,
           b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
@@ -217,9 +224,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def search(queryText: String, k: Int = 10, metric: String = "cosine"): DataFrame =
     dispatch(queryFrame(queryText), clampK(k), metric)
 
+  /** Empty (chunk_id, score) result — the empty-library answer for
+    * index paths whose builds cannot run on zero rows. */
+  private def emptyHits: DataFrame =
+    chunks.select(col("chunk_id"), lit(0.0).as("score")).limit(0)
+
   /** Single-query search routed through the preferred algorithm —
     * shared by the text and raw-vector entry points. */
   private def dispatch(q: DataFrame, kk: Int, metric: String): DataFrame = {
+    // grid bounds and k-means fits need rows; an empty library answers
+    // [] on every algorithm (reference empty-library semantics). The
+    // flat/lsh/quantized scans handle empty input natively.
+    if ((algo == "grid" || algo == "ivf") && chunks.isEmpty) return emptyHits
     algo match {
       case "flat" =>
         VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
@@ -339,6 +355,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                   metric: String = "cosine"): DataFrame = {
     val kk = clampK(k)
     val queries = queriesFrame(queryTexts)
+    if ((algo == "grid" || algo == "ivf") && chunks.isEmpty)
+      return queries.limit(0).select(col("query_id"),
+        lit("").as("chunk_id"), lit(0.0).as("score"), lit(0).as("rank"))
     algo match {
       case "flat" =>
         VectorSearch.knnBatchGeneric(chunks.select(col("chunk_id"), col("embedding")),

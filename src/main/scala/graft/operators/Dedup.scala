@@ -266,16 +266,8 @@ object Dedup {
    */
   def minhashGroupsBest(docs: DataFrame, score: Column, numHashes: Int = 64,
                         numBands: Int = 16, seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val edges = docs.select(col("doc_id"), score.cast("double").as("score"),
-        minhashSig(col("text"), 3, numHashes, seed).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-      .select(col("doc_id"), col("score"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bucket")))
-      .select(col("doc_id"), col("score"),
-        xxhash64(col("band"), col("bucket")).as("bkt"))
+    val edges = bucketEdges(docs.withColumn("score", score.cast("double")),
+        numHashes, numBands, seed, carry = Seq("score"))
       .localCheckpoint()
     // argmax via struct max: highest score, then highest -id = lowest id
     val reps = edges.groupBy(col("bkt"))
@@ -289,18 +281,21 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
-  /** doc -> LSH-band-bucket bipartite edges (one row per doc per band). */
+  /** doc -> LSH-band-bucket bipartite edges (one row per doc per
+    * band). `carry` columns of `docs` ride through unchanged — the
+    * single home of the banding contract (shingle size, sentinel
+    * filter, slice hashing, bkt key) shared by every clustering op. */
   private def bucketEdges(docs: DataFrame, numHashes: Int, numBands: Int,
-                          seed: Long): DataFrame = {
+                          seed: Long, carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    docs.select(col("doc_id"),
-      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+    val cc = carry.map(col)
+    docs.select(col("doc_id") +: minhashSig(col("text"), 3, numHashes, seed).as("sig") +: cc: _*)
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bucket")))
-      .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bkt"))
+          .as(Seq("band", "bucket")) +: cc: _*)
+      .select(col("doc_id") +: xxhash64(col("band"), col("bucket")).as("bkt") +: cc: _*)
   }
 
   /**

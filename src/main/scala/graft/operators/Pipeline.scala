@@ -133,7 +133,12 @@ object Pipeline {
     * Shared by the batch window path and the streaming twin. */
   private[graft] def cleanGates(docs: DataFrame, minTokens: Int,
                                 minQuality: Double, langThreshold: Double): DataFrame = {
-    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
+    // source is only needed by composed consumers (prepareCorpus);
+    // cleanCorpus's own contract never required it, so default it.
+    val srcCol =
+      if (docs.columns.contains("source")) col("source") else lit("").as("source")
+    val st = docs.select(col("doc_id"), srcCol,
+      textStats(col("text")).as("st"),
       md5(col("text")).as("content_hash"))
     val nTok = col("st.n_tokens").cast("double")
     val stopRatio = when(nTok > 0, col("st.stop_hits").cast("double") / nTok)
@@ -147,7 +152,11 @@ object Pipeline {
       .when(stopRatio < langThreshold, "non_english")
       .when(quality < minQuality, "low_quality")
       .otherwise("ok")
-    st.select(col("doc_id"), col("content_hash"), preReason.as("pre_reason"),
+    // source and n_tokens ride along so composed consumers
+    // (prepareCorpus, the streaming twin) get them from this one
+    // tokenize pass instead of re-deriving and re-joining.
+    st.select(col("doc_id"), col("source"), col("st.n_tokens").as("n_tokens"),
+      col("content_hash"), preReason.as("pre_reason"),
       graft.operators.TextAnalysis.quant6(quality).as("quality_score"))
   }
 
@@ -166,15 +175,21 @@ object Pipeline {
   def prepareCorpus(docs: DataFrame, minTokens: Int = 10, minQuality: Double = 0.3,
                     langThreshold: Double = 0.05, trainPct: Int = 80, valPct: Int = 10,
                     seed: Long = 42L, budgetTokens: Int = 4096): DataFrame = {
-    val labeled = cleanCorpus(docs, minTokens, minQuality, langThreshold)
-      .select(col("doc_id"), col("reason"), col("keep"))
+    // cleanGates carries source + n_tokens from its single tokenize
+    // pass, so the whole DAG needs no second textStats and no doc_id
+    // re-join — the dedup rule below is the same window cleanCorpus
+    // applies.
+    val labeled = cleanGates(docs, minTokens, minQuality, langThreshold)
+      .withColumn("rep", min(col("doc_id"))
+        .over(Window.partitionBy(col("content_hash"))))
+    val reason = when(col("doc_id") =!= col("rep"), "duplicate")
+      .otherwise(col("pre_reason"))
     val bucket = (shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1) % 100)
       .cast("int")
     val split = when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val").otherwise("test")
-    val base = docs.select(col("doc_id"), col("source"),
-        textStats(col("text")).getField("n_tokens").as("n_tokens"))
-      .join(labeled, "doc_id")
+    val base = labeled.select(col("doc_id"), col("source"), col("n_tokens"),
+        reason.as("reason"), (reason === "ok").as("keep"))
       .withColumn("split", when(col("keep"), split).otherwise(lit(null).cast("string")))
     val isTrain = col("split") === "train"
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
@@ -257,10 +272,13 @@ object Pipeline {
     if (ordered) out.orderBy(col("doc_id").asc) else out
   }
 
-  /** (pattern, redaction tag) in application order. */
+  /** (pattern, redaction tag) in application order. Case-insensitive
+    * where case can appear (schemes, mailbox/domain chars), and URL
+    * matches stop at ANY whitespace, not just the space character —
+    * both still inside the Java/RE2 common subset the oracle needs. */
   val PII_PATTERNS: Seq[(String, String)] = Seq(
-    "https?://[^ ]+" -> "<URL>",
-    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "(?i)https?://[^\\s]+" -> "<URL>",
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>")
 

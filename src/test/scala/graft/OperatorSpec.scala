@@ -494,6 +494,14 @@ class OperatorSpec extends AnyFunSuite {
     val r3 = rows(2)
     assert(r3.getAs[Int]("n_email") == 2 && r3.getAs[Int]("n_ip") == 2 &&
       r3.getAs[String]("redacted") == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
+
+    // mixed case matches; URLs stop at any whitespace, not just space
+    val cased = Pipeline.piiScrub(Seq(
+      (4L, "Mail John.Doe@Example.COM or HTTPS://Ex.org/A\nimportant fact"))
+      .toDF("doc_id", "text")).collect()(0)
+    assert(cased.getAs[Int]("n_email") == 1 && cased.getAs[Int]("n_url") == 1)
+    assert(cased.getAs[String]("redacted") == "Mail <EMAIL> or <URL>\nimportant fact",
+      cased.getAs[String]("redacted"))
   }
 
   test("q1 pushes the shipdate filter into the parquet scan") {
