@@ -31,6 +31,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True when `p` exists AND holds at least one visible (non-hidden,
+    * non-marker) entry. A directory can exist yet be dataless — e.g.
+    * after a copy-on-write delete removed every partition — and such a
+    * directory must never reach schema inference. */
+  private def hasVisibleData(p: String): Boolean = {
+    val fs = hadoopFs(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    fs.exists(hp) && fs.listStatus(hp).exists { st =>
+      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   // --- persisted library metadata ------------------------------------
   // The reference keeps LibraryMetadata (description/created_at/
   // updated_at/extra) and preferred_index_algorithm on the Library row
@@ -104,9 +116,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // IVF is the one index with driver-side state (centroids); built
   // lazily once per library generation and dropped on any mutation.
   private var ivfState: Option[(KMeansModel, DataFrame)] = None
+  // Emptiness is re-checked at most once per store generation: the
+  // grid/ivf dispatch guard would otherwise run a full isEmpty job on
+  // every search call even for a populated library.
+  private var emptyCache: Option[Boolean] = None
+  private def storeIsEmpty: Boolean = emptyCache.getOrElse {
+    val e = chunks.isEmpty; emptyCache = Some(e); e
+  }
   private def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
+    emptyCache = None
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -136,18 +156,23 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // deletes) skips whole row groups of a sorted file. At 100 TB this
     // is the poor-man's z-order — free at write time, no layout change.
     val batch = batch0.sortWithinPartitions(col("source"), col("doc_id"))
-    if (hasPartitionedIndex || hasIvfIndex) {
+    val indexDirExists = hadoopFs(indexPath)
+      .exists(new org.apache.hadoop.fs.Path(indexPath))
+    if (indexDirExists || hasIvfIndex) {
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
       b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
-      if (hasPartitionedIndex) {
+      if (indexDirExists) {
         // Schema migration = rebuild, never a mixed-generation append:
         // an index written before `quant` rode along would read the
         // new files' codes as null for old rows and silently drop them
         // from a quantized phase 1. Rebuilding from the (already
-        // appended) store upgrades every row at once.
-        if (!partitionedIndex.columns.contains("quant")) buildPartitionedIndex()
+        // appended) store upgrades every row at once. A dataless index
+        // directory (everything deleted copy-on-write) rebuilds too —
+        // its schema is unreadable.
+        if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant"))
+          buildPartitionedIndex()
         else indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
       }
@@ -197,8 +222,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * searching/listing an empty library yields [] — vector_service
     * returns no results, not an error), so every read path works
     * before the first write. */
-  def chunks: DataFrame =
-    if (hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)))
+  def chunks: DataFrame = {
+    // The directory can exist yet hold no data files (every source
+    // partition deleted copy-on-write): that must read as empty too,
+    // not fail schema inference. One listStatus — same FS round-trip
+    // cost as the plain exists check it replaces.
+    if (hasVisibleData(path))
       spark.read.parquet(path)
     else {
       import org.apache.spark.sql.types._
@@ -209,6 +238,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       indexColumns(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base))
     }
+  }
 
   /** Embed query text with the library's doc/query-symmetric embedder. */
   private def queryFrame(queryText: String): DataFrame =
@@ -235,7 +265,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // grid bounds and k-means fits need rows; an empty library answers
     // [] on every algorithm (reference empty-library semantics). The
     // flat/lsh/quantized scans handle empty input natively.
-    if ((algo == "grid" || algo == "ivf") && chunks.isEmpty) return emptyHits
+    if ((algo == "grid" || algo == "ivf") && storeIsEmpty) return emptyHits
     algo match {
       case "flat" =>
         VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
@@ -355,7 +385,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                   metric: String = "cosine"): DataFrame = {
     val kk = clampK(k)
     val queries = queriesFrame(queryTexts)
-    if ((algo == "grid" || algo == "ivf") && chunks.isEmpty)
+    if ((algo == "grid" || algo == "ivf") && storeIsEmpty)
       return queries.limit(0).select(col("query_id"),
         lit("").as("chunk_id"), lit(0.0).as("score"), lit(0).as("rank"))
     algo match {
@@ -425,9 +455,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // (the classic LSH space/time trade); the chunk store remains the
   // source of truth and the index is derived, rebuildable data.
 
-  /** True when the partitioned index has been built for this library. */
-  def hasPartitionedIndex: Boolean = hadoopFs(indexPath)
-    .exists(new org.apache.hadoop.fs.Path(indexPath))
+  /** True when the partitioned index has been built AND holds data
+    * (a dataless directory cannot be probed — schema inference has
+    * nothing to read; the fallback column probe serves instead). */
+  def hasPartitionedIndex: Boolean = hasVisibleData(indexPath)
 
   private def partitionedIndex: DataFrame = spark.read.parquet(indexPath)
 
@@ -493,20 +524,151 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val swappable = oversized.filter { case (t, b) =>
       fs.exists(new Path(s"$tmpPath/tbl=$t/bucket=$b")) }
     swappable.foreach { case (t, b) =>
-      val live = new Path(s"$indexPath/tbl=$t/bucket=$b")
-      val fresh = new Path(s"$tmpPath/tbl=$t/bucket=$b")
-      val aside = new Path(s"$indexPath/tbl=$t/.bucket=$b.old")
-      fs.delete(aside, true)
-      if (!fs.rename(live, aside))
-        throw new java.io.IOException(s"compact: cannot move $live aside")
-      if (!fs.rename(fresh, live)) {
-        fs.rename(aside, live) // roll back; directory is still intact
-        throw new java.io.IOException(s"compact: cannot install $fresh")
-      }
-      fs.delete(aside, true)
+      installDir(fs, new Path(s"$tmpPath/tbl=$t/bucket=$b"),
+        new Path(s"$indexPath/tbl=$t/bucket=$b"))
     }
     fs.delete(new Path(tmpPath), true)
     swappable.size
+  }
+
+  /** Install `fresh` at `live` via rename-aside swap: a crash
+    * mid-sequence leaves the old directory recoverable at the aside
+    * name; a failed install rolls the old directory back. */
+  private def installDir(fs: org.apache.hadoop.fs.FileSystem,
+                         fresh: org.apache.hadoop.fs.Path,
+                         live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(
+      live.getParent, s".${live.getName}.old")
+    fs.delete(aside, true)
+    if (!fs.rename(live, aside) && fs.exists(live))
+      throw new java.io.IOException(s"swap: cannot move $live aside")
+    if (!fs.rename(fresh, live)) {
+      fs.rename(aside, live) // roll back; directory is still intact
+      throw new java.io.IOException(s"swap: cannot install $fresh at $live")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Like installDir, but a MISSING `fresh` (zero surviving rows)
+    * deletes `live` outright — the partition is now empty. */
+  private def installOrDrop(fs: org.apache.hadoop.fs.FileSystem,
+                            fresh: org.apache.hadoop.fs.Path,
+                            live: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(fresh)) { fs.delete(live, true); () }
+    else installDir(fs, fresh, live)
+
+  /**
+   * Copy-on-write removal of the victim chunks from the store AND
+   * every derived index: only the partitions actually holding a victim
+   * row rewrite — the affected `source=` store directories, the
+   * (tbl, bucket) LSH directories the victims' signatures hash into,
+   * and the IVF `cluster=` cells the victims were assigned to. All
+   * other directories keep their files byte-for-byte, so at 100 TB a
+   * targeted delete costs the victim partitions, not the index size
+   * (the same shape Delta/Iceberg deletes compile to; the append path
+   * is already incremental, this is its reverse). Every survivor tmp
+   * is written BEFORE any swap, so the reads all see the intact live
+   * store and a crash before the swap phase changes nothing.
+   * Returns the number of chunks removed.
+   */
+  private def deleteVictims(victims0: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val victims = victims0
+      .select(col("chunk_id"), col("source"), col("lsh_buckets")).persist()
+    try {
+      val nVictims = victims.count()
+      if (nVictims == 0L) return 0L
+      val victimIds = victims.select(col("chunk_id"))
+      val sources = victims.select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      // Resolve every affected partition up front, while live is intact.
+      val lshPairs: Seq[(Int, Int)] =
+        if (hasPartitionedIndex)
+          victims.select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
+            .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+        else Seq.empty
+      // The victims' cells come from the stored assignment (column-
+      // pruned id+cluster read), not a re-derivation — appends were
+      // assigned against frozen centroids and must be found where
+      // they actually landed.
+      val ivfClusters: Seq[Int] =
+        if (hasIvfIndex)
+          spark.read.parquet(s"$ivfPath/assigned")
+            .select(col("chunk_id"), col("cluster"))
+            .join(victimIds, Seq("chunk_id"), "left_semi")
+            .select(col("cluster")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+        else Seq.empty
+
+      val fs = hadoopFs(path)
+      val esc = sources.map(s => s ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(s)).toMap
+
+      // Phase 1: write every survivor tmp (no swap yet).
+      val storeTmp = s"$root/$name/.chunks_cow"
+      fs.delete(new Path(storeTmp), true)
+      chunks.filter(col("source").isin(sources: _*))
+        .join(victimIds, Seq("chunk_id"), "left_anti")
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(storeTmp)
+      val idxTmp = s"$root/$name/.lsh_index_cow"
+      if (lshPairs.nonEmpty) {
+        fs.delete(new Path(idxTmp), true)
+        // Partition-column-only predicate: the rewrite scan prunes to
+        // exactly the victim directories at planning time.
+        val pred = lshPairs.map { case (t, b) =>
+          col("tbl") === t && col("bucket") === b }.reduce(_ || _)
+        partitionedIndex.filter(pred)
+          .join(victimIds, Seq("chunk_id"), "left_anti")
+          .repartition(col("tbl"), col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket").parquet(idxTmp)
+      }
+      val ivfTmp = s"$root/$name/.ivf_index_cow"
+      if (ivfClusters.nonEmpty) {
+        fs.delete(new Path(ivfTmp), true)
+        spark.read.parquet(s"$ivfPath/assigned")
+          .filter(col("cluster").isin(ivfClusters.map(Int.box): _*))
+          .join(victimIds, Seq("chunk_id"), "left_anti")
+          .repartition(col("cluster"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(ivfTmp)
+      }
+
+      // Phase 2: per-directory swaps (store first — it is the source
+      // of truth the indexes re-derive from on any recovery).
+      sources.foreach { s =>
+        installOrDrop(fs, new Path(s"$storeTmp/source=${esc(s)}"),
+          new Path(s"$path/source=${esc(s)}"))
+      }
+      fs.delete(new Path(storeTmp), true)
+      lshPairs.foreach { case (t, b) =>
+        installOrDrop(fs, new Path(s"$idxTmp/tbl=$t/bucket=$b"),
+          new Path(s"$indexPath/tbl=$t/bucket=$b"))
+      }
+      if (lshPairs.nonEmpty) {
+        fs.delete(new Path(idxTmp), true)
+        // A tbl= parent whose every bucket emptied out must go too:
+        // an empty directory subtree would read as "index present"
+        // yet hold nothing schema inference can read.
+        lshPairs.map(_._1).distinct.foreach { t =>
+          val tblDir = new Path(s"$indexPath/tbl=$t")
+          if (fs.exists(tblDir) && !fs.listStatus(tblDir).exists { st =>
+            val n = st.getPath.getName; !n.startsWith(".") && !n.startsWith("_") })
+            fs.delete(tblDir, true)
+        }
+      }
+      ivfClusters.foreach { c =>
+        installOrDrop(fs, new Path(s"$ivfTmp/cluster=$c"),
+          new Path(s"$ivfPath/assigned/cluster=$c"))
+      }
+      if (ivfClusters.nonEmpty) fs.delete(new Path(ivfTmp), true)
+      nVictims
+    } finally {
+      victims.unpersist()
+      invalidateIndexes()
+      touchMeta()
+    }
   }
 
   // --- on-disk IVF index ---------------------------------------------
@@ -634,12 +796,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * reference's background orphan cleanup (background_tasks.py:94),
    * as a semi-join copy-on-write rewrite. Returns removed-chunk count.
    */
-  def cleanupOrphans(documents: DataFrame): Long = {
-    val before = chunks.count()
-    swapStore(chunks.join(
-      documents.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
-    before - chunks.count()
-  }
+  def cleanupOrphans(documents: DataFrame): Long =
+    deleteVictims(chunks.join(
+      documents.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
 
   /** Batch chunk fetch by id (reference get_chunks_batch): a semi-join
     * against a broadcast id frame rather than an IN literal, so a
@@ -699,9 +858,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // A pre-existing store WITHOUT the partitioned index would
     // otherwise end up with a PARTIAL index holding only streamed
     // rows (the first append creates the directory, flipping
-    // hasPartitionedIndex while every earlier chunk is missing).
-    if (!hasPartitionedIndex &&
-        hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)))
+    // hasPartitionedIndex while every earlier chunk is missing). An
+    // index that exists but PREDATES the quant codes column has the
+    // same hazard in schema form: streamed appends would mix
+    // generations and the quantized probe would read null codes for
+    // old rows, silently dropping them from phase 1 — the exact guard
+    // appendBatch applies, applied once at stream start.
+    if (hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)) &&
+        (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")))
       buildPartitionedIndex()
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
@@ -728,21 +892,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /**
    * Delete documents by predicate (reference DELETE /chunks,
-   * /documents): lake-style copy-on-write — rewrite the store without
-   * the victims. At 100 TB the same flow runs per partition (only
-   * partitions containing victims rewrite, the rest are untouched
-   * files), which is exactly how Delta/Iceberg deletes compile.
+   * /documents): lake-style copy-on-write — ONLY the store partitions
+   * and derived-index partitions holding victim rows rewrite (see
+   * deleteVictims), exactly how Delta/Iceberg deletes compile. A NULL
+   * predicate result KEEPS the row (a victim is a row where the
+   * predicate is definitely true).
    */
   def deleteDocuments(predicate: Column): Unit = {
-    // Null-safe keep condition: a NULL predicate result must KEEP the
-    // row (three-valued logic would silently drop it from filter(!p)).
-    swapStore(chunks.filter(not(coalesce(predicate, lit(false)))))
+    deleteVictims(chunks.filter(coalesce(predicate, lit(false))))
+    ()
   }
 
   /** Rewrite the store to `newData` via rename-aside swap: a crash
     * mid-sequence leaves the old data recoverable at `.chunks_old`
-    * instead of losing the store entirely. */
-  private def swapStore(newData: DataFrame): Unit = {
+    * instead of losing the store entirely. `reindex = false` skips the
+    * derived-index rebuild for rewrites that provably keep every
+    * (chunk_id, embedding, quant, lsh_buckets) row intact — compaction
+    * moves rows between files but changes none of them. */
+  private def swapStore(newData: DataFrame, reindex: Boolean = true): Unit = {
     val tmpPath = s"$root/$name/.chunks_rewrite"
     newData.sortWithinPartitions(col("source"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
@@ -764,13 +931,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
     fs.delete(aside, true)
     invalidateIndexes()
-    // The partitioned index is derived data: re-derive it from the
-    // rewritten store so deletes/updates never serve ghost candidates.
-    // At 100 TB a delete would instead copy-on-write only the index
-    // partitions holding victims (same anti-join, lake-style); the
-    // full re-derive keeps the local semantics identical and simple.
-    if (hasPartitionedIndex) buildPartitionedIndex()
-    if (hasIvfIndex) buildIvfIndex(ivfCentroids)
+    // The partitioned index is derived data: when the rewrite can
+    // change row content (rebuildIndex re-embeds), re-derive it from
+    // the rewritten store so stale signatures never serve. Deletes no
+    // longer come through here — deleteVictims copy-on-writes only the
+    // victim index partitions.
+    if (reindex && hasPartitionedIndex) buildPartitionedIndex()
+    if (reindex && hasIvfIndex) buildIvfIndex(ivfCentroids)
     touchMeta()
   }
 
@@ -797,7 +964,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * source, restoring scan efficiency without touching row content.
    */
   def compact(numPartitions: Int = 1): Unit =
-    swapStore(chunks.repartition(numPartitions, col("source")))
+    swapStore(chunks.repartition(numPartitions, col("source")), reindex = false)
 
   /**
    * Update a document's text (reference PUT /chunks + background

@@ -248,6 +248,104 @@ class ScalePathSpec extends AnyFunSuite {
     assert(refit > 0.95 && refit < 1.05, s"refit drift $refit")
   }
 
+  test("copy-on-write delete rewrites only the victim store/index partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cow").toString
+    val lib = new VectorLibrary(spark, root, "cow-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs)
+    lib.buildPartitionedIndex()
+    lib.buildIvfIndex()
+
+    // (relative-dir -> set of (file, length, mtime)) for every data
+    // file under a tree: unchanged directories must keep their files
+    // byte-for-byte (same name, same size, same mtime — i.e. never
+    // rewritten, not merely equal content).
+    def snapshot(base: java.nio.file.Path): Map[String, Set[(String, Long, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.exists(base)) return Map.empty
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filter(p => !p.getFileName.toString.startsWith("_"))
+        .toSeq
+        .groupBy(p => base.relativize(p.getParent).toString)
+        .map { case (d, fs) => d -> fs.map(p =>
+          (p.getFileName.toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet }
+    }
+    val idxBase = java.nio.file.Paths.get(s"$root/cow-lib/lsh_index")
+    val ivfBase = java.nio.file.Paths.get(s"$root/cow-lib/ivf_index/assigned")
+    val storeBase = java.nio.file.Paths.get(s"$root/cow-lib/chunks")
+    val idxBefore = snapshot(idxBase)
+    val ivfBefore = snapshot(ivfBase)
+    val storeBefore = snapshot(storeBase)
+
+    // one victim document: its chunks' bucket pairs / clusters / source
+    // are the ONLY partitions allowed to change
+    val victimId = docs.head.getAs[Long]("doc_id")
+    val victimChunks = lib.chunks.filter(col("doc_id") === victimId)
+      .select(col("chunk_id"), col("source"), col("lsh_buckets")).collect()
+    assert(victimChunks.nonEmpty)
+    val victimIds = victimChunks.map(_.getString(0)).toSet
+    val victimDirs = victimChunks.flatMap(r =>
+      r.getSeq[Int](2).zipWithIndex.map { case (b, t) => s"tbl=$t/bucket=$b" }).toSet
+    val victimSources = victimChunks.map(r => s"source=${r.getString(1)}").toSet
+    val victimClusters = spark.read.parquet(s"$root/cow-lib/ivf_index/assigned")
+      .filter(col("chunk_id").isin(victimIds.toSeq: _*))
+      .select(col("cluster")).distinct().collect().map(r => s"cluster=${r.getInt(0)}").toSet
+
+    lib.deleteDocuments(col("doc_id") === victimId)
+
+    // victims gone from the store and from every derived index
+    assert(lib.chunks.filter(col("doc_id") === victimId).count() == 0)
+    assert(spark.read.parquet(s"$root/cow-lib/lsh_index")
+      .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(s"$root/cow-lib/ivf_index/assigned")
+      .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
+
+    // every non-victim directory kept its exact files
+    def unchangedOutside(before: Map[String, Set[(String, Long, Long)]],
+                         after: Map[String, Set[(String, Long, Long)]],
+                         touched: Set[String], what: String): Unit = {
+      val untouchedBefore = before.view.filterKeys(d => !touched.contains(d)).toMap
+      val untouchedAfter = after.view.filterKeys(d => !touched.contains(d)).toMap
+      assert(untouchedAfter == untouchedBefore,
+        s"$what: non-victim directories rewritten (touched=$touched)")
+    }
+    unchangedOutside(idxBefore, snapshot(idxBase), victimDirs, "lsh index")
+    unchangedOutside(ivfBefore, snapshot(ivfBase), victimClusters, "ivf index")
+    unchangedOutside(storeBefore, snapshot(storeBase), victimSources, "store")
+    // and the victim's own directories DID change (they held its rows)
+    val idxAfter = snapshot(idxBase)
+    assert(victimDirs.exists(d => idxBefore.get(d) != idxAfter.get(d)),
+      "no victim index directory was rewritten")
+
+    // search still serves correctly from the surgically-edited index
+    val hits = lib.searchApprox("spark join stream table filter", k = 5).collect()
+    assert(hits.nonEmpty && hits.forall(r => !victimIds.contains(r.getString(0))))
+    lib.setAlgorithm("ivf")
+    val ivfHits = lib.search("spark join stream table filter", k = 5).collect()
+    assert(ivfHits.nonEmpty && ivfHits.forall(r => !victimIds.contains(r.getString(0))))
+    lib.delete()
+  }
+
+  test("deleting every document leaves an empty, readable library") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cow-all").toString
+    val lib = new VectorLibrary(spark, root, "cow-all")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(10)
+    lib.addDocuments(docs)
+    lib.buildPartitionedIndex()
+    assert(lib.chunks.count() > 0)
+    lib.deleteDocuments(lit(true))
+    // the store directory still exists but holds no data files — it
+    // must read as empty, not fail schema inference
+    assert(lib.chunks.count() == 0)
+    assert(lib.search("anything", k = 3).count() == 0)
+    // and re-ingest after total deletion works
+    lib.addDocuments(docs)
+    assert(lib.chunks.count() > 0)
+    lib.delete()
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
