@@ -55,18 +55,53 @@ object SparkEntry {
   }
 
   // Build-once on-disk IVF index per (session, dataset): the batch
-  // probe measures serving, not the k-means fit (same split as
-  // ivfKnnCached, but through the persisted layout).
+  // probe measures serving, not the k-means fit (same split as the
+  // cached in-memory path, but through the persisted layout). Rows are
+  // assigned by IvfIndex.assignExact — replayable arithmetic — so the
+  // probe results can be oracle-gated; the fitted centroids are
+  // stashed for the oracle (Verify runs queries before oracleSql).
   private val ivfDiskIndexes = new scala.collection.concurrent.TrieMap[String, String]()
   private def ivfDiskIndexFor(s: SparkSession, d: String): String =
     ivfDiskIndexes.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val emb = t(s, d, "embeddings").filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-disk").toString
-      val (model, assigned) = IvfIndex.build(
-        emb.select(col("vec_id"), col("embedding")), "embedding")
-      IvfIndex.writeIndex(assigned, model, path)
+      val (model, _) = IvfIndex.build(emb, "embedding")
+      val centers = IvfIndex.centersOf(model)
+      ivfOracleCenters("batch") = centers
+      IvfIndex.writeIndex(IvfIndex.assignExact(emb, "embedding", centers), model, path)
       path
     })
+
+  // Exact-assignment in-memory IVF per (session, dataset, variant):
+  // the k-means fit supplies centroids only; rows assign via the
+  // replayable sequential-fold argmin. First call fits + pins, later
+  // calls measure the pruned probe (build-once / probe-many).
+  private val ivfExact = new scala.collection.concurrent
+    .TrieMap[String, (Seq[(Int, Array[Double])], DataFrame)]()
+  private def ivfExactFor(s: SparkSession, d: String,
+                          corpus: DataFrame): (Seq[(Int, Array[Double])], DataFrame) =
+    ivfExact.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val (model, _) = IvfIndex.build(corpus, "embedding")
+      val centers = IvfIndex.centersOf(model)
+      (centers, IvfIndex.assignExact(corpus, "embedding", centers).persist())
+    })
+  private def ivfSpillExactFor(s: SparkSession, d: String,
+                               corpus: DataFrame): (Seq[(Int, Array[Double])], DataFrame) =
+    ivfExact.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|spill", {
+      val (model, _) = IvfIndex.build(corpus, "embedding")
+      val centers = IvfIndex.centersOf(model)
+      (centers,
+        IvfIndex.spillAssign(corpus, "embedding", centers, 1.2, 2).persist())
+    })
+
+  /** Fitted centroids by oracle variant ("single"|"batch"|"spill"),
+    * recorded when the corresponding query runs. oracleSql inlines
+    * them as exact literals — the assignment, probe and re-rank then
+    * replay in DuckDB, upgrading the IVF family from rows-only to
+    * hash-verified (same trick as the hyperplane literals). */
+  private val ivfOracleCenters =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
 
   /** One entry per implemented operator from SURVEY.md section 2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,14 +174,19 @@ object SparkEntry {
     "ivf_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // build-once / probe-many: the first call fits + pins the index,
       // every later call measures the partition-pruned probe only.
-      IvfIndex.ivfKnnCached(c, q, "vec_id", "embedding", 10,
-        cacheKey = s"$d/embeddings-sans-q") }),
+      // Exact-assignment variant: hash-verified against the DuckDB
+      // replay of the same fitted centroids.
+      val (centers, assigned) = ivfExactFor(s, d, c)
+      ivfOracleCenters("single") = centers
+      IvfIndex.searchAssigned(assigned, centers, q, "vec_id", "embedding", 10) }),
     "ivf_knn_spill" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // spilled (boundary-replicated) index probed at nProbe=1: the
       // index-side multi-probe trick — recall from replication, I/O
       // from a single Voronoi cell.
-      IvfIndex.ivfKnnSpillCached(c, q, "vec_id", "embedding", 10,
-        cacheKey = s"$d/embeddings-sans-q") }),
+      val (centers, assigned) = ivfSpillExactFor(s, d, c)
+      ivfOracleCenters("spill") = centers
+      IvfIndex.searchSpillAssigned(assigned, centers, q,
+        "vec_id", "embedding", 10, nProbe = 1) }),
     "ivf_knn_batch" -> ((s, d) => {
       // batch probe of the build-once ON-DISK index: one pruned scan
       // of the union of all queries' cells serves every query.
@@ -305,6 +345,83 @@ object SparkEntry {
       s"(CASE WHEN $prefix${t}_$b >= 0e0 THEN ${1 << b} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  // ---- IVF oracle machinery --------------------------------------------
+  // The fitted centroids inline as exact double literals (stashed when
+  // the query runs); assignment is the sequential-fold squared distance
+  // argmin with lowest-cluster tie-break — the same left fold DuckDB's
+  // list_reduce computes, so assignment, probe and re-rank all replay
+  // bit-identically.
+  private def ivfSqdSql(v: String, c: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> " +
+      s"($v[CAST(i AS INT)]-$c[CAST(i AS INT)])*($v[CAST(i AS INT)]-$c[CAST(i AS INT)])), " +
+      "(a, b) -> a + b)"
+  private def ivfCentsCte(centers: Seq[(Int, Array[Double])]): String =
+    "cents(cluster, c) AS (SELECT * FROM (VALUES " +
+      centers.map { case (i, arr) =>
+        s"($i, ${arr.map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ") + ") AS _cents(cluster, c))"
+  /** corpus + exact nearest-centroid assignment CTEs (e, ad, a). */
+  private def ivfAssignCtes(corpusPred: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE $corpusPred),
+       | ad AS (SELECT vec_id, v, cluster, ${ivfSqdSql("v", "c")} AS d FROM e, cents),
+       | a AS (SELECT vec_id, v, cluster FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn FROM ad)
+       |  WHERE arn = 1)""".stripMargin
+
+  /** The IVF oracle entries — present only once the queries have run
+    * and stashed their fitted centroids (Verify's order); absent
+    * entries degrade to the driver's rows-only check, never to a wrong
+    * oracle. */
+  private def ivfOracleSql: Map[String, String] = {
+    val single = ivfOracleCenters.get("single").map { cents =>
+      "ivf_knn" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${ivfAssignCtes("vec_id <> 0")},
+           | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+           | probe AS (SELECT cluster FROM cents, q0
+           |           ORDER BY ${ivfSqdSql("qv", "c")}, cluster LIMIT 4)
+           |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+           |FROM a, q0 WHERE a.cluster IN (SELECT cluster FROM probe)
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    }
+    val spill = ivfOracleCenters.get("spill").map { cents =>
+      "ivf_knn_spill" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id <> 0),
+           | ad AS (SELECT vec_id, v, cluster, ${ivfSqdSql("v", "c")} AS d FROM e, cents),
+           | am AS (SELECT *, min(d) OVER (PARTITION BY vec_id) AS dmin,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn FROM ad),
+           | a AS (SELECT vec_id, v, cluster FROM am WHERE arn <= 2 AND d <= dmin * 1.2),
+           | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+           | probe AS (SELECT cluster FROM cents, q0
+           |           ORDER BY ${ivfSqdSql("qv", "c")}, cluster LIMIT 1),
+           | sc AS (SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+           |        FROM a, q0 WHERE a.cluster IN (SELECT cluster FROM probe))
+           |SELECT vec_id, MAX(score) AS score FROM sc GROUP BY vec_id
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    }
+    val batch = ivfOracleCenters.get("batch").map { cents =>
+      "ivf_knn_batch" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${ivfAssignCtes("vec_id >= 5")},
+           | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+           |        FROM embeddings WHERE vec_id < 5),
+           | pd AS (SELECT query_id, qv, cluster, ${ivfSqdSql("qv", "c")} AS qd FROM q0, cents),
+           | probe AS (SELECT query_id, cluster FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qd, cluster) AS prn
+           |    FROM pd) WHERE prn <= 4),
+           | sc AS (SELECT probe.query_id, a.vec_id,
+           |          ROUND(${cosSql("a.v", "q0.qv")}, 6) AS score
+           |        FROM a JOIN probe ON a.cluster = probe.cluster
+           |               JOIN q0 ON q0.query_id = probe.query_id),
+           | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+           |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+           |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+    }
+    (single.toSeq ++ spill.toSeq ++ batch.toSeq).toMap
+  }
+
   // ---- 64-bit wrapping-hash oracle machinery ---------------------------
   // DuckDB integer ops ERROR on overflow instead of wrapping, but the
   // splitmix64/FNV-1a chains are still expressible exactly: keep values
@@ -428,7 +545,7 @@ object SparkEntry {
        | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
        | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ivfOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
     // per-token splitmix64 chain, 64 components summed over tokens,
     // L2-normalized in double, narrowed to float32 (the kernel's

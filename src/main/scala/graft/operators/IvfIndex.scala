@@ -63,6 +63,42 @@ object IvfIndex {
   }
 
   /**
+   * Exact-arithmetic assignment to given centroids: argmin of the
+   * sequential-fold squared distance with lowest-cluster-id tie-break.
+   * Unlike `model.transform` (whose norm-optimized distance internals
+   * round differently), this argmin is replayable bit-for-bit by any
+   * engine with a left list fold — it is what lets the IVF queries be
+   * oracle-gated. Map-side only: one nCentroids x dim loop per row
+   * against the broadcast centroid literal, no shuffle.
+   */
+  def assignExact(rows: DataFrame, vecCol: String,
+                  centers: Seq[(Int, Array[Double])]): DataFrame = {
+    val centLit = typedLit(centers.map { case (i, c) => (i, c.toSeq) })
+    // struct(d, cluster): array_min's struct order (field by field)
+    // picks min distance, lowest cluster id on ties.
+    val dists = transform(centLit, c => struct(
+      aggregate(zip_with(col(vecCol).cast("array<double>"), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"),
+      c.getField("_1").as("cluster")))
+    rows.withColumn("cluster", array_min(dists).getField("cluster"))
+  }
+
+  /** Centroids of a fitted model as (cluster, values) pairs. */
+  def centersOf(model: KMeansModel): Seq[(Int, Array[Double])] =
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+
+  /** Probe an exact-assigned corpus: nProbe nearest cells resolved
+    * driver-side against the same centroid values, exact re-rank. */
+  def searchAssigned(assigned: DataFrame, centers: Seq[(Int, Array[Double])],
+                     query: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
+    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val probe = nearestClusters(centers, qv, nProbe)
+    rerank(assigned.filter(col("cluster").isin(probe: _*)),
+      query, idCol, vecCol, k, metric)
+  }
+
+  /**
    * Persist the index in its on-disk serving layout: the assignment
    * written partitionBy(cluster) — one directory per Voronoi cell —
    * and the centroids as a tiny parquet beside it. This is the 100 TB
@@ -259,11 +295,18 @@ object IvfIndex {
     * the top-k, so no embedding array rides the aggregate. */
   def searchSpill(assigned: DataFrame, model: KMeansModel, query: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
-                  metric: String = "cosine"): DataFrame = {
+                  metric: String = "cosine"): DataFrame =
+    searchSpillAssigned(assigned, centersOf(model), query, idCol, vecCol,
+      k, nProbe, metric)
+
+  /** Centers-based twin of `searchSpill` (for exact-assignment paths
+    * whose centroids ride outside a fitted model). */
+  def searchSpillAssigned(assigned: DataFrame, centers: Seq[(Int, Array[Double])],
+                          query: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nProbe: Int = 1,
+                          metric: String = "cosine"): DataFrame = {
     val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
-    val probe = nearestClusters(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq,
-      qv, nProbe)
+    val probe = nearestClusters(centers, qv, nProbe)
     assigned.filter(col("cluster").isin(probe: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
