@@ -14,6 +14,56 @@ import graft.functions._
  */
 object GraftFunctions {
 
+  /**
+   * Pin a frame that several downstream consumers re-read. Default is
+   * `persist(DISK_ONLY)`: blocks spill to executor disk but the
+   * LINEAGE SURVIVES, so a lost executor recomputes its blocks instead
+   * of killing the job — the property `localCheckpoint` gives up (it
+   * truncates lineage and pins blocks with no fallback; acceptable
+   * only on a single machine). `spark.graft.pin`:
+   *  - "disk" (default): persist(DISK_ONLY), recomputable.
+   *  - "reliable": df.checkpoint() — durable copy in the configured
+   *    checkpoint dir (the cluster-profile choice when lineage is too
+   *    expensive to replay).
+   *  - "local": localCheckpoint(), the old single-machine behavior.
+   */
+  private[graft] def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.conf.get("spark.graft.pin", "disk") match {
+      case "local" => df.localCheckpoint()
+      case "reliable" => df.checkpoint()
+      case _ => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  /**
+   * Pin ITERATIVE loop state. Unlike [[pin]], lineage must TRUNCATE
+   * each round — a plan that references the previous round's result
+   * more than once doubles per iteration and overwhelms the optimizer
+   * long before data size matters — so this is an eager checkpoint:
+   *  - RELIABLE (df.checkpoint) when a checkpoint dir is configured —
+   *    the cluster profile; loop state survives executor loss.
+   *  - In local mode with no dir configured, a temp dir is
+   *    auto-provisioned (same machine, same durability as any local
+   *    run).
+   *  - On a cluster with NO checkpoint dir, falls back to
+   *    localCheckpoint — configure spark.checkpoint.dir to get
+   *    executor-loss durability. `spark.graft.pin.iter=local` forces
+   *    the old behavior.
+   */
+  private[graft] def pinIter(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.get("spark.graft.pin.iter", "reliable") match {
+      case "local" => df.localCheckpoint()
+      case _ =>
+        if (sc.getCheckpointDir.isEmpty) {
+          if (sc.isLocal)
+            sc.setCheckpointDir(
+              java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+          else return df.localCheckpoint()
+        }
+        df.checkpoint()
+    }
+  }
+
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue
   private def longLit(e: Expression): Long =

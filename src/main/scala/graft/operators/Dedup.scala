@@ -299,23 +299,34 @@ object Dedup {
   }
 
   /**
-   * FULL duplicate-component clustering: iterate the min-label
-   * propagation of [[minhashGroups]] over the doc<->bucket bipartite
-   * graph to a fixed point, so chains A~B~C collapse into one
-   * component even when A and C never share a bucket (the alternating
-   * label-propagation formulation of MapReduce connected components,
-   * Kiveris et al. 2014). Each round is two shuffles on compact
-   * (long, long) keys; converges in O(diameter) <= O(log n) rounds;
-   * lineage is cut per round with localCheckpoint.
+   * FULL duplicate-component clustering: min-label propagation over
+   * the doc<->bucket bipartite graph, ACCELERATED by pointer jumping —
+   * after each propagation round the label table compresses through
+   * itself (comp := comp(comp), valid because every label is itself a
+   * doc_id with a row in the table) until stable, halving label-chain
+   * depth per jump. A diameter-D chain therefore converges in
+   * O(log D) outer rounds instead of O(D) (the star-contraction idea
+   * of Kiveris et al. 2014's MapReduce connected components, applied
+   * to the label table). Each round is two shuffles on compact
+   * (long, long) keys plus the jump joins.
+   *
+   * Hitting `maxIter` while labels are still moving THROWS — a silent
+   * exit would return wrong components, the worst possible dedup
+   * failure (docs declared unique that are duplicates). With jumping,
+   * maxIter=10 covers diameters the bucket graph of any real corpus
+   * cannot reach (> 2^10).
    */
   def componentsFromEdges(edges0: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Pin the edge list: each iteration references it twice (plus the
-    // convergence count), so an expensive lineage (the minhash kernel)
-    // would otherwise re-execute ~3x per round. The pinned rows are
-    // two longs each — nothing wide rides the checkpoint.
-    val edges = edges0.localCheckpoint()
-    var comp = edges.select(col("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).localCheckpoint()
+    import graft.GraftFunctions.pinIter
+    // Pin the edge list and per-round state with pinIter: an eager,
+    // lineage-TRUNCATING checkpoint (reliable when a checkpoint dir is
+    // configured). Truncation is load-bearing here — each jump joins
+    // comp with itself, so an un-truncated plan doubles per pass; and
+    // the edge lineage (the minhash kernel) would otherwise re-execute
+    // ~3x per round. The pinned rows are two longs each.
+    val edges = pinIter(edges0)
+    var comp = pinIter(edges.select(col("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -323,15 +334,38 @@ object Dedup {
         .groupBy(col("bkt")).agg(min(col("comp")).as("bmin"))
       val pulled = edges.join(bucketMin, Seq("bkt"))
         .groupBy(col("doc_id")).agg(min(col("bmin")).as("pulled"))
-      val next = comp.join(pulled, Seq("doc_id"), "left")
+      val next = pinIter(comp.join(pulled, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("pulled"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("pulled"), col("comp"))).as("comp")))
       changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("doc_id"))
         .filter(col("comp") =!= col("prev")).count()
+      comp.unpersist()
       comp = next
+      // Pointer jumping: comp(d) := comp(comp(d)) until stable. Every
+      // label is a doc_id of the same component with comp <= doc_id
+      // (monotone), so each jump is one equi-join on a long key and
+      // the chain depth halves per pass.
+      var jumped = 1L
+      while (jumped > 0) {
+        // left join + coalesce: a label that failed to resolve must
+        // keep its row (an inner join would silently DROP the doc).
+        val through = pinIter(comp.as("x").join(
+            comp.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp")))
+        jumped = through.join(comp.withColumnRenamed("comp", "prev"), Seq("doc_id"))
+          .filter(col("comp") =!= col("prev")).count()
+        if (jumped > 0) { comp.unpersist(); comp = through; changed += jumped }
+        else through.unpersist()
+      }
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentsFromEdges did not converge within $maxIter rounds " +
+          s"(last round still moved $changed labels) — raise maxIter; " +
+          "a silent exit here would report WRONG components")
+    edges.unpersist()
     comp
   }
 

@@ -227,8 +227,10 @@ object Pipeline {
           .otherwise(array().cast("array<string>"))).as("ngram"))
       .distinct()
       // three consumers (both join sides + counts): pin the distinct
-      // gram set so the tokenize/explode pass runs once
-      .localCheckpoint()
+      // gram set so the tokenize/explode pass runs once. pin defaults
+      // to DISK_ONLY persist — recomputable lineage, not the
+      // no-fallback block pinning of localCheckpoint.
+      .transform(graft.GraftFunctions.pin)
     val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("grams_a"))
     grams.as("a").join(grams.as("b"),
         col("a.ngram") === col("b.ngram") && col("a.source") =!= col("b.source"))

@@ -170,6 +170,25 @@ class ScalePathSpec extends AnyFunSuite {
     assert(comp(99L) == 99L)
   }
 
+  test("componentsFromEdges: deep chain converges via pointer jumping; unconverged exit throws") {
+    import spark.implicits._
+    // a 40-deep chain (docs i and i+1 share bucket 1000+i): diameter 39,
+    // far beyond maxIter=10 propagation rounds — only the pointer-jump
+    // compression can converge it within the default budget
+    val chain = (1L until 40L).flatMap(i => Seq((i, 1000L + i), (i + 1, 1000L + i)))
+      .toDF("doc_id", "bkt")
+    val comp = operators.Dedup.componentsFromEdges(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(comp(_) == 1L), s"deep chain not collapsed: $comp")
+
+    // hitting maxIter with labels still moving must throw, never return
+    // silently wrong components
+    val ex = intercept[IllegalStateException] {
+      operators.Dedup.componentsFromEdges(chain, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("minhashComponents clusters exact duplicates with their originals") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(100)
     val copies = docs.filter(col("doc_id") < 10)
