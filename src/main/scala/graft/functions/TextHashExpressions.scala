@@ -23,16 +23,34 @@ object TextHash {
   }
 
   /** True iff c is a token character under the cross-engine contract:
-    * tokens are maximal [a-z0-9] runs of the STRING-lowercased text
+    * tokens are maximal [a-z0-9] runs of the simple-lowercased text
     * (`lower(text)` then split `[^a-z0-9]+` — identical to the DuckDB
-    * oracle, including multi-char lowercase mappings like U+0130 and
-    * non-ASCII letters acting as separators). */
+    * oracle; non-ASCII letters act as separators). */
   @inline def isTok(c: Char): Boolean = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
-  /** String-level lowercase (full case mapping, like SQL lower()).
-    * JDK returns `this` when nothing changes, so all-lowercase ASCII
-    * text pays one scan and zero allocation. */
-  @inline def lowered(text: UTF8String): String = text.toString.toLowerCase
+  /** Locale-independent SIMPLE lowercase (one code unit -> one code
+    * unit, Character.toLowerCase) — the mapping DuckDB's utf8proc
+    * lower() applies, measured: lower('İstanbul') = 'istanbul'
+    * (8 chars). The JDK's String.toLowerCase would instead apply the
+    * FULL mapping — U+0130 -> "i" + combining dot, changing string
+    * length and splitting the token — and is locale-sensitive (a
+    * Turkish default locale maps I -> dotless ı). U+0130 is Unicode's
+    * only non-locale multi-char lowercase mapping, so simple mapping
+    * diverges from full on exactly that char. Unchanged strings pay
+    * one scan and zero allocation. */
+  @inline def lowered(text: UTF8String): String = {
+    val s = text.toString
+    val n = s.length
+    var i = 0
+    while (i < n && Character.toLowerCase(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == n) s
+    else {
+      val arr = s.toCharArray
+      var j = i
+      while (j < n) { arr(j) = Character.toLowerCase(arr(j)); j += 1 }
+      new String(arr)
+    }
+  }
 
   /** FNV-1a 64-bit over a token span of an already-lowered string. */
   @inline def fnv1a(s: String, from: Int, until: Int): Long = {
@@ -401,10 +419,10 @@ object TextHash {
   // lambda functions are CodegenFallback and dominated the text
   // queries' profiles at 5k docs.
 
-  @inline private def tokLower(c: Char): Char = {
-    val l = Character.toLowerCase(c)
-    if ((l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')) l else 0
-  }
+  // The inputs below are already simple-lowercased by `lowered`, so
+  // this is a pure keep-or-separator gate — re-applying a case mapping
+  // here would reintroduce the full-vs-simple divergence.
+  @inline private def tokLower(c: Char): Char = if (isTok(c)) c else 0
 
   /** All tokens of a string, lowercased, in order. */
   def asciiTokens(text: UTF8String): ArrayData = {

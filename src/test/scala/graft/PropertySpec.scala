@@ -67,6 +67,27 @@ class PropertySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("tokenizer lowercase is the simple mapping (DuckDB lower parity, U+0130)") {
+    def toks(s: String): Seq[String] = {
+      val arr = TextHash.asciiTokens(UTF8String.fromString(s))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    // U+0130 (İ) is Unicode's only non-locale multi-char lowercase
+    // mapping: the JDK's FULL mapping gives "i" + combining dot
+    // (tokens ["i","stanbul"]); the oracle contract is DuckDB's SIMPLE
+    // mapping lower('İstanbul') = 'istanbul' — one token.
+    assert(toks("İstanbul Iota") == Seq("istanbul", "iota"))
+    // lowered() itself must not change string length on U+0130
+    assert(TextHash.lowered(UTF8String.fromString("İstanbul")).length == 8)
+    // Kelvin sign K (U+212A) simple-maps into ASCII k on both engines
+    assert(toks("Kelvin") == Seq("kelvin"))
+    // non-ASCII letters without ASCII lowercase act as separators
+    assert(toks("café bar") == Seq("caf", "bar"))
+    // and the derived one-pass stats see the same token stream
+    val st = TextHash.textStats(UTF8String.fromString("İstanbul Iota"), Array.empty[Long])
+    assert(st.getInt(0) == 2)
+  }
+
   test("hyperplane buckets depend only on (seed, dims, vector)") {
     val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.tabulate(16)(i => (i * 0.1 - 0.8).toFloat))
