@@ -43,7 +43,14 @@ object Bench {
     val total =
       if (failed.nonEmpty) "null" else results.values.sum.toString
     val errs = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line rides inside sbt log noise and long query maps
+    // have been truncated by tail windows (round-3 BENCH parsed:null);
+    // the file is the machine-readable copy of record.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }
