@@ -20,8 +20,16 @@ import graft.operators.{IvfIndex, TextAnalysis, VectorSearch}
  * can prune columns/partitions instead of consulting driver-side state.
  */
 class VectorLibrary(spark: SparkSession, root: String, val name: String,
-                    dim: Int = 64, seed: Long = 42L) {
+                    dim: Int = 64, seed: Long = 42L,
+                    embedder: Embedder = null) {
   SparkEntry.configure(spark)
+
+  /** The embedding provider (reference embedding_service seam):
+    * deterministic seeded stand-in unless the caller plugs one in. */
+  private val embed: Embedder =
+    Option(embedder).getOrElse(new DeterministicEmbedder(dim, seed))
+  require(embed.dim == dim,
+    s"embedder dimension ${embed.dim} does not match library dimension $dim")
 
   private val path = s"$root/$name/chunks"
   private val indexPath = s"$root/$name/lsh_index"
@@ -210,7 +218,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def indexColumns(chunked: DataFrame): DataFrame = {
     chunked
       .withColumn("embedding",
-        embedTextTyped(col("chunk_text"), "search_document", dim, seed))
+        embed.embed(col("chunk_text"), "search_document"))
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("chunk_id",
@@ -243,7 +251,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Embed query text with the library's doc/query-symmetric embedder. */
   private def queryFrame(queryText: String): DataFrame =
     spark.range(1).select(
-      embedTextTyped(lit(queryText), "search_query", dim, seed).as("qvec"))
+      embed.embed(lit(queryText), "search_query").as("qvec"))
 
   /**
    * k-NN search by query text (the reference's POST /search), routed
@@ -371,7 +379,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     queryTexts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "qtext")
       .select(col("query_id"),
-        embedTextTyped(col("qtext"), "search_query", dim, seed).as("qvec"))
+        embed.embed(col("qtext"), "search_query").as("qvec"))
   }
 
   /**
@@ -951,7 +959,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def rebuildIndex(): Unit = {
     swapStore(chunks
       .withColumn("embedding", coalesce(col("embedding"),
-        embedTextTyped(col("chunk_text"), "search_document", dim, seed)))
+        embed.embed(col("chunk_text"), "search_document")))
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding")))))
   }

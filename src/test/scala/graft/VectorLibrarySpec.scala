@@ -53,6 +53,49 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.count() == 0)
   }
 
+  test("pluggable embedder: a custom provider drives ingest and search") {
+    val root = Files.createTempDirectory("graft-lib-embed").toString
+    // a custom single-tower provider (different seed = a different
+    // embedding space): the library must route every embed call —
+    // ingest, query, batch, rebuild — through it
+    val custom = new Embedder {
+      val dim = 64
+      def embed(text: org.apache.spark.sql.Column, inputType: String) = {
+        assert(GraftFunctions.embedInputTypes(inputType), s"bad input type $inputType")
+        GraftFunctions.embedText(text, dim, seed = 7L)
+      }
+    }
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30)
+    val libC = new VectorLibrary(spark, root, "custom-emb", embedder = custom)
+    libC.addDocuments(docs)
+    val libD = new VectorLibrary(spark, root, "default-emb")
+    libD.addDocuments(docs)
+
+    // same chunks, different embedding space
+    assert(libC.chunks.count() == libD.chunks.count())
+    val embC = libC.chunks.orderBy("chunk_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val embD = libD.chunks.orderBy("chunk_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    assert(embC != embD, "custom embedder not used at ingest")
+
+    // search embeds the query through the same provider: results are
+    // internally consistent (exact flat search returns k ranked hits)
+    val hits = libC.search("spark join stream table filter", k = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // batch twin agrees with per-query search under the custom space
+    val batch = libC.searchBatch(Seq("spark join stream table filter"), k = 5)
+      .collect().map(_.getString(1)).toSeq
+    assert(batch == hits.map(_.getString(0)).toSeq)
+
+    // a dimension-mismatched provider fails fast
+    intercept[IllegalArgumentException] {
+      new VectorLibrary(spark, root, "bad-dim", dim = 32, embedder = custom)
+    }
+    libC.delete(); libD.delete()
+  }
+
   test("copy-on-write delete and update flows") {
     val root = Files.createTempDirectory("graft-lib-crud").toString
     val lib = new VectorLibrary(spark, root, "crud-lib")
