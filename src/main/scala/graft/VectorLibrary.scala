@@ -166,7 +166,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val batch = batch0.sortWithinPartitions(col("source"), col("doc_id"))
     val indexDirExists = hadoopFs(indexPath)
       .exists(new org.apache.hadoop.fs.Path(indexPath))
-    if (indexDirExists || hasIvfIndex) {
+    if (indexDirExists || hasIvfIndex || hasGridIndex) {
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
@@ -187,6 +187,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (hasIvfIndex)
         IvfIndex.appendAssign(spark, ivfPath,
           b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
+      if (hasGridIndex) appendGridRows(b)
       b.unpersist()
     } else {
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
@@ -281,6 +282,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "lsh" =>
         VectorSearch.lshKnnIndexed(chunks, q, "chunk_id", "embedding", "lsh_buckets",
           kk, metric, numTables, bitsPerTable, seed)
+      case "grid" if hasGridIndex =>
+        // probe the persisted fitted grid: no per-query bounds
+        // aggregate, partition-pruned cell scan
+        val (lo, hi, gd, cpd) = gridBoundsStored()
+        VectorSearch.gridKnnIndexed(spark.read.parquet(s"$gridPath/cells"),
+          lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd)
       case "grid" =>
         // expanding-radius probe — the reference's GridIndex.search
         // semantics (widen until >= 2k candidates), so sparse
@@ -401,6 +408,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         VectorSearch.knnBatchGeneric(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "lsh" => approxBatch(queries, kk, metric)
+      case "grid" if hasGridIndex =>
+        val (lo, hi, gd, cpd) = gridBoundsStored()
+        VectorSearch.gridKnnIndexedBatch(spark.read.parquet(s"$gridPath/cells"),
+          lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd)
       case "grid" =>
         VectorSearch.gridKnnExpandingBatch(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
@@ -607,6 +618,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             .select(col("cluster")).distinct()
             .collect().map(_.getInt(0)).toSeq
         else Seq.empty
+      val gridCells: Seq[String] =
+        if (hasGridIndex)
+          spark.read.parquet(s"$gridPath/cells")
+            .select(col("chunk_id"), col("cell"))
+            .join(victimIds, Seq("chunk_id"), "left_semi")
+            .select(col("cell")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        else Seq.empty
 
       val fs = hadoopFs(path)
       val esc = sources.map(s => s ->
@@ -642,6 +661,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .repartition(col("cluster"))
           .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(ivfTmp)
       }
+      val gridTmp = s"$root/$name/.grid_index_cow"
+      if (gridCells.nonEmpty) {
+        fs.delete(new Path(gridTmp), true)
+        spark.read.parquet(s"$gridPath/cells")
+          .filter(col("cell").isin(gridCells: _*))
+          .join(victimIds, Seq("chunk_id"), "left_anti")
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(gridTmp)
+      }
 
       // Phase 2: per-directory swaps (store first — it is the source
       // of truth the indexes re-derive from on any recovery).
@@ -671,12 +699,77 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           new Path(s"$ivfPath/assigned/cluster=$c"))
       }
       if (ivfClusters.nonEmpty) fs.delete(new Path(ivfTmp), true)
+      gridCells.foreach { c =>
+        val e = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(c)
+        installOrDrop(fs, new Path(s"$gridTmp/cell=$e"),
+          new Path(s"$gridPath/cells/cell=$e"))
+      }
+      if (gridCells.nonEmpty) fs.delete(new Path(gridTmp), true)
       nVictims
     } finally {
       victims.unpersist()
       invalidateIndexes()
       touchMeta()
     }
+  }
+
+  // --- persisted grid index -------------------------------------------
+  // The on-disk analog of the reference keeping its FITTED grid inside
+  // the index object (algorithms.py:443-686: per-dim min/max + cell
+  // assignment live with the index, not re-derived per query): bounds
+  // as a tiny parquet, rows under a cell partition column. A probe
+  // resolves its cells driver-side from the stored bounds and reads
+  // only those directories; no per-query corpus aggregate. Appends
+  // assign against the FROZEN bounds (clamped, exactly like any
+  // out-of-range vector), so ingest never refits.
+  private val gridPath = s"$root/$name/grid_index"
+
+  /** True when the persisted grid index has been built and holds data. */
+  def hasGridIndex: Boolean = hasVisibleData(s"$gridPath/cells")
+
+  /** (lo, hi, gridDims, cellsPerDim) of the stored fitted grid. */
+  private def gridBoundsStored(): (Array[Double], Array[Double], Int, Int) = {
+    val rows = spark.read.parquet(s"$gridPath/bounds").collect().sortBy(_.getInt(0))
+    val m = readMeta()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+      m.getOrElse("grid_dims", "4").toInt, m.getOrElse("grid_cells_per_dim", "4").toInt)
+  }
+
+  /** Build (or rebuild) the persisted grid index: one bounds aggregate
+    * over the store, one cell-clustered write. Search under algorithm
+    * "grid" then probes the cell directories instead of scanning the
+    * store and re-deriving bounds per query. */
+  def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = {
+    require(!storeIsEmpty, s"library $name is empty — nothing to fit a grid to")
+    import spark.implicits._
+    val (lo, hi) = VectorSearch.gridBounds(chunks, "embedding", gridDims)
+    lo.indices.map(d => (d, lo(d), hi(d))).toDF("d", "lo", "hi")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gridPath/bounds")
+    gridRows(chunks, lo, hi, cellsPerDim)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$gridPath/cells")
+    touchMeta("grid_dims" -> gridDims.toString,
+      "grid_cells_per_dim" -> cellsPerDim.toString)
+  }
+
+  /** Drop the persisted grid index (search falls back to the ad-hoc
+    * expanding probe over the store). */
+  def dropGridIndex(): Unit =
+    hadoopFs(gridPath).delete(new org.apache.hadoop.fs.Path(gridPath), true)
+
+  /** Cell-keyed (chunk_id, embedding, cell) rows of a batch under the
+    * given bounds, clustered one file per cell directory. */
+  private def gridRows(batch: DataFrame, lo: Array[Double], hi: Array[Double],
+                       cellsPerDim: Int): DataFrame =
+    batch.select(col("chunk_id"), col("embedding"),
+      VectorSearch.cellKeyCol(col("embedding"), lo, hi, cellsPerDim).as("cell"))
+      .repartition(col("cell"))
+
+  /** Append a batch to the grid index under the frozen fitted bounds. */
+  private def appendGridRows(batch: DataFrame): Unit = {
+    val (lo, hi, _, cellsPerDim) = gridBoundsStored()
+    gridRows(batch, lo, hi, cellsPerDim)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$gridPath/cells")
   }
 
   // --- on-disk IVF index ---------------------------------------------
@@ -885,10 +978,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         indexRows(b).write.mode(SaveMode.Append)
           .partitionBy("tbl", "bucket").parquet(indexPath)
         // mirror appendBatch: every derived index stays current and
-        // session caches drop, so ivf/flat search sees the arrivals
+        // session caches drop, so ivf/grid/flat search sees the arrivals
         if (hasIvfIndex)
           IvfIndex.appendAssign(spark, ivfPath,
             b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
+        if (hasGridIndex) appendGridRows(b)
         b.unpersist()
         invalidateIndexes()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -946,6 +1040,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // victim index partitions.
     if (reindex && hasPartitionedIndex) buildPartitionedIndex()
     if (reindex && hasIvfIndex) buildIvfIndex(ivfCentroids)
+    if (reindex && hasGridIndex) {
+      val m = readMeta()
+      buildGridIndex(m.getOrElse("grid_dims", "4").toInt,
+        m.getOrElse("grid_cells_per_dim", "4").toInt)
+    }
     touchMeta()
   }
 

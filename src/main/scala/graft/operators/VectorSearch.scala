@@ -478,8 +478,8 @@ object VectorSearch {
   }
 
   /** One partial-aggregated pass for per-dimension grid bounds. */
-  private def gridBounds(corpus: DataFrame, vecCol: String,
-                         gridDims: Int): (Array[Double], Array[Double]) = {
+  private[graft] def gridBounds(corpus: DataFrame, vecCol: String,
+                                gridDims: Int): (Array[Double], Array[Double]) = {
     val bounds = corpus
       .select(posexplode(slice(col(vecCol), 1, gridDims)).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
@@ -488,8 +488,8 @@ object VectorSearch {
   }
 
   /** Clamped cell key of a stored vector, as "c0,c1,...". */
-  private def cellKeyCol(vc: Column, lo: Array[Double], hi: Array[Double],
-                         cellsPerDim: Int): Column =
+  private[graft] def cellKeyCol(vc: Column, lo: Array[Double], hi: Array[Double],
+                                cellsPerDim: Int): Column =
     concat_ws(",", lo.indices.map { d =>
       val range = math.max(hi(d) - lo(d), 1e-12)
       least(greatest(floor((vc.getItem(d) - lit(lo(d))) / lit(range) * cellsPerDim), lit(0)),
@@ -611,6 +611,87 @@ object VectorSearch {
       .join(queries, "query_id")
     val scored = corpusC.crossJoin(broadcast(qSide))
       .filter(cheb <= col("radius"))
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
+  }
+
+  /** Query cell coordinates under frozen bounds (clamped). */
+  private def qCellsOf(qv: Seq[Float], lo: Array[Double], hi: Array[Double],
+                       gridDims: Int, cellsPerDim: Int): Seq[Int] =
+    (0 until gridDims).map { d =>
+      val range = math.max(hi(d) - lo(d), 1e-12)
+      math.min(math.max(math.floor((qv(d) - lo(d)) / range * cellsPerDim).toInt, 0),
+        cellsPerDim - 1)
+    }
+
+  /** Expanding radius + probe cells from a per-cell histogram: the
+    * smallest Chebyshev radius whose cumulative occupancy reaches 2k
+    * (capped), and the OCCUPIED cells inside it. */
+  private def radiusProbe(cellCounts: Seq[(String, Long)], qCells: Seq[Int],
+                          k: Int, maxRadius: Int): Seq[String] = {
+    val withCheb = cellCounts.map { case (cell, n) =>
+      val coords = cell.split(",").map(_.toInt)
+      (cell, coords.indices.map(d => math.abs(coords(d) - qCells(d))).max, n)
+    }
+    val cum = (0 to maxRadius).map(r =>
+      withCheb.collect { case (_, cheb, n) if cheb <= r => n }.sum)
+    val radius = (0 to maxRadius).find(r => cum(r) >= 2L * k).getOrElse(maxRadius)
+    withCheb.collect { case (cell, cheb, _) if cheb <= radius => cell }
+  }
+
+  /**
+   * Expanding-radius grid probe against a PRE-BUILT cell-partitioned
+   * grid index (rows (id, vector) under a `cell` partition column,
+   * bounds fitted at build time — the reference keeps the fitted grid
+   * in its index object, algorithms.py:443-686, and so does the
+   * library). Identical results to [[gridKnnExpanding]] under the same
+   * bounds, but NO corpus aggregate before the probe: the radius comes
+   * from per-cell occupancy counts — a partition-column-only aggregate
+   * over at most cellsPerDim^gridDims groups (row-group stats, not a
+   * data scan) — and the probe scan itself is partition-pruned to the
+   * chosen cells at planning time. At 100 TB the query-time I/O is the
+   * probed cells, never the corpus.
+   */
+  def gridKnnIndexed(index: DataFrame, lo: Array[Double], hi: Array[Double],
+                     query: DataFrame, idCol: String, vecCol: String, k: Int,
+                     metric: String = "euclidean", gridDims: Int = 4,
+                     cellsPerDim: Int = 4, maxRadius: Int = 3): DataFrame = {
+    val qv = query.select(col("qvec")).head.getSeq[Float](0)
+    val qCells = qCellsOf(qv, lo, hi, gridDims, cellsPerDim)
+    val counts = index.groupBy(col("cell")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val probe = radiusProbe(counts, qCells, k, maxRadius)
+    index.filter(col("cell").isin(probe: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch twin of [[gridKnnIndexed]]: every query's radius resolves
+    * from the SAME per-cell histogram collect; the scan reads the
+    * union of all queries' probe cells once (planning-time pruning), a
+    * broadcast (query_id, cell) table assigns survivors, bounded
+    * per-query top-k ranks. */
+  def gridKnnIndexedBatch(index: DataFrame, lo: Array[Double], hi: Array[Double],
+                          queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                          metric: String = "euclidean", gridDims: Int = 4,
+                          cellsPerDim: Int = 4, maxRadius: Int = 3): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val counts = index.groupBy(col("cell")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "gridKnnIndexedBatch needs at least one query")
+    val pairs = qRows.flatMap { r =>
+      val qCells = qCellsOf(r.getSeq[Float](1), lo, hi, gridDims, cellsPerDim)
+      radiusProbe(counts, qCells, k, maxRadius).map(cell => (r.getLong(0), cell))
+    }.toSeq
+    val pairFrame = pairs.toDF("query_id", "cell")
+    val scored = index.filter(col("cell").isin(pairs.map(_._2).distinct: _*))
+      .join(broadcast(pairFrame), "cell")
+      .join(broadcast(queries), "query_id")
       .select(col("query_id"), col(idCol),
         round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
     finishPerQueryTopK(scored, idCol, k)

@@ -287,6 +287,70 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("persisted grid index: fitted bounds reused, pruned probe, no per-query aggregate") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-grid").toString
+    val lib = new VectorLibrary(spark, root, "grid-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+    lib.setAlgorithm("grid")
+
+    val q = "spark join stream table filter"
+    val adhoc = lib.search(q, k = 10).collect()
+    assert(!lib.hasGridIndex)
+    lib.buildGridIndex()
+    assert(lib.hasGridIndex)
+
+    // same corpus, same bounds -> identical results through the index
+    val indexed = lib.search(q, k = 10)
+    val indexedRows = indexed.collect()
+    assert(indexedRows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      adhoc.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "indexed grid probe diverged from the ad-hoc expanding probe")
+
+    // the probe plan has NO aggregate (the ad-hoc path pays a bounds
+    // aggregate per query) and its cell scan is partition-pruned
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"), s"probe plan re-aggregates:\n$plan")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(indexed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("grid_index")))
+    assert(scan.nonEmpty, "no file scan over grid_index in the plan")
+    assert(scan.head.partitionFilters.nonEmpty, "probe not pushed as partition filters")
+
+    // batch twin agrees with per-query search through the index
+    val qs = Seq(q, "table scan filter hash")
+    val batch = lib.searchBatch(qs, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    qs.zipWithIndex.foreach { case (t, i) =>
+      assert(batch(i.toLong) == lib.search(t, k = 5).collect().map(_.getString(0)).toSeq)
+    }
+
+    // incremental append under FROZEN bounds: index tracks the store
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val cells = spark.read.parquet(s"$root/grid-lib/grid_index/cells")
+    assert(cells.count() == lib.chunks.count(), "grid rows != chunks after append")
+    assert(cells.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
+
+    // copy-on-write delete removes victims from the grid index too
+    lib.deleteDocuments(col("doc_id") < 5)
+    val cells2 = spark.read.parquet(s"$root/grid-lib/grid_index/cells")
+    assert(cells2.count() == lib.chunks.count(), "grid index stale after delete")
+    assert(cells2.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
+
+    // drop falls back to the ad-hoc probe
+    lib.dropGridIndex()
+    assert(!lib.hasGridIndex)
+    assert(lib.search(q, k = 5).count() == 5)
+    lib.delete()
+  }
+
   test("quantized index probe: fully index-resident, codes-only phase 1") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
