@@ -73,6 +73,26 @@ object SparkEntry {
       path
     })
 
+  // Build-once on-disk GRID index per (session, dataset): fitted
+  // bounds + cell-partitioned rows, the serving layout buildGridIndex
+  // writes for a library. The probe query measures the pruned scan,
+  // not the fit — and returns results IDENTICAL to gridKnnExpanding
+  // over the same corpus (same bounds, same radius rule), so it shares
+  // that query's oracle.
+  private val gridDiskIndexes =
+    new scala.collection.concurrent.TrieMap[String, (String, Array[Double], Array[Double])]()
+  private def gridDiskIndexFor(s: SparkSession, d: String): (String, Array[Double], Array[Double]) =
+    gridDiskIndexes.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val (lo, hi) = VectorSearch.gridBounds(emb, "embedding", 4)
+      val path = java.nio.file.Files.createTempDirectory("graft-grid-disk").toString
+      emb.withColumn("cell", VectorSearch.cellKeyCol(col("embedding"), lo, hi, 4))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      (path, lo, hi)
+    })
+
   // Exact-assignment in-memory IVF per (session, dataset, variant):
   // the k-means fit supplies centroids only; rows assign via the
   // replayable sequential-fold argmin. First call fits + pins, later
@@ -159,6 +179,13 @@ object SparkEntry {
       // the reference's expanding-radius probe: widen the cell
       // neighborhood until >= 2k candidates, then exact re-rank.
       VectorSearch.gridKnnExpanding(c, q, "vec_id", "embedding", 10) }),
+    "grid_knn_indexed" -> ((s, d) => { val (_, q) = embQuery(s, d)
+      // expanding probe served from the PERSISTED fitted grid: radius
+      // from per-cell occupancy (partition-column aggregate), probe
+      // scan partition-pruned — no per-query corpus bounds pass.
+      val (path, lo, hi) = gridDiskIndexFor(s, d)
+      VectorSearch.gridKnnIndexed(s.read.parquet(path), lo, hi, q,
+        "vec_id", "embedding", 10) }),
     "grid_knn_batch" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 3)
@@ -367,6 +394,31 @@ object SparkEntry {
        | a AS (SELECT vec_id, v, cluster FROM (
        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn FROM ad)
        |  WHERE arn = 1)""".stripMargin
+
+  /** Expanding-radius grid oracle, shared by the ad-hoc and indexed
+    * probes (identical semantics; see the map entries). */
+  private lazy val gridExpandingOracleSql: String = {
+    def cell(src: String, d: Int): String =
+      s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
+    s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings WHERE vec_id <> 0),
+       | q0 AS (SELECT embedding qef, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+       | b AS (SELECT ${(0 until 4).map(d =>
+                s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
+                s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
+                .mkString(", ")} FROM e),
+       | qc AS (SELECT ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
+       |        FROM q0, b),
+       | ch AS (SELECT vec_id, v, qv, greatest(${(0 until 4).map(d =>
+                  s"abs(${cell("ef", d)} - qc$d)").mkString(", ")}) AS cheb
+       |        FROM e, b, qc),
+       | rads AS (SELECT unnest([0, 1, 2, 3]) AS rr),
+       | pick AS (SELECT COALESCE(MIN(rr), 3) AS radius FROM rads
+       |          WHERE (SELECT COUNT(*) FROM ch WHERE cheb <= rr) >= 20)
+       |SELECT vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
+       |FROM ch, pick WHERE cheb <= radius
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** The IVF oracle entries — present only once the queries have run
     * and stashed their fitted centroids (Verify's order); absent
@@ -1604,28 +1656,12 @@ object SparkEntry {
     // Chebyshev distance <= r from the query cell; the chosen radius
     // is the smallest with >= 2k candidates (else maxRadius=3),
     // replicated as a cumulative-count pick over the cheb histogram.
-    "grid_knn_expanding" -> {
-      def cell(src: String, d: Int): String =
-        s"CAST(least(greatest(floor((CAST($src[${d + 1}] AS DOUBLE) - lo$d) / rg$d * 4), 0), 3) AS INT)"
-      s"""WITH e AS (SELECT vec_id, embedding ef, CAST(embedding AS DOUBLE[]) v
-         |           FROM embeddings WHERE vec_id <> 0),
-         | q0 AS (SELECT embedding qef, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
-         | b AS (SELECT ${(0 until 4).map(d =>
-                  s"CAST(MIN(ef[${d + 1}]) AS DOUBLE) lo$d, " +
-                  s"greatest(CAST(MAX(ef[${d + 1}]) AS DOUBLE) - CAST(MIN(ef[${d + 1}]) AS DOUBLE), 1.0e-12) rg$d")
-                  .mkString(", ")} FROM e),
-         | qc AS (SELECT ${(0 until 4).map(d => s"${cell("qef", d)} AS qc$d").mkString(", ")}, qv
-         |        FROM q0, b),
-         | ch AS (SELECT vec_id, v, qv, greatest(${(0 until 4).map(d =>
-                    s"abs(${cell("ef", d)} - qc$d)").mkString(", ")}) AS cheb
-         |        FROM e, b, qc),
-         | rads AS (SELECT unnest([0, 1, 2, 3]) AS rr),
-         | pick AS (SELECT COALESCE(MIN(rr), 3) AS radius FROM rads
-         |          WHERE (SELECT COUNT(*) FROM ch WHERE cheb <= rr) >= 20)
-         |SELECT vec_id, ROUND(1.0/(1.0 + list_distance(v, qv)), 6) AS score
-         |FROM ch, pick WHERE cheb <= radius
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "grid_knn_expanding" -> gridExpandingOracleSql,
+    // The indexed probe serves the SAME semantics from the persisted
+    // fitted grid (bounds frozen at build over this same corpus, radius
+    // from per-cell occupancy == the cheb histogram): results are
+    // identical by construction, so it shares the oracle.
+    "grid_knn_indexed" -> gridExpandingOracleSql,
     // Batch grid probe: same bounds/cell arithmetic, one rank window
     // per query over the +/-1-cell candidates.
     "grid_knn_batch" -> {

@@ -131,10 +131,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def storeIsEmpty: Boolean = emptyCache.getOrElse {
     val e = chunks.isEmpty; emptyCache = Some(e); e
   }
+  // Grid serving state, cached per store generation: the fitted bounds
+  // (tiny parquet) and the per-cell occupancy histogram — re-reading
+  // them per query would put two driver round-trips on the hot path.
+  private var gridMetaCache: Option[(Array[Double], Array[Double], Int, Int)] = None
+  private var gridCountsCache: Option[Seq[(String, Long)]] = None
   private def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
     emptyCache = None
+    gridMetaCache = None
+    gridCountsCache = None
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -287,7 +294,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // aggregate, partition-pruned cell scan
         val (lo, hi, gd, cpd) = gridBoundsStored()
         VectorSearch.gridKnnIndexed(spark.read.parquet(s"$gridPath/cells"),
-          lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd)
+          lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd,
+          countsOpt = Some(gridCounts()))
       case "grid" =>
         // expanding-radius probe — the reference's GridIndex.search
         // semantics (widen until >= 2k candidates), so sparse
@@ -411,7 +419,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "grid" if hasGridIndex =>
         val (lo, hi, gd, cpd) = gridBoundsStored()
         VectorSearch.gridKnnIndexedBatch(spark.read.parquet(s"$gridPath/cells"),
-          lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd)
+          lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd,
+          countsOpt = Some(gridCounts()))
       case "grid" =>
         VectorSearch.gridKnnExpandingBatch(chunks.select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
@@ -728,12 +737,23 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** True when the persisted grid index has been built and holds data. */
   def hasGridIndex: Boolean = hasVisibleData(s"$gridPath/cells")
 
-  /** (lo, hi, gridDims, cellsPerDim) of the stored fitted grid. */
-  private def gridBoundsStored(): (Array[Double], Array[Double], Int, Int) = {
-    val rows = spark.read.parquet(s"$gridPath/bounds").collect().sortBy(_.getInt(0))
-    val m = readMeta()
-    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
-      m.getOrElse("grid_dims", "4").toInt, m.getOrElse("grid_cells_per_dim", "4").toInt)
+  /** (lo, hi, gridDims, cellsPerDim) of the stored fitted grid,
+    * cached per store generation. */
+  private def gridBoundsStored(): (Array[Double], Array[Double], Int, Int) =
+    gridMetaCache.getOrElse {
+      val rows = spark.read.parquet(s"$gridPath/bounds").collect().sortBy(_.getInt(0))
+      val m = readMeta()
+      val meta = (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+        m.getOrElse("grid_dims", "4").toInt, m.getOrElse("grid_cells_per_dim", "4").toInt)
+      gridMetaCache = Some(meta)
+      meta
+    }
+
+  /** Per-cell occupancy of the grid index, cached per store generation. */
+  private def gridCounts(): Seq[(String, Long)] = gridCountsCache.getOrElse {
+    val c = VectorSearch.gridCellCounts(spark.read.parquet(s"$gridPath/cells"))
+    gridCountsCache = Some(c)
+    c
   }
 
   /** Build (or rebuild) the persisted grid index: one bounds aggregate
@@ -748,14 +768,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gridPath/bounds")
     gridRows(chunks, lo, hi, cellsPerDim)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$gridPath/cells")
+    gridMetaCache = None
+    gridCountsCache = None
     touchMeta("grid_dims" -> gridDims.toString,
       "grid_cells_per_dim" -> cellsPerDim.toString)
   }
 
   /** Drop the persisted grid index (search falls back to the ad-hoc
     * expanding probe over the store). */
-  def dropGridIndex(): Unit =
+  def dropGridIndex(): Unit = {
     hadoopFs(gridPath).delete(new org.apache.hadoop.fs.Path(gridPath), true)
+    gridMetaCache = None
+    gridCountsCache = None
+  }
 
   /** Cell-keyed (chunk_id, embedding, cell) rows of a batch under the
     * given bounds, clustered one file per cell directory. */

@@ -344,8 +344,12 @@ object Dedup {
       // Pointer jumping: comp(d) := comp(comp(d)) until stable. Every
       // label is a doc_id of the same component with comp <= doc_id
       // (monotone), so each jump is one equi-join on a long key and
-      // the chain depth halves per pass.
-      var jumped = 1L
+      // the chain depth halves per pass. Skipped in round 0: clique-
+      // like duplicate graphs (the overwhelmingly common shape) reach
+      // their minima in one propagate and would pay the jump's
+      // join+checkpoint for nothing; deep chains just start jumping
+      // one round later, still O(log D) total.
+      var jumped = if (iter > 0 && changed > 0) 1L else 0L
       while (jumped > 0) {
         // left join + coalesce: a label that failed to resolve must
         // keep its row (an inner join would silently DROP the doc).

@@ -653,14 +653,22 @@ object VectorSearch {
    * chosen cells at planning time. At 100 TB the query-time I/O is the
    * probed cells, never the corpus.
    */
+  /** Per-cell occupancy of a cell-partitioned grid index: at most
+    * cellsPerDim^gridDims rows, read from the partition column only.
+    * Callers serving many queries should compute this once per index
+    * generation and pass it to the probes below. */
+  def gridCellCounts(index: DataFrame): Seq[(String, Long)] =
+    index.groupBy(col("cell")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   def gridKnnIndexed(index: DataFrame, lo: Array[Double], hi: Array[Double],
                      query: DataFrame, idCol: String, vecCol: String, k: Int,
                      metric: String = "euclidean", gridDims: Int = 4,
-                     cellsPerDim: Int = 4, maxRadius: Int = 3): DataFrame = {
+                     cellsPerDim: Int = 4, maxRadius: Int = 3,
+                     countsOpt: Option[Seq[(String, Long)]] = None): DataFrame = {
     val qv = query.select(col("qvec")).head.getSeq[Float](0)
     val qCells = qCellsOf(qv, lo, hi, gridDims, cellsPerDim)
-    val counts = index.groupBy(col("cell")).count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = countsOpt.getOrElse(gridCellCounts(index))
     val probe = radiusProbe(counts, qCells, k, maxRadius)
     index.filter(col("cell").isin(probe: _*))
       .crossJoin(broadcast(query))
@@ -677,11 +685,11 @@ object VectorSearch {
   def gridKnnIndexedBatch(index: DataFrame, lo: Array[Double], hi: Array[Double],
                           queries: DataFrame, idCol: String, vecCol: String, k: Int,
                           metric: String = "euclidean", gridDims: Int = 4,
-                          cellsPerDim: Int = 4, maxRadius: Int = 3): DataFrame = {
+                          cellsPerDim: Int = 4, maxRadius: Int = 3,
+                          countsOpt: Option[Seq[(String, Long)]] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val counts = index.groupBy(col("cell")).count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = countsOpt.getOrElse(gridCellCounts(index))
     val qRows = queries.select(col("query_id"), col("qvec")).collect()
     require(qRows.nonEmpty, "gridKnnIndexedBatch needs at least one query")
     val pairs = qRows.flatMap { r =>
