@@ -323,6 +323,8 @@ object SparkEntry {
     "mix_sample" -> ((s, d) => Pipeline.mixSample(t(s, d, "documents"),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
       defaultRate = 0.75)),
+    "mix_sample_exact" -> ((s, d) => Pipeline.mixSampleExact(t(s, d, "documents"),
+      Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultQuota = 100)),
     "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
     "clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
@@ -330,6 +332,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Events.sessionize(t(s, d, "events"))),
     "events_funnel" -> ((s, d) => Events.funnel(t(s, d, "events"))),
     "events_retention" -> ((s, d) => Events.retention(t(s, d, "events"))),
+    "events_anomaly" -> ((s, d) => Events.anomalies(t(s, d, "events"))),
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
@@ -1469,6 +1472,17 @@ object SparkEntry {
          | FROM documents)
          |SELECT doc_id, source, bucket, rate_bp, bucket < rate_bp AS kept
          |FROM m ORDER BY doc_id""".stripMargin,
+    // Exact quota sampling: rank per source by the splitmix64 hash
+    // (doc_id tie-break), keep ranks within the per-source quota.
+    "mix_sample_exact" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  ${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1 AS rk FROM documents),
+         | r AS (SELECT doc_id, source, CAST(row_number() OVER (
+         |        PARTITION BY source ORDER BY rk, doc_id) AS INT) AS sample_rank FROM m)
+         |SELECT doc_id, source, sample_rank,
+         | sample_rank <= CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+         |   WHEN 'src2' THEN 0 ELSE 100 END AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     // Composed corpus cleaning: exact-dup window + the text_quality
     // arithmetic, first failing rule wins (rule order is part of the
     // contract); thresholds compared on RAW doubles, output quantized.
@@ -1760,6 +1774,19 @@ object SparkEntry {
          |   0.0e0) AS entropy
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Daily per-type volume anomalies: integral counts, one exact
+    // integer sum divided once — no order-dependent float accumulation.
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                COUNT(*) AS n_events
+        |               FROM events GROUP BY 1, 2),
+        | stats AS (SELECT event_type, SUM(n_events) AS total, COUNT(*) AS n_days
+        |           FROM daily GROUP BY 1)
+        |SELECT daily.event_type, CAST(daily.day AS VARCHAR) AS day, daily.n_events,
+        | ROUND(CAST(total AS DOUBLE) / n_days, 4) AS mean_daily
+        |FROM daily JOIN stats ON daily.event_type = stats.event_type
+        |WHERE daily.n_events > CAST(total AS DOUBLE) / n_days * 2.0
+        |ORDER BY daily.event_type, daily.day""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) aday
         |           FROM events),

@@ -82,6 +82,26 @@ object Stress {
       VectorSearch.lshKnnPartitionedBatch(lshPart, queries16,
         "vec_id", "embedding", 10).count() }
 
+    // Persisted grid: fitted bounds + cell-partitioned rows. The
+    // ad-hoc probe pays a bounds aggregate + a corpus cheb histogram
+    // per query; the indexed probe's radius comes from per-cell
+    // occupancy (partition-column stats) and its scan is pruned to the
+    // probed cells.
+    val tg0 = System.nanoTime()
+    val (gLo, gHi) = VectorSearch.gridBounds(corpus, "embedding", 4)
+    corpus.select(col("vec_id"), col("embedding"),
+      VectorSearch.cellKeyCol(col("embedding"), gLo, gHi, 4).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/grid")
+    val gridIdx = spark.read.parquet(s"$tmp/grid")
+    println(f"[stress] grid_build(4^4 dirs): ${(System.nanoTime() - tg0) / 1e9}%.2fs")
+    val gridCounts = VectorSearch.gridCellCounts(gridIdx)
+    time("grid_knn_expanding(ad-hoc: bounds+histogram per query)") {
+      VectorSearch.gridKnnExpanding(corpus, q, "vec_id", "embedding", 10).count() }
+    time("grid_knn_indexed(pruned cells, cached histogram)") {
+      VectorSearch.gridKnnIndexed(gridIdx, gLo, gHi, q, "vec_id", "embedding", 10,
+        countsOpt = Some(gridCounts)).count() }
+
     time("knn_quantized(ad-hoc: codes recomputed)") {
       VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
     time("knn_quantized_indexed(stored codes)") {

@@ -189,6 +189,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant"))
           buildPartitionedIndex()
         else indexRows(b).write.mode(SaveMode.Append)
+          .option("maxRecordsPerFile", indexMaxRecordsPerFile)
           .partitionBy("tbl", "bucket").parquet(indexPath)
       }
       if (hasIvfIndex)
@@ -490,9 +491,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   private def partitionedIndex: DataFrame = spark.read.parquet(indexPath)
 
-  /** Exploded index rows of an embedded chunk batch, clustered so each
-    * (tbl, bucket) partition directory receives exactly one file per
-    * write (the shuffle moves only id+vector+codes, never the text).
+  /** Exploded index rows of an embedded chunk batch, clustered per
+    * (tbl, bucket) partition directory and SORTED BY chunk_id within
+    * it (the shuffle moves only id+vector+codes, never the text). The
+    * sort is what makes targeted deletes cheap: with file sizes
+    * bounded by [[indexMaxRecordsPerFile]], one document's rows sit
+    * contiguously and land in one or two files per directory, so a
+    * copy-on-write delete rewrites those files — not the whole bucket,
+    * however hot it is (LSH buckets are skewed by construction: near-
+    * duplicate corpora pile identical signatures into few buckets).
     * The int8 `quant` codes ride along so a two-phase probe can run
     * fully index-resident (phase 1 over codes, phase 2 over floats —
     * both column-pruned reads of the same directories). */
@@ -500,6 +507,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     embedded.select(col("chunk_id"), col("embedding"), col("quant"),
       posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
+      .sortWithinPartitions(col("tbl"), col("bucket"), col("chunk_id"))
+
+  /** Rolling threshold for index data files (~5 MB at the 64-dim row
+    * shape): bounds the unit of a copy-on-write rewrite. Without it a
+    * partition directory is one monolithic file and deleting a single
+    * document from a hot bucket rewrites the entire bucket. */
+  private val indexMaxRecordsPerFile = 16384
 
   /** Build (or rebuild) the bucket-partitioned index from the store.
     * Later `addDocuments` / `ingestStreamIndexed` batches append only
@@ -507,6 +521,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * full rewrite. */
   def buildPartitionedIndex(): Unit =
     indexRows(chunks).write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
 
   /** Drop the partitioned index (search falls back to the column probe). */
@@ -529,12 +544,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     if (!hasPartitionedIndex) return 0
     val fs = hadoopFs(indexPath)
     def visible(p: Path) = { val n = p.getName; !n.startsWith(".") && !n.startsWith("_") }
+    // Only SMALL files count as fragments: a hot bucket legitimately
+    // holds several files at the rolling bound (indexMaxRecordsPerFile)
+    // and must not be re-compacted forever — merging full-size files
+    // would undo the bounded-rewrite-unit property deletes rely on.
+    val smallFileBytes = 2L << 20
     val oversized = for {
       tblDir <- fs.listStatus(new Path(indexPath)).toSeq
       if tblDir.isDirectory && visible(tblDir.getPath)
       bDir <- fs.listStatus(tblDir.getPath).toSeq
       if bDir.isDirectory && visible(bDir.getPath)
-      if fs.listStatus(bDir.getPath).count(f => visible(f.getPath)) > maxFilesPerPartition
+      if fs.listStatus(bDir.getPath).count(f =>
+        visible(f.getPath) && f.getLen < smallFileBytes) > maxFilesPerPartition
     } yield (tblDir.getPath.getName.stripPrefix("tbl=").toInt,
              bDir.getPath.getName.stripPrefix("bucket=").toInt)
     if (oversized.isEmpty) return 0
@@ -546,7 +567,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     fs.delete(new Path(tmpPath), true)
     partitionedIndex.filter(pred)
       .repartition(col("tbl"), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket").parquet(tmpPath)
+      .sortWithinPartitions(col("tbl"), col("bucket"), col("chunk_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("tbl", "bucket").parquet(tmpPath)
     // A directory whose files hold zero rows produces no rewrite
     // output; leave it untouched rather than installing nothing.
     val swappable = oversized.filter { case (t, b) =>
@@ -577,149 +601,259 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     fs.delete(aside, true)
   }
 
-  /** Like installDir, but a MISSING `fresh` (zero surviving rows)
-    * deletes `live` outright — the partition is now empty. */
-  private def installOrDrop(fs: org.apache.hadoop.fs.FileSystem,
-                            fresh: org.apache.hadoop.fs.Path,
-                            live: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.exists(fresh)) { fs.delete(live, true); () }
-    else installDir(fs, fresh, live)
-
   /**
    * Copy-on-write removal of the victim chunks from the store AND
-   * every derived index: only the partitions actually holding a victim
-   * row rewrite — the affected `source=` store directories, the
-   * (tbl, bucket) LSH directories the victims' signatures hash into,
-   * and the IVF `cluster=` cells the victims were assigned to. All
-   * other directories keep their files byte-for-byte, so at 100 TB a
-   * targeted delete costs the victim partitions, not the index size
-   * (the same shape Delta/Iceberg deletes compile to; the append path
-   * is already incremental, this is its reverse). Every survivor tmp
-   * is written BEFORE any swap, so the reads all see the intact live
-   * store and a crash before the swap phase changes nothing.
-   * Returns the number of chunks removed.
+   * every derived index, at FILE granularity (the Delta/Iceberg
+   * shape): only the parquet files actually CONTAINING a victim row
+   * rewrite; every other file — including the rest of the files in an
+   * affected partition directory — carries over by rename, a
+   * filesystem metadata operation that moves no bytes. Store files
+   * are clustered by (source, doc_id) at write, so a targeted
+   * delete's victim file set stays a handful of files no matter how
+   * large the library grows; a mass delete degrades gracefully toward
+   * a full rewrite as the victim file set approaches every file.
+   *
+   * Every survivor rewrite lands in a tmp tree BEFORE any live
+   * directory is touched (the reads all see intact live data; a crash
+   * in phase 1 changes nothing); the phase-2 swap is per-directory
+   * aside-rename (crash mid-swap leaves the old directory recoverable
+   * at its .cowold aside). Returns the number of chunks removed.
    */
   private def deleteVictims(victims0: DataFrame): Long = {
-    import org.apache.hadoop.fs.Path
+    // dev probe (StressCow): per-step wall times on stderr
+    val debugTiming = spark.conf.get("spark.graft.debug.timing", "false") == "true"
+    def step[A](name: String)(body: => A): A =
+      if (!debugTiming) body
+      else {
+        val t = System.nanoTime(); val r = body
+        System.err.println(f"[cow-step] $name: ${(System.nanoTime() - t) / 1e9}%.2fs")
+        r
+      }
     val victims = victims0
-      .select(col("chunk_id"), col("source"), col("lsh_buckets")).persist()
+      .select(col("chunk_id"), col("source"), col("lsh_buckets"), col("embedding"))
+      .persist()
     try {
-      val nVictims = victims.count()
+      val nVictims = step("count-victims")(victims.count())
       if (nVictims == 0L) return 0L
-      val victimIds = victims.select(col("chunk_id"))
-      val sources = victims.select(col("source")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      // Resolve every affected partition up front, while live is intact.
-      val lshPairs: Seq[(Int, Int)] =
+      // Targeted deletes have a tiny id set: ship it as a broadcast
+      // LOCAL relation so the file-resolution and rewrite joins stay
+      // map-side (joining against the persisted distributed frame
+      // measured ~2x the whole delete — each join planned a shuffle of
+      // the large side). Mass deletes keep the distributed frame and
+      // degrade to ordinary shuffle joins, which at that size is the
+      // right plan anyway.
+      val victimIds =
+        if (nVictims <= 100000) {
+          import spark.implicits._
+          broadcast(victims.select(col("chunk_id"))
+            .collect().map(_.getString(0)).toSeq.toDF("chunk_id"))
+        } else victims.select(col("chunk_id"))
+
+      /** Distinct parquet files of a stored frame holding victim rows
+        * (an id + file-metadata column scan — row-group pruned). */
+      def victimFilesOf(df: DataFrame): Seq[String] =
+        df.select(col("chunk_id"), col("_metadata.file_path").as("f"))
+          .join(victimIds, Seq("chunk_id"), "left_semi")
+          .select(col("f")).distinct().collect().map(_.getString(0)).toSeq
+
+      /** victimFilesOf over ONLY the given partition directories of a
+        * tree — for indexes whose victim DIRECTORIES are derivable
+        * from the victims themselves, the id scan prunes to those
+        * directories and the result is the exact file set holding
+        * victim rows. The two-level resolution matters because
+        * directories are NOT small: LSH buckets and grid cells are
+        * skewed by construction (near-duplicate corpora pile identical
+        * signatures into few buckets), so "rewrite the victim dirs"
+        * can degenerate to rewriting a fifth of the index, while the
+        * victim FILES stay bounded by indexMaxRecordsPerFile each. */
+      def victimFilesUnder(treeRoot: String, dirs: Seq[String]): Seq[String] = {
+        val fs = hadoopFs(treeRoot)
+        val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        if (existing.isEmpty) Seq.empty
+        else victimFilesOf(
+          spark.read.option("basePath", treeRoot).parquet(existing: _*))
+      }
+      def escape(v: String): String =
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+      // Resolve every victim file up front, while live data is intact.
+      // Every resolution is a pruned id + file-metadata scan: the
+      // store prunes to the victims' source= partitions, the LSH scan
+      // to the (tbl, bucket) dirs from the victims' stored signatures,
+      // the grid scan to their cells under the stored frozen bounds.
+      // IVF scans the whole assigned tree (cluster placement is a
+      // centroid argmin, not worth re-deriving) — chunk_id+metadata
+      // only, column-pruned. The four resolutions are independent
+      // read-only jobs over the persisted victim frame — they run
+      // concurrently (as do the four rewrites below): a targeted
+      // delete's latency is a handful of SMALL jobs, so the serial
+      // job-launch overhead would dominate the actual I/O.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def awaitAll[A](fs: Seq[Future[A]]): Seq[A] =
+        fs.map(Await.result(_, Duration.Inf))
+      val storeFilesF = Future(step("resolve-store-files") {
+        victimFilesUnder(path, victims.select(col("source")).distinct()
+          .collect().map(r => s"$path/source=${escape(r.getString(0))}").toSeq)
+      })
+      val lshFilesF = Future(step("resolve-lsh-files") {
         if (hasPartitionedIndex)
-          victims.select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
-            .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-        else Seq.empty
-      // The victims' cells come from the stored assignment (column-
-      // pruned id+cluster read), not a re-derivation — appends were
-      // assigned against frozen centroids and must be found where
-      // they actually landed.
-      val ivfClusters: Seq[Int] =
-        if (hasIvfIndex)
-          spark.read.parquet(s"$ivfPath/assigned")
-            .select(col("chunk_id"), col("cluster"))
-            .join(victimIds, Seq("chunk_id"), "left_semi")
-            .select(col("cluster")).distinct()
-            .collect().map(_.getInt(0)).toSeq
-        else Seq.empty
-      val gridCells: Seq[String] =
-        if (hasGridIndex)
-          spark.read.parquet(s"$gridPath/cells")
-            .select(col("chunk_id"), col("cell"))
-            .join(victimIds, Seq("chunk_id"), "left_semi")
-            .select(col("cell")).distinct()
-            .collect().map(_.getString(0)).toSeq
-        else Seq.empty
+          victimFilesUnder(indexPath, victims
+            .select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
+            .distinct().collect()
+            .map(r => s"$indexPath/tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq)
+        else Seq.empty[String]
+      })
+      val ivfFilesF = Future(step("resolve-ivf-files") {
+        if (hasIvfIndex) victimFilesOf(spark.read.parquet(s"$ivfPath/assigned"))
+        else Seq.empty[String]
+      })
+      val gridFilesF = Future(step("resolve-grid-files") {
+        if (hasGridIndex) {
+          val (lo, hi, _, cpd) = gridBoundsStored()
+          victimFilesUnder(s"$gridPath/cells", victims
+            .select(VectorSearch.cellKeyCol(col("embedding"), lo, hi, cpd).as("cell"))
+            .distinct().collect().filter(!_.isNullAt(0))
+            .map(r => s"$gridPath/cells/cell=${escape(r.getString(0))}").toSeq)
+        } else Seq.empty[String]
+      })
+      val Seq(storeFiles, lshFiles, ivfFiles, gridFiles) =
+        awaitAll(Seq(storeFilesF, lshFilesF, ivfFilesF, gridFilesF))
 
-      val fs = hadoopFs(path)
-      val esc = sources.map(s => s ->
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(s)).toMap
-
-      // Phase 1: write every survivor tmp (no swap yet).
+      // Phase 1: rewrite ONLY the victim files' survivors into
+      // partition-mirrored tmp trees. basePath keeps the partition
+      // columns riding along, so the tmp tree reproduces exactly the
+      // directories the survivors came from.
+      // No repartition before the write: each victim file is pure to
+      // ONE partition directory, so map tasks already hold
+      // partition-aligned rows and the dynamic-partition writer emits
+      // them directly — a shuffle here measured 9x the whole rewrite.
+      // The scan is forced to ONE TASK PER FILE: the cost of this job
+      // is parquet reader/writer setup (~100ms per tiny file, measured
+      // via the step probe), and Spark's default bin-packing lumps all
+      // the small victim files into a couple of tasks, serializing
+      // those setups; per-file tasks spread them across the cluster.
+      def rewrite(treeRoot: String, files: Seq[String], tmp: String,
+                  partCols: Seq[String], sorted: Boolean = false): Unit = {
+        hadoopFs(tmp).delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val survivors = spark.read.option("basePath", treeRoot)
+          .parquet(files: _*)
+          .join(victimIds, Seq("chunk_id"), "left_anti")
+        // Preserve each tree's clustering invariant on the survivors
+        // (store: (source, doc_id); indexes: partition cols +
+        // chunk_id) and the bounded file sizes — later deletes rely
+        // on both to keep their victim file sets small.
+        val clustered =
+          if (sorted) survivors.sortWithinPartitions(col("source"), col("doc_id"))
+          else survivors.sortWithinPartitions(
+            (partCols :+ "chunk_id").map(col): _*)
+        clustered.write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+          .partitionBy(partCols: _*).parquet(tmp)
+      }
       val storeTmp = s"$root/$name/.chunks_cow"
-      fs.delete(new Path(storeTmp), true)
-      chunks.filter(col("source").isin(sources: _*))
-        .join(victimIds, Seq("chunk_id"), "left_anti")
-        .repartition(col("source"))
-        .sortWithinPartitions(col("source"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(storeTmp)
       val idxTmp = s"$root/$name/.lsh_index_cow"
-      if (lshPairs.nonEmpty) {
-        fs.delete(new Path(idxTmp), true)
-        // Partition-column-only predicate: the rewrite scan prunes to
-        // exactly the victim directories at planning time.
-        val pred = lshPairs.map { case (t, b) =>
-          col("tbl") === t && col("bucket") === b }.reduce(_ || _)
-        partitionedIndex.filter(pred)
-          .join(victimIds, Seq("chunk_id"), "left_anti")
-          .repartition(col("tbl"), col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("tbl", "bucket").parquet(idxTmp)
-      }
       val ivfTmp = s"$root/$name/.ivf_index_cow"
-      if (ivfClusters.nonEmpty) {
-        fs.delete(new Path(ivfTmp), true)
-        spark.read.parquet(s"$ivfPath/assigned")
-          .filter(col("cluster").isin(ivfClusters.map(Int.box): _*))
-          .join(victimIds, Seq("chunk_id"), "left_anti")
-          .repartition(col("cluster"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(ivfTmp)
-      }
       val gridTmp = s"$root/$name/.grid_index_cow"
-      if (gridCells.nonEmpty) {
-        fs.delete(new Path(gridTmp), true)
-        spark.read.parquet(s"$gridPath/cells")
-          .filter(col("cell").isin(gridCells: _*))
-          .join(victimIds, Seq("chunk_id"), "left_anti")
-          .repartition(col("cell"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(gridTmp)
-      }
+      // The scans are forced to small splits: the cost of these jobs
+      // is parquet reader/writer setup over few bounded files, and the
+      // default bin-packing would lump them into one or two tasks,
+      // serializing those setups.
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+      try {
+        awaitAll(Seq(
+          Future(step(s"rewrite-store (${storeFiles.size} files)")(
+            rewrite(path, storeFiles, storeTmp, Seq("source"), sorted = true))),
+          Future(if (lshFiles.nonEmpty)
+            step(s"rewrite-lsh (${lshFiles.size} files)")(
+              rewrite(indexPath, lshFiles, idxTmp, Seq("tbl", "bucket")))),
+          Future(if (ivfFiles.nonEmpty)
+            step(s"rewrite-ivf (${ivfFiles.size} files)")(
+              rewrite(s"$ivfPath/assigned", ivfFiles, ivfTmp, Seq("cluster")))),
+          Future(if (gridFiles.nonEmpty)
+            step(s"rewrite-grid (${gridFiles.size} files)")(
+              rewrite(s"$gridPath/cells", gridFiles, gridTmp, Seq("cell"))))))
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
 
-      // Phase 2: per-directory swaps (store first — it is the source
-      // of truth the indexes re-derive from on any recovery).
-      sources.foreach { s =>
-        installOrDrop(fs, new Path(s"$storeTmp/source=${esc(s)}"),
-          new Path(s"$path/source=${esc(s)}"))
+      // Phase 2: per-directory file swaps (store first — it is the
+      // source of truth the indexes re-derive from on any recovery).
+      step("swap-store")(cowTree(path, storeTmp, storeFiles))
+      if (lshFiles.nonEmpty) step("swap-lsh") {
+        cowTree(indexPath, idxTmp, lshFiles)
+        pruneEmptyParents(indexPath)
       }
-      fs.delete(new Path(storeTmp), true)
-      lshPairs.foreach { case (t, b) =>
-        installOrDrop(fs, new Path(s"$idxTmp/tbl=$t/bucket=$b"),
-          new Path(s"$indexPath/tbl=$t/bucket=$b"))
-      }
-      if (lshPairs.nonEmpty) {
-        fs.delete(new Path(idxTmp), true)
-        // A tbl= parent whose every bucket emptied out must go too:
-        // an empty directory subtree would read as "index present"
-        // yet hold nothing schema inference can read.
-        lshPairs.map(_._1).distinct.foreach { t =>
-          val tblDir = new Path(s"$indexPath/tbl=$t")
-          if (fs.exists(tblDir) && !fs.listStatus(tblDir).exists { st =>
-            val n = st.getPath.getName; !n.startsWith(".") && !n.startsWith("_") })
-            fs.delete(tblDir, true)
-        }
-      }
-      ivfClusters.foreach { c =>
-        installOrDrop(fs, new Path(s"$ivfTmp/cluster=$c"),
-          new Path(s"$ivfPath/assigned/cluster=$c"))
-      }
-      if (ivfClusters.nonEmpty) fs.delete(new Path(ivfTmp), true)
-      gridCells.foreach { c =>
-        val e = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(c)
-        installOrDrop(fs, new Path(s"$gridTmp/cell=$e"),
-          new Path(s"$gridPath/cells/cell=$e"))
-      }
-      if (gridCells.nonEmpty) fs.delete(new Path(gridTmp), true)
+      if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
+      if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
       nVictims
     } finally {
       victims.unpersist()
       invalidateIndexes()
       touchMeta()
+    }
+  }
+
+  /** File-level swap of every directory holding a victim file: the
+    * directory moves aside, its non-victim files rename back in, the
+    * rewritten survivors rename in from the mirrored tmp tree, the
+    * aside drops. A directory left with no visible files is deleted —
+    * its partition is now empty. */
+  private def cowTree(treeRoot: String, tmpRoot: String,
+                      victimFiles: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(treeRoot)
+    val rootStr = {
+      val s = fs.makeQualified(new Path(treeRoot)).toUri.getPath
+      if (s.endsWith("/")) s else s + "/"
+    }
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    victimFiles.map(new Path(_)).groupBy(_.getParent).foreach {
+      case (liveDir, files) =>
+        val victimNames = files.map(_.getName).toSet
+        val dirStr = fs.makeQualified(liveDir).toUri.getPath
+        require(dirStr.startsWith(rootStr),
+          s"victim file directory $dirStr outside $rootStr")
+        val fresh = new Path(s"$tmpRoot/${dirStr.stripPrefix(rootStr)}")
+        val aside = new Path(liveDir.getParent, s".${liveDir.getName}.cowold")
+        fs.delete(aside, true)
+        if (!fs.rename(liveDir, aside))
+          throw new java.io.IOException(s"cow: cannot move $liveDir aside")
+        fs.mkdirs(liveDir)
+        fs.listStatus(aside).foreach { st =>
+          val n = st.getPath.getName
+          if (visible(n) && !victimNames.contains(n))
+            fs.rename(st.getPath, new Path(liveDir, n))
+        }
+        if (fs.exists(fresh))
+          fs.listStatus(fresh).foreach { st =>
+            val n = st.getPath.getName
+            if (visible(n)) fs.rename(st.getPath, new Path(liveDir, n))
+          }
+        fs.delete(aside, true)
+        if (!fs.listStatus(liveDir).exists(st => visible(st.getPath.getName)))
+          fs.delete(liveDir, true)
+    }
+    fs.delete(new Path(tmpRoot), true)
+  }
+
+  /** Remove depth-1 subdirectories left with no visible children (the
+    * tbl= parents of a fully-emptied LSH table — an empty subtree
+    * would read as "index present" with nothing to infer a schema
+    * from). */
+  private def pruneEmptyParents(treeRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(treeRoot)
+    val rp = new Path(treeRoot)
+    if (!fs.exists(rp)) return
+    fs.listStatus(rp).foreach { st =>
+      if (st.isDirectory) {
+        val n = st.getPath.getName
+        if (!n.startsWith(".") && !n.startsWith("_") &&
+          !fs.listStatus(st.getPath).exists { c =>
+            val cn = c.getPath.getName; !cn.startsWith(".") && !cn.startsWith("_") })
+          fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -767,7 +901,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     lo.indices.map(d => (d, lo(d), hi(d))).toDF("d", "lo", "hi")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gridPath/bounds")
     gridRows(chunks, lo, hi, cellsPerDim)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$gridPath/cells")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("cell").parquet(s"$gridPath/cells")
     gridMetaCache = None
     gridCountsCache = None
     touchMeta("grid_dims" -> gridDims.toString,
@@ -783,18 +919,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /** Cell-keyed (chunk_id, embedding, cell) rows of a batch under the
-    * given bounds, clustered one file per cell directory. */
+    * given bounds, clustered per cell directory and sorted by chunk_id
+    * within it (same rationale as [[indexRows]]: with bounded file
+    * sizes, one document's rows land in few files of even a dense
+    * cell, so a targeted delete rewrites files, not the cell). */
   private def gridRows(batch: DataFrame, lo: Array[Double], hi: Array[Double],
                        cellsPerDim: Int): DataFrame =
     batch.select(col("chunk_id"), col("embedding"),
       VectorSearch.cellKeyCol(col("embedding"), lo, hi, cellsPerDim).as("cell"))
       .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("chunk_id"))
 
   /** Append a batch to the grid index under the frozen fitted bounds. */
   private def appendGridRows(batch: DataFrame): Unit = {
     val (lo, hi, _, cellsPerDim) = gridBoundsStored()
     gridRows(batch, lo, hi, cellsPerDim)
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$gridPath/cells")
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("cell").parquet(s"$gridPath/cells")
   }
 
   // --- on-disk IVF index ---------------------------------------------
@@ -1001,6 +1143,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         val b = batch.persist()
         b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
         indexRows(b).write.mode(SaveMode.Append)
+          .option("maxRecordsPerFile", indexMaxRecordsPerFile)
           .partitionBy("tbl", "bucket").parquet(indexPath)
         // mirror appendBatch: every derived index stays current and
         // session caches drop, so ivf/grid/flat search sees the arrivals

@@ -26,6 +26,31 @@ object Events {
   }
 
   /**
+   * Daily volume anomalies per event type: days whose event count
+   * exceeds `factor` x the type's mean daily count — the pipeline-
+   * health gate that flags ingestion spikes/backfills before they
+   * skew a training mix. Two aggregations on compact (type, day)
+   * keys; the per-type stats table broadcasts. Cross-engine
+   * deterministic by construction: counts are integral, the mean is
+   * one exact integer sum divided once, and the compare runs on that
+   * single double — no order-dependent float accumulation (stddev
+   * would not replay bit-identically across engines).
+   */
+  def anomalies(events: DataFrame, factor: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("mean_daily", col("total").cast("double") / col("n_days"))
+      .filter(col("n_events") > col("mean_daily") * factor)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"), round(col("mean_daily"), 4).as("mean_daily"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  /**
    * Cohort retention: users grouped by their first-activity day
    * (cohort); for each (cohort, day-offset) cell, how many of the
    * cohort's users were active that day. Two aggregations on compact

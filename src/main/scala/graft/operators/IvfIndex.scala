@@ -19,6 +19,12 @@ import graft.GraftFunctions._
  */
 object IvfIndex {
 
+  /** Rolling threshold for cell data files: bounds the unit of a
+    * copy-on-write rewrite, so deleting a document from a dense cell
+    * rewrites a file, not the cell (same constant class as the LSH
+    * index's indexMaxRecordsPerFile). */
+  private val maxRecordsPerFile = 16384
+
   /** Fit centroids and return the corpus with a `cluster` column. */
   def build(emb: DataFrame, vecCol: String, nCentroids: Int = 16,
             seed: Long = 42L, maxIter: Int = 5): (KMeansModel, DataFrame) = {
@@ -110,8 +116,15 @@ object IvfIndex {
                  vecCol: String = "embedding"): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    // Sorting each cell by id + bounding file sizes keeps one
+    // document's rows in few files of even a dense cell, so a
+    // copy-on-write delete rewrites files, not whole cells.
+    val idCol = assigned.columns.find(c => c != "cluster" && c != vecCol).get
     assigned.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assigned")
+      .sortWithinPartitions(col("cluster"), col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster").parquet(s"$path/assigned")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cluster", "centroid")
@@ -150,7 +163,9 @@ object IvfIndex {
       .agg(min(struct(col("d"), col("cluster"))).as("m"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), col("m.cluster").as("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster").parquet(s"$path/assigned")
   }
 
   /**

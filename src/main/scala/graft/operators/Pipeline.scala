@@ -46,6 +46,33 @@ object Pipeline {
    * corpus growth, and map-only at any scale (no per-source counts, no
    * RNG state, no shuffle).
    */
+  /**
+   * Exact per-source quota sampling: keep exactly min(quota, |source|)
+   * documents per source, chosen by the deterministic (doc_id, seed)
+   * hash order — "exactly 100k docs per domain" with reproducible
+   * membership, vs [[mixSample]]'s rate-based thinning (which hits the
+   * quota only in expectation). One window shuffle on source — the
+   * same range-partitioned shape as shardPack; the rank order is the
+   * splitmix64 hash with doc_id tie-break, so membership is a pure
+   * function of (corpus, seed). Unlike rate sampling, an exact quota
+   * is inherently whole-source-dependent: adding a document can
+   * displace the boundary member — that is the semantics a hard
+   * token/doc budget asks for.
+   */
+  def mixSampleExact(docs: DataFrame, quotas: Map[String, Int],
+                     defaultQuota: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+    require(quotas.values.forall(_ >= 0) && defaultQuota >= 0, "quotas must be >= 0")
+    val quotaCol = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (src, q)) => when(col("source") === src, lit(q)).otherwise(acc)
+    }
+    val rk = shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1)
+    val w = Window.partitionBy(col("source")).orderBy(rk.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w))
+      .withColumn("kept", col("sample_rank") <= quotaCol)
+      .orderBy(col("doc_id").asc)
+  }
+
   def mixSample(docs: DataFrame, rates: Map[String, Double],
                 defaultRate: Double = 1.0, seed: Long = 42L): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0) &&

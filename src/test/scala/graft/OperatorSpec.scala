@@ -317,6 +317,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(r => grown(r._1) == r._3))
   }
 
+  test("exact quota sampling keeps exactly min(quota, |source|) per source") {
+    val quotas = Map("src0" -> 5, "src3" -> 0)
+    val out = Pipeline.mixSampleExact(docs, quotas, defaultQuota = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.length == docs.count())
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      val quota = quotas.getOrElse(src, 10)
+      val kept = rows.count(_._4)
+      assert(kept == math.min(quota, rows.length),
+        s"$src kept $kept of ${rows.length}, quota $quota")
+      // kept exactly = the quota lowest ranks; ranks are a permutation
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.filter(_._4).forall(_._3 <= quota))
+    }
+    // same seed -> identical membership on a re-run
+    val again = Pipeline.mixSampleExact(docs, quotas, defaultQuota = 10).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.forall(r => again(r._1) == r._4))
+  }
+
+  test("anomalies flags only days above factor x the type's daily mean") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00").getTime + i * 1000L)
+    // type A: 2,2,8 events over 3 days (mean 4) -> day 3 (8 > 8? no, not strict)
+    //   use 9 on day 3: 9 > 4*2 -> flagged
+    // type B: perfectly flat 3,3,3 -> nothing flagged
+    val ev = (
+      (1 to 2).map(i => (ts(1, i), "A")) ++ (1 to 2).map(i => (ts(2, i), "A")) ++
+        (1 to 9).map(i => (ts(3, i), "A")) ++
+        (1 to 3).flatMap(d => (1 to 3).map(i => (ts(d, i), "B")))
+      ).zipWithIndex.map { case ((t, ty), k) => (k.toLong, t, k.toLong % 7, ty, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.anomalies(ev, factor = 2.0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", "2024-01-03", 9L, 4.3333)))
+  }
+
   test("contamination scores containment against the eval corpus") {
     import spark.implicits._
     val evalDocs = Seq(
