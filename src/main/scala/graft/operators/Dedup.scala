@@ -244,7 +244,10 @@ object Dedup {
                     seed: Long = 42L): DataFrame = {
     // one signature pass: both sides of the rep join read the pinned
     // narrow (doc_id, bkt) rows, not the minhash kernel's lineage
-    val edges = bucketEdges(docs, numHashes, numBands, seed).localCheckpoint()
+    // (pin = DISK_ONLY persist by default: recomputable lineage, not
+    // the no-fallback block pinning of localCheckpoint)
+    val edges = graft.GraftFunctions.pin(
+      bucketEdges(docs, numHashes, numBands, seed))
     val reps = edges.groupBy(col("bkt")).agg(min(col("doc_id")).as("rep"))
     edges.join(reps, Seq("bkt"))
       .groupBy(col("doc_id"))
@@ -266,9 +269,9 @@ object Dedup {
    */
   def minhashGroupsBest(docs: DataFrame, score: Column, numHashes: Int = 64,
                         numBands: Int = 16, seed: Long = 42L): DataFrame = {
-    val edges = bucketEdges(docs.withColumn("score", score.cast("double")),
-        numHashes, numBands, seed, carry = Seq("score"))
-      .localCheckpoint()
+    val edges = graft.GraftFunctions.pin(
+      bucketEdges(docs.withColumn("score", score.cast("double")),
+        numHashes, numBands, seed, carry = Seq("score")))
     // argmax via struct max: highest score, then highest -id = lowest id
     val reps = edges.groupBy(col("bkt"))
       .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("m"))
