@@ -1014,6 +1014,44 @@ object SparkEntry {
          |SELECT doc_id, rep AS cluster_rep, doc_id <> rep AS is_duplicate
          |FROM g WHERE rn2 = 1 ORDER BY doc_id""".stripMargin
     },
+    // FULL transitive duplicate components over the same banding
+    // chain: undirected co-bucket pairs (self-pairs keep singletons),
+    // recursive-CTE reachability closure, component label = min doc_id
+    // of the reachable set — the fixed point Spark's min-label
+    // propagation + pointer jumping converges to. (Spark keys buckets
+    // by xxhash64(band, slice-hash); grouping on (band, raw slice) is
+    // identical modulo 64-bit collisions, as for the group oracles.)
+    "dedup_components" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH RECURSIVE t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key),
+         | reach AS (SELECT da, db FROM cand
+         |           UNION
+         |           SELECT r.da, c.db FROM reach r JOIN cand c ON r.db = c.da)
+         |SELECT da AS doc_id, MIN(db) AS comp, MIN(db) < da AS is_duplicate
+         |FROM reach GROUP BY da ORDER BY da""".stripMargin
+    },
     // Cross-source n-gram containment matrix: distinct (source, 8-gram)
     // rows, gram-keyed self-join, one count per ordered source pair;
     // containment = shared / grams_a.
