@@ -326,6 +326,7 @@ object SparkEntry {
     "mix_sample_exact" -> ((s, d) => Pipeline.mixSampleExact(t(s, d, "documents"),
       Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultQuota = 100)),
     "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
+    "pack_sequences" -> ((s, d) => Pipeline.packSequences(t(s, d, "documents"))),
     "clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(t(s, d, "documents"))),
     // --- F. events ------------------------------------------------------
     "events_window_agg" -> ((s, d) => Events.windowAgg(t(s, d, "events"))),
@@ -333,6 +334,10 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(t(s, d, "events"))),
     "events_retention" -> ((s, d) => Events.retention(t(s, d, "events"))),
     "events_anomaly" -> ((s, d) => Events.anomalies(t(s, d, "events"))),
+    "events_asof" -> ((s, d) => Events.asofJoin(t(s, d, "events"))),
+    "events_range_join" -> ((s, d) => Events.rangeJoin(t(s, d, "events"))),
+    "events_rolling" -> ((s, d) => Events.rolling(t(s, d, "events"))),
+    "events_percentiles" -> ((s, d) => Events.valuePercentiles(t(s, d, "events"))),
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
@@ -1594,6 +1599,22 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens,
          | CAST((cum - n_tokens) // 4096 AS INT) AS shard_idx
          |FROM w ORDER BY doc_id""".stripMargin,
+    // Concat-and-chunk packing: per-source token stream carved into
+    // fixed 2048-token sequences; integer window math, exact on both
+    // engines. Zero-token docs land in no sequence (NULL span, 0).
+    "pack_sequences" ->
+      s"""WITH t AS ($toksCte),
+         | c AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) n_tokens FROM t),
+         | w AS (SELECT doc_id, source, n_tokens,
+         |   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start FROM c)
+         |SELECT doc_id, source, n_tokens, tok_start,
+         | CASE WHEN n_tokens > 0 THEN tok_start // 2048 END AS seq_first,
+         | CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 2048 END AS seq_last,
+         | CAST(CASE WHEN n_tokens > 0
+         |   THEN (tok_start + n_tokens - 1) // 2048 - tok_start // 2048 + 1
+         |   ELSE 0 END AS BIGINT) AS n_seqs
+         |FROM w ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(
         |  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
@@ -1825,6 +1846,62 @@ object SparkEntry {
         |FROM daily JOIN stats ON daily.event_type = stats.event_type
         |WHERE daily.n_events > CAST(total AS DOUBLE) / n_days * 2.0
         |ORDER BY daily.event_type, daily.day""".stripMargin,
+    // As-of join spelled as its deterministic window equivalent
+    // (DuckDB's native ASOF JOIN leaves equal-timestamp right-side
+    // ties unspecified; the carried-forward last right payload with
+    // (ts, side, id) ordering pins them to the highest event_id in
+    // both engines).
+    "events_asof" ->
+      """WITH u AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_l,
+        |    CASE WHEN event_type = 'view' THEN
+        |      struct_pack(rts := CAST(ts AS TIMESTAMP), rid := event_id) END AS r
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        | w AS (SELECT *, last_value(r IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts, is_l, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM u)
+        |SELECT event_id, user_id, ts, m.rid AS matched_id, m.rts AS matched_ts,
+        | epoch_us(ts) - epoch_us(m.rts) AS lag_us
+        |FROM w WHERE is_l = 1 ORDER BY event_id""".stripMargin,
+    // Pairwise band join on integer microseconds — inclusive on both
+    // edges, identical banding in both engines.
+    "events_range_join" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS l_us, CAST(ts AS TIMESTAMP) AS l_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT event_id AS r_id, user_id AS r_user,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS r_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT l_id, r_id, user_id, l_ts, l_us - r_us AS lag_us
+        |FROM l JOIN r ON user_id = r_user
+        |  AND r_us <= l_us AND r_us >= l_us - 3600000000
+        |ORDER BY l_id, r_id""".stripMargin,
+    // Trailing 7-day RANGE frame over the integer day ordinal; value
+    // sums roll up in decimal and cast to double once.
+    "events_rolling" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        | o AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS d FROM daily)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+        | CAST(SUM(n_events) OVER w AS BIGINT) AS roll_events,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS roll_days,
+        | ROUND(CAST(SUM(day_value) OVER w AS DOUBLE), 4) AS roll_value
+        |FROM o
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value,
+        | floor(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |   * 1.0e6 + 0.5e0) / 1.0e6 AS mean_value,
+        | floor(quantile_cont(value, 0.5e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p50_value,
+        | floor(quantile_cont(value, 0.9e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p90_value,
+        | floor(quantile_cont(value, 0.99e0) * 1.0e6 + 0.5e0) / 1.0e6 AS p99_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) aday
         |           FROM events),

@@ -51,6 +51,121 @@ object Events {
   }
 
   /**
+   * As-of join: each `leftType` event is matched to the MOST RECENT
+   * `rightType` event of the same user at or before its timestamp —
+   * the attribution/backfill join ("which view led to this
+   * purchase"), the canonical operator Spark has no native join type
+   * for. A naive range join explodes to |L|x|R| per user before
+   * picking the max; this plans as ONE window pass instead: union
+   * both sides, sort per user by (ts, side, event_id) — right rows
+   * ahead of left on ties, so "at or before" is inclusive — and carry
+   * the last non-null right payload forward. One shuffle on user_id,
+   * linear in |L|+|R|, no candidate blowup at any scale; ties among
+   * right rows at one timestamp resolve deterministically to the
+   * highest event_id (the last in sort order, in both engines).
+   */
+  def asofJoin(events: DataFrame, leftType: String = "purchase",
+               rightType: String = "view"): DataFrame = {
+    val u = events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === leftType).cast("int").as("is_l"),
+        when(col("event_type") === rightType,
+          struct(col("ts").as("rts"), col("event_id").as("rid"))).as("r"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_l").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("m", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("m.rid").as("matched_id"), col("m.rts").as("matched_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("m.rts"))).as("lag_us"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /**
+   * Bounded range join: every (`leftType`, `rightType`) event pair of
+   * the same user with the right event inside the `lagSeconds` window
+   * at-or-before the left one — the pairwise form of [[asofJoin]]
+   * (attribution wants ALL touchpoints in the lookback, not just the
+   * latest). Plans as an equi-join on user_id with the time band as a
+   * residual predicate: one co-partitioned shuffle, pair fan-out
+   * bounded by per-user activity inside the window — never |L|x|R|.
+   * Integer microsecond arithmetic end to end.
+   */
+  def rangeJoin(events: DataFrame, leftType: String = "purchase",
+                rightType: String = "view", lagSeconds: Long = 3600L): DataFrame = {
+    require(lagSeconds >= 0, "lagSeconds must be non-negative")
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        unix_micros(col("ts")).as("l_us"), col("ts").as("l_ts"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        unix_micros(col("ts")).as("r_us"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_us") <= col("l_us") &&
+        col("r_us") >= col("l_us") - lagSeconds * 1000000L)
+      .select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"),
+        (col("l_us") - col("r_us")).as("lag_us"))
+      .orderBy(col("l_id").asc, col("r_id").asc)
+  }
+
+  /**
+   * Rolling daily aggregates: per event type and day, the trailing
+   * `windowDays`-day event count and value sum — the moving-average
+   * view behind every ops dashboard. Aggregates to compact (type,
+   * day) keys FIRST (map-side partial, ~|types|x|days| rows), then
+   * one RANGE window over the integer day ordinal per type — the
+   * window pass touches the tiny daily table, never the raw events,
+   * so the rolling layer costs nothing more at 100 TB than at 1 GB.
+   * Exactness: counts are integral; value sums roll up in
+   * decimal(28,6) and cast to double once at the end.
+   */
+  def rolling(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).as("day_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily
+      .withColumn("roll_events", sum(col("n_events")).over(w))
+      .withColumn("roll_days", count(lit(1)).over(w))
+      .withColumn("roll_value",
+        round(sum(col("day_value")).over(w).cast("double"), 4))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"), col("roll_events"), col("roll_days"), col("roll_value"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  /**
+   * Per-type value distribution: count, min/max, exact decimal mean,
+   * and exact interpolated p50/p90/p99 — the latency-style percentile
+   * report, over event values. The percentile aggregate shuffles
+   * per-type sorted buffers; group count = |event types|, so the sort
+   * memory is per-type daily volume, not corpus-wide (at true 100 TB
+   * per-type volume, swap in approx_percentile with a documented
+   * error bound — kept exact here for oracle parity). Mean is one
+   * exact decimal sum divided once; percentiles interpolate over
+   * sorted doubles identically in both engines, rounded to 1e-6.
+   */
+  def valuePercentiles(events: DataFrame): DataFrame = {
+    val quant6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1.0e6) + lit(0.5e0)) / lit(1.0e6)
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"),
+        quant6(sum(col("value").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("mean_value"),
+        quant6(expr("percentile(value, 0.5)")).as("p50_value"),
+        quant6(expr("percentile(value, 0.9)")).as("p90_value"),
+        quant6(expr("percentile(value, 0.99)")).as("p99_value"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /**
    * Cohort retention: users grouped by their first-activity day
    * (cohort); for each (cohort, day-offset) cell, how many of the
    * cohort's users were active that day. Two aggregations on compact

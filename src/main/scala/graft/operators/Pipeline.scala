@@ -331,4 +331,34 @@ object Pipeline {
           .cast("int"))
       .orderBy(col("doc_id").asc)
   }
+
+  /**
+   * Concat-and-chunk sequence packing: within each source, documents
+   * (in doc_id order) concatenate into one token stream carved into
+   * fixed `seqLen`-token training sequences — the pretraining data
+   * layout, where a document may SPAN sequence boundaries (unlike
+   * [[shardPack]], which assigns whole documents to budget shards).
+   * Per document: its token offset in the stream, the first and last
+   * sequence it lands in, and how many sequences it touches —
+   * everything a loader needs to slice examples. Same scale shape as
+   * shardPack: sources pack independently in parallel, one window
+   * over a source-partitioned exchange, integer-exact arithmetic
+   * (`div`) end to end.
+   */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+      textStats(col("text")).getField("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_first",
+        when(col("n_tokens") > 0, expr(s"tok_start div $seqLen")))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) div $seqLen")))
+      .withColumn("n_seqs",
+        coalesce(col("seq_last") - col("seq_first") + 1, lit(0L)))
+      .orderBy(col("doc_id").asc)
+  }
 }

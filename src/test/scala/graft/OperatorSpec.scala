@@ -356,6 +356,95 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("A", "2024-01-03", 9L, 4.3333)))
   }
 
+  test("asof join matches the most recent prior right event, ties inclusive") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: purchase@5 has no prior view; views@10,20; purchase@20
+    //   ties to the view AT 20 (inclusive); purchase@30 -> view@20.
+    // user 2: two views at the same ts -> highest event_id wins.
+    val ev = Seq(
+      (100L, ts(5), 1L, "purchase", 0.0), (101L, ts(10), 1L, "view", 0.0),
+      (102L, ts(20), 1L, "view", 0.0), (103L, ts(20), 1L, "purchase", 0.0),
+      (104L, ts(30), 1L, "purchase", 0.0), (105L, ts(7), 2L, "view", 0.0),
+      (106L, ts(7), 2L, "view", 0.0), (107L, ts(9), 2L, "purchase", 0.0),
+      (108L, ts(50), 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.asofJoin(ev).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    assert(out == Seq((100L, -1L, -1L), (103L, 102L, 0L),
+      (104L, 102L, 10000000L), (107L, 106L, 2000000L)))
+  }
+
+  test("rangeJoin pairs each left event with all rights in the lookback band") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: purchase@100 sees views @40, @100 (inclusive edge) but
+    //   not @101 (future) nor @(100-3600-1) (outside band with lag=3600)
+    val ev = Seq(
+      (1L, ts(40), 1L, "view", 0.0), (2L, ts(100), 1L, "view", 0.0),
+      (3L, ts(101), 1L, "view", 0.0), (4L, ts(100L - 3601L), 1L, "view", 0.0),
+      (5L, ts(100), 1L, "purchase", 0.0),
+      (6L, ts(50), 2L, "purchase", 0.0) // user 2: no views at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.rangeJoin(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(out == Seq((5L, 1L, 60000000L), (5L, 2L, 0L)))
+  }
+
+  test("rolling uses a RANGE day frame (calendar gaps shrink the window)") {
+    import spark.implicits._
+    def day(d: Int, h: Int = 12) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // type a: days 1,2,10 — day 10 is >6 days past both, so its
+    // trailing window holds only itself (ROWS would wrongly include
+    // days 1 and 2); day 2 rolls up day 1.
+    val ev = Seq(
+      (1L, day(1), 1L, "a", 1.0), (2L, day(1, 13), 2L, "a", 2.0),
+      (3L, day(2), 1L, "a", 4.0), (4L, day(10), 3L, "a", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.rolling(ev).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 2L, 1L, 3.0), ("2024-01-02", 1L, 3L, 2L, 7.0),
+      ("2024-01-10", 1L, 1L, 1L, 8.0)))
+  }
+
+  test("valuePercentiles interpolates exact per-type quantiles") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // type a: values 10,20,30,40 -> p50 = 25 (interpolated), mean 25
+    val ev = Seq(
+      (1L, ts(1), 1L, "a", 10.0), (2L, ts(2), 1L, "a", 20.0),
+      (3L, ts(3), 1L, "a", 30.0), (4L, ts(4), 1L, "a", 40.0),
+      (5L, ts(5), 1L, "b", 7.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.valuePercentiles(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5),
+        r.getDouble(7))).toSeq
+    assert(out == Seq(("a", 4L, 25.0, 25.0, 39.7), ("b", 1L, 7.5, 7.5, 7.5)))
+  }
+
+  test("packSequences carves per-source token streams into fixed blocks") {
+    import spark.implicits._
+    // source a: 3 + 5 + 0 + 2 tokens, seqLen 4:
+    //   doc 1 [0,3) -> seq 0;  doc 2 [3,8) -> seqs 0..1 (spans);
+    //   doc 3 empty -> no seq; doc 4 [8,10) -> seq 2
+    val d = Seq(
+      (1L, "a", "x x x"), (2L, "a", "x x x x x"), (3L, "a", "!!!"),
+      (4L, "a", "x x"), (5L, "b", "x x x x x x")
+    ).toDF("doc_id", "source", "text")
+    val out = Pipeline.packSequences(d, seqLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L), (2L, 5L, 3L, 0L, 1L, 2L),
+      (3L, 0L, 8L, -1L, -1L, 0L), (4L, 2L, 8L, 2L, 2L, 1L),
+      (5L, 6L, 0L, 0L, 1L, 2L)))
+  }
+
   test("contamination scores containment against the eval corpus") {
     import spark.implicits._
     val evalDocs = Seq(
