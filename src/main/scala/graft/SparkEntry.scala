@@ -123,6 +123,21 @@ object SparkEntry {
   private val ivfOracleCenters =
     new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
 
+  // Train-once / probe-many PQ per (session, dataset, variant): the
+  // codebook fit and corpus encode pin on first call; later calls
+  // measure the codes-only ADC probe. Fitted codebooks stash for the
+  // oracle exactly like the IVF centroids.
+  private val pqExact = new scala.collection.concurrent
+    .TrieMap[String, (PqIndex.Codebooks, DataFrame)]()
+  private def pqFor(s: SparkSession, d: String, corpus: DataFrame,
+                    variant: String): (PqIndex.Codebooks, DataFrame) =
+    pqExact.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$variant", {
+      val books = PqIndex.train(corpus, "embedding")
+      (books, PqIndex.encodeExact(corpus, "embedding", books).persist())
+    })
+  private val pqOracleBooks =
+    new scala.collection.concurrent.TrieMap[String, PqIndex.Codebooks]()
+
   /** One entry per implemented operator from SURVEY.md section 2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A. core relational -------------------------------------------
@@ -222,6 +237,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       IvfIndex.searchIndexedBatch(s, ivfDiskIndexFor(s, d), qs,
         "vec_id", "embedding", 5) }),
+    "pq_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // train-once / probe-many: first call fits the subspace
+      // codebooks + pins the encoded corpus; later calls measure the
+      // codes-only ADC shortlist + exact re-rank.
+      val (books, enc) = pqFor(s, d, c, "single")
+      pqOracleBooks("single") = books
+      PqIndex.search(enc, books, q, "vec_id", "embedding", 10) }),
+    "pq_knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val (books, enc) = pqFor(s, d, corpus, "batch")
+      pqOracleBooks("batch") = books
+      PqIndex.searchBatch(enc, books, qs, "vec_id", "embedding", 5) }),
     "knn_quantized" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnQuantized(c, q, "vec_id", "embedding", 10) }),
     "knn_quantized_batch" -> ((s, d) => {
@@ -482,6 +513,67 @@ object SparkEntry {
     (single.toSeq ++ spill.toSeq ++ batch.toSeq).toMap
   }
 
+  // --- PQ oracle: fitted codebooks replayed as literals ------------------
+  private def pqBooksCte(books: PqIndex.Codebooks): String =
+    "books(s, j, c) AS (SELECT * FROM (VALUES " +
+      books.flatMap { case (s, words) => words.map { case (j, c) =>
+        s"($s, $j, ${c.map(_.toString).mkString("[", ", ", "]")})" } }
+        .mkString(", ") + ") AS _b(s, j, c))"
+  /** Subspace squared-L2 as the same sequential fold the Spark encode
+    * computes; `off` is the 0-based slice offset expression. */
+  private def pqSqdSql(v: String, c: String, off: String, ds: Int): String =
+    s"list_reduce(list_transform(range(1, ${ds + 1}), i -> " +
+      s"($v[CAST($off + i AS INT)]-$c[CAST(i AS INT)])*" +
+      s"($v[CAST($off + i AS INT)]-$c[CAST(i AS INT)])), (a, b) -> a + b)"
+  /** Corpus encode + query LUT + left-assoc ADC chain CTEs (e, asn,
+    * q0, qd, adc) over `books`. */
+  private def pqAdcCtes(books: PqIndex.Codebooks, corpusPred: String,
+                        qCte: String): String = {
+    val ds = books.head._2.head._2.length
+    val chain = books.map { case (s, _) =>
+      s"MAX(CASE WHEN s = $s THEN qdist END)" }.mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE $corpusPred),
+       | sd AS (SELECT vec_id, s, j, ${pqSqdSql("v", "c", s"s*$ds", ds)} AS d FROM e, books),
+       | asn AS (SELECT vec_id, s, j FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd)
+       |  WHERE rn = 1),
+       | $qCte,
+       | qd AS (SELECT q.*, s, j, ${pqSqdSql("qv", "c", s"s*$ds", ds)} AS qdist FROM books, q0 q),
+       | adc AS (SELECT vec_id, qd.* EXCLUDE (s, j, qdist), $chain AS adc
+       |         FROM asn JOIN qd USING (s, j)
+       |         GROUP BY ALL)""".stripMargin
+  }
+  private def pqOracleSql: Map[String, String] = {
+    val single = pqOracleBooks.get("single").map { books =>
+      "pq_knn" ->
+        s"""WITH ${pqBooksCte(books)},
+           | ${pqAdcCtes(books, "vec_id <> 0",
+              "q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)")},
+           | cand AS (SELECT vec_id, qv FROM adc ORDER BY adc, vec_id LIMIT 50)
+           |SELECT e.vec_id, ROUND(1.0/(1.0 + list_distance(e.v, cand.qv)), 6) AS score
+           |FROM e JOIN cand USING (vec_id)
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    }
+    val batch = pqOracleBooks.get("batch").map { books =>
+      "pq_knn_batch" ->
+        s"""WITH ${pqBooksCte(books)},
+           | ${pqAdcCtes(books, "vec_id >= 5",
+              "q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
+                "FROM embeddings WHERE vec_id < 5)")},
+           | cand AS (SELECT query_id, vec_id, qv FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS crn
+           |    FROM adc) WHERE crn <= 25),
+           | sc AS (SELECT query_id, e.vec_id,
+           |          ROUND(1.0/(1.0 + list_distance(e.v, cand.qv)), 6) AS score
+           |        FROM e JOIN cand USING (vec_id)),
+           | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+           |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+           |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+    }
+    (single.toSeq ++ batch.toSeq).toMap
+  }
+
   // ---- 64-bit wrapping-hash oracle machinery ---------------------------
   // DuckDB integer ops ERROR on overflow instead of wrapping, but the
   // splitmix64/FNV-1a chains are still expressible exactly: keep values
@@ -605,7 +697,7 @@ object SparkEntry {
        | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
        | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
 
-  def oracleSql: Map[String, String] = ivfOracleSql ++ Map(
+  def oracleSql: Map[String, String] = ivfOracleSql ++ pqOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
     // per-token splitmix64 chain, 64 components summed over tokens,
     // L2-normalized in double, narrowed to float32 (the kernel's

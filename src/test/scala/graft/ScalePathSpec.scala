@@ -212,6 +212,44 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall@10=$recall")
   }
 
+  test("pq adc probe recall@10 against exact search") {
+    import graft.operators.PqIndex
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val books = PqIndex.train(corpus, "embedding")
+    assert(books.size == 8 && books.forall(_._2.size == 16))
+    val enc = PqIndex.encodeExact(corpus, "embedding", books)
+    // 64 float dims -> 8 small ints: every code addresses a codeword
+    val codes = enc.select(col("pq_codes")).limit(100).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "euclidean")
+      .collect().map(_.getLong(0)).toSet
+    val got = PqIndex.search(enc, books, q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0))
+    val recall = got.count(exact).toDouble / exact.size
+    assert(recall >= 0.5, s"pq recall@10=$recall")
+  }
+
+  test("pq batch search equals the per-query probe") {
+    import graft.operators.PqIndex
+    val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val books = PqIndex.train(corpus, "embedding")
+    val enc = PqIndex.encodeExact(corpus, "embedding", books).persist()
+    val batch = PqIndex.searchBatch(enc, books, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = qs.collect().flatMap { r =>
+      val q1 = qs.sparkSession.createDataFrame(
+        java.util.List.of(r), qs.schema).select(col("qvec"))
+      PqIndex.search(enc, books, q1, "vec_id", "embedding", 5)
+        .collect().map(x => (r.getLong(0), x.getLong(0), x.getDouble(1)))
+    }.toSet
+    enc.unpersist()
+    assert(batch == single)
+  }
+
   test("pipeline ops plan scale-clean: split map-only, pack/clean one exchange") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     def exchanges(d: org.apache.spark.sql.DataFrame): Int =
