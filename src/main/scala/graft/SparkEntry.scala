@@ -370,6 +370,7 @@ object SparkEntry {
     "events_rolling" -> ((s, d) => Events.rolling(t(s, d, "events"))),
     "events_percentiles" -> ((s, d) => Events.valuePercentiles(t(s, d, "events"))),
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
+    "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"))),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
     "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
@@ -1707,6 +1708,19 @@ object SparkEntry {
          |   THEN (tok_start + n_tokens - 1) // 2048 - tok_start // 2048 + 1
          |   ELSE 0 END AS BIGINT) AS n_seqs
          |FROM w ORDER BY doc_id""".stripMargin,
+    // Per-source 3-gram document frequency, per-source top-10 with
+    // (df desc, gram asc) deterministic ranking.
+    "top_ngrams" ->
+      s"""WITH t AS ($toksCte),
+         | g AS (SELECT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+         |   THEN list_transform(range(0, len(toks) - 2),
+         |          i -> array_to_string(toks[i+1 : i+3], ' '))
+         |   ELSE CAST([] AS VARCHAR[]) END)) AS ngram FROM t),
+         | c AS (SELECT source, ngram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+         | r AS (SELECT source, ngram, df, CAST(row_number() OVER (
+         |        PARTITION BY source ORDER BY df DESC, ngram) AS INT) AS rank FROM c)
+         |SELECT source, ngram, df, rank FROM r WHERE rank <= 10
+         |ORDER BY source, rank""".stripMargin,
     "text_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter(
         |  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token

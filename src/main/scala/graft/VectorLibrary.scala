@@ -4,7 +4,7 @@ import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftFunctions._
-import graft.operators.{IvfIndex, TextAnalysis, VectorSearch}
+import graft.operators.{IvfIndex, PqIndex, TextAnalysis, VectorSearch}
 
 /**
  * Library-level facade: the reference service's API surface
@@ -136,18 +136,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // them per query would put two driver round-trips on the hot path.
   private var gridMetaCache: Option[(Array[Double], Array[Double], Int, Int)] = None
   private var gridCountsCache: Option[Seq[(String, Long)]] = None
+  // PQ serving state per store generation: stored codebooks (tiny
+  // parquet) and, for libraries without a persisted index, the lazy
+  // in-memory fit + encoded corpus (the PQ analog of ivfState).
+  private var pqBooksCache: Option[PqIndex.Codebooks] = None
+  private var pqState: Option[(PqIndex.Codebooks, DataFrame)] = None
   private def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
     emptyCache = None
     gridMetaCache = None
     gridCountsCache = None
+    pqBooksCache = None
+    pqState.foreach(_._2.unpersist())
+    pqState = None
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
     val cached = assigned.persist()
     ivfState = Some((model, cached))
     (model, cached)
+  }
+  private def pqInMemory: (PqIndex.Codebooks, DataFrame) = pqState.getOrElse {
+    val base = pqBase(chunks)
+    val books = PqIndex.train(base, "__nvec")
+    val enc = PqIndex.encodeExact(base, "__nvec", books).drop("__nvec").persist()
+    pqState = Some((books, enc))
+    (books, enc)
   }
 
   /** The reference clamps k to [1, 100] (schemas/search_schema.py:26). */
@@ -173,7 +188,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val batch = batch0.sortWithinPartitions(col("source"), col("doc_id"))
     val indexDirExists = hadoopFs(indexPath)
       .exists(new org.apache.hadoop.fs.Path(indexPath))
-    if (indexDirExists || hasIvfIndex || hasGridIndex) {
+    if (indexDirExists || hasIvfIndex || hasGridIndex || hasPqIndex) {
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
@@ -196,6 +211,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         IvfIndex.appendAssign(spark, ivfPath,
           b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
       if (hasGridIndex) appendGridRows(b)
+      if (hasPqIndex) appendPqRows(b)
       b.unpersist()
     } else {
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
@@ -282,7 +298,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // grid bounds and k-means fits need rows; an empty library answers
     // [] on every algorithm (reference empty-library semantics). The
     // flat/lsh/quantized scans handle empty input natively.
-    if ((algo == "grid" || algo == "ivf") && storeIsEmpty) return emptyHits
+    if ((algo == "grid" || algo == "ivf" || algo == "pq") && storeIsEmpty)
+      return emptyHits
     algo match {
       case "flat" =>
         VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
@@ -312,6 +329,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "quantized" =>
         VectorSearch.knnQuantizedIndexed(chunks, q, "chunk_id", "embedding", "quant",
           kk, metric)
+      case "pq" if hasPqIndex =>
+        // codes-only ADC scan of the persisted index; exact re-rank on
+        // the survivors' float rows
+        PqIndex.search(spark.read.parquet(s"$pqPath/codes"), pqBooksStored(), q,
+          "chunk_id", "embedding", kk, metric, normalized = true)
+      case "pq" =>
+        val (books, enc) = pqInMemory
+        PqIndex.search(enc, books, q, "chunk_id", "embedding", kk, metric,
+          normalized = true)
     }
   }
 
@@ -409,7 +435,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                   metric: String = "cosine"): DataFrame = {
     val kk = clampK(k)
     val queries = queriesFrame(queryTexts)
-    if ((algo == "grid" || algo == "ivf") && storeIsEmpty)
+    if ((algo == "grid" || algo == "ivf" || algo == "pq") && storeIsEmpty)
       return queries.limit(0).select(col("query_id"),
         lit("").as("chunk_id"), lit(0.0).as("score"), lit(0).as("rank"))
     algo match {
@@ -438,6 +464,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "quantized" =>
         VectorSearch.knnQuantizedBatch(chunks, queries,
           "chunk_id", "embedding", "quant", kk, metric)
+      case "pq" if hasPqIndex =>
+        PqIndex.searchBatch(spark.read.parquet(s"$pqPath/codes"), pqBooksStored(),
+          queries, "chunk_id", "embedding", kk, metric, normalized = true)
+      case "pq" =>
+        val (books, enc) = pqInMemory
+        PqIndex.searchBatch(enc, books, queries, "chunk_id", "embedding", kk,
+          metric, normalized = true)
     }
   }
 
@@ -718,8 +751,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             .map(r => s"$gridPath/cells/cell=${escape(r.getString(0))}").toSeq)
         } else Seq.empty[String]
       })
-      val Seq(storeFiles, lshFiles, ivfFiles, gridFiles) =
-        awaitAll(Seq(storeFilesF, lshFilesF, ivfFilesF, gridFilesF))
+      val pqFilesF = Future(step("resolve-pq-files") {
+        if (hasPqIndex)
+          victimFilesUnder(s"$pqPath/codes", victims.select(col("source")).distinct()
+            .collect().map(r => s"$pqPath/codes/source=${escape(r.getString(0))}").toSeq)
+        else Seq.empty[String]
+      })
+      val Seq(storeFiles, lshFiles, ivfFiles, gridFiles, pqFiles) =
+        awaitAll(Seq(storeFilesF, lshFilesF, ivfFilesF, gridFilesF, pqFilesF))
 
       // Phase 1: rewrite ONLY the victim files' survivors into
       // partition-mirrored tmp trees. basePath keeps the partition
@@ -756,6 +795,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val idxTmp = s"$root/$name/.lsh_index_cow"
       val ivfTmp = s"$root/$name/.ivf_index_cow"
       val gridTmp = s"$root/$name/.grid_index_cow"
+      val pqTmp = s"$root/$name/.pq_index_cow"
       // The scans are forced to small splits: the cost of these jobs
       // is parquet reader/writer setup over few bounded files, and the
       // default bin-packing would lump them into one or two tasks,
@@ -774,7 +814,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
               rewrite(s"$ivfPath/assigned", ivfFiles, ivfTmp, Seq("cluster")))),
           Future(if (gridFiles.nonEmpty)
             step(s"rewrite-grid (${gridFiles.size} files)")(
-              rewrite(s"$gridPath/cells", gridFiles, gridTmp, Seq("cell"))))))
+              rewrite(s"$gridPath/cells", gridFiles, gridTmp, Seq("cell")))),
+          Future(if (pqFiles.nonEmpty)
+            step(s"rewrite-pq (${pqFiles.size} files)")(
+              rewrite(s"$pqPath/codes", pqFiles, pqTmp, Seq("source"))))))
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
 
       // Phase 2: per-directory file swaps (store first — it is the
@@ -786,6 +829,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       }
       if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
       if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
+      if (pqFiles.nonEmpty) step("swap-pq")(cowTree(s"$pqPath/codes", pqTmp, pqFiles))
       nVictims
     } finally {
       victims.unpersist()
@@ -989,6 +1033,71 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     true
   }
 
+  // --- persisted PQ index ---------------------------------------------
+  // Product-quantization serving layout: tiny codebook parquet + codes
+  // rows partitioned by source (mirroring the store, so deletes prune
+  // the same directories). Codes are built over L2-NORMALIZED vectors
+  // so the ADC shortlist tracks cosine — the same normalize-then-
+  // compress contract as the int8 `quant` column; phase 2 re-ranks
+  // exactly on the raw floats. Appends encode against the FROZEN
+  // codebooks (ingest never refits), the same contract as the grid's
+  // frozen bounds and the IVF centroids.
+  private val pqPath = s"$root/$name/pq_index"
+
+  /** True when the persisted PQ index has been built and holds data. */
+  def hasPqIndex: Boolean = hasVisibleData(s"$pqPath/codes")
+
+  /** Stored codebooks, cached per store generation (tiny parquet). */
+  private def pqBooksStored(): PqIndex.Codebooks = pqBooksCache.getOrElse {
+    val books = spark.read.parquet(s"$pqPath/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ws) =>
+        (s, ws.sortBy(_._2).map(w => (w._2, w._3)).toSeq) }
+    pqBooksCache = Some(books)
+    books
+  }
+
+  /** Normalized-vector projection of a chunk batch for PQ encoding. */
+  private def pqBase(batch: DataFrame): DataFrame =
+    batch.select(col("chunk_id"), col("source"), col("embedding"),
+      l2Normalize(col("embedding")).as("__nvec"))
+
+  private def writePqCodes(base: DataFrame, books: PqIndex.Codebooks,
+                           mode: SaveMode): Unit =
+    PqIndex.encodeExact(base, "__nvec", books).drop("__nvec")
+      .sortWithinPartitions(col("source"), col("chunk_id"))
+      .write.mode(mode)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("source").parquet(s"$pqPath/codes")
+
+  /** Build (or rebuild) the persisted PQ index: m tiny subspace
+    * k-means fits + one encoded write. Search under algorithm "pq"
+    * then scans 8-byte codes instead of float vectors for phase 1. */
+  def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = {
+    require(!storeIsEmpty, s"library $name is empty — nothing to fit codebooks to")
+    val base = pqBase(chunks)
+    val books = PqIndex.train(base, "__nvec", m, kk)
+    import spark.implicits._
+    books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
+      .toDF("s", "j", "c")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$pqPath/books")
+    writePqCodes(base, books, SaveMode.Overwrite)
+    pqBooksCache = None
+    touchMeta("pq_m" -> m.toString, "pq_k" -> kk.toString)
+  }
+
+  /** Append a batch's codes under the frozen stored codebooks. */
+  private def appendPqRows(batch: DataFrame): Unit =
+    writePqCodes(pqBase(batch), pqBooksStored(), SaveMode.Append)
+
+  /** Drop the persisted PQ index (search falls back to the lazy
+    * in-memory fit). */
+  def dropPqIndex(): Unit = {
+    hadoopFs(pqPath).delete(new org.apache.hadoop.fs.Path(pqPath), true)
+    pqBooksCache = None
+  }
+
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
     * the vector-storage memory estimate of algorithms.py:197-201). */
   def stats: DataFrame = {
@@ -1151,6 +1260,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           IvfIndex.appendAssign(spark, ivfPath,
             b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
         if (hasGridIndex) appendGridRows(b)
+        if (hasPqIndex) appendPqRows(b)
         b.unpersist()
         invalidateIndexes()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -1212,6 +1322,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val m = readMeta()
       buildGridIndex(m.getOrElse("grid_dims", "4").toInt,
         m.getOrElse("grid_cells_per_dim", "4").toInt)
+    }
+    if (reindex && hasPqIndex) {
+      val m = readMeta()
+      buildPqIndex(m.getOrElse("pq_m", "8").toInt, m.getOrElse("pq_k", "16").toInt)
     }
     touchMeta()
   }
@@ -1283,7 +1397,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 object VectorLibrary {
   /** Index algorithms a library can route search through (reference
     * IndexAlgorithm enum + the quantized two-phase extension). */
-  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized")
+  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized", "pq")
 
   /** All libraries under a root (reference GET /libraries): one row
     * per library directory with its persisted metadata. */

@@ -97,8 +97,14 @@ object PqIndex {
    */
   def search(encoded: DataFrame, books: Codebooks, query: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             metric: String = "euclidean", rerankFactor: Int = 5): DataFrame = {
-    val q2 = broadcast(query.select(lutCol(books, col("qvec")).as("__lut")))
+             metric: String = "euclidean", rerankFactor: Int = 5,
+             normalized: Boolean = false): DataFrame = {
+    // normalized = codes were built over L2-normalized vectors (the
+    // library layout, where ADC squared-L2 tracks cosine): the query
+    // normalizes identically before the table build; the exact phase-2
+    // re-rank always runs on the raw vectors with the caller's metric.
+    val qv = if (normalized) graft.GraftFunctions.l2Normalize(col("qvec")) else col("qvec")
+    val q2 = broadcast(query.select(lutCol(books, qv).as("__lut")))
     val candIds = encoded.select(col(idCol), col("pq_codes"))
       .crossJoin(q2)
       .select(col(idCol), adcCol(books.size).as("adc"))
@@ -121,8 +127,10 @@ object PqIndex {
    */
   def searchBatch(encoded: DataFrame, books: Codebooks, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  metric: String = "euclidean", rerankFactor: Int = 5): DataFrame = {
-    val q2 = queries.select(col("query_id"), lutCol(books, col("qvec")).as("__lut"))
+                  metric: String = "euclidean", rerankFactor: Int = 5,
+                  normalized: Boolean = false): DataFrame = {
+    val qv = if (normalized) graft.GraftFunctions.l2Normalize(col("qvec")) else col("qvec")
+    val q2 = queries.select(col("query_id"), lutCol(books, qv).as("__lut"))
     val phase1 = encoded.select(col(idCol), col("pq_codes"))
       .crossJoin(broadcast(q2))
       // negate: the bounded top-k finisher ranks score DESC

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -272,6 +273,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(topN)
+  }
+
+  /**
+   * Per-source top n-grams by document frequency — the boilerplate/
+   * template detector's ranked view (which phrases dominate each
+   * source), and the candidate list a decontamination blocklist
+   * starts from. Shape at scale: grams dedup per document map-side
+   * (array_distinct before the explode), one shuffle on (source,
+   * gram), then the per-source top-k — the rank-window form the
+   * TopKWindowRewrite rule collapses to a bounded heap aggregate, so
+   * the shuffle after counting carries k rows per source per
+   * partition, never the full gram vocabulary.
+   */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 10): DataFrame = {
+    val grams = when(size(col("toks")) >= n,
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs
+      .select(col("source"), graft.GraftFunctions.tokensOf(col("text")).as("toks"))
+      .select(col("source"), explode(array_distinct(grams)).as("ngram"))
+      .groupBy(col("source"), col("ngram"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("ngram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("source").asc, col("rank").asc)
   }
 
   /** Per-source corpus statistics over chunks (reference get_chunk_stats). */

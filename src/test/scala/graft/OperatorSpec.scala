@@ -445,6 +445,21 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 6L, 0L, 0L, 1L, 2L)))
   }
 
+  test("topNgrams ranks per-source grams by document frequency") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "the cat sat down"),   // "the cat sat", "cat sat down"
+      (2L, "a", "the cat sat quietly the cat sat"), // dedup within doc
+      (3L, "a", "no"),                 // too short -> no grams
+      (4L, "b", "the cat sat")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.topNgrams(d, n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      ("a", "the cat sat", 2L, 1), ("a", "cat sat down", 1L, 2),
+      ("b", "the cat sat", 1L, 1)))
+  }
+
   test("contamination scores containment against the eval corpus") {
     import spark.implicits._
     val evalDocs = Seq(

@@ -456,7 +456,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val lib = new VectorLibrary(spark, root, "dispatch-lib")
     lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40))
     val qs = Seq("spark join stream table filter", "vector index search embedding")
-    for (alg <- Seq("flat", "lsh", "grid", "ivf", "quantized")) {
+    for (alg <- Seq("flat", "lsh", "grid", "ivf", "quantized", "pq")) {
       lib.setAlgorithm(alg)
       // batch first: under "ivf" it builds the on-disk index that the
       // per-query path then probes, so both sides serve the same index.
@@ -627,6 +627,61 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("persisted PQ index: codes-only probe, append under frozen books, COW delete") {
+    val root = Files.createTempDirectory("graft-lib-pq").toString
+    val lib = new VectorLibrary(spark, root, "pq-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+    lib.buildPqIndex(m = 8, kk = 8)
+    assert(lib.hasPqIndex)
+    lib.setAlgorithm("pq")
+
+    val res = lib.search("spark join stream table filter", k = 5)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // approximate shortlist, exact re-rank: top hit agrees with flat
+    lib.setAlgorithm("flat")
+    val exactTop = lib.search("spark join stream table filter", k = 1)
+      .collect()(0).getString(0)
+    lib.setAlgorithm("pq")
+    assert(rows(0).getString(0) == exactTop, "pq top-1 diverged from flat")
+
+    // batch matches per-query
+    val qs = Seq("spark join stream table filter", "tokenize documents fast")
+    val batch = lib.searchBatch(qs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val singles = qs.zipWithIndex.flatMap { case (q, i) =>
+      lib.search(q, k = 3).collect().map(r => (i.toLong, r.getString(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+
+    // append encodes under the FROZEN codebooks
+    val booksBefore = spark.read.parquet(s"$root/pq-lib/pq_index/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val booksAfter = spark.read.parquet(s"$root/pq-lib/pq_index/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    assert(booksAfter == booksBefore, "append refit the codebooks")
+    val codes = spark.read.parquet(s"$root/pq-lib/pq_index/codes")
+    assert(codes.count() == lib.chunks.count(), "pq codes stale after append")
+    assert(codes.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+
+    // targeted delete copy-on-writes the codes tree in step
+    val victimDoc = lib.chunks.select(col("doc_id")).distinct()
+      .orderBy(col("doc_id")).collect()(0).getLong(0)
+    lib.deleteDocuments(col("doc_id") === victimDoc)
+    assert(spark.read.parquet(s"$root/pq-lib/pq_index/codes").count()
+      == lib.chunks.count(), "pq codes stale after delete")
+    assert(lib.search("spark join stream table filter", k = 5).count() == 5)
+
+    // a NEW facade over the same store serves pq with zero build cost
+    val reopened = new VectorLibrary(spark, root, "pq-lib")
+    assert(reopened.algorithm == "pq" && reopened.hasPqIndex)
+    assert(reopened.search("spark join stream table filter", k = 5).count() == 5)
+    lib.delete()
+  }
+
   test("streaming indexed ingest maintains store and partitioned index per batch") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-spart").toString
@@ -719,7 +774,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val lib = new VectorLibrary(spark, root, "metric-lib")
     lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30))
     val q = "spark join stream table filter"
-    for (alg <- Seq("flat", "lsh", "quantized")) {
+    for (alg <- Seq("flat", "lsh", "quantized", "pq")) {
       lib.setAlgorithm(alg)
       val single = lib.search(q, 5, "euclidean").collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
