@@ -10,7 +10,9 @@ object SparkEntry {
 
   /** Per-session setup: registers graft's native functions + configs. */
   def configure(spark: SparkSession): SparkSession = {
-    // events.parquet carries TIMESTAMP(NANOS), unsupported natively.
+    // Older testdata generations carried events.ts as TIMESTAMP(NANOS),
+    // unsupported natively; the flag makes those read as long (the
+    // loader normalizes either generation, Tables.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Inferred generate guards (isnotnull/size>0 on the generator
     // input) re-substitute expensive signature expressions below their

@@ -11,10 +11,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS): read as long (see
-      // nanosAsLong in Graft.configure) and truncate to microseconds —
-      // the DuckDB oracle applies the same CAST(ts AS TIMESTAMP).
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts has shipped as either parquet TIMESTAMP(NANOS) (read
+      // as long via nanosAsLong, truncated to micros) or plain
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+      // TIMESTAMP_NTZ). Both normalize to a session-UTC TimestampType
+      // column — the DuckDB oracle's CAST(ts AS TIMESTAMP) sees the
+      // identical instants.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else df
   }
 

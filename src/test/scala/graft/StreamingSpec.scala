@@ -18,16 +18,17 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  // events.ts ships as TIMESTAMP(MICROS, isAdjustedToUTC=false): the
+  // stream reads it as TIMESTAMP_NTZ and casts to the session-UTC
+  // TimestampType, matching the batch loader (Tables.load).
   private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def streamingEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def streamingEvents =
     spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   test("streaming window agg matches batch twin") {
     val q = EventStreams.windowAggStream(streamingEvents)
@@ -171,7 +172,6 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming funnel converges to the batch twin when waves arrive in time order") {
     import spark.implicits._
     implicit val s = spark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables.load(spark, sfDir, "events")
     val cut = events.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0).toLong
     val dir = Files.createTempDirectory("graft-funnel-stream").toString

@@ -1,79 +1,92 @@
 #!/usr/bin/env python3
-"""Local dev harness: emulate the driver's DuckDB-oracle correctness
-gate. Compares each Verify parquet dump against its oracle SQL result
-(rows, schema column names, and value hash after sorting columns by
-name and rows by value). Dev tooling only — not part of the library.
+"""Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+
+Runs each oracle_sql.json entry in DuckDB against the parquet tables in
+sfDir, loads the Spark result parquet the Verify main dumped, sorts
+columns by name and rows by all values (the driver's canonicalization),
+and reports row/schema/value match per query.
 """
-import sys, json, glob, hashlib
+import json, sys, math
+
 import duckdb
-import pandas as pd
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    # The driver's comparator sorts columns by name then rows by value
-    # with plain pandas sort_values — array-typed columns make it raise
-    # (unhashable numpy.ndarray). Mirror that strictness here so an
-    # array column in any query output fails locally, not in the driver.
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            elif isinstance(v, (list, tuple)):
+                v = tuple(round(x, 6) if isinstance(x, float) else x for x in v)
+            elif isinstance(v, (bytes, bytearray)):
+                v = bytes(v).hex()
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(repr(x) for x in t))
+    return [cols[i] for i in order], out
 
 
-def table_hash(df: pd.DataFrame) -> str:
-    h = hashlib.sha256()
-    for row in df.itertuples(index=False):
-        h.update(repr(tuple(row)).encode())
-    return h.hexdigest()
-
-
-def main(sf_dir: str, out_dir: str) -> None:
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
-    for name in sorted(d.split('/')[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith('.json')):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
-            if files else pd.DataFrame()
-        if name not in oracle:
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    fails, passes, skips = [], 0, 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        con = duckdb.connect()
+        for t in tables:
             try:
-                canon(got)  # driver sorts rows-only outputs too
-                results[name] = f"ROWS-ONLY rows={len(got)}"
-            except Exception as e:
-                results[name] = f"ROWS-ONLY-UNSORTABLE {type(e).__name__}: {e}"
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            except Exception:
+                pass
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            fails.append((name, f"oracle error: {e}"))
+            con.close()
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            cur2 = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in cur2.description]
+            srows = cur2.fetchall()
         except Exception as e:
-            results[name] = f"ORACLE-ERROR {e}"
+            fails.append((name, f"spark result unreadable: {e}"))
+            con.close()
             continue
-        gc, ec = canon(got), canon(exp)
-        if sorted(gc.columns) != sorted(ec.columns):
-            results[name] = f"SCHEMA-MISMATCH spark={sorted(gc.columns)} duck={sorted(ec.columns)}"
-        elif len(gc) != len(ec):
-            results[name] = f"ROWCOUNT-MISMATCH spark={len(gc)} duck={len(ec)}"
-        elif table_hash(gc) != table_hash(ec):
-            diff = None
-            for i in range(len(gc)):
-                for c in gc.columns:
-                    a, b = gc[c].iloc[i], ec[c].iloc[i]
-                    if repr(a) != repr(b):
-                        diff = f"first diff row {i} col {c}: spark={a!r} duck={b!r}"
-                        break
-                if diff:
-                    break
-            results[name] = f"HASH-MISMATCH rows={len(gc)} {diff}"
+        con.close()
+        oc, orc = canon(orows, ocols)
+        sc, src = canon(srows, scols)
+        if oc != sc:
+            fails.append((name, f"schema mismatch spark={sc} oracle={oc}"))
+        elif len(orc) != len(src):
+            fails.append((name, f"rows spark={len(src)} oracle={len(orc)}"))
+        elif orc != src:
+            diff = next(i for i in range(len(orc)) if orc[i] != src[i])
+            fails.append((name,
+                          f"values differ at row {diff}:\n  spark : {src[diff]}\n  oracle: {orc[diff]}"))
         else:
-            results[name] = f"OK rows={len(gc)}"
-    width = max(len(k) for k in results)
-    n_ok = sum(1 for v in results.values() if v.startswith(('OK', 'ROWS-ONLY')))
-    for k, v in results.items():
-        print(f"{k:<{width}}  {v}")
-    print(f"\n{n_ok}/{len(results)} passing")
+            passes += 1
+    print(f"{passes}/{passes + len(fails)} passing")
+    for name, why in fails:
+        print(f"FAIL {name}: {why}")
+    sys.exit(1 if fails else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main()
