@@ -140,6 +140,33 @@ object SparkEntry {
   private val pqOracleBooks =
     new scala.collection.concurrent.TrieMap[String, PqIndex.Codebooks]()
 
+  // Train-once / probe-many IVF-PQ per (session, dataset, variant):
+  // coarse centroids + residual codebooks fit once, encoded corpus
+  // pins; later calls measure the cell-pruned codes-only ADC probe.
+  // Centers AND books stash together for the oracle replay.
+  private val ivfpqExact = new scala.collection.concurrent
+    .TrieMap[String, IvfPq.Index]()
+  private def ivfpqFor(s: SparkSession, d: String, corpus: DataFrame,
+                       variant: String): IvfPq.Index =
+    ivfpqExact.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$variant", {
+      val idx = IvfPq.train(corpus, "embedding")
+      idx.copy(encoded = idx.encoded.persist())
+    })
+  // On-disk twin: the cached in-memory index written once in its
+  // serving layout (cluster-partitioned parquet + side tables); the
+  // indexed query measures the partition- AND column-pruned probe.
+  private val ivfpqDiskIndexes =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfpqDiskIndexFor(s: SparkSession, d: String,
+                                corpus: DataFrame): String =
+    ivfpqDiskIndexes.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-disk").toString
+      IvfPq.writeIndex(ivfpqFor(s, d, corpus, "single"), path)
+      path
+    })
+  private val ivfpqOracle = new scala.collection.concurrent
+    .TrieMap[String, (Seq[(Int, Array[Double])], PqIndex.Codebooks)]()
+
   /** One entry per implemented operator from SURVEY.md section 2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A. core relational -------------------------------------------
@@ -255,6 +282,30 @@ object SparkEntry {
       val (books, enc) = pqFor(s, d, corpus, "batch")
       pqOracleBooks("batch") = books
       PqIndex.searchBatch(enc, books, qs, "vec_id", "embedding", 5) }),
+    "ivfpq_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // composed index: IVF cell pruning + residual-PQ codes-only ADC
+      // + exact re-rank — train-once / probe-many like its parents.
+      val idx = ivfpqFor(s, d, c, "single")
+      ivfpqOracle("single") = (idx.centers, idx.books)
+      IvfPq.search(idx, q, "vec_id", "embedding", 10) }),
+    "ivfpq_knn_indexed" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // the SAME fitted index probed from its on-disk serving layout:
+      // partition pruning (nProbe cells) + column pruning (codes-only
+      // phase 1) on one parquet table; results — and the oracle —
+      // are identical to ivfpq_knn by construction.
+      val idx = ivfpqFor(s, d, c, "single")
+      ivfpqOracle("single") = (idx.centers, idx.books)
+      IvfPq.searchIndexed(s, ivfpqDiskIndexFor(s, d, c), q,
+        "vec_id", "embedding", 10) }),
+    "ivfpq_knn_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val idx = ivfpqFor(s, d, corpus, "batch")
+      ivfpqOracle("batch") = (idx.centers, idx.books)
+      IvfPq.searchBatch(idx, qs, "vec_id", "embedding", 5) }),
     "knn_quantized" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnQuantized(c, q, "vec_id", "embedding", 10) }),
     "knn_quantized_batch" -> ((s, d) => {
@@ -577,6 +628,87 @@ object SparkEntry {
     (single.toSeq ++ batch.toSeq).toMap
   }
 
+  // --- IVF-PQ oracle: centroids + residual codebooks as literals --------
+  // Every step of the composed index is fold arithmetic over literals:
+  // exact coarse assignment (ivfAssignCtes), residual = elementwise
+  // subtraction, residual-PQ encode / query LUT (pqSqdSql), the
+  // left-assoc ADC chain, and the exact re-rank. One SQL statement
+  // replays the full two-phase probe bit-identically.
+  private def ivfpqCorpusCtes(books: PqIndex.Codebooks, corpusPred: String): String = {
+    val ds = books.head._2.head._2.length
+    s"""${ivfAssignCtes(corpusPred)},
+       | r AS (SELECT a.vec_id, a.cluster,
+       |         list_transform(range(1, 65), i -> v[CAST(i AS INT)] - c[CAST(i AS INT)]) AS res
+       |       FROM a JOIN cents USING (cluster)),
+       | sd2 AS (SELECT vec_id, s, j, ${pqSqdSql("res", "c", s"s*$ds", ds)} AS d FROM r, books),
+       | asn AS (SELECT vec_id, s, j FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM sd2)
+       |  WHERE rn = 1)""".stripMargin
+  }
+  private def ivfpqChain(books: PqIndex.Codebooks): String =
+    books.map { case (s, _) => s"MAX(CASE WHEN qd.s = $s THEN qdist END)" }
+      .mkString(" + ")
+  private def ivfpqOracleSql: Map[String, String] = {
+    def dsOf(b: PqIndex.Codebooks) = b.head._2.head._2.length
+    val single = ivfpqOracle.get("single").map { case (cents, books) =>
+      val ds = dsOf(books)
+      val sql =
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${pqBooksCte(books)},
+           | ${ivfpqCorpusCtes(books, "vec_id <> 0")},
+           | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+           | probe AS (SELECT cluster, c FROM cents, q0
+           |           ORDER BY ${ivfSqdSql("qv", "c")}, cluster LIMIT 4),
+           | qr AS (SELECT cluster,
+           |          list_transform(range(1, 65), i -> qv[CAST(i AS INT)] - c[CAST(i AS INT)]) AS qres
+           |        FROM probe, q0),
+           | qd AS (SELECT cluster, s, j, ${pqSqdSql("qres", "c", s"s*$ds", ds)} AS qdist FROM books, qr),
+           | adc AS (SELECT asn.vec_id, ${ivfpqChain(books)} AS adc
+           |         FROM asn JOIN a ON a.vec_id = asn.vec_id
+           |              JOIN qd ON qd.cluster = a.cluster AND qd.s = asn.s AND qd.j = asn.j
+           |         GROUP BY asn.vec_id),
+           | cand AS (SELECT vec_id, qv FROM adc, q0 ORDER BY adc, vec_id LIMIT 50)
+           |SELECT e.vec_id, ROUND(1.0/(1.0 + list_distance(e.v, cand.qv)), 6) AS score
+           |FROM e JOIN cand USING (vec_id)
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+      Seq("ivfpq_knn" -> sql, "ivfpq_knn_indexed" -> sql)
+    }
+    val batch = ivfpqOracle.get("batch").map { case (cents, books) =>
+      val ds = dsOf(books)
+      Seq("ivfpq_knn_batch" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${pqBooksCte(books)},
+           | ${ivfpqCorpusCtes(books, "vec_id >= 5")},
+           | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+           |        FROM embeddings WHERE vec_id < 5),
+           | pd AS (SELECT query_id, cluster, c, qv, ${ivfSqdSql("qv", "c")} AS qdc FROM q0, cents),
+           | probe AS (SELECT query_id, cluster, c, qv FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdc, cluster) AS prn
+           |    FROM pd) WHERE prn <= 4),
+           | qr AS (SELECT query_id, cluster,
+           |          list_transform(range(1, 65), i -> qv[CAST(i AS INT)] - c[CAST(i AS INT)]) AS qres
+           |        FROM probe),
+           | qd AS (SELECT query_id, cluster, s, j, ${pqSqdSql("qres", "c", s"s*$ds", ds)} AS qdist
+           |        FROM books, qr),
+           | adc AS (SELECT qd.query_id, asn.vec_id, ${ivfpqChain(books)} AS adc
+           |         FROM asn JOIN a ON a.vec_id = asn.vec_id
+           |              JOIN qd ON qd.cluster = a.cluster AND qd.s = asn.s AND qd.j = asn.j
+           |         GROUP BY qd.query_id, asn.vec_id),
+           | cand AS (SELECT query_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS crn
+           |    FROM adc) WHERE crn <= 25),
+           | sc AS (SELECT cand.query_id, e.vec_id,
+           |          ROUND(1.0/(1.0 + list_distance(e.v, q0.qv)), 6) AS score
+           |        FROM e JOIN cand ON e.vec_id = cand.vec_id
+           |               JOIN q0 ON q0.query_id = cand.query_id),
+           | rr AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+           |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
+           |SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)
+    }
+    (single.getOrElse(Nil) ++ batch.getOrElse(Nil)).toMap
+  }
+
   // ---- 64-bit wrapping-hash oracle machinery ---------------------------
   // DuckDB integer ops ERROR on overflow instead of wrapping, but the
   // splitmix64/FNV-1a chains are still expressible exactly: keep values
@@ -700,7 +832,7 @@ object SparkEntry {
        | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
        | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
 
-  def oracleSql: Map[String, String] = ivfOracleSql ++ pqOracleSql ++ Map(
+  def oracleSql: Map[String, String] = ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
     // per-token splitmix64 chain, 64 components summed over tokens,
     // L2-normalized in double, narrowed to float32 (the kernel's

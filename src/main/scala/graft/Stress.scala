@@ -144,6 +144,24 @@ object Stress {
     time("ivf_spill_probe(nProbe=1)") {
       operators.IvfIndex.searchSpill(spilled, model, q, "vec_id", "embedding", 10, 1).count() }
 
+    // IVF-PQ: the composed two-phase index — cell pruning x codes-only
+    // ADC. What to watch at 1M: probe time vs the flat scan (phase 1
+    // reads ~m bytes/row over nProbe cells only, the float column's
+    // pages stay closed until the re-rank fetch) and the recall
+    // retained through the residual codes.
+    val tp0 = System.nanoTime()
+    val ivfpq = operators.IvfPq.train(
+      corpus.select(col("vec_id"), col("embedding")), "embedding", nCentroids = 64)
+    operators.IvfPq.writeIndex(ivfpq, s"$tmp/ivfpq")
+    println(f"[stress] ivfpq_build(64 cells, residual codebooks, partitioned write): " +
+      f"${(System.nanoTime() - tp0) / 1e9}%.2fs")
+    time("ivfpq_probe(nProbe=4, codes-only phase 1)") {
+      operators.IvfPq.searchIndexed(spark, s"$tmp/ivfpq", q,
+        "vec_id", "embedding", 10, 4, metric = "cosine").count() }
+    val ivfpqTop = operators.IvfPq.searchIndexed(spark, s"$tmp/ivfpq", q,
+      "vec_id", "embedding", 10, 4, metric = "cosine").collect().map(_.getLong(0))
+    println(f"[stress] ivfpq_recall@10 nProbe=4 vs exact: ${ivfpqTop.count(exactTop).toDouble / 10}%.2f")
+
     // ---- adversarial skew: 99%-duplicate corpus --------------------------
     // One boilerplate document dominates; every banded bucket it hashes
     // into is a single giant cluster. Pair-emitting dedup is inherently

@@ -40,8 +40,8 @@ object IvfIndex {
 
   /** The nProbe cluster ids nearest to `qv` (squared-L2 to centroids,
     * resolved on the driver — the centroid table is tiny by design). */
-  private def nearestClusters(centers: Seq[(Int, Array[Double])],
-                              qv: Array[Double], nProbe: Int): Seq[Int] =
+  private[operators] def nearestClusters(centers: Seq[(Int, Array[Double])],
+                                         qv: Array[Double], nProbe: Int): Seq[Int] =
     centers.map { case (i, arr) =>
       var d = 0.0; var j = 0
       while (j < arr.length) { val t = arr(j) - qv(j); d += t * t; j += 1 }

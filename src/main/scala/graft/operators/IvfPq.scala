@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF-PQ — the composed index (Jegou/Douze/Schmid TPAMI 2011 §V): a
+ * coarse quantizer partitions the corpus into Voronoi cells and a
+ * product quantizer encodes each row's RESIDUAL (vector minus its
+ * cell centroid) into m bytes. A probe prunes to the nProbe nearest
+ * cells, ranks their rows from the codes alone (ADC against a
+ * per-cell lookup table — residuals make the table cell-relative),
+ * and exactly re-ranks only the shortlist.
+ *
+ * This is the 100 TB serving shape both parents converge to:
+ *  - partition pruning from IVF — a probe opens nProbe of nCentroids
+ *    cluster directories, never the rest;
+ *  - column pruning from PQ — phase 1 reads only (id, pq_codes), ~m
+ *    bytes/row; the float vectors ride in the SAME parquet rows but
+ *    their column pages are untouched until the rerankFactor*k
+ *    survivors fetch them (one columnar table, two access paths).
+ * Both prunings are planning-time; I/O scales with the probed cells'
+ * code bytes, not the corpus.
+ *
+ * Replayability (the oracle contract of SURVEY §5): coarse assignment
+ * is [[IvfIndex.assignExact]]'s sequential-fold argmin, residuals are
+ * a zip_with subtraction, codes/LUT/ADC are [[PqIndex]]'s fold
+ * arithmetic — every step is a left fold over literals that DuckDB
+ * replays bit-identically (centroids + codebooks inline as SQL
+ * literals, SparkEntry.ivfpqOracleSql).
+ *
+ * Reference scope note: the reference service keeps whole-vector
+ * flat/LSH/grid indexes only (algorithms.py); IVF-PQ is this
+ * library's scale extension, composed from its IVF and PQ rungs.
+ */
+object IvfPq {
+
+  /** A fitted IVF-PQ index: coarse centroids, residual codebooks, and
+    * the encoded corpus (id, vec, cluster, pq_codes). */
+  case class Index(centers: Seq[(Int, Array[Double])],
+                   books: PqIndex.Codebooks,
+                   encoded: DataFrame)
+
+  private def centroidFrame(spark: SparkSession,
+                            centers: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    centers.map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
+  }
+
+  /** residual = v - centroid(cluster), elementwise in double — the
+    * same two-step (cast, then subtract) the oracle replays. */
+  private def withResidual(assigned: DataFrame, vecCol: String,
+                           centers: Seq[(Int, Array[Double])]): DataFrame =
+    assigned.join(broadcast(centroidFrame(assigned.sparkSession, centers)), "cluster")
+      .withColumn("residual",
+        zip_with(col(vecCol).cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .drop("centroid")
+
+  /**
+   * Fit: coarse k-means for the cell geometry (centroid VALUES only —
+   * rows assign via the replayable exact argmin), then m per-subspace
+   * codebooks trained on the residuals. Returns the index with codes
+   * attached; persist/write it once, probe many.
+   */
+  def train(emb: DataFrame, vecCol: String, nCentroids: Int = 16,
+            m: Int = 8, kk: Int = 16, seed: Long = 42L,
+            maxIter: Int = 5): Index = {
+    val (model, _) = IvfIndex.build(emb, vecCol, nCentroids, seed, maxIter)
+    val centers = IvfIndex.centersOf(model)
+    val assigned = IvfIndex.assignExact(emb, vecCol, centers)
+    val withRes = withResidual(assigned, vecCol, centers)
+    val books = PqIndex.train(withRes, "residual", m, kk, seed, maxIter)
+    Index(centers, books,
+      PqIndex.encodeExact(withRes, "residual", books).drop("residual"))
+  }
+
+  /** Per-cell ADC lookup tables for the probed cells: the query's
+    * residual against cell c feeds the same LUT build the flat PQ
+    * probe uses — one tiny frame (nProbe rows), broadcast. */
+  private def probeLuts(query: DataFrame, centers: Seq[(Int, Array[Double])],
+                        books: PqIndex.Codebooks, probe: Seq[Int]): DataFrame = {
+    val cents = centroidFrame(query.sparkSession,
+      centers.filter(c => probe.contains(c._1)))
+    cents.crossJoin(query.select(col("qvec")))
+      .withColumn("__qres",
+        zip_with(col("qvec").cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .select(col("cluster"), PqIndex.lutCol(books, col("__qres")).as("__lut"))
+  }
+
+  /**
+   * Two-phase probe: prune to the nProbe nearest cells, ADC-rank their
+   * rows codes-only against the cell's lookup table, exactly re-rank
+   * the rerankFactor*k shortlist on the float vectors.
+   */
+  def search(idx: Index, query: DataFrame, idCol: String, vecCol: String,
+             k: Int, nProbe: Int = 4, metric: String = "euclidean",
+             rerankFactor: Int = 5): DataFrame = {
+    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val probe = IvfIndex.nearestClusters(idx.centers, qv, nProbe)
+    val luts = probeLuts(query, idx.centers, idx.books, probe)
+    val candIds = idx.encoded
+      .filter(col("cluster").isin(probe.map(Int.box): _*))
+      .select(col(idCol), col("cluster"), col("pq_codes"))
+      .join(broadcast(luts), "cluster")
+      .select(col(idCol), PqIndex.adcCol(idx.books.size).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    idx.encoded.join(candIds, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query.select(col("qvec"))))
+      .select(col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Batch twin: every query resolves its probe cells driver-side; ONE
+   * codes-only pass over the union of probed cells ranks rows for all
+   * queries at once (the broadcast carries (query_id, cluster, lut)
+   * rows — a row is scored only for the queries that probed its
+   * cell), bounded per-query heaps shortlist, one float join re-ranks.
+   */
+  def searchBatch(idx: Index, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbe: Int = 4, metric: String = "euclidean",
+                  rerankFactor: Int = 5): DataFrame = {
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "searchBatch needs at least one query")
+    val pairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      IvfIndex.nearestClusters(idx.centers, qv, nProbe).map(c => (r.getLong(0), c))
+    }.toSeq
+    val union = pairs.map(_._2).distinct
+    val luts = pairs.toDF("query_id", "cluster")
+      .join(centroidFrame(spark, idx.centers), "cluster")
+      .join(queries.select(col("query_id"), col("qvec")), "query_id")
+      .withColumn("__qres",
+        zip_with(col("qvec").cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .select(col("query_id"), col("cluster"),
+        PqIndex.lutCol(idx.books, col("__qres")).as("__lut"))
+    val phase1 = idx.encoded
+      .filter(col("cluster").isin(union.map(Int.box): _*))
+      .select(col(idCol), col("cluster"), col("pq_codes"))
+      .join(broadcast(luts), "cluster")
+      // negate: the bounded top-k finisher ranks score DESC
+      .select(col("query_id"), col(idCol),
+        (-PqIndex.adcCol(idx.books.size)).as("score"))
+    val cand = VectorSearch.finishPerQueryTopK(phase1, idCol, k * rerankFactor,
+        ordered = false)
+      .select(col("query_id"), col(idCol))
+    val scored = idx.encoded.join(broadcast(cand), idCol)
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    VectorSearch.finishPerQueryTopK(scored, idCol, k)
+  }
+
+  /** Same rolling file bound as the other on-disk indexes: a
+    * copy-on-write delete rewrites files, not cells. */
+  private val maxRecordsPerFile = 16384
+
+  /**
+   * Persist in the serving layout: ONE parquet table partitioned by
+   * cluster holding (id, vec, pq_codes) — phase 1 column-prunes to
+   * (id, pq_codes) inside the partition-pruned cells, phase 2 reads
+   * the float column for survivors only — plus tiny centroid and
+   * codebook side tables (driver/metastore-resident at any scale).
+   */
+  def writeIndex(idx: Index, path: String): Unit = {
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    idx.encoded.repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cluster").parquet(s"$path/encoded")
+    centroidFrame(spark, idx.centers)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    idx.books.flatMap { case (s, words) =>
+      words.map { case (j, c) => (s, j, c.toSeq) }
+    }.toDF("s", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Load the side tables of a written index and probe it — the
+    * partition-pruned, column-pruned two-phase scan. */
+  def searchIndexed(spark: SparkSession, path: String, query: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                    metric: String = "euclidean", rerankFactor: Int = 5): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    val books: PqIndex.Codebooks = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, ws) => (s, ws.sortBy(_._2).map(w => (w._2, w._3)).toSeq) }
+    search(Index(centers, books, spark.read.parquet(s"$path/encoded")),
+      query, idCol, vecCol, k, nProbe, metric, rerankFactor)
+  }
+}

@@ -73,7 +73,7 @@ object PqIndex {
 
   /** m x kk lookup table of subspace squared-L2 distances from `qv`
     * to every codeword — evaluated once per QUERY row. */
-  private def lutCol(books: Codebooks, qv: Column): Column =
+  private[operators] def lutCol(books: Codebooks, qv: Column): Column =
     array(books.map { case (s, words) =>
       val ds = words.head._2.length
       val sub = slice(qv.cast("array<double>"), s * ds + 1, ds)
@@ -84,7 +84,7 @@ object PqIndex {
 
   /** ADC distance: m table lookups added in fixed subspace order (a
     * left-assoc chain — the oracle replays the identical sum). */
-  private def adcCol(m: Int): Column =
+  private[operators] def adcCol(m: Int): Column =
     (0 until m).map(s =>
       element_at(element_at(col("__lut"), s + 1),
         element_at(col("pq_codes"), s + 1) + 1))

@@ -250,6 +250,56 @@ class ScalePathSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("ivfpq composed probe: recall, batch twin, and pruned indexed plan") {
+    import graft.operators.{IvfPq, PqIndex}
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val idx0 = IvfPq.train(corpus, "embedding")
+    val idx = idx0.copy(encoded = idx0.encoded.persist())
+    // residual codes address real codewords
+    val codes = idx.encoded.select(col("pq_codes")).limit(100).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // two-phase probe recovers most of the exact top-10
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 10, "euclidean")
+      .collect().map(_.getLong(0)).toSet
+    val got = IvfPq.search(idx, q, "vec_id", "embedding", 10)
+      .collect().map(_.getLong(0))
+    assert(got.count(exact).toDouble / exact.size >= 0.5,
+      s"ivfpq recall@10=${got.count(exact).toDouble / exact.size}")
+    // batch twin == per-query probe
+    val corpusB = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val idxB0 = IvfPq.train(corpusB, "embedding")
+    val idxB = idxB0.copy(encoded = idxB0.encoded.persist())
+    val batch = IvfPq.searchBatch(idxB, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = qs.collect().flatMap { r =>
+      val q1 = qs.sparkSession.createDataFrame(
+        java.util.List.of(r), qs.schema).select(col("qvec"))
+      IvfPq.search(idxB, q1, "vec_id", "embedding", 5)
+        .collect().map(x => (r.getLong(0), x.getLong(0), x.getDouble(1)))
+    }.toSet
+    assert(batch == single)
+    // on-disk serving layout: identical results, and phase 1 scans the
+    // codes column only inside partition-pruned cluster directories —
+    // the float column's pages stay closed until the re-rank fetch.
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    IvfPq.writeIndex(idx, path)
+    val served = IvfPq.searchIndexed(spark, path, q, "vec_id", "embedding", 10)
+    val direct = IvfPq.search(idx, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
+    val scans = served.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    val phase1 = scans.filter(s => s.contains("pq_codes") && !s.contains("embedding"))
+    assert(phase1.nonEmpty, s"no codes-only scan in:\n${scans.mkString("\n")}")
+    assert(phase1.exists(_.contains("cluster")),
+      s"codes-only scan not cluster-pruned:\n${phase1.mkString("\n")}")
+    idx.encoded.unpersist(); idxB.encoded.unpersist()
+  }
+
   test("pipeline ops plan scale-clean: split map-only, pack/clean one exchange") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     def exchanges(d: org.apache.spark.sql.DataFrame): Int =
