@@ -4,7 +4,7 @@ import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftFunctions._
-import graft.operators.{IvfIndex, PqIndex, TextAnalysis, VectorSearch}
+import graft.operators.{IvfIndex, IvfPq, PqIndex, TextAnalysis, VectorSearch}
 
 /**
  * Library-level facade: the reference service's API surface
@@ -141,6 +141,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // in-memory fit + encoded corpus (the PQ analog of ivfState).
   private var pqBooksCache: Option[PqIndex.Codebooks] = None
   private var pqState: Option[(PqIndex.Codebooks, DataFrame)] = None
+  // IVF-PQ serving state per store generation: stored centroids +
+  // codebooks (tiny parquets) and the lazy in-memory fit for
+  // libraries without the persisted index.
+  private var ivfpqSideCache: Option[(Seq[(Int, Array[Double])], PqIndex.Codebooks)] = None
+  private var ivfpqState: Option[IvfPq.Index] = None
   private def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
@@ -150,6 +155,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     pqBooksCache = None
     pqState.foreach(_._2.unpersist())
     pqState = None
+    ivfpqSideCache = None
+    ivfpqState.foreach(_.encoded.unpersist())
+    ivfpqState = None
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -163,6 +171,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val enc = PqIndex.encodeExact(base, "__nvec", books).drop("__nvec").persist()
     pqState = Some((books, enc))
     (books, enc)
+  }
+  private def ivfpqInMemory: IvfPq.Index = ivfpqState.getOrElse {
+    val idx0 = IvfPq.train(pqBase(chunks), "__nvec")
+    val idx = idx0.copy(encoded = idx0.encoded.drop("__nvec").persist())
+    ivfpqState = Some(idx)
+    idx
   }
 
   /** The reference clamps k to [1, 100] (schemas/search_schema.py:26). */
@@ -188,7 +202,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val batch = batch0.sortWithinPartitions(col("source"), col("doc_id"))
     val indexDirExists = hadoopFs(indexPath)
       .exists(new org.apache.hadoop.fs.Path(indexPath))
-    if (indexDirExists || hasIvfIndex || hasGridIndex || hasPqIndex) {
+    if (indexDirExists || hasIvfIndex || hasGridIndex || hasPqIndex || hasIvfPqIndex) {
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
@@ -212,6 +226,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
       if (hasGridIndex) appendGridRows(b)
       if (hasPqIndex) appendPqRows(b)
+      if (hasIvfPqIndex) appendIvfPqRows(b)
       b.unpersist()
     } else {
       batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
@@ -298,7 +313,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // grid bounds and k-means fits need rows; an empty library answers
     // [] on every algorithm (reference empty-library semantics). The
     // flat/lsh/quantized scans handle empty input natively.
-    if ((algo == "grid" || algo == "ivf" || algo == "pq") && storeIsEmpty)
+    if ((algo == "grid" || algo == "ivf" || algo == "pq" || algo == "ivfpq")
+        && storeIsEmpty)
       return emptyHits
     algo match {
       case "flat" =>
@@ -338,6 +354,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         val (books, enc) = pqInMemory
         PqIndex.search(enc, books, q, "chunk_id", "embedding", kk, metric,
           normalized = true)
+      case "ivfpq" if hasIvfPqIndex =>
+        // partition-pruned (nProbe cells) + column-pruned (codes-only
+        // phase 1) scan of the persisted layout; exact re-rank
+        IvfPq.searchIndexed(spark, ivfpqPath, q, "chunk_id", "embedding", kk,
+          metric = metric, normalized = true)
+      case "ivfpq" =>
+        IvfPq.search(ivfpqInMemory, q, "chunk_id", "embedding", kk,
+          metric = metric, normalized = true)
     }
   }
 
@@ -435,7 +459,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                   metric: String = "cosine"): DataFrame = {
     val kk = clampK(k)
     val queries = queriesFrame(queryTexts)
-    if ((algo == "grid" || algo == "ivf" || algo == "pq") && storeIsEmpty)
+    if ((algo == "grid" || algo == "ivf" || algo == "pq" || algo == "ivfpq")
+        && storeIsEmpty)
       return queries.limit(0).select(col("query_id"),
         lit("").as("chunk_id"), lit(0.0).as("score"), lit(0).as("rank"))
     algo match {
@@ -471,6 +496,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         val (books, enc) = pqInMemory
         PqIndex.searchBatch(enc, books, queries, "chunk_id", "embedding", kk,
           metric, normalized = true)
+      case "ivfpq" if hasIvfPqIndex =>
+        IvfPq.searchBatch(
+          IvfPq.Index(ivfpqSideStored()._1, ivfpqSideStored()._2,
+            spark.read.parquet(s"$ivfpqPath/encoded")),
+          queries, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+      case "ivfpq" =>
+        IvfPq.searchBatch(ivfpqInMemory, queries, "chunk_id", "embedding", kk,
+          metric = metric, normalized = true)
     }
   }
 
@@ -757,8 +790,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             .collect().map(r => s"$pqPath/codes/source=${escape(r.getString(0))}").toSeq)
         else Seq.empty[String]
       })
-      val Seq(storeFiles, lshFiles, ivfFiles, gridFiles, pqFiles) =
-        awaitAll(Seq(storeFilesF, lshFilesF, ivfFilesF, gridFilesF, pqFilesF))
+      val ivfpqFilesF = Future(step("resolve-ivfpq-files") {
+        // like IVF: cluster placement is a centroid argmin, not worth
+        // re-deriving — a chunk_id + file-metadata column scan of the
+        // encoded tree resolves the victim files directly
+        if (hasIvfPqIndex)
+          victimFilesOf(spark.read.parquet(s"$ivfpqPath/encoded"))
+        else Seq.empty[String]
+      })
+      val Seq(storeFiles, lshFiles, ivfFiles, gridFiles, pqFiles, ivfpqFiles) =
+        awaitAll(Seq(storeFilesF, lshFilesF, ivfFilesF, gridFilesF, pqFilesF,
+          ivfpqFilesF))
 
       // Phase 1: rewrite ONLY the victim files' survivors into
       // partition-mirrored tmp trees. basePath keeps the partition
@@ -796,6 +838,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val ivfTmp = s"$root/$name/.ivf_index_cow"
       val gridTmp = s"$root/$name/.grid_index_cow"
       val pqTmp = s"$root/$name/.pq_index_cow"
+      val ivfpqTmp = s"$root/$name/.ivfpq_index_cow"
       // The scans are forced to small splits: the cost of these jobs
       // is parquet reader/writer setup over few bounded files, and the
       // default bin-packing would lump them into one or two tasks,
@@ -817,7 +860,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
               rewrite(s"$gridPath/cells", gridFiles, gridTmp, Seq("cell")))),
           Future(if (pqFiles.nonEmpty)
             step(s"rewrite-pq (${pqFiles.size} files)")(
-              rewrite(s"$pqPath/codes", pqFiles, pqTmp, Seq("source"))))))
+              rewrite(s"$pqPath/codes", pqFiles, pqTmp, Seq("source")))),
+          Future(if (ivfpqFiles.nonEmpty)
+            step(s"rewrite-ivfpq (${ivfpqFiles.size} files)")(
+              rewrite(s"$ivfpqPath/encoded", ivfpqFiles, ivfpqTmp, Seq("cluster"))))))
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
 
       // Phase 2: per-directory file swaps (store first — it is the
@@ -830,6 +876,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
       if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
       if (pqFiles.nonEmpty) step("swap-pq")(cowTree(s"$pqPath/codes", pqTmp, pqFiles))
+      if (ivfpqFiles.nonEmpty)
+        step("swap-ivfpq")(cowTree(s"$ivfpqPath/encoded", ivfpqTmp, ivfpqFiles))
       nVictims
     } finally {
       victims.unpersist()
@@ -1098,6 +1146,69 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     pqBooksCache = None
   }
 
+  // --- persisted IVF-PQ index -------------------------------------------
+  // The composed serving layout (operators.IvfPq): ONE parquet table
+  // partitioned by coarse cluster holding (chunk_id, source,
+  // embedding, pq_codes) — a probe partition-prunes to nProbe cells
+  // AND column-prunes phase 1 to the codes; the float pages open only
+  // for the re-rank shortlist — plus tiny centroid/codebook side
+  // tables. Codes are residual-PQ over L2-NORMALIZED vectors (ADC
+  // tracks cosine, like the pq layout). Appends assign + encode under
+  // the FROZEN geometry; targeted deletes copy-on-write victim files.
+  private val ivfpqPath = s"$root/$name/ivfpq_index"
+
+  /** True when the persisted IVF-PQ index has been built and holds data. */
+  def hasIvfPqIndex: Boolean = hasVisibleData(s"$ivfpqPath/encoded")
+
+  /** Stored centroids + codebooks, cached per store generation. */
+  private def ivfpqSideStored(): (Seq[(Int, Array[Double])], PqIndex.Codebooks) =
+    ivfpqSideCache.getOrElse {
+      val side = (IvfPq.readCenters(spark, ivfpqPath),
+        IvfPq.readBooks(spark, ivfpqPath))
+      ivfpqSideCache = Some(side)
+      side
+    }
+
+  private def writeIvfPqRows(encoded: DataFrame, mode: SaveMode): Unit =
+    encoded.sortWithinPartitions(col("cluster"), col("chunk_id"))
+      .write.mode(mode)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("cluster").parquet(s"$ivfpqPath/encoded")
+
+  /** Build (or rebuild) the persisted IVF-PQ index: one coarse
+    * k-means + m residual-subspace fits + one partitioned write.
+    * Search under algorithm "ivfpq" then opens nProbe cluster
+    * directories and reads codes-only in phase 1. */
+  def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = {
+    require(!storeIsEmpty, s"library $name is empty — nothing to fit IVF-PQ to")
+    val idx = IvfPq.train(pqBase(chunks), "__nvec", nCentroids, m, kk)
+    import spark.implicits._
+    idx.centers.map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/centroids")
+    idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
+      .toDF("s", "j", "codeword")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/books")
+    writeIvfPqRows(idx.encoded.drop("__nvec"), SaveMode.Overwrite)
+    ivfpqSideCache = None
+    touchMeta("ivfpq_ncentroids" -> nCentroids.toString,
+      "ivfpq_m" -> m.toString, "ivfpq_k" -> kk.toString)
+  }
+
+  /** Append a batch under the frozen stored centroids + codebooks. */
+  private def appendIvfPqRows(batch: DataFrame): Unit = {
+    val (centers, books) = ivfpqSideStored()
+    writeIvfPqRows(
+      IvfPq.encodeFrozen(pqBase(batch), "__nvec", centers, books).drop("__nvec"),
+      SaveMode.Append)
+  }
+
+  /** Drop the persisted IVF-PQ index (search falls back to the lazy
+    * in-memory fit). */
+  def dropIvfPqIndex(): Unit = {
+    hadoopFs(ivfpqPath).delete(new org.apache.hadoop.fs.Path(ivfpqPath), true)
+    ivfpqSideCache = None
+  }
+
   /** Library stats (reference GET /libraries/{id}/index-info, incl.
     * the vector-storage memory estimate of algorithms.py:197-201). */
   def stats: DataFrame = {
@@ -1261,6 +1372,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
         if (hasGridIndex) appendGridRows(b)
         if (hasPqIndex) appendPqRows(b)
+        if (hasIvfPqIndex) appendIvfPqRows(b)
         b.unpersist()
         invalidateIndexes()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -1326,6 +1438,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     if (reindex && hasPqIndex) {
       val m = readMeta()
       buildPqIndex(m.getOrElse("pq_m", "8").toInt, m.getOrElse("pq_k", "16").toInt)
+    }
+    if (reindex && hasIvfPqIndex) {
+      val m = readMeta()
+      buildIvfPqIndex(m.getOrElse("ivfpq_ncentroids", "16").toInt,
+        m.getOrElse("ivfpq_m", "8").toInt, m.getOrElse("ivfpq_k", "16").toInt)
     }
     touchMeta()
   }
@@ -1397,7 +1514,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 object VectorLibrary {
   /** Index algorithms a library can route search through (reference
     * IndexAlgorithm enum + the quantized two-phase extension). */
-  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized", "pq")
+  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized", "pq", "ivfpq")
 
   /** All libraries under a root (reference GET /libraries): one row
     * per library directory with its persisted metadata. */

@@ -69,19 +69,37 @@ object IvfPq {
     val centers = IvfIndex.centersOf(model)
     val assigned = IvfIndex.assignExact(emb, vecCol, centers)
     val withRes = withResidual(assigned, vecCol, centers)
-    val books = PqIndex.train(withRes, "residual", m, kk, seed, maxIter)
+    // The m subspace fits are EAGER and each scans its input: pin the
+    // residual projection for their duration, or the assign+residual
+    // lineage (an nCentroids x dim fold per row) re-executes m times.
+    // The cache drops before return; the lazy encode path runs the
+    // lineage once, when the caller materializes the codes.
+    val fitBase = withRes.select(col("residual")).persist()
+    val books =
+      try PqIndex.train(fitBase, "residual", m, kk, seed, maxIter)
+      finally fitBase.unpersist()
     Index(centers, books,
       PqIndex.encodeExact(withRes, "residual", books).drop("residual"))
   }
+
+  /** The query-vector column under the index's geometry: `normalized`
+    * = the index was built over L2-normalized vectors (the library
+    * layout, where residual-ADC squared-L2 tracks cosine) — the query
+    * then normalizes through the SAME float-narrowing kernel before
+    * the probe and the residual; the exact phase-2 re-rank always
+    * runs on the raw vectors with the caller's metric. */
+  private def qvecCol(normalized: Boolean) =
+    if (normalized) graft.GraftFunctions.l2Normalize(col("qvec")) else col("qvec")
 
   /** Per-cell ADC lookup tables for the probed cells: the query's
     * residual against cell c feeds the same LUT build the flat PQ
     * probe uses — one tiny frame (nProbe rows), broadcast. */
   private def probeLuts(query: DataFrame, centers: Seq[(Int, Array[Double])],
-                        books: PqIndex.Codebooks, probe: Seq[Int]): DataFrame = {
+                        books: PqIndex.Codebooks, probe: Seq[Int],
+                        normalized: Boolean): DataFrame = {
     val cents = centroidFrame(query.sparkSession,
       centers.filter(c => probe.contains(c._1)))
-    cents.crossJoin(query.select(col("qvec")))
+    cents.crossJoin(query.select(qvecCol(normalized).as("qvec")))
       .withColumn("__qres",
         zip_with(col("qvec").cast("array<double>"), col("centroid"), (x, y) => x - y))
       .select(col("cluster"), PqIndex.lutCol(books, col("__qres")).as("__lut"))
@@ -94,10 +112,11 @@ object IvfPq {
    */
   def search(idx: Index, query: DataFrame, idCol: String, vecCol: String,
              k: Int, nProbe: Int = 4, metric: String = "euclidean",
-             rerankFactor: Int = 5): DataFrame = {
-    val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
+             rerankFactor: Int = 5, normalized: Boolean = false): DataFrame = {
+    val qv = query.select(qvecCol(normalized).cast("array<double>").as("qvec"))
+      .head.getSeq[Double](0).toArray
     val probe = IvfIndex.nearestClusters(idx.centers, qv, nProbe)
-    val luts = probeLuts(query, idx.centers, idx.books, probe)
+    val luts = probeLuts(query, idx.centers, idx.books, probe, normalized)
     val candIds = idx.encoded
       .filter(col("cluster").isin(probe.map(Int.box): _*))
       .select(col(idCol), col("cluster"), col("pq_codes"))
@@ -123,19 +142,20 @@ object IvfPq {
    */
   def searchBatch(idx: Index, queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nProbe: Int = 4, metric: String = "euclidean",
-                  rerankFactor: Int = 5): DataFrame = {
+                  rerankFactor: Int = 5, normalized: Boolean = false): DataFrame = {
     val spark = idx.encoded.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    val qRows = queries.select(col("query_id"),
+      qvecCol(normalized).cast("array<double>").as("qvec")).collect()
     require(qRows.nonEmpty, "searchBatch needs at least one query")
     val pairs = qRows.flatMap { r =>
-      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qv = r.getSeq[Double](1).toArray
       IvfIndex.nearestClusters(idx.centers, qv, nProbe).map(c => (r.getLong(0), c))
     }.toSeq
     val union = pairs.map(_._2).distinct
     val luts = pairs.toDF("query_id", "cluster")
       .join(centroidFrame(spark, idx.centers), "cluster")
-      .join(queries.select(col("query_id"), col("qvec")), "query_id")
+      .join(queries.select(col("query_id"), qvecCol(normalized).as("qvec")), "query_id")
       .withColumn("__qres",
         zip_with(col("qvec").cast("array<double>"), col("centroid"), (x, y) => x - y))
       .select(col("query_id"), col("cluster"),
@@ -188,15 +208,30 @@ object IvfPq {
     * partition-pruned, column-pruned two-phase scan. */
   def searchIndexed(spark: SparkSession, path: String, query: DataFrame,
                     idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-                    metric: String = "euclidean", rerankFactor: Int = 5): DataFrame = {
-    val centers = spark.read.parquet(s"$path/centroids").collect()
+                    metric: String = "euclidean", rerankFactor: Int = 5,
+                    normalized: Boolean = false): DataFrame =
+    search(Index(readCenters(spark, path), readBooks(spark, path),
+        spark.read.parquet(s"$path/encoded")),
+      query, idCol, vecCol, k, nProbe, metric, rerankFactor, normalized)
+
+  /** The tiny side tables of a written index. */
+  def readCenters(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
-    val books: PqIndex.Codebooks = spark.read.parquet(s"$path/books").collect()
+  def readBooks(spark: SparkSession, path: String): PqIndex.Codebooks =
+    spark.read.parquet(s"$path/books").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, ws) => (s, ws.sortBy(_._2).map(w => (w._2, w._3)).toSeq) }
-    search(Index(centers, books, spark.read.parquet(s"$path/encoded")),
-      query, idCol, vecCol, k, nProbe, metric, rerankFactor)
-  }
+
+  /** Assign rows to EXISTING centroids and encode under EXISTING
+    * codebooks — the frozen-geometry append path of an inverted file
+    * (no refit; drift detection is the refit signal). */
+  def encodeFrozen(rows: DataFrame, vecCol: String,
+                   centers: Seq[(Int, Array[Double])],
+                   books: PqIndex.Codebooks): DataFrame =
+    PqIndex.encodeExact(
+      withResidual(IvfIndex.assignExact(rows, vecCol, centers), vecCol, centers),
+      "residual", books).drop("residual")
 }

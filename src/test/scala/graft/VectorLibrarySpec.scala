@@ -682,6 +682,72 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("persisted IVF-PQ index: pruned codes-only probe, frozen-geometry append, COW delete") {
+    val root = Files.createTempDirectory("graft-lib-ivfpq").toString
+    val lib = new VectorLibrary(spark, root, "ivfpq-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+    lib.buildIvfPqIndex(nCentroids = 8, m = 8, kk = 8)
+    assert(lib.hasIvfPqIndex)
+    lib.setAlgorithm("ivfpq")
+
+    val res = lib.search("spark join stream table filter", k = 5)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // cell-pruned ADC shortlist + exact re-rank: top hit agrees with flat
+    lib.setAlgorithm("flat")
+    val exactTop = lib.search("spark join stream table filter", k = 1)
+      .collect()(0).getString(0)
+    lib.setAlgorithm("ivfpq")
+    assert(rows(0).getString(0) == exactTop, "ivfpq top-1 diverged from flat")
+    // the probe's phase 1 is a cluster-pruned codes-only scan
+    val scans = res.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")
+      && s.contains("cluster")), s"no pruned codes-only scan:\n${scans.mkString("\n")}")
+
+    // batch matches per-query
+    val qs = Seq("spark join stream table filter", "tokenize documents fast")
+    val batch = lib.searchBatch(qs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val singles = qs.zipWithIndex.flatMap { case (q, i) =>
+      lib.search(q, k = 3).collect().map(r => (i.toLong, r.getString(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+
+    // append assigns + encodes under the FROZEN centroids and books
+    val sideBefore =
+      (spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
+         .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
+       spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/books").collect()
+         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet)
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val sideAfter =
+      (spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
+         .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
+       spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/books").collect()
+         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet)
+    assert(sideAfter == sideBefore, "append refit the frozen geometry")
+    val enc = spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/encoded")
+    assert(enc.count() == lib.chunks.count(), "ivfpq rows stale after append")
+    assert(enc.groupBy("chunk_id").count().filter(col("count") > 1).count() == 0)
+
+    // targeted delete copy-on-writes the encoded tree in step
+    val victimDoc = lib.chunks.select(col("doc_id")).distinct()
+      .orderBy(col("doc_id")).collect()(0).getLong(0)
+    lib.deleteDocuments(col("doc_id") === victimDoc)
+    assert(spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/encoded").count()
+      == lib.chunks.count(), "ivfpq rows stale after delete")
+    assert(lib.search("spark join stream table filter", k = 5).count() == 5)
+
+    // a NEW facade over the same store serves ivfpq with zero build cost
+    val reopened = new VectorLibrary(spark, root, "ivfpq-lib")
+    assert(reopened.algorithm == "ivfpq" && reopened.hasIvfPqIndex)
+    assert(reopened.search("spark join stream table filter", k = 5).count() == 5)
+    lib.delete()
+  }
+
   test("streaming indexed ingest maintains store and partitioned index per batch") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-lib-spart").toString
