@@ -167,6 +167,24 @@ object SparkEntry {
   private val ivfpqOracle = new scala.collection.concurrent
     .TrieMap[String, (Seq[(Int, Array[Double])], PqIndex.Codebooks)]()
 
+  /** Cluster-occupancy histogram of the cached IVF-PQ index — the
+    * observability view (LSH buckets / grid cells / IVF clusters /
+    * IVF-PQ cells all expose the same triad shape). One aggregate
+    * over the encoded table's partition column. */
+  private def ivfpqLibraryInfo(s: SparkSession, d: String): DataFrame = {
+    val (c, _) = embQuery(s, d)
+    val idx = ivfpqFor(s, d, c, "single")
+    ivfpqOracle("single") = (idx.centers, idx.books)
+    val occ = idx.encoded.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    occ.agg(
+      count(lit(1)).cast("int").as("occupied"),
+      TextAnalysis.quant6(sum(col("n")).cast("double") / count(lit(1))).as("avg_cluster_size"),
+      max(col("n")).as("max_cluster_size"))
+      .select(lit(idx.centers.size).as("total_clusters"), col("occupied"),
+        col("avg_cluster_size"), col("max_cluster_size"),
+        (lit(idx.centers.size) - col("occupied")).as("empty_clusters"))
+  }
+
   /** One entry per implemented operator from SURVEY.md section 2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A. core relational -------------------------------------------
@@ -423,7 +441,13 @@ object SparkEntry {
     "events_rolling" -> ((s, d) => Events.rolling(t(s, d, "events"))),
     "events_percentiles" -> ((s, d) => Events.valuePercentiles(t(s, d, "events"))),
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
+    "text_surprise" -> ((s, d) => TextAnalysis.unigramSurprise(t(s, d, "documents"))),
     "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"))),
+    "ivfpq_index_info" -> ((s, d) => {
+      // library-side observability for the composed index: cluster
+      // occupancy + assignment drift vs the build baseline (the
+      // IVF/LSH/grid triad's fourth member)
+      ivfpqLibraryInfo(s, d) }),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
     "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
@@ -671,7 +695,17 @@ object SparkEntry {
            |SELECT e.vec_id, ROUND(1.0/(1.0 + list_distance(e.v, cand.qv)), 6) AS score
            |FROM e JOIN cand USING (vec_id)
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-      Seq("ivfpq_knn" -> sql, "ivfpq_knn_indexed" -> sql)
+      val info =
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${ivfAssignCtes("vec_id <> 0")},
+           | occ AS (SELECT cluster, COUNT(*) n FROM a GROUP BY cluster)
+           |SELECT ${cents.size} AS total_clusters,
+           | CAST(COUNT(*) AS INT) AS occupied,
+           | floor(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1.0e6 + 0.5e0) / 1.0e6 AS avg_cluster_size,
+           | MAX(n) AS max_cluster_size,
+           | ${cents.size} - CAST(COUNT(*) AS INT) AS empty_clusters
+           |FROM occ""".stripMargin
+      Seq("ivfpq_knn" -> sql, "ivfpq_knn_indexed" -> sql, "ivfpq_index_info" -> info)
     }
     val batch = ivfpqOracle.get("batch").map { case (cents, books) =>
       val ds = dsOf(books)
@@ -2060,6 +2094,20 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "text_surprise" ->
+      s"""WITH t AS ($toksCte),
+         | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         | dc AS (SELECT doc_id, tok, COUNT(*) c FROM u GROUP BY doc_id, tok),
+         | cw AS (SELECT tok, SUM(c) cw FROM dc GROUP BY tok),
+         | tt AS (SELECT SUM(cw) t FROM cw),
+         | p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n,
+         |        SUM(CAST(c AS DOUBLE) * ln(CAST(cw AS DOUBLE))) slc
+         |       FROM dc JOIN cw USING (tok) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n, 0) AS n_tokens,
+         | COALESCE(floor((ln(CAST(tt.t AS DOUBLE)) - slc / n) * 1.0e6 + 0.5e0) / 1.0e6,
+         |   0.0e0) AS surprise
+         |FROM documents d CROSS JOIN tt LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_entropy" ->
       s"""WITH t AS ($toksCte),
          | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),

@@ -303,6 +303,41 @@ object TextAnalysis {
       .orderBy(col("source").asc, col("rank").asc)
   }
 
+  /**
+   * Corpus-unigram surprise per document: mean -ln p(token) under the
+   * corpus's own unigram distribution — the self-contained stand-in
+   * for an LM-perplexity quality gate (gibberish and off-distribution
+   * docs score high, boilerplate scores low). No external model: the
+   * corpus IS the model, computed in the same job.
+   *
+   * Shape at scale: token counts are two hash aggregates on compact
+   * (token) / (doc_id, token) keys with map-side combine; the corpus
+   * count table (vocabulary-sized, far smaller than the corpus) joins
+   * the per-doc DISTINCT token table on the token key — multiplicity
+   * is carried as a count, so the join fans out per distinct
+   * doc-token, never per occurrence. surprise = ln T − Σ c_d·ln c_w / n_d
+   * — one pass, no per-token probability row.
+   */
+  def unigramSurprise(docs: DataFrame): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), explode(graft.GraftFunctions.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val corpus = docTok.groupBy(col("tok"))
+      .agg(sum(col("c")).as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("t"))
+    val perDoc = docTok.join(corpus, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("cw").cast("double"))).as("slc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n"),
+        quant6(log(col("t").cast("double")) - col("slc") / col("n")).as("surprise"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprise"), lit(0.0)).as("surprise"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-source corpus statistics over chunks (reference get_chunk_stats). */
   def chunkStats(docs: DataFrame, window: Int = 32): DataFrame = {
     chunksUnordered(docs, window)

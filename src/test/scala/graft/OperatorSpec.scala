@@ -678,4 +678,22 @@ class OperatorSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 1, s"expected at most the final sort exchange:\n$p")
   }
+
+  test("unigram surprise: rare-token docs rank above boilerplate, empty doc scores 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),   // duplicate — identical surprise
+      (2L, "zyxwv qponm lkjih gfedc"),  // singleton tokens — max surprise
+      (3L, ""))                         // no tokens
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprise(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(0) == r(1), "identical docs must score identically")
+    assert(r(2)._2 > r(0)._2, "singleton-token doc must out-surprise the repeated one")
+    assert(r(3) == ((0L, 0.0)), "empty doc must yield (0 tokens, 0.0)")
+    // surprise of an all-singletons doc in a corpus of T tokens is ln T
+    val t = r.values.map(_._1).sum
+    assert(math.abs(r(2)._2 - math.log(t.toDouble)) < 1e-6)
+  }
 }
