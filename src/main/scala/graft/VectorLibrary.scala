@@ -1190,6 +1190,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/books")
     writeIvfPqRows(idx.encoded.drop("__nvec"), SaveMode.Overwrite)
     ivfpqSideCache = None
+    // Build-time coarse-assignment quality: the drift baseline
+    // (appends assign to the FROZEN geometry; this number rising is
+    // the refit signal).
+    ivfpqMeanSqDist().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$ivfpqPath/stats")
     touchMeta("ivfpq_ncentroids" -> nCentroids.toString,
       "ivfpq_m" -> m.toString, "ivfpq_k" -> kk.toString)
   }
@@ -1207,6 +1212,64 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def dropIvfPqIndex(): Unit = {
     hadoopFs(ivfpqPath).delete(new org.apache.hadoop.fs.Path(ivfpqPath), true)
     ivfpqSideCache = None
+  }
+
+  /** (n, mean_sq_dist) of the encoded rows' NORMALIZED vectors against
+    * their assigned coarse centroid — the coarse-assignment quality of
+    * the composed index (the PQ codes quantize residuals; when rows
+    * drift from the cells, residuals grow and ADC fidelity decays, so
+    * coarse drift is the refit signal for BOTH quantizers). */
+  private def ivfpqMeanSqDist(): DataFrame = {
+    import spark.implicits._
+    val cents = ivfpqSideStored()._1
+      .map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
+    spark.read.parquet(s"$ivfpqPath/encoded")
+      .join(broadcast(cents), "cluster")
+      .select(aggregate(
+        zip_with(l2Normalize(col("embedding")).cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("sqd"))
+      .agg(count(lit(1)).as("n"), avg(col("sqd")).as("mean_sq_dist"))
+  }
+
+  /** Drift ratio of the IVF-PQ index: current mean squared coarse-
+    * assignment distance over the build-time baseline; ~1.0 healthy,
+    * rising = appended data no longer matches the frozen geometry. */
+  def ivfpqDrift: Double = {
+    val base = spark.read.parquet(s"$ivfpqPath/stats")
+      .head.getAs[Double]("mean_sq_dist")
+    val cur = ivfpqMeanSqDist().head.getAs[Double]("mean_sq_dist")
+    if (base > 0.0) cur / base else 1.0
+  }
+
+  /** Re-fit the full IVF-PQ geometry (coarse centroids AND residual
+    * codebooks) when drift exceeds `threshold` — the composed analog
+    * of refitIvfIfDrifted. Returns true when a re-fit ran. */
+  def refitIvfPqIfDrifted(threshold: Double = 1.5): Boolean = {
+    if (!hasIvfPqIndex) return false
+    if (ivfpqDrift <= threshold) return false
+    val m = readMeta()
+    buildIvfPqIndex(m.getOrElse("ivfpq_ncentroids", "16").toInt,
+      m.getOrElse("ivfpq_m", "8").toInt, m.getOrElse("ivfpq_k", "16").toInt)
+    true
+  }
+
+  /** IVF-PQ index health: cell occupancy + drift, the composed-index
+    * member of the LSH/grid/IVF observability family. */
+  def ivfpqIndexInfo: DataFrame = {
+    require(hasIvfPqIndex, s"library $name has no IVF-PQ index (buildIvfPqIndex first)")
+    val total = ivfpqSideStored()._1.size
+    spark.read.parquet(s"$ivfpqPath/encoded")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .agg(
+        count(lit(1)).as("occupied_clusters"),
+        round(avg(col("cluster_size")), 4).as("avg_cluster_size"),
+        max(col("cluster_size")).as("max_cluster_size"))
+      .withColumn("total_clusters", lit(total))
+      .withColumn("empty_clusters", lit(total) - col("occupied_clusters"))
+      .withColumn("drift_ratio", round(lit(ivfpqDrift), 6))
+      .withColumn("library", lit(name))
+      .withColumn("algorithm", lit(algo))
   }
 
   /** Library stats (reference GET /libraries/{id}/index-info, incl.

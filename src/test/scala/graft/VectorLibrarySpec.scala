@@ -741,6 +741,17 @@ class VectorLibrarySpec extends AnyFunSuite {
       == lib.chunks.count(), "ivfpq rows stale after delete")
     assert(lib.search("spark join stream table filter", k = 5).count() == 5)
 
+    // observability: occupancy + drift; drift near 1 on in-distribution data
+    val info = lib.ivfpqIndexInfo.collect()(0)
+    assert(info.getAs[Long]("occupied_clusters") > 0)
+    assert(info.getAs[Int]("total_clusters") == 8)
+    val drift = lib.ivfpqDrift
+    assert(drift > 0.5 && drift < 2.0, s"unexpected drift $drift")
+    // a refit with an impossible threshold runs and restores drift = 1
+    assert(lib.refitIvfPqIfDrifted(threshold = 0.0))
+    assert(math.abs(lib.ivfpqDrift - 1.0) < 1e-9)
+    assert(!lib.refitIvfPqIfDrifted(threshold = 1.5), "healthy index must not refit")
+
     // a NEW facade over the same store serves ivfpq with zero build cost
     val reopened = new VectorLibrary(spark, root, "ivfpq-lib")
     assert(reopened.algorithm == "ivfpq" && reopened.hasIvfPqIndex)
