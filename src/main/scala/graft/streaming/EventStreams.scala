@@ -234,6 +234,67 @@ object EventStreams {
       }
   }
 
+  case class AsofState(rts: Long, rid: Long)
+  case class AsofOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                     matched_id: Option[Long],
+                     matched_ts: Option[java.sql.Timestamp],
+                     lag_us: Option[Long])
+
+  /**
+   * Streaming as-of enrichment: each arriving `leftType` event is
+   * matched to the MOST RECENT `rightType` event of the same user at
+   * or before its timestamp — the streaming twin of
+   * [[graft.operators.Events.asofJoin]] (attribution at ingest time,
+   * enriching purchases with their latest preceding view as they
+   * arrive). State per user is ONE (ts, id) pair — constant-size, no
+   * watermark needed; the right side folds into state, never a
+   * buffered join.
+   *
+   * Fold order matches the batch window exactly: within a micro-batch
+   * (ts, side, event_id) with right rows ahead of left on ties —
+   * "at or before" is inclusive, and right-side ties resolve to the
+   * highest event_id. When waves arrive in event-time order the
+   * emitted rows equal the batch twin's non-null-padded output
+   * (the funnel/sessionize streaming contract).
+   */
+  def asofStream(events: Dataset[Event], leftType: String = "purchase",
+                 rightType: String = "view")
+                (implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    def us(e: Event): Long = {
+      val i = e.ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (us(e), if (e.event_type == rightType) 0 else 1, e.event_id))
+          var st = state.getOption.getOrElse(AsofState(Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          for (e <- sorted) {
+            if (e.event_type == rightType) {
+              // keep the max (ts, id) right event — late stragglers
+              // below the current match never regress it
+              if (us(e) > st.rts || (us(e) == st.rts && e.event_id > st.rid))
+                st = AsofState(us(e), e.event_id)
+            } else {
+              if (st.rid == Long.MinValue)
+                out += AsofOut(e.event_id, userId, e.ts, None, None, None)
+              else
+                out += AsofOut(e.event_id, userId, e.ts, Some(st.rid),
+                  Some(new java.sql.Timestamp(st.rts / 1000L)),
+                  Some(us(e) - st.rts))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /**
    * Gap-based sessionization with explicit state: one SessionState per
    * user; a session closes (emits) when the gap exceeds `gapMinutes`.

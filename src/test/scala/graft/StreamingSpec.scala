@@ -209,6 +209,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of enrichment converges to the batch twin across ordered waves") {
+    import spark.implicits._
+    implicit val s = spark
+    val events = Tables.load(spark, sfDir, "events")
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0).toLong
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    events.filter(unix_micros(col("ts")) <= cut)
+      .selectExpr(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = events.selectExpr(cols: _*).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.asofStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    q.processAllAvailable()
+    events.filter(unix_micros(col("ts")) > cut)
+      .selectExpr(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("asof_out")
+      .select(col("event_id"), col("matched_id"), col("lag_us"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val batch = operators.Events.asofJoin(events)
+      .select(col("event_id"), col("matched_id"), col("lag_us"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"asof diverged: extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+  }
+
   test("streaming sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     implicit val s = spark
