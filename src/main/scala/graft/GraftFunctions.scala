@@ -71,53 +71,87 @@ object GraftFunctions {
   private def strLit(e: Expression): String =
     e.asInstanceOf[Literal].value.toString
 
+  /** Builder wrapper: a clear arity error instead of the raw
+    * IndexOutOfBoundsException a mis-called `es(i)` would throw out of
+    * the analyzer. */
+  private def checked(name: String, min: Int, max: Int)
+                     (b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.size >= min && es.size <= max,
+        if (min == max) s"$name expects $min argument(s), got ${es.size}"
+        else s"$name expects $min to $max arguments, got ${es.size}")
+      b(es)
+    }
+  private def iArg(es: Seq[Expression], i: Int, default: Int): Int =
+    es.lift(i).map(intLit).getOrElse(default)
+  private def lArg(es: Seq[Expression], i: Int, default: Long): Long =
+    es.lift(i).map(longLit).getOrElse(default)
+
+  /**
+   * The SQL function surface: ONE table of (name, usage, builder)
+   * shared by `register` (per-session) and [[GraftExtensions]]
+   * (cluster-wide via spark.sql.extensions), so the two paths can
+   * never drift. Trailing tuning arguments are optional with the same
+   * defaults as the Column API.
+   */
+  private[graft] val sqlBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "dot product of two vectors",
+      checked("graft_dot", 2, 2)(es => VectorDot(es(0), es(1)))),
+    ("graft_cosine", "cosine similarity of two vectors",
+      checked("graft_cosine", 2, 2)(es => VectorCosine(es(0), es(1)))),
+    ("graft_l2_distance", "euclidean distance of two vectors",
+      checked("graft_l2_distance", 2, 2)(es => VectorL2Distance(es(0), es(1)))),
+    ("graft_l1_distance", "manhattan distance of two vectors",
+      checked("graft_l1_distance", 2, 2)(es => VectorL1Distance(es(0), es(1)))),
+    ("graft_norm", "L2 norm of a vector",
+      checked("graft_norm", 1, 1)(es => VectorNorm(es(0)))),
+    ("graft_l2_normalize", "L2-normalize a vector",
+      checked("graft_l2_normalize", 1, 1)(es => VectorL2Normalize(es(0)))),
+    ("graft_embed", "deterministic text embedding (text[, dim=64[, seed=42]])",
+      checked("graft_embed", 1, 3)(es =>
+        FakeEmbed(es(0), iArg(es, 1, 64), lArg(es, 2, 42L)))),
+    ("graft_mix64", "splitmix64 finalizer of a long (sampling hash)",
+      checked("graft_mix64", 1, 1)(es => Mix64(es(0)))),
+    ("graft_minhash", "minhash signature (text[, shingleWords=3[, numHashes=64[, seed=42]]])",
+      checked("graft_minhash", 1, 4)(es =>
+        MinHashSig(es(0), iArg(es, 1, 3), iArg(es, 2, 64), lArg(es, 3, 42L)))),
+    ("graft_simhash", "64-bit simhash (text[, seed=42])",
+      checked("graft_simhash", 1, 2)(es => SimHash64(es(0), lArg(es, 1, 42L)))),
+    ("graft_lsh_buckets", "LSH bucket ids (vec[, tables=8[, bits=8[, seed=42]]])",
+      checked("graft_lsh_buckets", 1, 4)(es =>
+        HyperplaneBuckets(es(0), iArg(es, 1, 8), iArg(es, 2, 8), lArg(es, 3, 42L)))),
+    ("graft_fingerprint", "rolling-hash fingerprint (text[, seed=42])",
+      checked("graft_fingerprint", 1, 2)(es => DocFingerprint(es(0), lArg(es, 1, 42L)))),
+    ("graft_shingle_hashes", "distinct token-shingle hashes (text[, w=3])",
+      checked("graft_shingle_hashes", 1, 2)(es =>
+        ShingleHashesExpr(es(0), iArg(es, 1, 3)))),
+    ("graft_text_stats", "token statistics struct (text)",
+      checked("graft_text_stats", 1, 1)(es => TextStats(es(0), stopwordsEn))),
+    ("graft_topk", "bounded top-k aggregate (id, score, k)",
+      checked("graft_topk", 3, 3)(es => TopKAgg(es(0), es(1), intLit(es(2))))),
+    ("graft_lsh_probes", "multi-probe LSH buckets (vec[, tables=8[, bits=8[, probes=2[, seed=42]]]])",
+      checked("graft_lsh_probes", 1, 5)(es =>
+        HyperplaneProbes(es(0), iArg(es, 1, 8), iArg(es, 2, 8), iArg(es, 3, 2),
+          lArg(es, 4, 42L)))),
+    ("graft_quantize", "int8 quantize vector -> struct(scale, bytes)",
+      checked("graft_quantize", 1, 1)(es => QuantizeVec(es(0)))),
+    ("graft_quantized_dot", "approximate dot of two quantized structs",
+      checked("graft_quantized_dot", 2, 2)(es => QuantizedDot(es(0), es(1)))),
+    ("graft_tokens", "lowercased [a-z0-9] tokens (text)",
+      checked("graft_tokens", 1, 1)(es => AsciiTokens(es(0)))),
+    ("graft_distinct_tokens", "distinct lowercased tokens (text)",
+      checked("graft_distinct_tokens", 1, 1)(es => AsciiDistinctTokens(es(0)))),
+    // terms ride as one comma-separated literal (tokens never contain ',')
+    ("graft_term_freqs", "doc length + term frequencies (text, 'a,b,c')",
+      checked("graft_term_freqs", 2, 2)(es =>
+        TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq))))
+
   /** Idempotent; call once per SparkSession before using the helpers. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      es => VectorDot(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      es => VectorCosine(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2_distance",
-      es => VectorL2Distance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l1_distance",
-      es => VectorL1Distance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_norm",
-      es => VectorNorm(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2_normalize",
-      es => VectorL2Normalize(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_embed",
-      es => FakeEmbed(es(0), intLit(es(1)), longLit(es(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_mix64",
-      es => Mix64(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSig(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash64(es(0), longLit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_lsh_buckets",
-      es => HyperplaneBuckets(es(0), intLit(es(1)), intLit(es(2)), longLit(es(3))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_fingerprint",
-      es => DocFingerprint(es(0), longLit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashesExpr(es(0), intLit(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_text_stats",
-      es => TextStats(es(0), stopwordsEn), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_topk",
-      es => TopKAgg(es(0), es(1), intLit(es(2))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_lsh_probes",
-      es => HyperplaneProbes(es(0), intLit(es(1)), intLit(es(2)), intLit(es(3)),
-        longLit(es(4))), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_quantize",
-      es => QuantizeVec(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_quantized_dot",
-      es => QuantizedDot(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_tokens",
-      es => AsciiTokens(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_distinct_tokens",
-      es => AsciiDistinctTokens(es(0)), "scala_udf")
-    // terms ride as one comma-separated literal (tokens never contain ',')
-    reg.createOrReplaceTempFunction("graft_term_freqs",
-      es => TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq), "scala_udf")
+    sqlBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** Canonical english stopword list (mirrored in the DuckDB oracle). */

@@ -26,6 +26,16 @@ class ExtensionsSpec extends AnyFunSuite {
           |       size(graft_embed('hello', 32, 42L)) AS d""".stripMargin).collect()(0)
       assert(r.getDouble(0) == 1.0)
       assert(r.getInt(2) == 32)
+      // trailing tuning args are optional with Column-API defaults
+      val d = spark.sql(
+        "SELECT size(graft_embed('hi there')) d, size(graft_minhash('a b c d')) m").collect()(0)
+      assert(d.getInt(0) == 64 && d.getInt(1) == 64)
+      // arity mistakes raise a clear message, not an analyzer crash
+      val err = intercept[Exception](
+        spark.sql("SELECT graft_cosine(graft_embed('x'))").collect())
+      def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+      assert(root(err).getMessage.contains("graft_cosine expects 2 argument(s)"),
+        s"unexpected: ${root(err).getMessage}")
     } finally {
       prior.foreach { s =>
         SparkSession.setDefaultSession(s)
