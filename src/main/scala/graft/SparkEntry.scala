@@ -447,6 +447,7 @@ object SparkEntry {
     "events_percentiles" -> ((s, d) => Events.valuePercentiles(t(s, d, "events"))),
     "text_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(t(s, d, "documents"))),
     "text_surprise" -> ((s, d) => TextAnalysis.unigramSurprise(t(s, d, "documents"))),
+    "text_bigram_surprise" -> ((s, d) => TextAnalysis.bigramSurprise(t(s, d, "documents"))),
     "top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(t(s, d, "documents"))),
     "ivfpq_index_info" -> ((s, d) => {
       // library-side observability for the composed index: cluster
@@ -2099,6 +2100,21 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "text_bigram_surprise" ->
+      s"""WITH t AS ($toksCte),
+         | u AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+         |         concat(toks[CAST(i AS INT)], ' ', toks[CAST(i AS INT) + 1]))) AS bg FROM t),
+         | dc AS (SELECT doc_id, bg, COUNT(*) c FROM u GROUP BY doc_id, bg),
+         | cb AS (SELECT bg, SUM(c) cb FROM dc GROUP BY bg),
+         | cp AS (SELECT string_split(bg, ' ')[1] AS pfx, SUM(cb) cp FROM cb GROUP BY pfx),
+         | p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) m,
+         |        SUM(CAST(c AS DOUBLE) * (ln(CAST(cp AS DOUBLE)) - ln(CAST(cb.cb AS DOUBLE)))) s
+         |       FROM dc JOIN cb USING (bg) JOIN cp ON string_split(bg, ' ')[1] = cp.pfx
+         |       GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(m, 0) AS n_bigrams,
+         | COALESCE(floor(s / m * 1.0e6 + 0.5e0) / 1.0e6, 0.0e0) AS surprise
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_surprise" ->
       s"""WITH t AS ($toksCte),
          | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),

@@ -161,6 +161,13 @@ object Stress {
     val ivfpqTop = operators.IvfPq.searchIndexed(spark, s"$tmp/ivfpq", q,
       "vec_id", "embedding", 10, 4, metric = "cosine").collect().map(_.getLong(0))
     println(f"[stress] ivfpq_recall@10 nProbe=4 vs exact: ${ivfpqTop.count(exactTop).toDouble / 10}%.2f")
+    val ivfpqIdx = operators.IvfPq.Index(
+      operators.IvfPq.readCenters(spark, s"$tmp/ivfpq"),
+      operators.IvfPq.readBooks(spark, s"$tmp/ivfpq"),
+      spark.read.parquet(s"$tmp/ivfpq/encoded"))
+    time("ivfpq_batch_16q(one union-pruned codes scan)") {
+      operators.IvfPq.searchBatch(ivfpqIdx, queries16,
+        "vec_id", "embedding", 10, 4, metric = "cosine").count() }
 
     // ---- adversarial skew: 99%-duplicate corpus --------------------------
     // One boilerplate document dominates; every banded bucket it hashes

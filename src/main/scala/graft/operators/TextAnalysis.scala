@@ -338,6 +338,43 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /**
+   * Corpus-bigram surprise per document: mean −ln p(w_i | w_{i-1})
+   * under the corpus's bigram MLE (p(w|v) = c(v w) / c(v ·)) — the
+   * second-order companion of [[unigramSurprise]]: fluent-but-rare
+   * word SEQUENCES now score high even when each word is common
+   * (and boilerplate scores near zero). Same scale shape: bigram
+   * count tables are corpus-derived, joins fan out per distinct
+   * doc-bigram, the per-doc fold is one aggregate.
+   */
+  def bigramSurprise(docs: DataFrame): DataFrame = {
+    val toks = graft.GraftFunctions.tokensOf(col("text"))
+    // "v w" single-string bigrams: a compact join key; tokens cannot
+    // contain spaces, so the prefix recovers unambiguously.
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docBi = docs.select(col("doc_id"), explode(bi).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val corpusBi = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cb"))
+    val prefix = corpusBi
+      .groupBy(element_at(split(col("bg"), " "), 1).as("pfx"))
+      .agg(sum(col("cb")).as("cp"))
+    val perDoc = docBi.join(corpusBi, "bg")
+      .join(prefix, element_at(split(col("bg"), " "), 1) === col("pfx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("m"),
+        sum(col("c").cast("double") *
+          (log(col("cp").cast("double")) - log(col("cb").cast("double")))).as("s"))
+      .select(col("doc_id"), col("m"),
+        quant6(col("s") / col("m")).as("surprise"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprise"), lit(0.0)).as("surprise"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-source corpus statistics over chunks (reference get_chunk_stats). */
   def chunkStats(docs: DataFrame, window: Int = 32): DataFrame = {
     chunksUnordered(docs, window)

@@ -696,4 +696,20 @@ class OperatorSpec extends AnyFunSuite {
     val t = r.values.map(_._1).sum
     assert(math.abs(r(2)._2 - math.log(t.toDouble)) < 1e-6)
   }
+
+  test("bigram surprise: shared phrasing scores low, novel ordering high, short docs 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),  // same bigrams — identical, low
+      (2L, "mat the on sat cat the"),  // same unigrams, novel bigrams
+      (3L, "one"))                     // no bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprise(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(0) == r(1), "identical docs must score identically")
+    assert(r(2)._2 > r(0)._2,
+      s"novel word order must out-surprise shared phrasing: ${r(2)} vs ${r(0)}")
+    assert(r(3) == ((0L, 0.0)), "sub-bigram doc must yield (0, 0.0)")
+  }
 }
