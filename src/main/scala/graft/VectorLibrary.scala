@@ -146,6 +146,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // libraries without the persisted index.
   private var ivfpqSideCache: Option[(Seq[(Int, Array[Double])], PqIndex.Codebooks)] = None
   private var ivfpqState: Option[IvfPq.Index] = None
+  // Dev/test probe: the resolution scan scope of the most recent
+  // deleteVictims, per tree — the partition directories the victim-
+  // file resolution actually opened (or the tree root when a
+  // coverage shortfall forced the full-tree fallback). Lets specs
+  // assert that targeted deletes stay pruned without instrumenting
+  // the filesystem.
+  @volatile private[graft] var lastDeleteAudit: Map[String, Seq[String]] = Map.empty
   private def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
@@ -356,9 +363,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           normalized = true)
       case "ivfpq" if hasIvfPqIndex =>
         // partition-pruned (nProbe cells) + column-pruned (codes-only
-        // phase 1) scan of the persisted layout; exact re-rank
-        IvfPq.searchIndexed(spark, ivfpqPath, q, "chunk_id", "embedding", kk,
-          metric = metric, normalized = true)
+        // phase 1) scan of the persisted layout; exact re-rank. Side
+        // tables come from the per-generation cache (like the batch
+        // path) — not re-read from parquet per query.
+        val (centers, books) = ivfpqSideStored()
+        IvfPq.search(IvfPq.Index(centers, books,
+            spark.read.parquet(s"$ivfpqPath/encoded")),
+          q, "chunk_id", "embedding", kk, metric = metric, normalized = true)
       case "ivfpq" =>
         IvfPq.search(ivfpqInMemory, q, "chunk_id", "embedding", kk,
           metric = metric, normalized = true)
@@ -732,12 +743,53 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         * signatures into few buckets), so "rewrite the victim dirs"
         * can degenerate to rewriting a fifth of the index, while the
         * victim FILES stay bounded by indexMaxRecordsPerFile each. */
-      def victimFilesUnder(treeRoot: String, dirs: Seq[String]): Seq[String] = {
+      val audit = new scala.collection.concurrent.TrieMap[String, Seq[String]]()
+      def victimFilesUnder(label: String, treeRoot: String,
+                           dirs: Seq[String]): Seq[String] = {
         val fs = hadoopFs(treeRoot)
         val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        audit.put(label, existing)
         if (existing.isEmpty) Seq.empty
         else victimFilesOf(
           spark.read.option("basePath", treeRoot).parquet(existing: _*))
+      }
+
+      /** Pruned resolution for the cluster-partitioned trees (IVF /
+        * IVF-PQ): `withCluster` re-derives each victim's cell map-side
+        * (the same exact-fold argmin appends place rows by), so the id
+        * + file-metadata scan opens ONLY the victim cluster
+        * directories — never the whole tree. One combined job returns
+        * the victim files AND how many victims they cover; a shortfall
+        * (possible for plain IVF, whose BUILD-time placement is
+        * MLlib's norm-optimized distance and can flip an FP near-tie
+        * against the exact argmin) falls back loudly to the full-tree
+        * scan, so pruning is an optimization, never a correctness
+        * trade. */
+      def victimFilesByCluster(label: String, treeRoot: String,
+                               withCluster: DataFrame): Seq[String] = {
+        val dirs = withCluster.select(col("cluster")).distinct().collect()
+          .filter(!_.isNullAt(0))
+          .map(r => s"$treeRoot/cluster=${r.getInt(0)}").toSeq
+        val fs = hadoopFs(treeRoot)
+        val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        val (files, covered) =
+          if (existing.isEmpty) (Seq.empty[String], 0L)
+          else {
+            val row = spark.read.option("basePath", treeRoot).parquet(existing: _*)
+              .select(col("chunk_id"), col("_metadata.file_path").as("f"))
+              .join(victimIds, Seq("chunk_id"), "left_semi")
+              .agg(collect_set(col("f")).as("files"),
+                countDistinct(col("chunk_id")).as("n"))
+              .head
+            (row.getSeq[String](0).toSeq, row.getLong(1))
+          }
+        if (covered == nVictims) { audit.put(label, existing); files }
+        else {
+          System.err.println(s"[cow] $label: pruned resolution covered " +
+            s"$covered/$nVictims victims — falling back to full-tree scan")
+          audit.put(label, Seq(treeRoot))
+          victimFilesOf(spark.read.parquet(treeRoot))
+        }
       }
       def escape(v: String): String =
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
@@ -746,39 +798,46 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // Every resolution is a pruned id + file-metadata scan: the
       // store prunes to the victims' source= partitions, the LSH scan
       // to the (tbl, bucket) dirs from the victims' stored signatures,
-      // the grid scan to their cells under the stored frozen bounds.
-      // IVF scans the whole assigned tree (cluster placement is a
-      // centroid argmin, not worth re-deriving) — chunk_id+metadata
-      // only, column-pruned. The four resolutions are independent
-      // read-only jobs over the persisted victim frame — they run
-      // concurrently (as do the four rewrites below): a targeted
-      // delete's latency is a handful of SMALL jobs, so the serial
-      // job-launch overhead would dominate the actual I/O.
+      // the grid scan to their cells under the stored frozen bounds,
+      // and the IVF / IVF-PQ scans to the victims' re-derived cluster
+      // directories (coverage-checked, full-tree fallback). The
+      // resolutions are independent read-only jobs over the persisted
+      // victim frame — they run concurrently (as do the rewrites
+      // below): a targeted delete's latency is a handful of SMALL
+      // jobs, so the serial job-launch overhead would dominate the
+      // actual I/O.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       def awaitAll[A](fs: Seq[Future[A]]): Seq[A] =
         fs.map(Await.result(_, Duration.Inf))
       val storeFilesF = Future(step("resolve-store-files") {
-        victimFilesUnder(path, victims.select(col("source")).distinct()
+        victimFilesUnder("store", path, victims.select(col("source")).distinct()
           .collect().map(r => s"$path/source=${escape(r.getString(0))}").toSeq)
       })
       val lshFilesF = Future(step("resolve-lsh-files") {
         if (hasPartitionedIndex)
-          victimFilesUnder(indexPath, victims
+          victimFilesUnder("lsh", indexPath, victims
             .select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
             .distinct().collect()
             .map(r => s"$indexPath/tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq)
         else Seq.empty[String]
       })
       val ivfFilesF = Future(step("resolve-ivf-files") {
-        if (hasIvfIndex) victimFilesOf(spark.read.parquet(s"$ivfPath/assigned"))
+        // victim cells re-derive map-side against the stored centroids
+        // (what appendAssign placed rows by); build-time MLlib
+        // placement agrees except on FP near-ties, which the coverage
+        // fallback absorbs
+        if (hasIvfIndex)
+          victimFilesByCluster("ivf", s"$ivfPath/assigned",
+            IvfIndex.assignExact(victims, "embedding",
+              IvfPq.readCenters(spark, ivfPath)))
         else Seq.empty[String]
       })
       val gridFilesF = Future(step("resolve-grid-files") {
         if (hasGridIndex) {
           val (lo, hi, _, cpd) = gridBoundsStored()
-          victimFilesUnder(s"$gridPath/cells", victims
+          victimFilesUnder("grid", s"$gridPath/cells", victims
             .select(VectorSearch.cellKeyCol(col("embedding"), lo, hi, cpd).as("cell"))
             .distinct().collect().filter(!_.isNullAt(0))
             .map(r => s"$gridPath/cells/cell=${escape(r.getString(0))}").toSeq)
@@ -786,16 +845,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       })
       val pqFilesF = Future(step("resolve-pq-files") {
         if (hasPqIndex)
-          victimFilesUnder(s"$pqPath/codes", victims.select(col("source")).distinct()
+          victimFilesUnder("pq", s"$pqPath/codes", victims.select(col("source")).distinct()
             .collect().map(r => s"$pqPath/codes/source=${escape(r.getString(0))}").toSeq)
         else Seq.empty[String]
       })
       val ivfpqFilesF = Future(step("resolve-ivfpq-files") {
-        // like IVF: cluster placement is a centroid argmin, not worth
-        // re-deriving — a chunk_id + file-metadata column scan of the
-        // encoded tree resolves the victim files directly
+        // exact replay of the build/append geometry: assignExact over
+        // the L2-normalized vectors against the stored coarse
+        // centroids IS how every encoded row was placed, so the
+        // pruned dirs are the victim cells bit-for-bit
         if (hasIvfPqIndex)
-          victimFilesOf(spark.read.parquet(s"$ivfpqPath/encoded"))
+          victimFilesByCluster("ivfpq", s"$ivfpqPath/encoded",
+            IvfIndex.assignExact(
+              victims.withColumn("__nvec", l2Normalize(col("embedding"))),
+              "__nvec", ivfpqSideStored()._1))
         else Seq.empty[String]
       })
       val Seq(storeFiles, lshFiles, ivfFiles, gridFiles, pqFiles, ivfpqFiles) =
@@ -878,6 +941,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (pqFiles.nonEmpty) step("swap-pq")(cowTree(s"$pqPath/codes", pqTmp, pqFiles))
       if (ivfpqFiles.nonEmpty)
         step("swap-ivfpq")(cowTree(s"$ivfpqPath/encoded", ivfpqTmp, ivfpqFiles))
+      lastDeleteAudit = audit.toMap
       nVictims
     } finally {
       victims.unpersist()
@@ -1236,6 +1300,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * assignment distance over the build-time baseline; ~1.0 healthy,
     * rising = appended data no longer matches the frozen geometry. */
   def ivfpqDrift: Double = {
+    require(hasIvfPqIndex, s"library $name has no IVF-PQ index (buildIvfPqIndex first)")
     val base = spark.read.parquet(s"$ivfpqPath/stats")
       .head.getAs[Double]("mean_sq_dist")
     val cur = ivfpqMeanSqDist().head.getAs[Double]("mean_sq_dist")
@@ -1551,11 +1616,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * its (doc_id, source, chunk_idx) identity — and therefore its
    * chunk_id — while text, token count, embedding and index columns
    * re-derive. Store semantics are the same copy-on-write swap every
-   * other mutation uses; per-chunk cost only matters on a hot path,
-   * which single-chunk edits are not.
+   * other mutation uses. The identity fetch is pruned (see
+   * [[chunkLookup]]): doc_id parses out of the chunk_id for row-group
+   * skipping, and a caller-supplied `source` partition-prunes to one
+   * directory — no full-store scan per PUT.
    */
-  def updateChunk(chunkId: String, newText: String): Unit = {
-    val old = chunks.filter(col("chunk_id") === chunkId)
+  /** The 1-row identity frame behind a chunk PUT. chunk_id encodes
+    * (library, doc_id, chunk_idx), so the fetch always filters on the
+    * parsed doc_id too — store files are sorted by (source, doc_id),
+    * so parquet row-group statistics skip every group not holding the
+    * document. A caller-supplied `source` additionally partition-
+    * prunes the scan to that one source= directory (the store's
+    * partition column), making the lookup O(one partition's footers)
+    * instead of O(store). */
+  private[graft] def chunkLookup(chunkId: String,
+                                 source: Option[String] = None): DataFrame = {
+    val parts = chunkId.split("#")
+    val parsedDoc =
+      if (parts.length >= 3) scala.util.Try(parts(parts.length - 2).toLong).toOption
+      else None
+    val base = source.fold(chunks)(s => chunks.filter(col("source") === s))
+    val narrowed = parsedDoc.fold(base)(d => base.filter(col("doc_id") === d))
+    narrowed.filter(col("chunk_id") === chunkId)
+  }
+
+  def updateChunk(chunkId: String, newText: String,
+                  source: Option[String] = None): Unit = {
+    val old = chunkLookup(chunkId, source)
       .select(col("doc_id"), col("source"), col("chunk_idx")).collect()
     require(old.nonEmpty, s"chunk $chunkId does not exist")
     deleteDocuments(col("chunk_id") === chunkId)
@@ -1594,6 +1681,61 @@ object VectorLibrary {
       (n, m.getOrElse("description", ""), m.getOrElse("algorithm", "flat"),
         m.getOrElse("created_at", ""), m.getOrElse("updated_at", ""))
     }.toDF("library", "description", "algorithm", "created_at", "updated_at")
+  }
+
+  /**
+   * Index health of EVERY library under a root in one call (reference
+   * get_all_library_indexes_info, services/vector_service.py:424-433):
+   * each library's LSH / IVF / IVF-PQ info views normalized onto one
+   * occupancy schema — (library, algorithm, index_type, total_cells,
+   * occupied_cells, empty_cells, avg_cell_size, max_cell_size,
+   * drift_ratio) — and unioned. "Cells" are LSH buckets, IVF clusters
+   * or IVF-PQ clusters per the index_type discriminator; drift_ratio
+   * is null for LSH (no frozen geometry to drift from). Libraries
+   * with no built index contribute no rows, matching the reference's
+   * skip-if-absent. The driver loop is over library NAMES only; each
+   * contributed row is the same pruned 1-row aggregate its
+   * per-library view runs.
+   */
+  def allIndexInfo(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val names = list(spark, root).select("library").collect().map(_.getString(0))
+    def num(r: org.apache.spark.sql.Row, field: String): Long =
+      r.getAs[Number](field).longValue
+    val rows = names.toSeq.flatMap { n =>
+      val lib = new VectorLibrary(spark, root, n)
+      val lsh =
+        if (lib.storeIsEmpty) Seq.empty
+        else {
+          val r = lib.indexInfo.head
+          Seq((n, r.getAs[String]("algorithm"), "lsh",
+            num(r, "total_buckets"), num(r, "occupied_buckets"),
+            num(r, "empty_buckets"), r.getAs[Double]("avg_bucket_size"),
+            num(r, "max_bucket_size"), Option.empty[Double]))
+        }
+      val ivf =
+        if (!lib.hasIvfIndex) Seq.empty
+        else {
+          val r = lib.ivfIndexInfo.head
+          Seq((n, r.getAs[String]("algorithm"), "ivf",
+            num(r, "total_clusters"), num(r, "occupied_clusters"),
+            num(r, "empty_clusters"), r.getAs[Double]("avg_cluster_size"),
+            num(r, "max_cluster_size"), Some(r.getAs[Double]("drift_ratio"))))
+        }
+      val ivfpq =
+        if (!lib.hasIvfPqIndex) Seq.empty
+        else {
+          val r = lib.ivfpqIndexInfo.head
+          Seq((n, r.getAs[String]("algorithm"), "ivfpq",
+            num(r, "total_clusters"), num(r, "occupied_clusters"),
+            num(r, "empty_clusters"), r.getAs[Double]("avg_cluster_size"),
+            num(r, "max_cluster_size"), Some(r.getAs[Double]("drift_ratio"))))
+        }
+      lsh ++ ivf ++ ivfpq
+    }
+    rows.toDF("library", "algorithm", "index_type", "total_cells",
+      "occupied_cells", "empty_cells", "avg_cell_size", "max_cell_size",
+      "drift_ratio")
   }
 
   private val datasetCache =

@@ -435,6 +435,61 @@ class ScalePathSpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("targeted delete resolves IVF/IVF-PQ victims via pruned cluster dirs only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cow-prune").toString
+    val lib = new VectorLibrary(spark, root, "cow-prune")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs)
+    lib.buildIvfIndex()
+    lib.buildIvfPqIndex()
+
+    val victimId = docs.head.getAs[Long]("doc_id")
+    val victimIds = lib.chunks.filter(col("doc_id") === victimId)
+      .select(col("chunk_id")).collect().map(_.getString(0)).toSet
+    assert(victimIds.nonEmpty)
+    // ground truth: where the victims actually sit in each tree
+    def clustersOf(tree: String): Set[String] =
+      spark.read.parquet(tree)
+        .filter(col("chunk_id").isin(victimIds.toSeq: _*))
+        .select(col("cluster")).distinct().collect()
+        .map(r => s"$tree/cluster=${r.getInt(0)}").toSet
+    val ivfTree = s"$root/cow-prune/ivf_index/assigned"
+    val ivfpqTree = s"$root/cow-prune/ivfpq_index/encoded"
+    val ivfVictimDirs = clustersOf(ivfTree)
+    val ivfpqVictimDirs = clustersOf(ivfpqTree)
+    val ivfAllClusters = spark.read.parquet(ivfTree)
+      .select(col("cluster")).distinct().count()
+    assert(ivfAllClusters > 2, "corpus too small to demonstrate pruning")
+
+    lib.deleteDocuments(col("doc_id") === victimId)
+
+    // the resolution audit must show ONLY the victim cluster dirs were
+    // opened — never the tree root (the full-scan fallback) and never
+    // a non-victim cluster
+    val audit = lib.lastDeleteAudit
+    assert(audit.contains("ivf") && audit.contains("ivfpq"), audit.keys.toString)
+    assert(audit("ivf").toSet == ivfVictimDirs,
+      s"ivf resolution scanned ${audit("ivf")} != victim dirs $ivfVictimDirs")
+    assert(audit("ivfpq").toSet == ivfpqVictimDirs,
+      s"ivfpq resolution scanned ${audit("ivfpq")} != victim dirs $ivfpqVictimDirs")
+    assert(audit("ivf").size < ivfAllClusters,
+      "pruned resolution opened every cluster — nothing was pruned")
+
+    // and the delete was still complete: victims gone from both trees
+    assert(spark.read.parquet(ivfTree)
+      .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
+    assert(spark.read.parquet(ivfpqTree)
+      .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
+    // searches keep serving from the surgically-edited indexes
+    lib.setAlgorithm("ivf")
+    assert(lib.search("spark join stream", k = 5).collect()
+      .forall(r => !victimIds.contains(r.getString(0))))
+    lib.setAlgorithm("ivfpq")
+    assert(lib.search("spark join stream", k = 5).collect()
+      .forall(r => !victimIds.contains(r.getString(0))))
+    lib.delete()
+  }
+
   test("deleting every document leaves an empty, readable library") {
     val root = java.nio.file.Files.createTempDirectory("graft-cow-all").toString
     val lib = new VectorLibrary(spark, root, "cow-all")

@@ -425,6 +425,44 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("allIndexInfo rolls up every library's index health in one frame") {
+    val root = Files.createTempDirectory("graft-lib-fleet").toString
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    val a = new VectorLibrary(spark, root, "fleet-a")
+    a.addDocuments(docs.filter(col("doc_id") < 20))
+    a.buildIvfIndex()
+    a.setAlgorithm("ivf")
+    val b = new VectorLibrary(spark, root, "fleet-b")
+    b.addDocuments(docs.filter(col("doc_id") >= 20))
+    b.buildIvfPqIndex()
+    b.setAlgorithm("ivfpq")
+    val c = new VectorLibrary(spark, root, "fleet-empty") // no data: no rows
+
+    val info = VectorLibrary.allIndexInfo(spark, root)
+    val rows = info.collect().map(r =>
+      (r.getAs[String]("library"), r.getAs[String]("index_type")) -> r).toMap
+    // every populated library contributes its LSH row plus one row per
+    // persisted cluster index; the empty library contributes nothing
+    assert(rows.keySet == Set(
+      ("fleet-a", "lsh"), ("fleet-a", "ivf"),
+      ("fleet-b", "lsh"), ("fleet-b", "ivfpq")), rows.keySet.toString)
+    assert(!rows.keys.exists(_._1 == "fleet-empty"))
+    val aIvf = rows(("fleet-a", "ivf"))
+    assert(aIvf.getAs[String]("algorithm") == "ivf")
+    assert(aIvf.getAs[Long]("occupied_cells") > 0)
+    assert(aIvf.getAs[Long]("total_cells") ==
+      aIvf.getAs[Long]("occupied_cells") + aIvf.getAs[Long]("empty_cells"))
+    assert(!aIvf.isNullAt(aIvf.fieldIndex("drift_ratio")))
+    // LSH rows have no frozen geometry: drift is null there
+    assert(rows(("fleet-a", "lsh")).isNullAt(
+      rows(("fleet-a", "lsh")).fieldIndex("drift_ratio")))
+    val bPq = rows(("fleet-b", "ivfpq"))
+    assert(bPq.getAs[String]("algorithm") == "ivfpq")
+    assert(bPq.getAs[Long]("max_cell_size") >=
+      math.ceil(bPq.getAs[Double]("avg_cell_size")).toLong)
+    a.delete(); b.delete(); c.delete()
+  }
+
   test("updateChunk re-embeds one chunk in place, identity preserved") {
     val root = Files.createTempDirectory("graft-lib-upd").toString
     val lib = new VectorLibrary(spark, root, "upd-lib")
@@ -442,6 +480,38 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(updated.getSeq[Float](updated.fieldIndex("embedding")) !=
       target.getSeq[Float](target.fieldIndex("embedding")),
       "embedding not re-derived")
+
+    // the identity fetch prunes: with a source hint the store scan
+    // carries partition filters (one source= directory), and the
+    // doc_id parsed from the chunk_id rides as a data filter for
+    // row-group skipping — never a full-store scan per PUT
+    {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val src = target.getAs[String]("source")
+      val lookup = lib.chunkLookup(id, Some(src))
+      assert(lookup.count() == 1)
+      val scan = scans(lookup.queryExecution.executedPlan)
+      assert(scan.nonEmpty, "no file scan in chunk lookup plan")
+      assert(scan.head.partitionFilters.nonEmpty,
+        "source hint not pushed as a partition filter")
+      assert(scan.head.dataFilters.exists(_.references.exists(_.name == "doc_id")),
+        "parsed doc_id not pushed as a data filter")
+      // sourceless lookup still narrows by the parsed doc_id
+      val bare = lib.chunkLookup(id)
+      assert(scans(bare.queryExecution.executedPlan)
+        .head.dataFilters.exists(_.references.exists(_.name == "doc_id")))
+      // source-hinted update behaves identically to the bare one
+      lib.updateChunk(id, "second replacement text", Some(src))
+      assert(lib.chunks.filter(col("chunk_id") === id).head
+        .getAs[String]("chunk_text") == "second replacement text")
+    }
 
     intercept[IllegalArgumentException] { lib.updateChunk("no-such-chunk", "x") }
 
