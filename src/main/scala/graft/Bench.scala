@@ -52,5 +52,9 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
+    // Marker-prefixed FINAL stdout line: a harness that greps rather
+    // than tails finds the JSON regardless of window size or log
+    // interleaving (after stop(), nothing else prints to stdout).
+    println(s"GRAFT_BENCH_JSON: $json")
   }
 }

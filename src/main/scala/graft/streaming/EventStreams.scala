@@ -13,10 +13,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * (/root/reference/services/background_tasks.py:15-60, which
  * incrementally folds new chunks into per-library indexes).
  */
-object EventStreams {
+// Serializable: the stateful closures reference the shared usOf/tsOfUs
+// helpers, so tasks capture the module itself.
+object EventStreams extends Serializable {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  /** Exact epoch-microseconds of a timestamp — via the Instant, not
+    * getTime (millis), so state arithmetic keeps the parquet MICROS
+    * precision. */
+  private def usOf(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** The exact inverse of [[usOf]]: a timestamp rebuilt from epoch
+    * micros without truncating to millis, so emitted rows carry the
+    * same MICROS values the batch twins emit. */
+  private def tsOfUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   case class SessionState(sessionSeq: Long, lastTs: Long, start: Long,
                           nEvents: Long, sumValue: Double)
@@ -213,10 +230,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[Seq[Long]]) =>
           val times = state.getOption.getOrElse(Seq.fill(stages.size)(-1L)).toArray
           val before = times.toSeq
-          def us(e: Event): Long = {
-            val i = e.ts.toInstant
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
-          }
+          def us(e: Event): Long = usOf(e.ts)
           val sorted = rows.toSeq
             .filter(e => stageIdx.contains(e.event_type))
             .sortBy(e => (us(e), e.event_id))
@@ -261,10 +275,7 @@ object EventStreams {
                  rightType: String = "view")
                 (implicit spark: SparkSession): Dataset[AsofOut] = {
     import spark.implicits._
-    def us(e: Event): Long = {
-      val i = e.ts.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
+    def us(e: Event): Long = usOf(e.ts)
     events
       .filter(e => e.event_type == leftType || e.event_type == rightType)
       .groupByKey(_.user_id)
@@ -286,8 +297,7 @@ object EventStreams {
                 out += AsofOut(e.event_id, userId, e.ts, None, None, None)
               else
                 out += AsofOut(e.event_id, userId, e.ts, Some(st.rid),
-                  Some(new java.sql.Timestamp(st.rts / 1000L)),
-                  Some(us(e) - st.rts))
+                  Some(tsOfUs(st.rts)), Some(us(e) - st.rts))
             }
           }
           state.update(st)
@@ -307,7 +317,7 @@ object EventStreams {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def tsUs(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def tsUs(t: java.sql.Timestamp): Long = usOf(t)
 
     events
       .groupByKey(_.user_id)
@@ -323,8 +333,7 @@ object EventStreams {
               st = SessionState(st.sessionSeq, t, t, 1L, e.value)
             } else if (t - st.lastTs > gapUs) {
               out += SessionOut(userId, st.sessionSeq,
-                new java.sql.Timestamp(st.start / 1000L),
-                new java.sql.Timestamp(st.lastTs / 1000L), st.nEvents, st.sumValue)
+                tsOfUs(st.start), tsOfUs(st.lastTs), st.nEvents, st.sumValue)
               st = SessionState(st.sessionSeq + 1L, t, t, 1L, e.value)
             } else {
               st = st.copy(lastTs = t, nEvents = st.nEvents + 1L,

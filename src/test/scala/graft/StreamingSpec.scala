@@ -11,24 +11,24 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sfDir = SparkTestSession.sfDir
 
+  // The stream source is REWRITTEN from the batch-normalized frame
+  // (Tables.load absorbs whatever physical ts type the driver's
+  // testdata generation used this round — nanos-long or TIMESTAMP_NTZ),
+  // so the stream schema derives from the frame instead of hardcoding
+  // the parquet physical type: the known testdata schema-drift hazard
+  // cannot silently skew these specs again.
   private lazy val streamDir: String = {
     val dir = Files.createTempDirectory("graft-stream")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
 
-  // events.ts ships as TIMESTAMP(MICROS, isAdjustedToUTC=false): the
-  // stream reads it as TIMESTAMP_NTZ and casts to the session-UTC
-  // TimestampType, matching the batch loader (Tables.load).
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private lazy val rawSchema: StructType =
+    Tables.load(spark, sfDir, "events").schema
 
   private def streamingEvents =
     spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", col("ts").cast(TimestampType))
 
   test("streaming window agg matches batch twin") {
     val q = EventStreams.windowAggStream(streamingEvents)
@@ -230,18 +230,18 @@ class StreamingSpec extends AnyFunSuite {
       .selectExpr(cols: _*).coalesce(1).write.mode("append").parquet(dir)
     q.processAllAvailable(); q.stop()
 
-    val streamed = spark.table("asof_out")
-      .select(col("event_id"), col("matched_id"), col("lag_us"))
+    // matched_ts included: the emitted timestamp must carry the exact
+    // MICROS the batch twin emits (not a millis truncation)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("matched_id"), col("lag_us"),
+        coalesce(unix_micros(col("matched_ts")), lit(-1L)).as("mts"))
       .collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
-    val batch = operators.Events.asofJoin(events)
-      .select(col("event_id"), col("matched_id"), col("lag_us"))
-      .collect()
-      .map(r => (r.getLong(0),
-        if (r.isNullAt(1)) -1L else r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = proj(spark.table("asof_out"))
+    val batch = proj(operators.Events.asofJoin(events))
     assert(streamed == batch,
       s"asof diverged: extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
   }
