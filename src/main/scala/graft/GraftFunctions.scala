@@ -64,6 +64,25 @@ object GraftFunctions {
     }
   }
 
+  /**
+   * Percentile aggregate honoring `spark.graft.percentiles`:
+   *  - "exact" (default): interpolated `percentile()` — sorts each
+   *    group's values; bit-replayable by the DuckDB oracle. Right
+   *    whenever per-group volume fits a sort buffer (groups here are
+   *    event types / sources — tens, not billions).
+   *  - "approx": `approx_percentile()` (t-digest, accuracy 10000) —
+   *    bounded memory at ANY per-group volume; the documented 100 TB
+   *    trade as a config switch instead of an operator edit.
+   */
+  private[graft] def percentileAgg(spark: org.apache.spark.sql.SparkSession,
+                                   valueCol: String, p: Double): Column =
+    spark.conf.get("spark.graft.percentiles", "exact") match {
+      case "approx" => expr(s"approx_percentile($valueCol, $p, 10000)")
+      case "exact"  => expr(s"percentile($valueCol, $p)")
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.percentiles must be exact|approx, got '$other'")
+    }
+
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue
   private def longLit(e: Expression): Long =

@@ -144,24 +144,28 @@ object Events {
    * and exact interpolated p50/p90/p99 — the latency-style percentile
    * report, over event values. The percentile aggregate shuffles
    * per-type sorted buffers; group count = |event types|, so the sort
-   * memory is per-type daily volume, not corpus-wide (at true 100 TB
-   * per-type volume, swap in approx_percentile with a documented
-   * error bound — kept exact here for oracle parity). Mean is one
-   * exact decimal sum divided once; percentiles interpolate over
-   * sorted doubles identically in both engines, rounded to 1e-6.
+   * memory is per-type daily volume, not corpus-wide. At true 100 TB
+   * per-type volume set `spark.graft.percentiles=approx` to swap in
+   * the bounded-memory t-digest (default stays exact for oracle
+   * parity — see GraftFunctions.percentileAgg). Mean is one exact
+   * decimal sum divided once; percentiles interpolate over sorted
+   * doubles identically in both engines, rounded to 1e-6.
    */
   def valuePercentiles(events: DataFrame): DataFrame = {
     val quant6 = (c: org.apache.spark.sql.Column) =>
       floor(c * lit(1.0e6) + lit(0.5e0)) / lit(1.0e6)
+    // spark.graft.percentiles=exact|approx (GraftFunctions.percentileAgg)
+    val pctl = (c: String, p: Double) =>
+      graft.GraftFunctions.percentileAgg(events.sparkSession, c, p)
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(min(col("value")), 6).as("min_value"),
         round(max(col("value")), 6).as("max_value"),
         quant6(sum(col("value").cast("decimal(28,6)")).cast("double") /
           count(lit(1))).as("mean_value"),
-        quant6(expr("percentile(value, 0.5)")).as("p50_value"),
-        quant6(expr("percentile(value, 0.9)")).as("p90_value"),
-        quant6(expr("percentile(value, 0.99)")).as("p99_value"))
+        quant6(pctl("value", 0.5)).as("p50_value"),
+        quant6(pctl("value", 0.9)).as("p90_value"),
+        quant6(pctl("value", 0.99)).as("p99_value"))
       .orderBy(col("event_type").asc)
   }
 

@@ -245,6 +245,10 @@ object Pipeline {
    * — no frequency cap needed at any corpus size.
    */
   def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    // Gram identity shuffles as a compact (xxhash64, murmur3) pair —
+    // no output column carries a gram string, so the 8-token strings
+    // die map-side at generation and the distinct + self-join move
+    // 12-byte keys instead.
     val grams = docs
       .select(col("source"), tokensOf(col("text")).as("toks"))
       .select(col("source"), explode(
@@ -252,6 +256,7 @@ object Pipeline {
           array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
           .otherwise(array().cast("array<string>"))).as("ngram"))
+      .select(col("source"), xxhash64(col("ngram")).as("g1"), hash(col("ngram")).as("g2"))
       .distinct()
       // three consumers (both join sides + counts): pin the distinct
       // gram set so the tokenize/explode pass runs once. pin defaults
@@ -260,7 +265,8 @@ object Pipeline {
       .transform(graft.GraftFunctions.pin)
     val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("grams_a"))
     grams.as("a").join(grams.as("b"),
-        col("a.ngram") === col("b.ngram") && col("a.source") =!= col("b.source"))
+        col("a.g1") === col("b.g1") && col("a.g2") === col("b.g2") &&
+          col("a.source") =!= col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .join(counts.withColumnRenamed("source", "source_a"), Seq("source_a"))

@@ -88,22 +88,26 @@ object TextAnalysis {
   }
 
   /**
-   * Per-source corpus report: doc counts, token totals, and exact
+   * Per-source corpus report: doc counts, token totals, and
    * interpolated token-count percentiles — the dataset card every
    * training mixture ships with. One partial-aggregated pass; the
    * percentile aggregate shuffles per-source sorted buffers, fine for
-   * the group count (sources are domains, not documents).
+   * the group count (sources are domains, not documents); at true
+   * 100 TB per-source volume set `spark.graft.percentiles=approx`
+   * (GraftFunctions.percentileAgg) for the bounded-memory t-digest.
    */
   def corpusStats(docs: DataFrame): DataFrame = {
+    val pctl = (c: String, p: Double) =>
+      graft.GraftFunctions.percentileAgg(docs.sparkSession, c, p)
     docs.select(col("source"),
       textStats(col("text")).getField("n_tokens").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
         quant6(avg(col("nt"))).as("mean_tokens"),
-        quant6(expr("percentile(nt, 0.5)")).as("p50_tokens"),
-        quant6(expr("percentile(nt, 0.9)")).as("p90_tokens"),
-        quant6(expr("percentile(nt, 0.99)")).as("p99_tokens"))
+        quant6(pctl("nt", 0.5)).as("p50_tokens"),
+        quant6(pctl("nt", 0.9)).as("p90_tokens"),
+        quant6(pctl("nt", 0.99)).as("p99_tokens"))
       .orderBy(col("source").asc)
   }
 
@@ -291,6 +295,11 @@ object TextAnalysis {
       transform(sequence(lit(0), size(col("toks")) - n),
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+    // The gram string stays the agg key HERE by design: the final
+    // rows output it, so a hashed key would still carry the string as
+    // payload (bytes unchanged, plus two hashes per gram) — measured
+    // slower. Contrast sourceOverlap/bigramSurprise, whose outputs
+    // carry no gram and shuffle hash pairs instead.
     val counts = docs
       .select(col("source"), graft.GraftFunctions.tokensOf(col("text")).as("toks"))
       .select(col("source"), explode(array_distinct(grams)).as("ngram"))
@@ -319,6 +328,11 @@ object TextAnalysis {
    * — one pass, no per-token probability row.
    */
   def unigramSurprise(docs: DataFrame): DataFrame = {
+    // Single TOKENS stay string keys by design: a (xxhash64, murmur3)
+    // pair is 12 bytes — larger than most tokens — so hashing grows
+    // the shuffle and pays two hashes per occurrence (measured
+    // slower). The hashed-key discipline applies where gram keys are
+    // long: bigramSurprise / sourceOverlap.
     val docTok = docs
       .select(col("doc_id"), explode(graft.GraftFunctions.tokensOf(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -349,20 +363,32 @@ object TextAnalysis {
    */
   def bigramSurprise(docs: DataFrame): DataFrame = {
     val toks = graft.GraftFunctions.tokensOf(col("text"))
-    // "v w" single-string bigrams: a compact join key; tokens cannot
-    // contain spaces, so the prefix recovers unambiguously.
-    val bi = when(size(toks) >= 2,
+    // Bigram and prefix (conditioning word) identities shuffle as
+    // compact (xxhash64, murmur3) pairs computed map-side at gram
+    // generation — no output column carries a gram string, so the
+    // strings never leave the tokenizing stage, and the prefix key is
+    // carried instead of being re-split out of the bigram inside the
+    // join condition.
+    val pairs = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val docBi = docs.select(col("doc_id"), explode(bi).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val corpusBi = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cb"))
+        i => struct(
+          xxhash64(element_at(toks, i), element_at(toks, i + 1)).as("b1"),
+          hash(element_at(toks, i), element_at(toks, i + 1)).as("b2"),
+          xxhash64(element_at(toks, i)).as("p1"),
+          hash(element_at(toks, i)).as("p2"))))
+      .otherwise(array().cast("array<struct<b1:bigint,b2:int,p1:bigint,p2:int>>"))
+    val docBi = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.b1").as("b1"), col("p.b2").as("b2"),
+        col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .groupBy(col("doc_id"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("c"), first(col("p1")).as("p1"), first(col("p2")).as("p2"))
+    val corpusBi = docBi.groupBy(col("b1"), col("b2"))
+      .agg(sum(col("c")).as("cb"), first(col("p1")).as("p1"), first(col("p2")).as("p2"))
     val prefix = corpusBi
-      .groupBy(element_at(split(col("bg"), " "), 1).as("pfx"))
+      .groupBy(col("p1"), col("p2"))
       .agg(sum(col("cb")).as("cp"))
-    val perDoc = docBi.join(corpusBi, "bg")
-      .join(prefix, element_at(split(col("bg"), " "), 1) === col("pfx"))
+    val perDoc = docBi.join(corpusBi.drop("p1", "p2"), Seq("b1", "b2"))
+      .join(prefix, Seq("p1", "p2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("m"),
         sum(col("c").cast("double") *

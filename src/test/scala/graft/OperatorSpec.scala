@@ -426,6 +426,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq(("a", 4L, 25.0, 25.0, 39.7), ("b", 1L, 7.5, 7.5, 7.5)))
   }
 
+  test("spark.graft.percentiles=approx swaps the t-digest into both reports") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = (1 to 100).map(i => (i.toLong, ts(i), 1L, "a", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    try {
+      spark.conf.set("spark.graft.percentiles", "approx")
+      val evPlan = Events.valuePercentiles(ev)
+      assert(evPlan.queryExecution.optimizedPlan.toString.contains("approx_percentile"),
+        "approx mode did not plan approx_percentile (events)")
+      val csPlan = TextAnalysis.corpusStats(docs)
+      assert(csPlan.queryExecution.optimizedPlan.toString.contains("approx_percentile"),
+        "approx mode did not plan approx_percentile (corpus)")
+      // approx on 100 uniform values is exact-ish: sanity the numbers
+      val r = evPlan.collect().head
+      assert(math.abs(r.getDouble(4) - 50.5) <= 1.5, s"p50 ${r.getDouble(4)}")
+      assert(csPlan.count() > 0)
+      spark.conf.set("spark.graft.percentiles", "bogus")
+      intercept[IllegalArgumentException] { Events.valuePercentiles(ev) }
+    } finally spark.conf.unset("spark.graft.percentiles")
+    // back to default: exact plan, no t-digest
+    assert(!Events.valuePercentiles(ev).queryExecution
+      .optimizedPlan.toString.contains("approx_percentile"))
+  }
+
   test("packSequences carves per-source token streams into fixed blocks") {
     import spark.implicits._
     // source a: 3 + 5 + 0 + 2 tokens, seqLen 4:

@@ -435,6 +435,66 @@ class ScalePathSpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("AQE splits the hot minhash-bucket partition of the pair join (skew evidence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    // One boilerplate text duplicated 800x: its banded signature is
+    // identical in EVERY band, so one (band, bucket) key per band holds
+    // 800 rows while filler buckets hold 1 — the hot-bucket shape a
+    // 99%-duplicate corpus produces. With test-scale skew thresholds,
+    // the pair join's oversized shuffle partitions must be split by
+    // AQE's skew-join rule (SURVEY §4's claim, measured).
+    val boiler = (0 until 800).map(i =>
+      (i.toLong, "the same boilerplate disclaimer text appears verbatim in every " +
+        "scraped page of this domain over and over without any variation", "a"))
+    val filler = (0 until 1000).map(i =>
+      ((10000 + i).toLong, s"unique document number $i discussing topic ${i * 7} " +
+        s"with distinct content ${i * 13} and vocabulary item ${i * 29}", "b"))
+    val skewed = (boiler ++ filler).toDF("doc_id", "text", "source")
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // skew is detected RELATIVE TO THE MEDIAN partition: with the
+      // test session's 4 shuffle partitions every partition holds a
+      // hot bucket and nothing looks skewed — spread the keys first
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // force a shuffle join: broadcast joins have no skew handling
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Dedup.minhashLsh(skewed)
+      // collect() executes THIS frame's own queryExecution, so the
+      // adaptive plan below is the finalized one (count() would plan
+      // a separate query and leave pairs' plan un-executed)
+      val n = pairs.collect().length
+      assert(n >= 800L * 799 / 2, s"pair count $n — hot cluster not emitted")
+      def reads(p: SparkPlan): Seq[AQEShuffleReadExec] = p match {
+        case a: AdaptiveSparkPlanExec => reads(a.executedPlan)
+        case q: QueryStageExec => reads(q.plan)
+        case r: AQEShuffleReadExec => r +: r.children.flatMap(reads)
+        case other => other.children.flatMap(reads)
+      }
+      val splitCounts = reads(pairs.queryExecution.executedPlan).map(r =>
+        r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec]))
+      assert(splitCounts.exists(_ > 1),
+        s"no AQE skew split fired (split counts per shuffle read: $splitCounts)")
+      info(s"skew-split sub-partitions per shuffle read: $splitCounts")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("targeted delete resolves IVF/IVF-PQ victims via pruned cluster dirs only") {
     val root = java.nio.file.Files.createTempDirectory("graft-cow-prune").toString
     val lib = new VectorLibrary(spark, root, "cow-prune")
