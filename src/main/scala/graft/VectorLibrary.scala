@@ -1404,6 +1404,30 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .withColumn("algorithm", lit(algo))
   }
 
+  /**
+   * Grid index health: cell occupancy under the frozen fitted bounds —
+   * the grid member of the LSH/IVF/IVF-PQ observability family.
+   * total_cells is the full lattice (cellsPerDim^gridDims); vectors
+   * outside the fitted bounds clamp into edge cells, so occupancy is
+   * always within it. No drift ratio: the bounds are frozen by design
+   * and a re-fit is a rebuild decision, not a distance signal.
+   */
+  def gridIndexInfo: DataFrame = {
+    require(hasGridIndex, s"library $name has no grid index (buildGridIndex first)")
+    val (_, _, gd, cpd) = gridBoundsStored()
+    val counts = gridCounts()
+    val total = math.pow(cpd.toDouble, gd.toDouble).toLong
+    import spark.implicits._
+    Seq((counts.size.toLong,
+      math.rint(counts.map(_._2).sum.toDouble / counts.size * 1e4) / 1e4,
+      counts.map(_._2).max,
+      total, total - counts.size))
+      .toDF("occupied_cells", "avg_cell_size", "max_cell_size",
+        "total_cells", "empty_cells")
+      .withColumn("library", lit(name))
+      .withColumn("algorithm", lit(algo))
+  }
+
   /** Chunks whose embedding is missing (reference get_unindexed_chunks). */
   def unindexed: DataFrame = chunks.filter(col("embedding").isNull)
 
@@ -1686,12 +1710,13 @@ object VectorLibrary {
   /**
    * Index health of EVERY library under a root in one call (reference
    * get_all_library_indexes_info, services/vector_service.py:424-433):
-   * each library's LSH / IVF / IVF-PQ info views normalized onto one
-   * occupancy schema — (library, algorithm, index_type, total_cells,
-   * occupied_cells, empty_cells, avg_cell_size, max_cell_size,
-   * drift_ratio) — and unioned. "Cells" are LSH buckets, IVF clusters
-   * or IVF-PQ clusters per the index_type discriminator; drift_ratio
-   * is null for LSH (no frozen geometry to drift from). Libraries
+   * each library's LSH / grid / IVF / IVF-PQ info views normalized
+   * onto one occupancy schema — (library, algorithm, index_type,
+   * total_cells, occupied_cells, empty_cells, avg_cell_size,
+   * max_cell_size, drift_ratio) — and unioned. "Cells" are LSH
+   * buckets, grid cells, IVF clusters or IVF-PQ clusters per the
+   * index_type discriminator; drift_ratio is null for LSH/grid (no
+   * distance geometry to drift from). Libraries
    * with no built index contribute no rows, matching the reference's
    * skip-if-absent. The driver loop is over library NAMES only; each
    * contributed row is the same pruned 1-row aggregate its
@@ -1713,6 +1738,15 @@ object VectorLibrary {
             num(r, "empty_buckets"), r.getAs[Double]("avg_bucket_size"),
             num(r, "max_bucket_size"), Option.empty[Double]))
         }
+      val grid =
+        if (!lib.hasGridIndex) Seq.empty
+        else {
+          val r = lib.gridIndexInfo.head
+          Seq((n, r.getAs[String]("algorithm"), "grid",
+            num(r, "total_cells"), num(r, "occupied_cells"),
+            num(r, "empty_cells"), r.getAs[Double]("avg_cell_size"),
+            num(r, "max_cell_size"), Option.empty[Double]))
+        }
       val ivf =
         if (!lib.hasIvfIndex) Seq.empty
         else {
@@ -1731,7 +1765,7 @@ object VectorLibrary {
             num(r, "empty_clusters"), r.getAs[Double]("avg_cluster_size"),
             num(r, "max_cluster_size"), Some(r.getAs[Double]("drift_ratio"))))
         }
-      lsh ++ ivf ++ ivfpq
+      lsh ++ grid ++ ivf ++ ivfpq
     }
     rows.toDF("library", "algorithm", "index_type", "total_cells",
       "occupied_cells", "empty_cells", "avg_cell_size", "max_cell_size",

@@ -431,6 +431,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val a = new VectorLibrary(spark, root, "fleet-a")
     a.addDocuments(docs.filter(col("doc_id") < 20))
     a.buildIvfIndex()
+    a.buildGridIndex()
     a.setAlgorithm("ivf")
     val b = new VectorLibrary(spark, root, "fleet-b")
     b.addDocuments(docs.filter(col("doc_id") >= 20))
@@ -444,8 +445,12 @@ class VectorLibrarySpec extends AnyFunSuite {
     // every populated library contributes its LSH row plus one row per
     // persisted cluster index; the empty library contributes nothing
     assert(rows.keySet == Set(
-      ("fleet-a", "lsh"), ("fleet-a", "ivf"),
+      ("fleet-a", "lsh"), ("fleet-a", "grid"), ("fleet-a", "ivf"),
       ("fleet-b", "lsh"), ("fleet-b", "ivfpq")), rows.keySet.toString)
+    val aGrid = rows(("fleet-a", "grid"))
+    assert(aGrid.getAs[Long]("occupied_cells") > 0 &&
+      aGrid.getAs[Long]("occupied_cells") <= aGrid.getAs[Long]("total_cells"))
+    assert(aGrid.isNullAt(aGrid.fieldIndex("drift_ratio")))
     assert(!rows.keys.exists(_._1 == "fleet-empty"))
     val aIvf = rows(("fleet-a", "ivf"))
     assert(aIvf.getAs[String]("algorithm") == "ivf")
