@@ -289,6 +289,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       IvfIndex.searchIndexedBatch(s, ivfDiskIndexFor(s, d), qs,
         "vec_id", "embedding", 5) }),
+    "ann_recall_sweep" -> ((s, d) => {
+      // index accuracy self-audit: recall@10 of the persisted IVF
+      // probe vs the exact scan at depths 1/2/4 — one scan of the
+      // deepest depth's cells + one exact pass serves the whole sweep.
+      val path = ivfDiskIndexFor(s, d)
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val centers = s.read.parquet(s"$path/centroids").orderBy(col("cluster"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      IvfIndex.recallSweep(s.read.parquet(s"$path/assigned"), centers, qs,
+        "vec_id", "embedding", 10) }),
+    "index_advisor" -> ((s, d) =>
+      // ingest-time strategy advisory (the Spark reframing of the
+      // reference's silent per-query auto selection — see Advisor).
+      Advisor.indexAdvisor(t(s, d, "embeddings"))),
     "pq_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // train-once / probe-many: first call fits the subspace
       // codebooks + pins the encoded corpus; later calls measure the
@@ -393,6 +409,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"))),
     "dedup_minhash_groups" -> ((s, d) => Dedup.minhashGroups(t(s, d, "documents"))),
+    "dedup_incremental" -> ((s, d) => {
+      // nightly-crawl shape: docs with doc_id % 10 = 7 play the new
+      // batch, the rest the already-deduped corpus — candidates are
+      // new×old only, output one best match per new doc.
+      val docs = t(s, d, "documents")
+      Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)) }),
     "dedup_keep_best" -> ((s, d) =>
       // keep-best clustering: representative = longest member (token
       // count as the pluggable quality score), lowest id on ties.
@@ -594,7 +617,46 @@ object SparkEntry {
            |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
     }
-    (single.toSeq ++ spill.toSeq ++ batch.toSeq).toMap
+    // Same stashed centroids as the batch probe; the sweep replays the
+    // per-query cluster ranking once at the deepest depth, tags each
+    // candidate with its cell's probe rank, and evaluates every depth
+    // against the exact top-10 — the same single-deep-scan shape the
+    // Spark operator plans.
+    val recall = ivfOracleCenters.get("batch").map { cents =>
+      "ann_recall_sweep" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${ivfAssignCtes("vec_id >= 5")},
+           | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+           |        FROM embeddings WHERE vec_id < 5),
+           | sweep AS (SELECT unnest([1, 2, 4]) AS n_probe),
+           | pd AS (SELECT query_id, cluster, ${ivfSqdSql("qv", "c")} AS qd FROM q0, cents),
+           | probe AS (SELECT query_id, cluster, prn FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qd, cluster) AS prn
+           |    FROM pd) WHERE prn <= 4),
+           | sc AS (SELECT probe.query_id, probe.prn, a.vec_id,
+           |          ROUND(${cosSql("a.v", "q0.qv")}, 6) AS score
+           |        FROM a JOIN probe ON a.cluster = probe.cluster
+           |               JOIN q0 ON q0.query_id = probe.query_id),
+           | ax AS (SELECT query_id, n_probe, vec_id FROM (
+           |    SELECT sc.query_id, sweep.n_probe, sc.vec_id, row_number() OVER (
+           |      PARTITION BY sc.query_id, sweep.n_probe
+           |      ORDER BY sc.score DESC, sc.vec_id) AS rnk
+           |    FROM sc JOIN sweep ON sweep.n_probe >= sc.prn) WHERE rnk <= 10),
+           | ex AS (SELECT query_id, vec_id FROM (
+           |    SELECT q0.query_id, e.vec_id, row_number() OVER (
+           |      PARTITION BY q0.query_id
+           |      ORDER BY ROUND(${cosSql("e.v", "q0.qv")}, 6) DESC, e.vec_id) AS rnk
+           |    FROM e, q0) WHERE rnk <= 10),
+           | hits AS (SELECT ax.query_id, ax.n_probe, COUNT(*) AS nh
+           |          FROM ax JOIN ex ON ax.query_id = ex.query_id AND ax.vec_id = ex.vec_id
+           |          GROUP BY 1, 2)
+           |SELECT q0.query_id, sweep.n_probe,
+           |  ROUND(COALESCE(nh, 0) / 10.0, 6) AS recall
+           |FROM q0 CROSS JOIN sweep
+           |  LEFT JOIN hits ON hits.query_id = q0.query_id AND hits.n_probe = sweep.n_probe
+           |ORDER BY q0.query_id, sweep.n_probe""".stripMargin
+    }
+    (single.toSeq ++ spill.toSeq ++ batch.toSeq ++ recall.toSeq).toMap
   }
 
   // --- PQ oracle: fitted codebooks replayed as literals ------------------
@@ -1217,6 +1279,49 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard_est FROM j WHERE jaccard_est >= 0.5e0
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // Incremental variant: identical signature chain; candidates are
+    // new-batch × corpus band collisions only (doc_id % 10 = 7 plays
+    // the new batch), best match per new doc = highest agreement,
+    // smallest existing doc_id on ties — the Spark side's struct
+    // argmax replayed as a rank window.
+    "dedup_incremental" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | cand AS (SELECT DISTINCT n.doc_id AS dn, o.doc_id AS dob
+         |          FROM banded n JOIN banded o
+         |            ON n.band = o.band AND n.key = o.key
+         |          WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7),
+         | j AS (SELECT dn, dob,
+         |         ROUND(CAST(len(list_filter(range(0, 64),
+         |           i -> sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)])) AS DOUBLE)
+         |           / 64, 6) AS jaccard_est
+         |       FROM cand JOIN sigs sa ON dn = sa.doc_id JOIN sigs sb ON dob = sb.doc_id),
+         | best AS (SELECT dn AS doc_id, dob AS dup_of, jaccard_est, row_number() OVER (
+         |            PARTITION BY dn ORDER BY jaccard_est DESC, dob ASC) AS rn
+         |          FROM j WHERE jaccard_est >= 0.5e0)
+         |SELECT doc_id, dup_of, jaccard_est FROM best WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    },
     // Same signature/banding construction; one-step min-representative
     // clustering (Spark keys buckets by xxhash64(band, slice-hash);
     // grouping on (band, raw slice) is identical modulo collisions).
@@ -1547,6 +1652,24 @@ object SparkEntry {
          |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
          |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // Deterministic arithmetic over (count, dimension) — the sizing
+    // rules replayed verbatim (see operators/Advisor.scala).
+    "index_advisor" ->
+      s"""WITH p AS (SELECT COUNT(*) AS n_vectors,
+         |            CAST(MAX(len(embedding)) AS INT) AS dimension FROM embeddings),
+         | c AS (SELECT n_vectors, dimension,
+         |        CASE WHEN n_vectors < 10000 THEN 0
+         |             ELSE CAST(CEIL(SQRT(CAST(n_vectors AS DOUBLE))) AS INT) END AS n_cells
+         |       FROM p)
+         |SELECT n_vectors, dimension,
+         | CASE WHEN n_vectors < 10000 THEN 'flat'
+         |      WHEN n_vectors < 1000000 THEN 'ivf' ELSE 'ivfpq' END AS algorithm,
+         | n_cells,
+         | CASE WHEN n_cells = 0 THEN 0
+         |      ELSE GREATEST(1, CAST(CEIL(n_cells / 16.0) AS INT)) END AS n_probe,
+         | CASE WHEN n_cells = 0 THEN n_vectors
+         |      ELSE CAST(CEIL(CAST(n_vectors AS DOUBLE) / n_cells) AS BIGINT) END AS est_rows_per_cell
+         |FROM c""".stripMargin,
     "vector_stats" ->
       s"""SELECT label, COUNT(*) AS vector_count,
          | CAST(MAX(len(embedding)) AS INT) AS dimension,

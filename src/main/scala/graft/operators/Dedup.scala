@@ -86,6 +86,61 @@ object Dedup {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** (doc_id, sig, band, bucket) banded signature rows — the
+    * candidate-generation front half of [[minhashLsh]], shared with
+    * the incremental variant. Short docs (empty shingle set) are
+    * excluded per the query spec above. */
+  private def bandedSigs(docs: DataFrame, numHashes: Int, numBands: Int,
+                         seed: Long): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    docs.select(col("doc_id"),
+      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Incremental near-dup: flag NEW documents that near-duplicate an
+   * EXISTING corpus — the nightly-crawl-vs-indexed-corpus shape of a
+   * production training-data pipeline. Same signature / banding /
+   * agreement-threshold construction as [[minhashLsh]] (including the
+   * short-doc exclusion), but candidates are new×old band collisions
+   * ONLY: the old×old quadratic term, already resolved when the
+   * corpus was ingested, is never regenerated, and output is LINEAR
+   * in the new batch — each matched new doc's single best existing
+   * match (highest signature agreement, ties to the smallest
+   * existing doc_id) via a partial-aggregable argmax, so the final
+   * shuffle carries one row per new doc. At 100 TB the corpus side's
+   * banded signatures are a persisted table maintained at ingest
+   * (the same posting-list shape VectorLibrary's partitioned LSH
+   * index stores); only the new batch computes signatures here.
+   */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
+                         numHashes: Int = 64, numBands: Int = 16,
+                         threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val nb = bandedSigs(newDocs, numHashes, numBands, seed)
+    val ob = bandedSigs(corpus, numHashes, numBands, seed)
+    nb.as("n")
+      .join(ob.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      // agreement AT the join: the aggregate shuffle carries three
+      // scalars per candidate, never two signature arrays
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"),
+        round(size(filter(zip_with(col("n.sig"), col("o.sig"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      // argmax via struct max (multi-band repeats of a pair collapse
+      // here too): highest agreement, then highest -id = lowest id
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard_est"), (-col("dup_of")).as("nid"))).as("m"))
+      .select(col("doc_id"), (-col("m.nid")).as("dup_of"),
+        col("m.jaccard_est").as("jaccard_est"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /**
    * SimHash near-dup pairs: 64-bit fingerprint; banding the hash into
    * 8 x 8-bit segments (pigeonhole: hamming <= 7 implies one equal

@@ -250,6 +250,74 @@ object IvfIndex {
   }
 
   /**
+   * ANN recall self-audit: recall@k of the pruned IVF probe against
+   * the exact scan, per query and probe depth. The operational
+   * question it answers — "is nProbe high enough for this corpus?" —
+   * is the accuracy contract the reference asserts in its test suite;
+   * here it is a first-class query a pipeline can gate on.
+   *
+   * Scale shape: ONE scan of the DEEPEST probe depth's cells serves
+   * every swept depth (a depth-p probe's cells are a prefix of the
+   * depth-max ranking, so each candidate is tagged with the probe
+   * rank of its cell and participates in every depth >= that rank) +
+   * ONE exact corpus pass for the reference top-k. Per-(query, depth)
+   * top-k runs through the bounded-heap aggregate on a composite
+   * query key, so the ranking shuffle carries k rows per group per
+   * partition — never the scored candidates.
+   */
+  def recallSweep(assigned: DataFrame, centers: Seq[(Int, Array[Double])],
+                  queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                  nProbes: Seq[Int] = Seq(1, 2, 4),
+                  metric: String = "cosine"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val sweep = nProbes.distinct.sorted
+    require(sweep.nonEmpty && sweep.head >= 1 && sweep.last < 1000,
+      "probe depths must be in [1, 999]")
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+    require(qRows.nonEmpty, "recallSweep needs at least one query")
+    // per-query cluster ranking at the deepest depth; shallower
+    // depths are prefixes of it
+    val pairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      nearestClusters(centers, qv, sweep.last).zipWithIndex
+        .map { case (c, rk) => (r.getLong(0), c, rk + 1) }
+    }.toSeq
+    val union = pairs.map(_._2).distinct
+    val pairFrame = pairs.toDF("query_id", "cluster", "probe_rank")
+    val scored = assigned
+      .filter(col("cluster").isin(union.map(Int.box): _*))
+      .join(broadcast(pairFrame), Seq("cluster"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("probe_rank"),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    // fan each candidate out to the swept depths it is visible at,
+    // folded into a composite (query, depth) key for the heap agg
+    val atDepth = scored.select(col("query_id").as("qid"),
+        explode(filter(typedLit(sweep.map(_.toLong)),
+          np => np >= col("probe_rank"))).as("np"),
+        col(idCol), col("score"))
+      .select((col("qid") * 1000 + col("np")).as("query_id"),
+        col(idCol), col("score"))
+    val approx = VectorSearch.finishPerQueryTopK(atDepth, idCol, k, ordered = false)
+      .select(expr("query_id DIV 1000").as("query_id"),
+        pmod(col("query_id"), lit(1000L)).cast("int").as("n_probe"), col(idCol))
+    val exact = VectorSearch
+      .knnBatchGeneric(assigned.select(col(idCol), col(vecCol)),
+        queries, idCol, vecCol, k, metric)
+      .select(col("query_id"), col(idCol))
+    val hits = approx.join(exact, Seq("query_id", idCol))
+      .groupBy(col("query_id"), col("n_probe")).agg(count(lit(1)).as("nhits"))
+    // left-complete over the (query x depth) grid: a probe that missed
+    // everything reports recall 0, not an absent row
+    queries.select(col("query_id")).crossJoin(sweep.toDF("n_probe"))
+      .join(hits, Seq("query_id", "n_probe"), "left")
+      .select(col("query_id"), col("n_probe"),
+        round(coalesce(col("nhits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id").asc, col("n_probe").asc)
+  }
+
+  /**
    * Spill assignment — the index-side multi-probe trick (SPANN-style
    * boundary replication): each row lands in its nearest cell and ALSO
    * in up to `maxAssign - 1` further cells whose squared distance is

@@ -738,4 +738,74 @@ class OperatorSpec extends AnyFunSuite {
       s"novel word order must out-surprise shared phrasing: ${r(2)} vs ${r(0)}")
     assert(r(3) == ((0L, 0.0)), "sub-bigram doc must yield (0, 0.0)")
   }
+
+  test("incremental dedup: linear output consistent with the full pair join") {
+    val split = pmod(col("doc_id"), lit(10)) === 7
+    val inc = Dedup.minhashIncremental(docs.filter(split), docs.filter(!split))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // one row per new doc
+    assert(inc.map(_._1).distinct.length == inc.length)
+    // cross-check against the symmetric pair join: straddling pairs,
+    // keyed by the new-side doc
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, j), (b, a, j))
+      }
+      .filter { case (n, o, _) => n % 10 == 7 && o % 10 != 7 }
+    val best = pairs.groupBy(_._1).map { case (n, ps) =>
+      val top = ps.maxBy(p => (p._3, -p._2))
+      (n, top._2, top._3)
+    }.toSet
+    assert(inc.toSet == best,
+      s"incremental/full disagreement: ${inc.toSet.diff(best)} vs ${best.diff(inc.toSet)}")
+    assert(inc.nonEmpty, "expected straddling near-dups in testdata")
+  }
+
+  test("IVF recall sweep: complete grid, monotone in depth, exact at full recall") {
+    val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val (model, _) = IvfIndex.build(corpus, "embedding")
+    val centers = IvfIndex.centersOf(model)
+    val assigned = IvfIndex.assignExact(corpus, "embedding", centers)
+    val r = IvfIndex.recallSweep(assigned, centers, qs, "vec_id", "embedding", 10,
+      Seq(1, 2, 4)).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    // complete (query x depth) grid, recall in [0,1]
+    assert(r.size == 5 * 3)
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+    // deeper probes never lose recall
+    for (q <- 0L until 5L) {
+      assert(r((q, 1)) <= r((q, 2)) && r((q, 2)) <= r((q, 4)),
+        s"recall not monotone for query $q")
+    }
+    // the deepest depth's recall equals a direct probe-vs-exact count
+    val probed = IvfIndex.searchBatch(assigned, model, qs, "vec_id", "embedding",
+      10, nProbe = 4).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = VectorSearch.knnBatch(corpus, qs, "vec_id", "embedding", 10,
+      "cosine").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (q <- 0L until 5L) {
+      val hits = probed.filter(_._1 == q).count(exact)
+      assert(r((q, 4)) == hits / 10.0, s"depth-4 recall mismatch for query $q")
+    }
+  }
+
+  test("index advisor: size thresholds pick flat/ivf/ivfpq with sqrt-n cells") {
+    import spark.implicits._
+    def adv(n: Long) = Advisor.indexAdvisor(
+      spark.range(n).select(array(lit(0.1f), lit(0.2f)).as("embedding")))
+      .collect()(0)
+    val flat = adv(5000)
+    assert(flat.getString(2) == "flat" && flat.getInt(3) == 0 && flat.getInt(4) == 0)
+    assert(flat.getLong(5) == 5000L, "flat scans the whole corpus")
+    val ivf = adv(250000)
+    assert(ivf.getString(2) == "ivf")
+    assert(ivf.getInt(3) == math.ceil(math.sqrt(250000.0)).toInt) // 500 cells
+    assert(ivf.getInt(4) == math.ceil(500 / 16.0).toInt)          // 32 probes
+    assert(ivf.getLong(5) == 500L)                                // n / cells
+    val pq = adv(2000000)
+    assert(pq.getString(2) == "ivfpq" && pq.getInt(3) == 1415)
+    assert(flat.getInt(1) == 2, "dimension from the vector column")
+  }
 }
