@@ -172,6 +172,37 @@ object SparkEntry {
   private val ivfpqOracle = new scala.collection.concurrent
     .TrieMap[String, (Seq[(Int, Array[Double])], PqIndex.Codebooks)]()
 
+  // Fit-once k-means per (session, dataset) shared by the cluster
+  // card and the SemDeDup pass — the same fit artifact the IVF index
+  // is built from; centroids stash for the oracle like IVF's.
+  private val kmeansFits = new scala.collection.concurrent
+    .TrieMap[String, Seq[(Int, Array[Double])]]()
+  private def kmeansCentersFor(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
+    kmeansFits.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val (model, _) = IvfIndex.build(emb, "embedding", nCentroids = 8)
+      IvfIndex.centersOf(model)
+    })
+  private val kmeansOracleCenters =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
+
+  // Fit-once PCA components per (session, dataset); the projection
+  // query measures the map-side fold, and the components inline as
+  // oracle literals exactly like every other fitted parameter here.
+  private val pcaFits = new scala.collection.concurrent
+    .TrieMap[String, Seq[Array[Double]]]()
+  private def pcaCompsFor(s: SparkSession, d: String, emb: DataFrame): Seq[Array[Double]] =
+    pcaFits.getOrElseUpdate(s"${System.identityHashCode(s)}|$d",
+      Pca.fit(emb, "embedding", 8))
+  private val pcaOracleComps =
+    new scala.collection.concurrent.TrieMap[String, Seq[Array[Double]]]()
+
+  /** Fitted per-source rate_bp of the temperature mix, stashed when
+    * the query runs (rates are derived from a tiny per-source count
+    * aggregate — fitted parameters, same replay contract). */
+  private val mixTempOracleRates =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Int]]()
+
   /** Cluster-occupancy histogram of the cached IVF-PQ index — the
     * observability view (LSH buckets / grid cells / IVF clusters /
     * IVF-PQ cells all expose the same triad shape). One aggregate
@@ -407,6 +438,26 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(t(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(t(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(t(s, d, "embeddings"))),
+    "cluster_embeddings" -> ((s, d) => {
+      // embedding-space dataset card: fit-once k-means (the IVF fit
+      // artifact), map-side exact assignment, one cluster-keyed agg.
+      val cents = kmeansCentersFor(s, d)
+      kmeansOracleCenters("kmeans") = cents
+      Clustering.clusterCard(t(s, d, "embeddings"), cents) }),
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup: near-dups blocked by k-means cluster (the cluster
+      // plays the LSH bucket's role); linear best-match output.
+      val cents = kmeansCentersFor(s, d)
+      kmeansOracleCenters("kmeans") = cents
+      Clustering.semanticDedup(t(s, d, "embeddings"), cents) }),
+    "embedding_pca" -> ((s, d) => {
+      // fit-once PCA, map-side fold projection onto the broadcast
+      // component literals (never model.transform — see Pca).
+      val emb = t(s, d, "embeddings")
+      val comps = pcaCompsFor(s, d, emb)
+      pcaOracleComps("pca") = comps
+      Pca.project(emb, comps) }),
+    "dedup_normalized" -> ((s, d) => Dedup.normalized(t(s, d, "documents"))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"))),
     "dedup_minhash_groups" -> ((s, d) => Dedup.minhashGroups(t(s, d, "documents"))),
     "dedup_incremental" -> ((s, d) => {
@@ -455,6 +506,27 @@ object SparkEntry {
       defaultRate = 0.75)),
     "mix_sample_exact" -> ((s, d) => Pipeline.mixSampleExact(t(s, d, "documents"),
       Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultQuota = 100)),
+    "mix_temperature" -> ((s, d) => {
+      // temperature-scaled source mixing: rates fit from the tiny
+      // per-source count aggregate, membership is the same replayable
+      // splitmix64 gate mix_sample uses.
+      val (rates, out) = Curation.mixTemperature(t(s, d, "documents"))
+      mixTempOracleRates("rates") = rates
+      out }),
+    "gopher_quality" -> ((s, d) =>
+      // Gopher-rule format/repetition gates; minWords lowered to 20 so
+      // the synthetic corpus exercises both sides of every rule.
+      Curation.gopherQuality(t(s, d, "documents"), minWords = 20)),
+    "corpus_diff" -> ((s, d) => {
+      // snapshot diff over two deterministic carvings of the corpus:
+      // old drops doc_id%7=3 (-> added), new drops doc_id%5=2
+      // (-> removed) and rewrites doc_id%11=5 (-> changed).
+      val docs = t(s, d, "documents")
+      Curation.corpusDiff(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 5 =!= 2)
+          .withColumn("text", when(col("doc_id") % 11 === 5,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))) }),
     "shard_pack" -> ((s, d) => Pipeline.shardPack(t(s, d, "documents"))),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(t(s, d, "documents"))),
     "clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(t(s, d, "documents"))),
@@ -657,6 +729,71 @@ object SparkEntry {
            |ORDER BY q0.query_id, sweep.n_probe""".stripMargin
     }
     (single.toSeq ++ spill.toSeq ++ batch.toSeq ++ recall.toSeq).toMap
+  }
+
+  // ---- clustering / PCA / mix-temperature oracle machinery -------------
+  // Same replay contract as the IVF family: fitted parameters inline
+  // as exact double literals; assignment and projection are the
+  // sequential folds DuckDB computes identically.
+  private def fitOracleSql: Map[String, String] = {
+    val km = kmeansOracleCenters.get("kmeans")
+    val card = km.map { cents =>
+      "cluster_embeddings" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+           | ad AS (SELECT vec_id, cluster, ${ivfSqdSql("v", "c")} AS d FROM e, cents),
+           | a AS (SELECT vec_id, cluster, d FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn
+           |   FROM ad) WHERE arn = 1),
+           | r AS (SELECT *, row_number() OVER (
+           |        PARTITION BY cluster ORDER BY d, vec_id) AS crn FROM a)
+           |SELECT cluster, COUNT(*) AS n_vectors,
+           | ROUND(CAST(SUM(CAST(round(d, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+           |   AS avg_sqdist,
+           | MIN(CASE WHEN crn = 1 THEN vec_id END) AS exemplar_id
+           |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+    val sem = km.map { cents =>
+      "dedup_semantic" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+           | ad AS (SELECT vec_id, v, cluster, ${ivfSqdSql("v", "c")} AS d FROM e, cents),
+           | a AS (SELECT vec_id, v, cluster FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn
+           |   FROM ad) WHERE arn = 1),
+           | p AS (SELECT hi.vec_id AS vec_id, lo.vec_id AS dup_of,
+           |        ROUND(${cosSql("lo.v", "hi.v")}, 6) AS cos_sim
+           |       FROM a lo JOIN a hi
+           |         ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id),
+           | f AS (SELECT * FROM p WHERE cos_sim >= 0.3),
+           | r AS (SELECT *, row_number() OVER (
+           |        PARTITION BY vec_id ORDER BY cos_sim DESC, dup_of) AS rn FROM f)
+           |SELECT vec_id, dup_of, cos_sim FROM r WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+    }
+    val pca = pcaOracleComps.get("pca").map { comps =>
+      val wCte = "w(comp, wv) AS (SELECT * FROM (VALUES " +
+        comps.zipWithIndex.map { case (c, j) =>
+          s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})"
+        }.mkString(", ") + ") AS _w(comp, wv))"
+      "embedding_pca" ->
+        s"""WITH $wCte,
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+           |SELECT vec_id, comp, ROUND(list_dot_product(v, wv), 6) AS pc_val
+           |FROM e, w ORDER BY vec_id, comp""".stripMargin
+    }
+    val mixT = mixTempOracleRates.get("rates").map { rates =>
+      val cases = rates.toSeq.sortBy(_._1).map { case (s0, bp) =>
+        s"WHEN '$s0' THEN $bp" }.mkString(" ")
+      "mix_temperature" ->
+        s"""WITH m AS (SELECT doc_id, source,
+           |  CAST((${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1) % 10000 AS INT) AS bucket,
+           |  CASE source $cases ELSE 0 END AS rate_bp
+           | FROM documents)
+           |SELECT doc_id, source, bucket, rate_bp, bucket < rate_bp AS kept
+           |FROM m ORDER BY doc_id""".stripMargin
+    }
+    (card.toSeq ++ sem.toSeq ++ pca.toSeq ++ mixT.toSeq).toMap
   }
 
   // --- PQ oracle: fitted codebooks replayed as literals ------------------
@@ -934,7 +1071,8 @@ object SparkEntry {
        | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
        | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
 
-  def oracleSql: Map[String, String] = ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ fitOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
     // per-token splitmix64 chain, 64 components summed over tokens,
     // L2-normalized in double, narrowed to float32 (the kernel's
@@ -1778,6 +1916,58 @@ object SparkEntry {
          |   ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_normalized" ->
+      s"""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+         | COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gopher rules: thresholds compare on RAW doubles, outputs
+    // quantize to 6 dp; rule order is part of the contract (first
+    // failing rule wins), mirroring the Spark CASE exactly.
+    "gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, text, CAST(len(toks) AS INT) nt,
+         |   CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) tl,
+         |   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) na,
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS INT) sh,
+         |   string_split(text, chr(10)) lns FROM t),
+         | x AS (SELECT doc_id, nt, sh,
+         |   CASE WHEN nt > 0 THEN tl / nt ELSE 0.0e0 END AS ml,
+         |   CASE WHEN nt > 0 THEN na / nt ELSE 0.0e0 END AS ar,
+         |   CASE WHEN nt > 0 THEN (
+         |     CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         |     + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3
+         |   ) / nt ELSE 0.0e0 END AS sr,
+         |   CAST(len(list_filter(lns, l -> starts_with(ltrim(l), '-')
+         |     OR starts_with(ltrim(l), '*'))) AS DOUBLE) / len(lns) AS br,
+         |   CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+         |     / len(lns) AS er
+         |  FROM m),
+         | g AS (SELECT *, CASE
+         |   WHEN nt < 20 OR nt > 100000 THEN 'word_count'
+         |   WHEN ml < 3.0e0 OR ml > 10.0e0 THEN 'mean_word_len'
+         |   WHEN sr > 0.1e0 THEN 'symbol_ratio'
+         |   WHEN br > 0.9e0 THEN 'bullet_lines'
+         |   WHEN er > 0.3e0 THEN 'ellipsis_lines'
+         |   WHEN ar < 0.8e0 THEN 'non_alpha'
+         |   WHEN sh < 2 THEN 'stopwords'
+         |   ELSE 'ok' END AS reason FROM x)
+         |SELECT doc_id, nt AS n_tokens,
+         | floor(ml * 1.0e6 + 0.5e0)/1.0e6 AS mean_word_len,
+         | floor(sr * 1.0e6 + 0.5e0)/1.0e6 AS symbol_ratio,
+         | floor(ar * 1.0e6 + 0.5e0)/1.0e6 AS alpha_ratio,
+         | sh AS stop_hits, reason, reason = 'ok' AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) h FROM documents WHERE doc_id % 7 <> 3),
+         | n AS (SELECT doc_id,
+         |   md5(CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END) h
+         |  FROM documents WHERE doc_id % 5 <> 2)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         | CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+         |      WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
          |  '[^a-z0-9]+'), x -> x <> '') toks, length(text) nc FROM documents)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.GraftFunctions._
+
+/**
+ * Embedding-space corpus clustering: the dataset-card view of an
+ * embedding column (topic structure, cluster occupancy, exemplars)
+ * and the SemDeDup-style semantic near-dup pass built on it.
+ *
+ * Reference alignment: the reference serves per-library k-NN but has
+ * no corpus-structure view; this is the training-data-pipeline
+ * extension (cluster-then-curate, Abbas et al. 2023 "SemDeDup",
+ * public arXiv:2303.09540) expressed Spark-first:
+ *  - the k-means fit is a one-off bounded MLlib job (same fit the IVF
+ *    index uses — clusters and IVF cells are the same artifact);
+ *  - assignment is [[IvfIndex.assignExact]]: a map-side fold argmin
+ *    against the broadcast centroid literal — no shuffle, replayable
+ *    bit-for-bit by the DuckDB oracle;
+ *  - the card is ONE aggregation shuffled on the (dense, small-int)
+ *    cluster key; the exemplar resolves in the same shuffle via a
+ *    per-cluster rank window.
+ *
+ * Cross-engine sum discipline: per-row squared distances quantize to
+ * 6 dp and sum as DECIMAL — exact and order-independent — so the
+ * cluster means hash-match no matter how either engine orders the
+ * aggregation (a raw double sum would be partition-order dependent).
+ */
+object Clustering {
+
+  /** Corpus rows + `cluster` + the raw fold squared distance `sqd`
+    * to the assigned centroid (the same struct array_min that
+    * assignExact reduces over, keeping both fields). */
+  private[graft] def assignWithDist(rows: DataFrame, vecCol: String,
+      centers: Seq[(Int, Array[Double])]): DataFrame = {
+    val centLit = typedLit(centers.map { case (i, c) => (i, c.toSeq) })
+    val dists = transform(centLit, c => struct(
+      aggregate(zip_with(col(vecCol).cast("array<double>"), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("d"),
+      c.getField("_1").as("cluster")))
+    val best = array_min(dists)
+    rows.withColumn("cluster", best.getField("cluster"))
+      .withColumn("sqd", best.getField("d"))
+  }
+
+  /**
+   * Per-cluster dataset card: occupancy, mean squared distance to the
+   * centroid (cohesion), and the exemplar (member nearest its
+   * centroid, lowest id on ties) — the row a curator reads to label
+   * the cluster.
+   */
+  def clusterCard(emb: DataFrame, centers: Seq[(Int, Array[Double])],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val a = assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+      .withColumn("sqd6", round(col("sqd"), 6).cast("decimal(28,6)"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("sqd").asc, col(idCol).asc)
+    a.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("sqd6")).cast("double") / count(lit(1)), 6).as("avg_sqdist"),
+        min(when(col("rn") === 1, col(idCol))).as("exemplar_id"))
+      .orderBy(col("cluster").asc)
+  }
+
+  /**
+   * SemDeDup: semantic near-dup detection blocked by k-means cluster.
+   * Candidate pairs are within-cluster only — the cluster plays the
+   * LSH bucket's role, so candidate generation shuffles the corpus
+   * once on a dense small-int key and never forms cross-cluster
+   * pairs. Output is LINEAR in the corpus (the keep/drop decision,
+   * not the pair list): each vector that has a semantically-near
+   * lower-id cluster-mate reports its single best match.
+   *
+   * At 100 TB the cluster count grows with the corpus (the same
+   * sqrt(n) rule the IVF cell count follows), bounding within-cluster
+   * pair fan-out; duplicates by construction land in the same cell
+   * (they are near the same centroid), which is exactly why SemDeDup
+   * prunes inside clusters only.
+   */
+  def semanticDedup(emb: DataFrame, centers: Seq[(Int, Array[Double])],
+                    threshold: Double = 0.3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = IvfIndex.assignExact(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+    val pairs = a.as("a").join(a.as("b"),
+        col(s"a.cluster") === col(s"b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as("vec_id"), col(s"a.$idCol").as("dup_of"),
+        round(cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("dup_of").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), col("cos_sim"))
+      .orderBy(col("vec_id").asc)
+  }
+}

@@ -31,6 +31,21 @@ object Dedup {
   }
 
   /**
+   * Normalization-tier exact dedup (the C4/CCNet "fuzzy-exact" pass):
+   * texts that agree after lowercasing and collapsing every
+   * non-alphanumeric run to a single space are duplicates —
+   * punctuation, casing, and whitespace reflow no longer defeat the
+   * hash. Same one-shuffle shape as [[exact]]; the md5 is taken over
+   * the normalized form so the shuffle key stays fixed-width.
+   */
+  def normalized(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    docs.groupBy(md5(norm).as("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("norm_hash").asc)
+  }
+
+  /**
    * MinHash + LSH near-dup pairs: 64-hash signature, banded into
    * `numBands` buckets; pairs sharing any band bucket are verified by
    * signature agreement (estimated Jaccard) >= threshold.

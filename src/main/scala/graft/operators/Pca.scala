@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.array_to_vector
+
+/**
+ * PCA dimensionality reduction over an embedding column — the
+ * pre-processing stage in front of coarse quantizers (the OPQ-style
+ * rotate-then-quantize pipelines) and the 2-D/8-D map a curator plots
+ * a 100 TB corpus with.
+ *
+ * Split the same way every fitted operator here is split:
+ *  - FIT is a one-off distributed MLlib job (Gramian accumulation is
+ *    a single tree-aggregated pass; the dim x dim eigenproblem solves
+ *    on the driver — dim is 64, not corpus-sized);
+ *  - PROJECT is map-side only: each row folds against the broadcast
+ *    component literals — the same aggregate(zip_with) sequential
+ *    fold the IVF assignment uses, so the DuckDB oracle replays it
+ *    bit-for-bit via list_dot_product. MLlib's model.transform is
+ *    deliberately NOT used for projection (its BLAS gemv groups the
+ *    sum differently; correct, but not replay-exact).
+ *
+ * Sign convention: an eigenvector's sign is arbitrary, so each
+ * component is normalized to make its largest-|weight| element
+ * positive (first index on ties) — fits are then stable enough to
+ * inline as oracle literals.
+ */
+object Pca {
+
+  /** Fit top-k principal components; returns k sign-normalized
+    * columns of length dim (projection is `v . comps(j)`, uncentered
+    * — the MLlib PCA transform contract). */
+  def fit(emb: DataFrame, vecCol: String, k: Int = 8): Seq[Array[Double]] = {
+    val featured = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(k).setInputCol("features").setOutputCol("pca")
+      .fit(featured)
+    val pc = model.pc
+    (0 until k).map { j =>
+      val v = Array.tabulate(pc.numRows)(i => pc(i, j))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(x => -x) else v
+    }
+  }
+
+  /** Project each row onto the fitted components: one output row per
+    * (id, component), value = the sequential-fold dot product,
+    * rounded to 6 dp. Map-side only against the broadcast literal. */
+  def project(emb: DataFrame, comps: Seq[Array[Double]],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val compLit = typedLit(comps.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
+    emb.select(col(idCol), explode(transform(compLit, c => struct(
+        c.getField("_1").as("comp"),
+        round(aggregate(zip_with(col(vecCol).cast("array<double>"),
+          c.getField("_2"), (x, y) => x * y), lit(0.0), _ + _), 6).as("pc_val"))))
+        .as("p"))
+      .select(col(idCol), col("p.comp").as("comp"), col("p.pc_val").as("pc_val"))
+      .orderBy(col(idCol).asc, col("comp").asc)
+  }
+}

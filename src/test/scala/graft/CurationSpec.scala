@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Round-5 operators: clustering card, SemDeDup, PCA projection,
+  * normalized dedup, Gopher rules, temperature mixing, snapshot diff. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = SparkTestSession.sfDir
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  private lazy val centers: Seq[(Int, Array[Double])] = {
+    val (model, _) = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
+      "embedding", nCentroids = 8)
+    IvfIndex.centersOf(model)
+  }
+
+  test("clusterCard partitions the corpus and exemplars are nearest members") {
+    val card = Clustering.clusterCard(emb, centers).collect()
+    assert(card.map(_.getLong(1)).sum == emb.count())
+    assert(card.forall(_.getDouble(2) >= 0.0))
+    // exemplar must belong to its cluster and be its argmin-(sqd, id)
+    val a = Clustering.assignWithDist(
+      emb.select(col("vec_id"), col("embedding")), "embedding", centers)
+      .select(col("cluster"), col("vec_id"), col("sqd")).collect()
+      .groupBy(_.getInt(0))
+    card.foreach { r =>
+      val members = a(r.getInt(0)).map(m => (m.getDouble(2), m.getLong(1)))
+      assert(members.min._2 == r.getLong(3),
+        s"cluster ${r.getInt(0)} exemplar mismatch")
+    }
+  }
+
+  test("semanticDedup pairs are within-cluster, above threshold, one per vec") {
+    val out = Clustering.semanticDedup(emb, centers, threshold = 0.3).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val cl = IvfIndex.assignExact(emb.select(col("vec_id"), col("embedding")),
+      "embedding", centers)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0))
+      assert(cl(r.getLong(0)) == cl(r.getLong(1)))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  test("pca projection equals the manual dot product; sign convention holds") {
+    val comps = Pca.fit(emb, "embedding", 4)
+    assert(comps.forall { c =>
+      val m = c.indices.maxBy(i => (math.abs(c(i)), -i)); c(m) >= 0
+    })
+    val five = emb.filter(col("vec_id") < 5)
+    val proj = Pca.project(five, comps).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vecs = five.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for ((id, v) <- vecs; (c, j) <- comps.zipWithIndex) {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * c(i); i += 1 }
+      assert(math.abs(proj((id, j)) - math.floor(dot * 1e6 + 0.5) / 1e6) < 2e-6 ||
+        math.abs(proj((id, j)) - dot) < 2e-6)
+    }
+    // projection output is (k rows per vector)
+    assert(Pca.project(five, comps).count() == 5 * comps.length)
+  }
+
+  test("normalized dedup unifies case/punctuation/whitespace variants") {
+    val d = Seq((1L, "Hello, World!"), (2L, "hello   world"), (3L, "unrelated doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.normalized(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L)
+  }
+
+  test("gopherQuality applies first-failing-rule-wins over crafted docs") {
+    val filler = (1 to 30).map(i => s"the quick brown fox word$i").mkString(" ")
+    val d = Seq(
+      (1L, "too short"),                                   // word_count
+      (2L, filler),                                        // ok
+      (3L, (1 to 40).map(_ => "a b c d").mkString(" ")),   // mean_word_len (< 3)
+      (4L, filler + " " + "#".*(40)),                      // symbol_ratio
+      (5L, (1 to 25).map(i => s"- bullet item $i here now").mkString("\n")), // bullet_lines
+      (6L, (1 to 30).map(_ => "42 7 99 123").mkString(" ")) // mean_word_len fires before non_alpha
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQuality(d, minWords = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out(1L) == "word_count")
+    assert(out(2L) == "ok")
+    assert(out(3L) == "mean_word_len")
+    assert(out(4L) == "symbol_ratio")
+    assert(out(5L) == "bullet_lines")
+    assert(out(6L) == "mean_word_len")
+  }
+
+  test("mixTemperature upweights small sources and is deterministic") {
+    val (rates, out) = Curation.mixTemperature(docs, temperature = 0.7,
+      targetFraction = 0.5)
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // kept-rate ordering: smaller source => rate_bp at least as high
+    val bySize = counts.toSeq.sortBy(_._2).map(_._1)
+    bySize.sliding(2).foreach { case Seq(small, large) =>
+      assert(rates(small) >= rates(large), s"$small vs $large")
+    case _ => ()
+    }
+    val rows = out.collect()
+    rows.foreach(r => assert(r.getBoolean(4) == (r.getInt(2) < r.getInt(3))))
+    val (rates2, out2) = Curation.mixTemperature(docs, temperature = 0.7,
+      targetFraction = 0.5)
+    assert(rates2 == rates)
+    assert(out2.collect().map(_.toString).sameElements(rows.map(_.toString)))
+  }
+
+  test("corpusDiff labels added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+}
