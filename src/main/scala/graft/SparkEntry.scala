@@ -376,6 +376,38 @@ object SparkEntry {
       val idx = ivfpqFor(s, d, corpus, "batch")
       ivfpqOracle("batch") = (idx.centers, idx.books)
       IvfPq.searchBatch(idx, qs, "vec_id", "embedding", 5) }),
+    "ivfpq_recall_sweep" -> ((s, d) => {
+      // accuracy self-audit of the COMPOSED index: recall@10 vs the
+      // exact scan at probe depths 1/2/4, measuring cell pruning AND
+      // the ADC shortlist together — one deep codes scan serves every
+      // depth (see IvfPq.recallSweep).
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val idx = ivfpqFor(s, d, corpus, "batch")
+      ivfpqOracle("batch") = (idx.centers, idx.books)
+      IvfPq.recallSweep(idx, qs, "vec_id", "embedding", 10) }),
+    "cluster_sample" -> ((s, d) => {
+      // diversity cap: at most 40 vectors per k-means cluster, kept by
+      // the deterministic splitmix64 rank (cap chosen so the synthetic
+      // corpus exercises both kept and dropped rows).
+      val cents = kmeansCentersFor(s, d)
+      kmeansOracleCenters("kmeans") = cents
+      Clustering.clusterSample(t(s, d, "embeddings"), cents, cap = 40) }),
+    "embedding_drift" -> ((s, d) => {
+      // per-dimension mean shift between two snapshot carvings (even
+      // vs odd vec_id) — the distribution-shift monitor.
+      val emb = t(s, d, "embeddings")
+      Clustering.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1)) }),
+    "pca_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // two-phase dimension-reduction search: 8-dim PCA shortlist,
+      // exact re-rank (the projection rung of the ANN ladder).
+      val comps = pcaCompsFor(s, d, t(s, d, "embeddings"))
+      pcaOracleComps("pca") = comps
+      Pca.knn(c, comps, q, "vec_id", "embedding", 10) }),
     "knn_quantized" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnQuantized(c, q, "vec_id", "embedding", 10) }),
     "knn_quantized_batch" -> ((s, d) => {
@@ -771,16 +803,49 @@ object SparkEntry {
            |SELECT vec_id, dup_of, cos_sim FROM r WHERE rn = 1
            |ORDER BY vec_id""".stripMargin
     }
-    val pca = pcaOracleComps.get("pca").map { comps =>
-      val wCte = "w(comp, wv) AS (SELECT * FROM (VALUES " +
+    val samp = km.map { cents =>
+      "cluster_sample" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${ivfAssignCtes("TRUE")},
+           | m AS (SELECT vec_id, cluster,
+           |        ${HashSql.mix("CAST(vec_id + 42 AS UBIGINT)")} >> 1 AS rk FROM a),
+           | r AS (SELECT vec_id, cluster, CAST(row_number() OVER (
+           |        PARTITION BY cluster ORDER BY rk, vec_id) AS INT) AS sample_rank FROM m)
+           |SELECT vec_id, cluster, sample_rank, sample_rank <= 40 AS kept
+           |FROM r ORDER BY vec_id""".stripMargin
+    }
+    def pcaWCte(comps: Seq[Array[Double]]): String =
+      "w(comp, wv) AS (SELECT * FROM (VALUES " +
         comps.zipWithIndex.map { case (c, j) =>
           s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})"
         }.mkString(", ") + ") AS _w(comp, wv))"
+    val pca = pcaOracleComps.get("pca").map { comps =>
       "embedding_pca" ->
-        s"""WITH $wCte,
+        s"""WITH ${pcaWCte(comps)},
            | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
            |SELECT vec_id, comp, ROUND(list_dot_product(v, wv), 6) AS pc_val
            |FROM e, w ORDER BY vec_id, comp""".stripMargin
+    }
+    // Two-phase PCA shortlist: projections fold in component order on
+    // BOTH sides (list built with ORDER BY comp, distance folded by
+    // the same left-assoc reduce the Spark aggregate computes).
+    val pcaKnn = pcaOracleComps.get("pca").map { comps =>
+      val nc = comps.size
+      "pca_knn" ->
+        s"""WITH ${pcaWCte(comps)},
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id <> 0),
+           | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+           | pj AS (SELECT vec_id, list(pv ORDER BY comp) AS pl FROM (
+           |    SELECT vec_id, comp, list_dot_product(v, wv) AS pv FROM e, w) GROUP BY vec_id),
+           | qj AS (SELECT list(qpv ORDER BY comp) AS ql FROM (
+           |    SELECT comp, list_dot_product(qv, wv) AS qpv FROM q0, w)),
+           | pd AS (SELECT vec_id, list_reduce(list_transform(range(1, ${nc + 1}),
+           |          i -> (pl[CAST(i AS INT)]-ql[CAST(i AS INT)])*(pl[CAST(i AS INT)]-ql[CAST(i AS INT)])),
+           |          (x, y) -> x + y) AS pdist FROM pj, qj),
+           | cand AS (SELECT vec_id FROM pd ORDER BY pdist, vec_id LIMIT 50)
+           |SELECT e.vec_id, ROUND(${cosSql("e.v", "q0.qv")}, 6) AS score
+           |FROM e JOIN cand USING (vec_id), q0
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     }
     val mixT = mixTempOracleRates.get("rates").map { rates =>
       val cases = rates.toSeq.sortBy(_._1).map { case (s0, bp) =>
@@ -793,7 +858,8 @@ object SparkEntry {
            |SELECT doc_id, source, bucket, rate_bp, bucket < rate_bp AS kept
            |FROM m ORDER BY doc_id""".stripMargin
     }
-    (card.toSeq ++ sem.toSeq ++ pca.toSeq ++ mixT.toSeq).toMap
+    (card.toSeq ++ sem.toSeq ++ samp.toSeq ++ pca.toSeq ++ pcaKnn.toSeq ++
+      mixT.toSeq).toMap
   }
 
   // --- PQ oracle: fitted codebooks replayed as literals ------------------
@@ -943,7 +1009,58 @@ object SparkEntry {
            | rr AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
            |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM sc)
            |SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin)
+           |ORDER BY query_id, rank""".stripMargin,
+      // Sweep: the same replay at every probe depth at once — ADC per
+      // candidate computed once at the deepest depth (the LUT is
+      // per-cell, not per-depth), candidates fan to the depths their
+      // cell's probe rank admits, per-(query, depth) shortlist +
+      // re-rank, recall against the exact top-10.
+      "ivfpq_recall_sweep" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | ${pqBooksCte(books)},
+           | ${ivfpqCorpusCtes(books, "vec_id >= 5")},
+           | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+           |        FROM embeddings WHERE vec_id < 5),
+           | sweep AS (SELECT unnest([1, 2, 4]) AS n_probe),
+           | pd AS (SELECT query_id, cluster, c, qv, ${ivfSqdSql("qv", "c")} AS qdc FROM q0, cents),
+           | probe AS (SELECT query_id, cluster, c, qv, prn FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdc, cluster) AS prn
+           |    FROM pd) WHERE prn <= 4),
+           | qr AS (SELECT query_id, cluster, prn,
+           |          list_transform(range(1, 65), i -> qv[CAST(i AS INT)] - c[CAST(i AS INT)]) AS qres
+           |        FROM probe),
+           | qd AS (SELECT query_id, cluster, prn, s, j, ${pqSqdSql("qres", "c", s"s*$ds", ds)} AS qdist
+           |        FROM books, qr),
+           | adc AS (SELECT qd.query_id, MIN(qd.prn) AS prn, asn.vec_id,
+           |           ${ivfpqChain(books)} AS adc
+           |         FROM asn JOIN a ON a.vec_id = asn.vec_id
+           |              JOIN qd ON qd.cluster = a.cluster AND qd.s = asn.s AND qd.j = asn.j
+           |         GROUP BY qd.query_id, asn.vec_id),
+           | cand AS (SELECT query_id, n_probe, vec_id FROM (
+           |    SELECT adc.query_id, sweep.n_probe, adc.vec_id, row_number() OVER (
+           |      PARTITION BY adc.query_id, sweep.n_probe ORDER BY adc.adc, adc.vec_id) AS crn
+           |    FROM adc JOIN sweep ON sweep.n_probe >= adc.prn) WHERE crn <= 50),
+           | sc AS (SELECT cand.query_id, cand.n_probe, e.vec_id,
+           |          ROUND(1.0/(1.0 + list_distance(e.v, q0.qv)), 6) AS score
+           |        FROM e JOIN cand ON e.vec_id = cand.vec_id
+           |               JOIN q0 ON q0.query_id = cand.query_id),
+           | ax AS (SELECT query_id, n_probe, vec_id FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY query_id, n_probe ORDER BY score DESC, vec_id) AS rnk
+           |    FROM sc) WHERE rnk <= 10),
+           | ex AS (SELECT query_id, vec_id FROM (
+           |    SELECT q0.query_id, e.vec_id, row_number() OVER (
+           |      PARTITION BY q0.query_id
+           |      ORDER BY ROUND(1.0/(1.0 + list_distance(e.v, q0.qv)), 6) DESC, e.vec_id) AS rnk
+           |    FROM e, q0) WHERE rnk <= 10),
+           | hits AS (SELECT ax.query_id, ax.n_probe, COUNT(*) AS nh
+           |          FROM ax JOIN ex ON ax.query_id = ex.query_id AND ax.vec_id = ex.vec_id
+           |          GROUP BY 1, 2)
+           |SELECT q0.query_id, sweep.n_probe,
+           |  ROUND(COALESCE(nh, 0) / 10.0, 6) AS recall
+           |FROM q0 CROSS JOIN sweep
+           |  LEFT JOIN hits ON hits.query_id = q0.query_id AND hits.n_probe = sweep.n_probe
+           |ORDER BY q0.query_id, sweep.n_probe""".stripMargin)
     }
     (single.getOrElse(Nil) ++ batch.getOrElse(Nil)).toMap
   }
@@ -1916,6 +2033,22 @@ object SparkEntry {
          |   ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Drift means sum 6-dp-quantized components as DECIMAL — exact and
+    // order-independent on both engines (the cross-engine float-sum
+    // discipline the cluster card uses).
+    "embedding_drift" ->
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         | o AS (SELECT CAST(i - 1 AS INT) AS dim,
+         |        ROUND(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6)
+         |          AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_old
+         |       FROM embeddings, dims WHERE vec_id % 2 = 0 GROUP BY i),
+         | n AS (SELECT CAST(i - 1 AS INT) AS dim,
+         |        ROUND(CAST(SUM(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6)
+         |          AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_new
+         |       FROM embeddings, dims WHERE vec_id % 2 = 1 GROUP BY i)
+         |SELECT o.dim, mean_old, mean_new,
+         | ROUND(abs(mean_new - mean_old), 6) AS abs_delta
+         |FROM o JOIN n ON o.dim = n.dim ORDER BY o.dim""".stripMargin,
     "dedup_normalized" ->
       s"""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
          | COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

@@ -67,6 +67,51 @@ object Clustering {
   }
 
   /**
+   * Diversity-capped sampling: keep at most `cap` vectors per k-means
+   * cluster, chosen by the same deterministic splitmix64 rank the
+   * mix/split samplers use (id tie-break) — the "don't let one dense
+   * mode dominate the training mix" curation pass that pairs with
+   * [[semanticDedup]]. One map-side assignment + one rank window over
+   * a cluster-partitioned exchange; membership is a pure function of
+   * (corpus, centers, seed), so the oracle replays it exactly.
+   */
+  def clusterSample(emb: DataFrame, centers: Seq[(Int, Array[Double])],
+                    cap: Int = 100, seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(cap >= 0, "cap must be >= 0")
+    val a = IvfIndex.assignExact(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+    val rk = shiftrightunsigned(mix64(col(idCol) + lit(seed)), 1)
+    val w = Window.partitionBy(col("cluster")).orderBy(rk.asc, col(idCol).asc)
+    a.select(col(idCol), col("cluster"))
+      .withColumn("sample_rank", row_number().over(w))
+      .withColumn("kept", col("sample_rank") <= cap)
+      .orderBy(col(idCol).asc)
+  }
+
+  /**
+   * Per-dimension distribution-shift monitor between two corpus
+   * snapshots (nightly crawl vs the serving corpus): the means are
+   * taken over 6-dp-quantized components summed as DECIMAL — exact
+   * and order-independent, so the drift report hash-matches across
+   * engines and partitionings. One explode + one 64-key aggregation
+   * per side; map-side partial aggregation collapses each partition
+   * to 64 rows before the exchange, so the shuffle is O(partitions),
+   * not O(corpus x dims).
+   */
+  def embeddingDrift(oldE: DataFrame, newE: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def meansOf(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .withColumn("x6", round(col("x"), 6).cast("decimal(28,6)"))
+        .groupBy(col("dim"))
+        .agg(round(sum(col("x6")).cast("double") / count(lit(1)), 6).as(s"mean_$tag"))
+    meansOf(oldE, "old").join(meansOf(newE, "new"), Seq("dim"))
+      .select(col("dim"), col("mean_old"), col("mean_new"),
+        round(abs(col("mean_new") - col("mean_old")), 6).as("abs_delta"))
+      .orderBy(col("dim").asc)
+  }
+
+  /**
    * SemDeDup: semantic near-dup detection blocked by k-means cluster.
    * Candidate pairs are within-cluster only — the cluster plays the
    * LSH bucket's role, so candidate generation shuffles the corpus

@@ -177,6 +177,80 @@ object IvfPq {
     VectorSearch.finishPerQueryTopK(scored, idCol, k)
   }
 
+  /**
+   * Recall sweep over probe depths — [[IvfIndex.recallSweep]]'s twin
+   * for the composed index, measuring BOTH approximation sources at
+   * once (cell pruning AND the codes-only ADC shortlist) against the
+   * exact scan. Same single-deep-scan shape: one codes pass over the
+   * DEEPEST depth's cells computes every candidate's ADC once (the
+   * per-cell LUT doesn't depend on depth); each candidate fans out to
+   * the depths its cell is visible at, per-(query, depth) ADC
+   * shortlists and exact re-ranks run through the bounded-heap
+   * aggregate on a composite key, and ONE exact corpus pass anchors
+   * the comparison.
+   */
+  def recallSweep(idx: Index, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nProbes: Seq[Int] = Seq(1, 2, 4),
+                  metric: String = "euclidean", rerankFactor: Int = 5,
+                  normalized: Boolean = false): DataFrame = {
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    val sweep = nProbes.distinct.sorted
+    require(sweep.nonEmpty && sweep.head >= 1 && sweep.last < 1000,
+      "probe depths must be in [1, 999]")
+    val qRows = queries.select(col("query_id"),
+      qvecCol(normalized).cast("array<double>").as("qvec")).collect()
+    require(qRows.nonEmpty, "recallSweep needs at least one query")
+    val pairs = qRows.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      IvfIndex.nearestClusters(idx.centers, qv, sweep.last).zipWithIndex
+        .map { case (c, rk) => (r.getLong(0), c, rk + 1) }
+    }.toSeq
+    val union = pairs.map(_._2).distinct
+    val luts = pairs.toDF("query_id", "cluster", "probe_rank")
+      .join(centroidFrame(spark, idx.centers), "cluster")
+      .join(queries.select(col("query_id"), qvecCol(normalized).as("qvec")), "query_id")
+      .withColumn("__qres",
+        zip_with(col("qvec").cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .select(col("query_id"), col("cluster"), col("probe_rank"),
+        PqIndex.lutCol(idx.books, col("__qres")).as("__lut"))
+    val phase1 = idx.encoded
+      .filter(col("cluster").isin(union.map(Int.box): _*))
+      .select(col(idCol), col("cluster"), col("pq_codes"))
+      .join(broadcast(luts), "cluster")
+      .select(col("query_id"), col("probe_rank"), col(idCol),
+        (-PqIndex.adcCol(idx.books.size)).as("score"))
+    val atDepth = phase1.select(col("query_id").as("qid"),
+        explode(filter(typedLit(sweep.map(_.toLong)),
+          np => np >= col("probe_rank"))).as("np"),
+        col(idCol), col("score"))
+      .select((col("qid") * 1000 + col("np")).as("query_id"),
+        col(idCol), col("score"))
+    val cand = VectorSearch.finishPerQueryTopK(atDepth, idCol, k * rerankFactor,
+        ordered = false)
+      .select(col("query_id"), col(idCol))
+    val rescored = idx.encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("qid", expr("query_id DIV 1000"))
+      .join(broadcast(queries.select(col("query_id").as("qid"), col("qvec"))), "qid")
+      .select(col("query_id"), col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    val approx = VectorSearch.finishPerQueryTopK(rescored, idCol, k, ordered = false)
+      .select(expr("query_id DIV 1000").as("query_id"),
+        pmod(col("query_id"), lit(1000L)).cast("int").as("n_probe"), col(idCol))
+    val exact = VectorSearch
+      .knnBatchGeneric(idx.encoded.select(col(idCol), col(vecCol)),
+        queries, idCol, vecCol, k, metric)
+      .select(col("query_id"), col(idCol))
+    val hits = approx.join(exact, Seq("query_id", idCol))
+      .groupBy(col("query_id"), col("n_probe")).agg(count(lit(1)).as("nhits"))
+    queries.select(col("query_id")).crossJoin(sweep.toDF("n_probe"))
+      .join(hits, Seq("query_id", "n_probe"), "left")
+      .select(col("query_id"), col("n_probe"),
+        round(coalesce(col("nhits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id").asc, col("n_probe").asc)
+  }
+
   /** Same rolling file bound as the other on-disk indexes: a
     * copy-on-write delete rewrites files, not cells. */
   private val maxRecordsPerFile = 16384

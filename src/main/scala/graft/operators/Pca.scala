@@ -44,6 +44,51 @@ object Pca {
     }
   }
 
+  /** The fitted components as one literal column of (comp, weights)
+    * pairs — broadcast into every projection site. */
+  private def compLitOf(comps: Seq[Array[Double]]) =
+    typedLit(comps.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
+
+  /** Projection of `v` onto every component, in component order —
+    * the sequential fold both engines replay identically. */
+  private def projCol(comps: Seq[Array[Double]], v: org.apache.spark.sql.Column) =
+    transform(compLitOf(comps), c =>
+      aggregate(zip_with(v.cast("array<double>"), c.getField("_2"),
+        (x, y) => x * y), lit(0.0), _ + _))
+
+  /**
+   * Two-phase PCA-shortlist k-NN: phase 1 ranks the corpus by squared
+   * L2 distance in the k-dimensional component space (8 doubles per
+   * row instead of 64 floats), phase 2 exactly re-ranks the
+   * `shortlist` survivors on the raw vectors with the caller's
+   * metric — the dimension-reduction rung of the ANN ladder, between
+   * the int8 scalar quantizer and PQ.
+   *
+   * Scale shape: in a persisted layout the projection materializes at
+   * ingest as its own column (exactly like the int8 codes the
+   * quantized index stores), so phase 1 is a column-pruned scan of
+   * 8 doubles/row; here it computes map-side against the broadcast
+   * component literal. Both phases are replayable folds; shortlist
+   * membership ties break on id, so the oracle reproduces the exact
+   * candidate set.
+   */
+  def knn(emb: DataFrame, comps: Seq[Array[Double]], query: DataFrame,
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          k: Int = 10, shortlist: Int = 50, metric: String = "cosine"): DataFrame = {
+    val q = query.select(col("qvec"), projCol(comps, col("qvec")).as("qproj"))
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("proj", projCol(comps, col(vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("pdist", aggregate(zip_with(col("proj"), col("qproj"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      .orderBy(col("pdist").asc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol),
+        round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Project each row onto the fitted components: one output row per
     * (id, component), value = the sequential-fold dot product,
     * rounded to 6 dp. Map-side only against the broadcast literal. */

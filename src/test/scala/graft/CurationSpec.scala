@@ -118,6 +118,69 @@ class CurationSpec extends AnyFunSuite {
     assert(out2.collect().map(_.toString).sameElements(rows.map(_.toString)))
   }
 
+  test("clusterSample caps every cluster and ranks contiguously") {
+    val out = Clustering.clusterSample(emb, centers, cap = 10).collect()
+    assert(out.length == emb.count())
+    val byCluster = out.groupBy(_.getInt(1))
+    byCluster.values.foreach { rows =>
+      assert(rows.count(_.getBoolean(3)) == math.min(10, rows.length))
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+    }
+    val again = Clustering.clusterSample(emb, centers, cap = 10).collect()
+    assert(again.map(_.toString).sorted.sameElements(out.map(_.toString).sorted))
+  }
+
+  test("embeddingDrift reports zero self-drift and 64 dims") {
+    val zero = Clustering.embeddingDrift(emb, emb).collect()
+    assert(zero.length == 64)
+    assert(zero.forall(_.getDouble(3) == 0.0))
+    val split = Clustering.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1)).collect()
+    assert(split.length == 64)
+    split.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        math.abs(r.getDouble(2) - r.getDouble(1))) < 2e-6)
+    }
+  }
+
+  test("pca knn re-ranks exactly and returns k descending scores") {
+    val comps = Pca.fit(emb, "embedding", 8)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val out = Pca.knn(corpus, comps, q, "vec_id", "embedding", 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    // phase-2 scores are EXACT cosines, not approximations
+    val exact = VectorSearch.knnFlat(corpus, q, "vec_id", "embedding", 2000, "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("ivfpq recallSweep covers the grid and agrees with the probe at depth 4") {
+    val corpus = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val idx0 = IvfPq.train(corpus, "embedding")
+    val idx = idx0.copy(encoded = idx0.encoded.persist())
+    val sweep = IvfPq.recallSweep(idx, qs, "vec_id", "embedding", 10).collect()
+    assert(sweep.length == 5 * 3)
+    assert(sweep.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // depth-4 recall must equal the recall of the actual depth-4 probe
+    val probed = IvfPq.searchBatch(idx, qs, "vec_id", "embedding", 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorSearch.knnBatchGeneric(corpus, qs, "vec_id", "embedding",
+      10, "euclidean").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantAt4 = qs.collect().map(_.getLong(0)).map { qid =>
+      qid -> (probed.filter(_._1 == qid).map(_._2)
+        .intersect(exact.filter(_._1 == qid).map(_._2)).size / 10.0)
+    }.toMap
+    sweep.filter(_.getInt(1) == 4).foreach { r =>
+      assert(math.abs(r.getDouble(2) - wantAt4(r.getLong(0))) < 1e-9,
+        s"query ${r.getLong(0)}")
+    }
+    idx.encoded.unpersist()
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
