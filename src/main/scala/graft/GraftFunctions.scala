@@ -156,6 +156,10 @@ object GraftFunctions {
       checked("graft_quantize", 1, 1)(es => QuantizeVec(es(0)))),
     ("graft_quantized_dot", "approximate dot of two quantized structs",
       checked("graft_quantized_dot", 2, 2)(es => QuantizedDot(es(0), es(1)))),
+    ("graft_bitpack", "1-bit sign quantize vector -> packed array<long>",
+      checked("graft_bitpack", 1, 1)(es => BitPackVec(es(0)))),
+    ("graft_hamming", "Hamming distance of two packed bit codes",
+      checked("graft_hamming", 2, 2)(es => BitHamming(es(0), es(1)))),
     ("graft_tokens", "lowercased [a-z0-9] tokens (text)",
       checked("graft_tokens", 1, 1)(es => AsciiTokens(es(0)))),
     ("graft_distinct_tokens", "distinct lowercased tokens (text)",
@@ -235,6 +239,10 @@ object GraftFunctions {
   /** approximate dot of two quantized structs. */
   def quantizedDot(a: Column, b: Column): Column =
     call_function("graft_quantized_dot", a, b)
+  /** vector -> packed sign bits (1-bit code, 64 dims per long). */
+  def bitPack(vec: Column): Column = call_function("graft_bitpack", vec)
+  /** Hamming distance between two packed 1-bit codes. */
+  def bitHamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
 
   /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

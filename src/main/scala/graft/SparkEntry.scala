@@ -418,6 +418,21 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       VectorSearch.knnQuantizedBatch(store, qs,
         "vec_id", "embedding", "codes", 10) }),
+    "mmr_rerank" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // diversity-aware top-k (Carbonell & Goldstein MMR): distributed
+      // relevance shortlist, greedy lambda-blend selection.
+      VectorSearch.mmrRerank(c, q, "vec_id", "embedding", 10) }),
+    "knn_binary" -> ((s, d) => { val (c, q) = embQuery(s, d)
+      // 1-bit rung of the quantization ladder: packed sign bits,
+      // XOR+popcount phase 1 (8 bytes/row at 64 dims), exact re-rank.
+      VectorSearch.knnBinary(c, q, "vec_id", "embedding", 10) }),
+    "knn_binary_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = emb.filter(col("vec_id") >= 3)
+        .withColumn("bits", bitPack(col("embedding")))
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.knnBinaryBatch(store, qs, "vec_id", "embedding", "bits", 10) }),
     "knn_filtered" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnFiltered(c, q, col("label") === 3,
         "vec_id", "embedding", 10, "cosine") }),
@@ -490,6 +505,10 @@ object SparkEntry {
       pcaOracleComps("pca") = comps
       Pca.project(emb, comps) }),
     "dedup_normalized" -> ((s, d) => Dedup.normalized(t(s, d, "documents"))),
+    "dedup_substring" -> ((s, d) =>
+      // duplicated-span audit (Lee et al. 2022): fraction of each
+      // doc's 20-token windows that also appear in another doc.
+      Dedup.substringDup(t(s, d, "documents"))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(t(s, d, "embeddings"))),
     "dedup_minhash_groups" -> ((s, d) => Dedup.minhashGroups(t(s, d, "documents"))),
     "dedup_incremental" -> ((s, d) => {
@@ -549,6 +568,10 @@ object SparkEntry {
       // Gopher-rule format/repetition gates; minWords lowered to 20 so
       // the synthetic corpus exercises both sides of every rule.
       Curation.gopherQuality(t(s, d, "documents"), minWords = 20)),
+    "quality_classifier" -> ((s, d) =>
+      // model-based quality tier: fixed-coefficient linear classifier
+      // over one-pass features; keep = sign of the logit.
+      Curation.qualityClassifier(t(s, d, "documents"))),
     "corpus_diff" -> ((s, d) => {
       // snapshot diff over two deterministic carvings of the corpus:
       // old drops doc_id%7=3 (-> added), new drops doc_id%5=2
@@ -2053,6 +2076,30 @@ object SparkEntry {
       s"""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
          | COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Duplicated-span audit: the engine shuffles xxhash64(window) as
+    // an 8-byte key; the oracle groups the window STRINGS themselves —
+    // identical counts barring a 64-bit collision (none at sf scale;
+    // the same key-hashing discipline the gram pipelines use).
+    "dedup_substring" ->
+      s"""WITH t AS ($toksCte),
+         | g AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, len(toks) - 19),
+         |          i -> array_to_string(toks[i+1 : i+20], ' '))) AS win
+         |       FROM t WHERE len(toks) >= 20),
+         | dw AS (SELECT win FROM g GROUP BY win
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         | agg AS (SELECT g.doc_id, COUNT(*) AS n_windows,
+         |          COUNT(d.win) AS dup_windows
+         |         FROM g LEFT JOIN dw d USING (win) GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         | COALESCE(n_windows, 0) AS n_windows,
+         | COALESCE(dup_windows, 0) AS dup_windows,
+         | ROUND(COALESCE(CAST(dup_windows AS DOUBLE) / n_windows, 0.0e0), 6)
+         |   AS dup_fraction,
+         | ROUND(COALESCE(CAST(dup_windows AS DOUBLE) / n_windows, 0.0e0), 6) > 0.2e0
+         |   AS is_flagged
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Gopher rules: thresholds compare on RAW doubles, outputs
     // quantize to 6 dp; rule order is part of the contract (first
     // failing rule wins), mirroring the Spark CASE exactly.
@@ -2122,6 +2169,35 @@ object SparkEntry {
          | floor(al * 1.0e6 + 0.5e0)/1.0e6 AS avg_token_len,
          | floor((0.4e0*sr + 0.3e0*ls + 0.3e0*greatest(0.0e0, 1.0e0 - abs(al - 5.0e0)/10.0e0)) * 1.0e6 + 0.5e0)/1.0e6 AS quality_score
          |FROM c ORDER BY doc_id""".stripMargin,
+    // Linear quality classifier: every feature and the logit are
+    // rational double arithmetic (no exp/ln), so the oracle replays
+    // the exact IEEE sequence; keep compares the RAW logit to 0,
+    // outputs quantize to 6 dp.
+    "quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS DOUBLE) nc,
+         |  list_filter(string_split_regex(lower(text),
+         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
+         | m AS (SELECT doc_id, nc, CAST(len(toks) AS DOUBLE) nt,
+         |   CAST(len(list_distinct(toks)) AS DOUBLE) nu,
+         |   CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) sh,
+         |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) tl FROM t),
+         | f AS (SELECT doc_id,
+         |   CASE WHEN nt > 0 THEN sh/nt ELSE 0.0e0 END x1,
+         |   CASE WHEN nt > 0 THEN nu/nt ELSE 0.0e0 END x2,
+         |   greatest(0.0e0, 1.0e0 - abs((CASE WHEN nt > 0 THEN tl/nt ELSE 0.0e0 END) - 5.0e0)/10.0e0) x3,
+         |   least(1.0e0, nt/200.0e0) x4,
+         |   CASE WHEN nc > 0 THEN tl/nc ELSE 0.0e0 END x5 FROM m),
+         | z AS (SELECT doc_id, x1, x2, x3, x4, x5,
+         |   -2.5e0 + 2.0e0*x1 + 1.0e0*x2 + 1.0e0*x3 + 1.5e0*x4 + 1.0e0*x5 AS zz FROM f)
+         |SELECT doc_id,
+         | floor(x1 * 1.0e6 + 0.5e0)/1.0e6 AS stop_ratio,
+         | floor(x2 * 1.0e6 + 0.5e0)/1.0e6 AS unique_ratio,
+         | floor(x3 * 1.0e6 + 0.5e0)/1.0e6 AS wordlen_plaus,
+         | floor(x4 * 1.0e6 + 0.5e0)/1.0e6 AS len_sat,
+         | floor(x5 * 1.0e6 + 0.5e0)/1.0e6 AS alnum_density,
+         | floor(zz * 1.0e6 + 0.5e0)/1.0e6 AS quality_logit,
+         | zz > 0.0e0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
          |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),
@@ -2373,6 +2449,69 @@ object SparkEntry {
     // (zero guard -> 1.0), q_i = floor(x/s + 0.5) (= Java Math.round),
     // phase-1 ascore = (s_a*s_q)*int_dot with (ascore desc, id) ties,
     // then exact cosine re-rank of the 40 survivors.
+    // MMR re-rank: the greedy selection replays as a recursive CTE —
+    // each step appends the candidate maximizing the lambda blend
+    // (raw-double compares, id-asc ties), exactly the driver-side
+    // loop. Sims/rels are the same sequential cosine folds.
+    "mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | cand AS (SELECT e.vec_id AS id, e.v, ${cosSql("e.v", "q.qv")} AS rel
+         |          FROM e, q0 q ORDER BY rel DESC, e.vec_id LIMIT 40),
+         | sim AS (SELECT a.id ia, b.id ib, ${cosSql("a.v", "b.v")} s
+         |         FROM cand a, cand b WHERE a.id <> b.id),
+         | seed AS (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+         | rec AS (
+         |   WITH RECURSIVE r(step, ids) AS (
+         |     SELECT 1, [(SELECT id FROM seed)]
+         |     UNION ALL
+         |     SELECT step + 1, list_append(ids, (
+         |       SELECT c.id FROM cand c WHERE NOT list_contains(r.ids, c.id)
+         |       ORDER BY ${0.7}e0 * c.rel - ${1.0 - 0.7}e0 *
+         |           (SELECT max(s.s) FROM sim s
+         |            WHERE s.ia = c.id AND list_contains(r.ids, s.ib)) DESC,
+         |         c.id ASC
+         |       LIMIT 1))
+         |     FROM r WHERE step < 10)
+         |   SELECT ids FROM r WHERE step = 10),
+         | sel AS (SELECT unnest(ids) AS id,
+         |           CAST(unnest(range(1, len(ids) + 1)) AS INT) AS rank FROM rec)
+         |SELECT sel.rank, c.id AS vec_id, ROUND(c.rel, 6) AS rel
+         |FROM sel JOIN cand c ON c.id = sel.id ORDER BY sel.rank""".stripMargin,
+    // Binary two-phase search: the Hamming distance over packed sign
+    // bits equals the count of dimensions whose signs disagree, so the
+    // oracle never packs — it counts sign disagreements directly
+    // (identical integer by construction; the packing is the engine's
+    // storage optimization, not a semantic).
+    "knn_binary" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id <> 0),
+         | q0 AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0),
+         | p1 AS (SELECT e.vec_id, e.v, q.qv,
+         |          len(list_filter(range(1, len(e.v) + 1),
+         |            i -> (e.v[CAST(i AS INT)] > 0e0) <> (q.qv[CAST(i AS INT)] > 0e0)))
+         |            AS hdist
+         |        FROM e, q0 q ORDER BY hdist ASC, e.vec_id LIMIT 80)
+         |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |FROM p1 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_binary_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 3),
+         | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 3),
+         | p1 AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+         |          len(list_filter(range(1, len(e.v) + 1),
+         |            i -> (e.v[CAST(i AS INT)] > 0e0) <> (q.qv[CAST(i AS INT)] > 0e0)))
+         |            AS hdist
+         |        FROM e, q0 q),
+         | pr AS (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY hdist ASC, vec_id) AS arn FROM p1),
+         | p2 AS (SELECT query_id, vec_id, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |        FROM pr WHERE arn <= 80),
+         | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM p2)
+         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
     "knn_quantized" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
          |           FROM embeddings WHERE vec_id <> 0),

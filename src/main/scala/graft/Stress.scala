@@ -32,6 +32,7 @@ object Stress {
       .select((col("id") * 1000000 + col("vec_id")).as("vec_id"), col("embedding"))
       .withColumn("lsh_buckets", GraftFunctions.lshBuckets(col("embedding")))
       .withColumn("quant", GraftFunctions.quantizeVec(GraftFunctions.l2Normalize(col("embedding"))))
+      .withColumn("bits", GraftFunctions.bitPack(col("embedding")))
       .repartition(32) // one scan split per core
       .write.mode("overwrite").parquet(s"$tmp/vectors")
     val corpus = spark.read.parquet(s"$tmp/vectors")
@@ -106,6 +107,10 @@ object Stress {
       VectorSearch.knnQuantized(corpus, q, "vec_id", "embedding", 10).count() }
     time("knn_quantized_indexed(stored codes)") {
       VectorSearch.knnQuantizedIndexed(corpus, q, "vec_id", "embedding", "quant", 10).count() }
+    time("knn_binary_indexed(stored sign bits, hamming phase 1)") {
+      VectorSearch.knnBinaryIndexed(corpus, q, "vec_id", "embedding", "bits", 10).count() }
+    time("knn_binary_batch_16q(one bits scan)") {
+      VectorSearch.knnBinaryBatch(corpus, queries16, "vec_id", "embedding", "bits", 10).count() }
 
     // IVF: one-off distributed index build, then partition-pruned probes.
     val tb0 = System.nanoTime()

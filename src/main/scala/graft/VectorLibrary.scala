@@ -268,6 +268,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         embed.embed(col("chunk_text"), "search_document"))
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
+      .withColumn("bits", bitPack(col("embedding")))
       .withColumn("chunk_id",
         concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")))
   }
@@ -352,6 +353,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "quantized" =>
         VectorSearch.knnQuantizedIndexed(chunks, q, "chunk_id", "embedding", "quant",
           kk, metric)
+      case "binary" if chunks.columns.contains("bits") =>
+        // 1-bit rung: Hamming phase 1 over the stored packed-sign
+        // column (8 bytes/row at 64 dims), exact re-rank
+        VectorSearch.knnBinaryIndexed(chunks, q, "chunk_id", "embedding", "bits",
+          kk, metric)
+      case "binary" =>
+        // store predates the bits column (schema-evolution guard, same
+        // contract as the quant-column index rebuild): pack on the fly
+        VectorSearch.knnBinary(chunks.select(col("chunk_id"), col("embedding")),
+          q, "chunk_id", "embedding", kk, metric)
       case "pq" if hasPqIndex =>
         // codes-only ADC scan of the persisted index; exact re-rank on
         // the survivors' float rows
@@ -500,6 +511,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "quantized" =>
         VectorSearch.knnQuantizedBatch(chunks, queries,
           "chunk_id", "embedding", "quant", kk, metric)
+      case "binary" if chunks.columns.contains("bits") =>
+        VectorSearch.knnBinaryBatch(chunks, queries,
+          "chunk_id", "embedding", "bits", kk, metric)
+      case "binary" =>
+        VectorSearch.knnBinaryBatch(
+          chunks.select(col("chunk_id"), col("embedding"))
+            .withColumn("bits", bitPack(col("embedding"))),
+          queries, "chunk_id", "embedding", "bits", kk, metric)
       case "pq" if hasPqIndex =>
         PqIndex.searchBatch(spark.read.parquet(s"$pqPath/codes"), pqBooksStored(),
           queries, "chunk_id", "embedding", kk, metric, normalized = true)
@@ -1611,7 +1630,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .withColumn("embedding", coalesce(col("embedding"),
         embed.embed(col("chunk_text"), "search_document")))
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
-      .withColumn("quant", quantizeVec(l2Normalize(col("embedding")))))
+      .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
+      .withColumn("bits", bitPack(col("embedding"))))
   }
 
   /**
@@ -1688,7 +1708,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 object VectorLibrary {
   /** Index algorithms a library can route search through (reference
     * IndexAlgorithm enum + the quantized two-phase extension). */
-  val algorithms: Set[String] = Set("flat", "lsh", "grid", "ivf", "quantized", "pq", "ivfpq")
+  val algorithms: Set[String] =
+    Set("flat", "lsh", "grid", "ivf", "quantized", "binary", "pq", "ivfpq")
 
   /** All libraries under a root (reference GET /libraries): one row
     * per library directory with its persisted metadata. */

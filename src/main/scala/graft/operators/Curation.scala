@@ -19,6 +19,52 @@ import graft.GraftFunctions._
 object Curation {
 
   /**
+   * Linear quality classifier — the CCNet/GPT-3-style "model-based
+   * quality filter" tier above the rule gates: a fixed-coefficient
+   * linear model over one-pass document features produces a
+   * continuous quality logit, and keep/reject is the sign of the
+   * logit (exactly the decision boundary a logistic classifier
+   * draws; the monotone sigmoid is omitted so every emitted number
+   * is rational arithmetic, exactly replayable cross-engine — no
+   * exp() ulp drift in the oracle contract). The coefficient vector
+   * is a transparent stand-in with the same plumbing a trained
+   * model drops into: swap `weights` for learned values and nothing
+   * else changes.
+   *
+   * Features (all from ONE codegen'd textStats pass + length()):
+   * stopword ratio (fluency), unique-token ratio (vocabulary
+   * diversity), mean-word-length plausibility, length saturation,
+   * and alphanumeric-character density. Map-side only — no shuffle
+   * but the presentation sort.
+   */
+  def qualityClassifier(docs: DataFrame,
+                        weights: (Double, Double, Double, Double, Double, Double) =
+                          (-2.5, 2.0, 1.0, 1.0, 1.5, 1.0)): DataFrame = {
+    val (b0, w1, w2, w3, w4, w5) = weights
+    val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
+      length(col("text")).cast("double").as("n_chars"))
+    val nTok = col("st.n_tokens").cast("double")
+    val x1 = when(nTok > 0, col("st.stop_hits").cast("double") / nTok).otherwise(lit(0.0))
+    val x2 = when(nTok > 0, col("st.n_unique_tokens").cast("double") / nTok).otherwise(lit(0.0))
+    val avgLen = when(nTok > 0, col("st.total_token_chars").cast("double") / nTok).otherwise(lit(0.0))
+    val x3 = greatest(lit(0.0), lit(1.0) - abs(avgLen - lit(5.0)) / lit(10.0))
+    val x4 = least(lit(1.0), nTok / lit(200.0))
+    val x5 = when(col("n_chars") > 0,
+      col("st.total_token_chars").cast("double") / col("n_chars")).otherwise(lit(0.0))
+    val z = lit(b0) + lit(w1) * x1 + lit(w2) * x2 + lit(w3) * x3 +
+      lit(w4) * x4 + lit(w5) * x5
+    st.select(col("doc_id"),
+      graft.operators.TextAnalysis.quant6(x1).as("stop_ratio"),
+      graft.operators.TextAnalysis.quant6(x2).as("unique_ratio"),
+      graft.operators.TextAnalysis.quant6(x3).as("wordlen_plaus"),
+      graft.operators.TextAnalysis.quant6(x4).as("len_sat"),
+      graft.operators.TextAnalysis.quant6(x5).as("alnum_density"),
+      graft.operators.TextAnalysis.quant6(z).as("quality_logit"),
+      (z > 0.0).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Gopher quality rules, first-failing-rule-wins (same contract as
    * cleanCorpus): word-count bounds, mean-word-length band,
    * symbol-to-word ratio (# and ellipsis), bullet-line and

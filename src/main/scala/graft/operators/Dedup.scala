@@ -31,6 +31,54 @@ object Dedup {
   }
 
   /**
+   * Exact-substring duplication audit (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better": duplicated >= 50-token
+   * spans, here w-token windows): every doc is scored by the fraction
+   * of its sliding token windows that ALSO appear in at least one
+   * other document — boilerplate headers, license blocks and copied
+   * passages light up even when the documents as wholes are unique,
+   * which is exactly the tier document-level minhash cannot see.
+   *
+   * Scale shape: windows never shuffle as strings — the 8-byte
+   * xxhash64 of each window is the shuffle key (the string is
+   * reconstructible from the doc, and the per-doc COUNTS are the
+   * output). Two shuffles total: (hash -> distinct-doc count) and the
+   * per-doc roll-up; both hash-aggregable with map-side partials. The
+   * suffix-array construction the paper uses is a single-machine
+   * design; the windowed-hash formulation is its scalable estimator
+   * (windows >= w cover every duplicated span of length >= w).
+   */
+  def substringDup(docs: DataFrame, w: Int = 20,
+                   threshold: Double = 0.2): DataFrame = {
+    val wins = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))).as("win"))
+    val hashed = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
+    // windows present in >= 2 DISTINCT docs; the same window repeated
+    // inside one document is repetition (text_repetition's tier), not
+    // cross-document duplication
+    val dupWins = hashed.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    val counted = hashed.join(dupWins, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("dup")).as("dup_windows"))
+    docs.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows") / col("n_windows"), lit(0.0)), 6)
+          .as("dup_fraction"))
+      .withColumn("is_flagged", col("dup_fraction") > threshold)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /**
    * Normalization-tier exact dedup (the C4/CCNet "fuzzy-exact" pass):
    * texts that agree after lowercasing and collapsing every
    * non-alphanumeric run to a single space are duplicates —

@@ -828,6 +828,133 @@ object VectorSearch {
   }
 
   /**
+   * Binary (1-bit) quantized two-phase search: phase 1 ranks by
+   * Hamming distance over PACKED SIGN BITS — for a 64-dim embedding
+   * the entire code is ONE long (32x narrower than the float column),
+   * and the kernel is XOR + popcount, the cheapest similarity that
+   * exists. Sign agreement on L2-normalized vectors is 1-bit
+   * random-projection LSH with axis-aligned planes, so the Hamming
+   * shortlist correlates with angular rank; phase 2 re-ranks the
+   * rerankFactor*k survivors exactly on the floats. Hamming ties are
+   * broken by id ascending (ties are COMMON with 64-bit codes — the
+   * determinism contract matters more here than anywhere else).
+   * Reference analog: the quantization rung below int8
+   * (vector_db/similarity.py scores full floats; this is the scale
+   * path its in-memory design never needed).
+   */
+  def knnBinary(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                k: Int, metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
+    val indexed = corpus.withColumn("__bits", bitPack(col(vecCol)))
+    knnBinaryIndexed(indexed, query, idCol, vecCol, "__bits", k, metric, rerankFactor)
+  }
+
+  /** Binary search against PRE-BUILT packed codes: the phase-1 scan
+    * reads the codes column only (8 bytes/row at 64 dims); floats are
+    * fetched for just the shortlist via a semi-join. */
+  def knnBinaryIndexed(indexed: DataFrame, query: DataFrame, idCol: String,
+                       vecCol: String, codesCol: String, k: Int,
+                       metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
+    val queryB = broadcast(query.select(bitPack(col("qvec")).as("qbits")))
+    val candIds = indexed.select(col(idCol), col(codesCol).as("bits"))
+      .crossJoin(queryB)
+      .select(col(idCol), bitHamming(col("bits"), col("qbits")).as("hdist"))
+      .orderBy(col("hdist").asc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    indexed.join(candIds, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch binary top-k: ONE codes scan serves every query (phase-1
+    * shuffle carries k*rerankFactor bounded-heap partials per query
+    * per partition, never the corpus), then the union of candidate
+    * sets joins the float column once for the exact per-query
+    * re-rank. Heap scores are negated Hamming distances so the
+    * shared descending-heap contract applies unchanged. */
+  def knnBinaryBatch(indexed: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, codesCol: String, k: Int,
+                     metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
+    val queryB = queries.select(col("query_id"), bitPack(col("qvec")).as("qbits"))
+    val phase1 = indexed.select(col(idCol), col(codesCol).as("bits"))
+      .crossJoin(broadcast(queryB))
+      .select(col("query_id"), col(idCol),
+        (-bitHamming(col("bits"), col("qbits")).cast("double")).as("score"))
+    val cand = finishPerQueryTopK(phase1, idCol, k * rerankFactor, ordered = false)
+      .select(col("query_id"), col(idCol))
+    val scored = indexed.join(broadcast(cand), idCol)
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    finishPerQueryTopK(scored, idCol, k)
+  }
+
+  /**
+   * Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+   * diversity-aware top-k for RAG-style retrieval — greedily select
+   * the candidate maximizing lambda*relevance - (1-lambda)*max
+   * similarity to the already-selected set, so near-duplicate hits
+   * stop crowding out coverage. Two stages: a DISTRIBUTED relevance
+   * shortlist (TakeOrderedAndProject over the corpus scan — the
+   * 100 TB-scale part), then the inherently sequential greedy
+   * selection over the `shortlist`-row candidate set on the driver
+   * (a k-scale query set, same collect policy as every query-side
+   * table here; the selection is O(shortlist^2 * k) double math over
+   * 40 rows). Every float comparison replays the engine's exact
+   * fold (VectorOps.cosineArr), so the DuckDB recursive-CTE oracle
+   * matches bit-for-bit: objective compares RAW doubles, output rel
+   * rounds to 6 dp, ties break by id ascending.
+   */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, lambda: Double = 0.7, shortlist: Int = 40): DataFrame = {
+    val spark = corpus.sparkSession
+    val oneMinus = 1.0 - lambda
+    val shortRows = corpus.crossJoin(broadcast(query))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol), cosineSim(col(vecCol), col("qvec")).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(shortlist)
+      .collect()
+    val ids = shortRows.map(_.getLong(0))
+    val vecs = shortRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val rels = shortRows.map(_.getDouble(2))
+    val n = ids.length
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val inSel = new Array[Boolean](n)
+    while (selected.length < math.min(k, n)) {
+      var best = -1
+      var bestObj = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!inSel(i)) {
+          val obj =
+            if (selected.isEmpty) lambda * rels(i)
+            else {
+              var maxSim = Double.NegativeInfinity
+              selected.foreach { j =>
+                val s = graft.functions.VectorOps.cosineArr(vecs(i), vecs(j))
+                if (s > maxSim) maxSim = s
+              }
+              lambda * rels(i) - oneMinus * maxSim
+            }
+          // strict > keeps the LOWEST id on ties (ascending scan order)
+          if (obj > bestObj) { bestObj = obj; best = i }
+        }
+        i += 1
+      }
+      inSel(best) = true
+      selected += best
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (i, r) =>
+        (r + 1, ids(i), graft.functions.VectorOps.roundTo(rels(i), 6)) }
+      .toSeq.toDF("rank", "vec_id", "rel")
+  }
+
+  /**
    * Grid-index health: cell-occupancy histogram of the uniform grid
    * over the leading `gridDims` dimensions (reference
    * GridIndex.get_stats, algorithms.py:688 — total/avg/max/empty

@@ -79,6 +79,44 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.getLong(2) == 1L)
   }
 
+  test("substringDup flags shared spans that whole-doc dedup cannot see") {
+    val boiler = (1 to 25).map(i => s"license term $i applies").mkString(" ")
+    val d = Seq(
+      (1L, boiler + " document one unique tail content here"),
+      (2L, boiler + " document two entirely different ending text"),
+      (3L, "standalone text with no shared spans at all " +
+        (1 to 20).map(i => s"unique$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringDup(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share a 100-token boilerplate prefix -> many shared
+    // 20-token windows; doc 3 shares none
+    assert(out(1L).getLong(2) > 0 && out(2L).getLong(2) > 0)
+    assert(out(3L).getLong(2) == 0 && !out(3L).getBoolean(4))
+    assert(out(1L).getBoolean(4) && out(2L).getBoolean(4))
+    // identical docs duplicate EVERY window
+    val twin = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val t = Dedup.substringDup(twin).collect()
+    assert(t.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("qualityClassifier: logit is the documented linear blend; keep = sign") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      (1 to 60).map(i => s"keeps running with steady pace number$i").mkString(" ")
+    val junk = "zzzzzzzzzzzz qqqqqqqqqqqqq xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"
+    val d = Seq((1L, good), (2L, junk), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.qualityClassifier(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "fluent long doc must pass")
+    assert(!out(2L).getBoolean(7), "consonant junk must fail")
+    assert(!out(3L).getBoolean(7), "empty doc must fail")
+    // recompute the logit from the emitted (quantized) features: the
+    // quantized blend must sit within quantization error of the logit
+    val r = out(1L)
+    val z = -2.5 + 2.0 * r.getDouble(1) + 1.0 * r.getDouble(2) +
+      1.0 * r.getDouble(3) + 1.5 * r.getDouble(4) + 1.0 * r.getDouble(5)
+    assert(math.abs(z - r.getDouble(6)) < 1e-5)
+  }
+
   test("gopherQuality applies first-failing-rule-wins over crafted docs") {
     val filler = (1 to 30).map(i => s"the quick brown fox word$i").mkString(" ")
     val d = Seq(

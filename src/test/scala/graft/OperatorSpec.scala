@@ -143,6 +143,83 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bitPack/bitHamming: hamming equals the sign-disagreement count") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, -2.0f, 0.0f, 3.0f), Array(1.0f, 2.0f, -1.0f, 3.0f)),
+      (Array.fill(64)(1.0f), Array.fill(64)(-1.0f)),
+      (Array.fill(100)(0.5f), Array.fill(100)(0.5f))).toDF("a", "b")
+    val got = df.select(bitHamming(bitPack(col("a")), bitPack(col("b"))))
+      .collect().map(_.getInt(0)).toSeq
+    // row 1: dims 2 differs (sign -,+); dim 3: 0 vs -1 -> both "not >0"?
+    // 0.0f is not > 0 and -1 is not > 0 -> agree. So only dim 2 -> 1.
+    assert(got == Seq(1, 64, 0))
+    // packed width: 100 dims -> 2 longs; 64 dims -> 1 long
+    val widths = df.select(size(bitPack(col("a")))).collect().map(_.getInt(0)).toSeq
+    assert(widths == Seq(1, 1, 2))
+    // mismatched code lengths throw, never truncate
+    val bad = Seq((Array.fill(64)(1.0f), Array.fill(128)(1.0f))).toDF("a", "b")
+    assertThrows[Exception] {
+      bad.select(bitHamming(bitPack(col("a")), bitPack(col("b")))).collect()
+    }
+  }
+
+  test("knnBinary ranks the self-match first and re-ranks exactly") {
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+    val top = VectorSearch.knnBinary(emb, q, "vec_id", "embedding", 5).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 1.0)
+    // phase-2 scores are exact cosine: every returned pair must agree
+    // with the flat scan's score for the same id
+    val exact = VectorSearch.knnFlat(emb, q, "vec_id", "embedding", 1000, "cosine")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    top.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("knnBinaryBatch matches per-query knnBinaryIndexed results") {
+    val store = emb.filter(col("vec_id") >= 3)
+      .withColumn("bits", bitPack(col("embedding")))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = VectorSearch.knnBinaryBatch(store, qs, "vec_id", "embedding", "bits", 10)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val single = VectorSearch.knnBinaryIndexed(store,
+        emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+        "vec_id", "embedding", "bits", 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"query $qid diverged")
+    }
+  }
+
+  test("mmrRerank seeds with the top hit and diversifies near-duplicates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.05f, 0.02f, 0.0f))).toDF("qvec")
+    // diversity-weighted lambda: the near-duplicate's sim penalty must
+    // outweigh its relevance edge
+    val got = VectorSearch.mmrRerank(corpus, q, "vec_id", "embedding", k = 3,
+        lambda = 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.head == (1, 1L), "rank 1 must be the most relevant hit")
+    // the near-duplicate of the seed must NOT be picked second: MMR
+    // prefers an orthogonal candidate despite its lower relevance
+    assert(got(1)._2 != 2L, s"near-dup picked second: ${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 3)
+    // on the real corpus: rank 1 == flat top-1, ids distinct, k rows
+    val (c, qq) = (emb.filter(col("vec_id") =!= 0),
+      emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")))
+    val mmr = VectorSearch.mmrRerank(c, qq, "vec_id", "embedding", 10).collect()
+    val flat = VectorSearch.knnFlat(c, qq, "vec_id", "embedding", 1, "cosine").collect()
+    assert(mmr.head.getLong(1) == flat.head.getLong(0))
+    assert(mmr.map(_.getLong(1)).distinct.length == 10)
+  }
+
   test("knnBatch produces k rows per query ranked 1..k") {
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

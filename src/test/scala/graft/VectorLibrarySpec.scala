@@ -136,7 +136,7 @@ class VectorLibrarySpec extends AnyFunSuite {
 
     // live per-library algorithm switching (reference
     // set_library_algorithm, tests/test_integration_algorithms.py)
-    for (algo <- Seq("flat", "lsh", "grid", "ivf", "quantized")) {
+    for (algo <- Seq("flat", "lsh", "grid", "ivf", "quantized", "binary")) {
       lib.setAlgorithm(algo)
       val hits = lib.search("spark join stream table filter", k = 3).collect()
       assert(hits.length == 3, s"algo=$algo returned ${hits.length} rows")
@@ -531,7 +531,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val lib = new VectorLibrary(spark, root, "dispatch-lib")
     lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40))
     val qs = Seq("spark join stream table filter", "vector index search embedding")
-    for (alg <- Seq("flat", "lsh", "grid", "ivf", "quantized", "pq")) {
+    for (alg <- Seq("flat", "lsh", "grid", "ivf", "quantized", "binary", "pq")) {
       lib.setAlgorithm(alg)
       // batch first: under "ivf" it builds the on-disk index that the
       // per-query path then probes, so both sides serve the same index.
@@ -926,7 +926,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val lib = new VectorLibrary(spark, root, "metric-lib")
     lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30))
     val q = "spark join stream table filter"
-    for (alg <- Seq("flat", "lsh", "quantized", "pq")) {
+    for (alg <- Seq("flat", "lsh", "quantized", "binary", "pq")) {
       lib.setAlgorithm(alg)
       val single = lib.search(q, 5, "euclidean").collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
