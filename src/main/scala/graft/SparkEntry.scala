@@ -549,6 +549,14 @@ object SparkEntry {
           lit(" at 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")).as("text")))
     }),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(t(s, d, "documents"))),
+    "vocab_coverage" -> ((s, d) =>
+      // OOV-rate dataset card against the corpus's own top-20 vocab
+      // (20 of 31 synthetic tokens, so both paths exercise).
+      TextAnalysis.vocabCoverage(t(s, d, "documents"))),
+    "doc_pool" -> ((s, d) =>
+      // chunk -> embed -> mean-pool to one vector per document,
+      // exploded (doc_id, pos, pool_val); decimal-sum discipline.
+      TextAnalysis.docPooledEmbedding(t(s, d, "documents"))),
     "keyword_bm25" -> ((s, d) => TextSearch.bm25(t(s, d, "documents"),
       Seq("spark", "join", "stream", "window"))),
     "sample_split" -> ((s, d) => Pipeline.sampleSplit(t(s, d, "documents"))),
@@ -1224,6 +1232,27 @@ object SparkEntry {
          |   {'pos': CAST(i-1 AS INT), 'emb_val': ROUND(x, 6)}), recursive := true)
          | FROM ef)
          |ORDER BY doc_id, pos""".stripMargin,
+    // Chunk -> embed -> mean-pool: per-chunk float vectors replayed by
+    // the same CTE chain as library_search_e2e, each component
+    // 6-dp-quantized and summed as DECIMAL (order-independent on both
+    // engines — the embedding_drift float-sum discipline).
+    "doc_pool" ->
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | u AS (SELECT doc_id, unnest(list_transform(fv, (x, i) ->
+         |          {'pos': CAST(i-1 AS INT),
+         |           'x6': CAST(floor(x * 1.0e6 + 0.5e0) / 1.0e6 AS DECIMAL(28,6))}),
+         |          recursive := true) FROM cf)
+         |SELECT doc_id, pos, COUNT(*) AS n_chunks,
+         | floor((CAST(SUM(x6) AS DOUBLE) / COUNT(*)) * 1.0e6 + 0.5e0) / 1.0e6
+         |   AS pool_val
+         |FROM u GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin,
     // Flagship end-to-end: 32-token window chunks, per-chunk embedding
     // from the token-hash slice, cosine against the query text's
     // embedding (a literal — the query is constant, so its float
@@ -2423,6 +2452,23 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS doc_freq FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH t AS ($toksCte),
+         | dtok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+         | vocab AS (SELECT token FROM dtok GROUP BY token
+         |           ORDER BY COUNT(*) DESC, token LIMIT 20),
+         | tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         | agg AS (SELECT tok.doc_id, COUNT(*) AS n_tokens,
+         |          COUNT(v.token) AS in_vocab
+         |         FROM tok LEFT JOIN vocab v USING (token)
+         |         GROUP BY tok.doc_id)
+         |SELECT d.doc_id,
+         | COALESCE(n_tokens, 0) AS n_tokens,
+         | COALESCE(n_tokens - in_vocab, 0) AS oov_tokens,
+         | ROUND(COALESCE(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 0.0e0), 6)
+         |   AS oov_rate
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "keyword_bm25" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
         |  '[^a-z0-9]+'), x -> x <> '') toks FROM documents),

@@ -246,6 +246,38 @@ object TextAnalysis {
   }
 
   /**
+   * Document-level pooled embedding: mean-pool the per-chunk
+   * embeddings into one vector per document — the standard
+   * chunk-to-document aggregation every retrieval/clustering pipeline
+   * runs when the unit of interest is the document but the embedder's
+   * context window forces chunking. Emitted EXPLODED (doc_id, pos,
+   * pool_val) — never an array column (oracle comparator contract).
+   *
+   * Cross-engine float discipline (the embedding_drift rule): each
+   * chunk component quantizes to 6 dp and sums as DECIMAL — exact and
+   * order-independent, so Spark's nondeterministic aggregation order
+   * cannot produce a different mean than the oracle's. One explode +
+   * one (doc_id, pos) shuffle with map-side partials; documents with
+   * no tokens have no chunks and are absent, matching the chunker.
+   */
+  def docPooledEmbedding(docs: DataFrame, window: Int = 32,
+                         dim: Int = 64): DataFrame = {
+    import graft.GraftFunctions.embedText
+    chunksUnordered(docs, window)
+      .select(col("doc_id"),
+        posexplode(embedText(col("chunk_text"), dim)).as(Seq("pos", "x")))
+      // quant6 (floor-form) rather than round(): a chunk component can
+      // land on a .xxxxxx5 half-boundary where BigDecimal half-up and
+      // the oracle's binary ROUND disagree by 1 ulp; the floor form is
+      // identical double arithmetic on both engines
+      .withColumn("x6", quant6(col("x").cast("double")).cast("decimal(28,6)"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(count(lit(1)).as("n_chunks"),
+        quant6(sum(col("x6")).cast("double") / count(lit(1))).as("pool_val"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+  }
+
+  /**
    * Sliding-window chunking with overlap (the RAG-style chunker:
    * stride < window keeps context across boundaries). `stride` =
    * `window` degenerates to chunkWords.
@@ -277,6 +309,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("token").asc)
       .limit(topN)
+  }
+
+  /**
+   * Tokenizer-vocabulary coverage audit: fit the corpus's own top-N
+   * token vocabulary (doc-frequency ranked, the [[vocabulary]]
+   * contract), then score every document's out-of-vocabulary token
+   * rate — the "how much of this corpus does my tokenizer actually
+   * cover" dataset card a tokenizer-training pipeline checks before
+   * committing to a vocab size. Scale shape: the fitted vocab is
+   * topN rows (BROADCAST side), coverage is a map-side broadcast
+   * join plus one doc_id roll-up; nothing corpus-sized shuffles.
+   * topN defaults low so the synthetic corpus (31 distinct tokens)
+   * exercises both in- and out-of-vocab paths.
+   */
+  def vocabCoverage(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val vocab = vocabulary(docs, topN).select(col("token"), lit(1).as("iv"))
+    val toks = docs
+      .select(col("doc_id"), explode(graft.GraftFunctions.tokensOf(col("text"))).as("token"))
+    val counted = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), count(col("iv")).as("in_vocab"))
+    docs.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tokens") - col("in_vocab"), lit(0L)).as("oov_tokens"),
+        round(coalesce((col("n_tokens") - col("in_vocab")) / col("n_tokens"),
+          lit(0.0)), 6).as("oov_rate"))
+      .orderBy(col("doc_id").asc)
   }
 
   /**
