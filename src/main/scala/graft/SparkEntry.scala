@@ -232,6 +232,8 @@ object SparkEntry {
     "q5_distinct" -> ((s, d) => Relational.q5(t(s, d, "lineitem"))),
     "q6_exists_join" -> ((s, d) =>
       Relational.q6(t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "q7_rollup" -> ((s, d) => Relational.q7(t(s, d, "lineitem"))),
+    "q8_pivot" -> ((s, d) => Relational.q8Pivot(t(s, d, "events"))),
     "chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(t(s, d, "documents"))),
     // --- B. vector engine ---------------------------------------------
     "knn_cosine" -> ((s, d) => { val (c, q) = embQuery(s, d)
@@ -1916,6 +1918,27 @@ object SparkEntry {
         |FROM nation LEFT JOIN w ON n_nationkey = w.c_nationkey
         |LEFT JOIN wo ON n_nationkey = wo.c_nationkey
         |ORDER BY n_name""".stripMargin,
+    // ROLLUP: DuckDB's GROUPING(a,b) emits the same bitmask as
+    // Spark's grouping_id() (0 detail / 1 per-flag / 3 grand total).
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q8_pivot" -> {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val cols = types.map { tpe =>
+        s"""COUNT(CASE WHEN event_type = '$tpe' THEN 1 END) AS n_$tpe,
+           | CAST(SUM(CAST(CASE WHEN event_type = '$tpe' THEN value
+           |   ELSE 0.0e0 END AS DECIMAL(28,6))) AS DOUBLE) AS sum_$tpe""".stripMargin
+      }.mkString(",\n ")
+      s"""SELECT user_id,
+         | $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "chunk_stats" ->
       s"""WITH t AS ($toksCte),
          | c AS (SELECT doc_id, source, unnest(list_transform(

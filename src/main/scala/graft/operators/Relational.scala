@@ -79,6 +79,49 @@ object Relational {
       count(lit(1)).as("n_rows"))
   }
 
+  /**
+   * Grouping-sets rollup: the pricing summary at every aggregation
+   * level (flag x status, per-flag subtotal, grand total) in ONE
+   * pass — Catalyst expands the grouping sets before the single
+   * shuffle, so the three levels cost one aggregate, not three
+   * queries. NULL group keys mark subtotal rows exactly as the SQL
+   * ROLLUP contract does; grouping_id() disambiguates a genuine NULL
+   * from a rollup NULL (none here — the columns are non-null).
+   */
+  def q7(lineitem: DataFrame): DataFrame = {
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+  }
+
+  /**
+   * Conditional-aggregation pivot: per-user event-type counts and
+   * value sums as columns — the wide activity-profile table every
+   * behavioral feature store materializes. Expressed as CASE-guarded
+   * aggregates over a FIXED type list (the reproducible form of
+   * `pivot`: no collect-distinct driver pass, and the oracle replays
+   * it as plain SQL). One shuffle on user_id with map-side partials.
+   */
+  def q8Pivot(events: DataFrame,
+              types: Seq[String] =
+                Seq("view", "click", "purchase", "signup", "error")): DataFrame = {
+    val aggs = types.flatMap { tpe =>
+      Seq(
+        count(when(col("event_type") === tpe, 1)).as(s"n_$tpe"),
+        exactSum(when(col("event_type") === tpe, col("value"))
+          .otherwise(lit(0.0))).as(s"sum_$tpe"))
+    }
+    events.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id").asc)
+  }
+
   /** Semi/anti join: per-nation customers with and without orders. */
   def q6(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
     val orderCust = orders.select(col("o_custkey")).distinct()

@@ -761,6 +761,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q7 rollup: one Expand+aggregate pass; levels reconcile") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val df = Relational.q7(li)
+    // grouping sets expand BEFORE one aggregate — three levels, one shuffle
+    val p = plan(df)
+    assert(p.contains("Expand"), p)
+    assert(p.split("Exchange").length <= 3, s"more than agg+sort exchanges:\n$p")
+    val rows = df.collect()
+    val detail = rows.filter(_.getInt(5) == 0)
+    val grand = rows.filter(_.getInt(5) == 3)
+    assert(grand.length == 1)
+    assert(detail.map(_.getLong(4)).sum == grand.head.getLong(4))
+    assert(grand.head.getLong(4) == li.count())
+  }
+
+  test("q8 pivot: per-type columns reconcile with filtered aggregates") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val rows = Relational.q8Pivot(ev).collect()
+    val clicks = ev.filter(col("event_type") === "click").count()
+    assert(rows.map(_.getLong(3)).sum == clicks) // n_click is col 3
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val p3 = plan(Relational.q3(Tables.load(spark, sfDir, "orders")))
     assert(p3.contains("TakeOrderedAndProject"), p3)

@@ -83,6 +83,31 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10=$recall")
   }
 
+  test("binary probe: recall against exact, and phase 1 reads bits not floats") {
+    // write a store so the scan's ReadSchema is observable
+    val dir = java.nio.file.Files.createTempDirectory("graft-bits").toString
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("bits", GraftFunctions.bitPack(col("embedding")))
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val got = VectorSearch.knnBinaryIndexed(store, q, "vec_id", "embedding", "bits", 10)
+    val ids = got.collect().map(_.getLong(0))
+    val exact = VectorSearch.knnFlat(emb.filter(col("vec_id") =!= 0), q,
+      "vec_id", "embedding", 10, "cosine").collect().map(_.getLong(0))
+    val recall = ids.count(exact.contains).toDouble / exact.length
+    // 64-bit sign codes are the coarsest rung: the shortlist must
+    // still recover the bulk of the true top-10 before exact re-rank
+    assert(recall >= 0.5, s"recall@10=$recall")
+    // the phase-1 (TakeOrderedAndProject) side must scan a schema
+    // WITHOUT the float embedding column — that is the 32x narrowing
+    val plan = got.queryExecution.executedPlan.toString
+    val phase1Scans = plan.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("bits") && !l.contains("embedding"))
+    assert(phase1Scans.nonEmpty,
+      s"no bits-only scan found (phase 1 reads floats):\n$plan")
+  }
+
   test("spilled IVF: recall at nProbe=1 matches or beats the plain assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
