@@ -435,6 +435,19 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       VectorSearch.knnBinaryBatch(store, qs, "vec_id", "embedding", "bits", 10) }),
+    "binary_recall_sweep" -> ((s, d) => {
+      // accuracy self-audit of the 1-bit rung: recall@10 vs exact at
+      // rerank factors 2/4/8 through ONE deepest-factor codes scan.
+      val emb = t(s, d, "embeddings")
+      val store = emb.filter(col("vec_id") >= 5)
+        .withColumn("bits", bitPack(col("embedding")))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VectorSearch.binaryRecallSweep(store, qs, "vec_id", "embedding", "bits", 10) }),
+    "binary_index_info" -> ((s, d) =>
+      // bit-balance audit: per-dimension sign density of the corpus
+      // codes (stuck dims contribute nothing to Hamming distance).
+      VectorSearch.binaryIndexInfo(t(s, d, "embeddings"))),
     "knn_filtered" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.knnFiltered(c, q, col("label") === 3,
         "vec_id", "embedding", 10, "cosine") }),
@@ -2581,6 +2594,50 @@ object SparkEntry {
          | r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER (
          |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank FROM p2)
          |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 10""".stripMargin,
+    // Binary recall sweep: one deepest-factor Hamming ranking fans to
+    // every factor window (the single-scan shape of the IVF sweeps);
+    // the exact side ranks on rounded score, matching knnBatchGeneric.
+    "binary_recall_sweep" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 5),
+         | q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 5),
+         | fac AS (SELECT unnest([2, 4, 8]) AS factor),
+         | p1 AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+         |          len(list_filter(range(1, len(e.v) + 1),
+         |            i -> (e.v[CAST(i AS INT)] > 0e0) <> (q.qv[CAST(i AS INT)] > 0e0)))
+         |            AS hdist
+         |        FROM e, q0 q),
+         | pr AS (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY hdist ASC, vec_id) AS rn FROM p1),
+         | cand AS (SELECT query_id, vec_id, rn, ROUND(${cosSql("v", "qv")}, 6) AS score
+         |          FROM pr WHERE rn <= 80),
+         | ax AS (SELECT query_id, factor, vec_id FROM (
+         |    SELECT c.query_id, f.factor, c.vec_id, row_number() OVER (
+         |      PARTITION BY c.query_id, f.factor
+         |      ORDER BY c.score DESC, c.vec_id) AS rnk
+         |    FROM cand c JOIN fac f ON c.rn <= f.factor * 10) WHERE rnk <= 10),
+         | ex AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ROUND(${cosSql("e.v", "q.qv")}, 6) DESC, e.vec_id) AS rnk
+         |    FROM e, q0 q) WHERE rnk <= 10),
+         | hits AS (SELECT ax.query_id, ax.factor, COUNT(*) AS nh
+         |          FROM ax JOIN ex ON ax.query_id = ex.query_id AND ax.vec_id = ex.vec_id
+         |          GROUP BY 1, 2)
+         |SELECT q0.query_id, fac.factor,
+         |  ROUND(COALESCE(nh, 0) / 10.0, 6) AS recall
+         |FROM q0 CROSS JOIN fac
+         |  LEFT JOIN hits ON hits.query_id = q0.query_id AND hits.factor = fac.factor
+         |ORDER BY q0.query_id, fac.factor""".stripMargin,
+    "binary_index_info" ->
+      """WITH u AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |            CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+        |           FROM embeddings)
+        |SELECT dim, COUNT(*) AS n_vectors,
+        | floor(CAST(COUNT(CASE WHEN x > 0e0 THEN 1 END) AS DOUBLE) / COUNT(*)
+        |   * 1.0e6 + 0.5e0) / 1.0e6 AS positive_frac
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
     "knn_quantized" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
          |           FROM embeddings WHERE vec_id <> 0),

@@ -892,6 +892,78 @@ object VectorSearch {
   }
 
   /**
+   * Accuracy self-audit of the binary rung: recall@k of the Hamming
+   * shortlist + exact re-rank versus the exact scan, swept over
+   * rerank factors — the "how wide must the shortlist be" dial a user
+   * tunes before trusting 1-bit codes at scale. ONE codes scan at the
+   * DEEPEST factor serves every swept factor (shallower shortlists
+   * are prefixes of the deepest ranking — same single-scan shape as
+   * the IVF/IVF-PQ sweeps); candidates fan to the factors whose
+   * window admits them via a composite (query, factor) heap key.
+   */
+  def binaryRecallSweep(indexed: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, codesCol: String, k: Int,
+                        factors: Seq[Int] = Seq(2, 4, 8),
+                        metric: String = "cosine"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val sweep = factors.distinct.sorted
+    require(sweep.nonEmpty && sweep.head >= 1 && sweep.last < 1000,
+      "rerank factors must be in [1, 999]")
+    val qBits = queries.select(col("query_id"), bitPack(col("qvec")).as("qbits"))
+    val phase1 = indexed.select(col(idCol), col(codesCol).as("bits"))
+      .crossJoin(broadcast(qBits))
+      .select(col("query_id"), col(idCol),
+        (-bitHamming(col("bits"), col("qbits")).cast("double")).as("score"))
+    val short = finishPerQueryTopK(phase1, idCol, sweep.last * k, ordered = false)
+      .select(col("query_id"), col(idCol), col("rank").as("h_rank"))
+    val scored = indexed.join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("h_rank"),
+        round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
+    val atFactor = scored.select(col("query_id").as("qid"),
+        explode(filter(typedLit(sweep.map(_.toLong)),
+          f => f * k >= col("h_rank"))).as("f"),
+        col(idCol), col("score"))
+      .select((col("qid") * 1000 + col("f")).as("query_id"), col(idCol), col("score"))
+    val approx = finishPerQueryTopK(atFactor, idCol, k, ordered = false)
+      .select(expr("query_id DIV 1000").as("query_id"),
+        pmod(col("query_id"), lit(1000L)).cast("int").as("factor"), col(idCol))
+    val exact = knnBatchGeneric(indexed.select(col(idCol), col(vecCol)),
+      queries, idCol, vecCol, k, metric)
+      .select(col("query_id"), col(idCol))
+    val hits = approx.join(exact, Seq("query_id", idCol))
+      .groupBy(col("query_id"), col("factor")).agg(count(lit(1)).as("nhits"))
+    queries.select(col("query_id")).crossJoin(sweep.toDF("factor"))
+      .join(hits, Seq("query_id", "factor"), "left")
+      .select(col("query_id"), col("factor"),
+        round(coalesce(col("nhits"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id").asc, col("factor").asc)
+  }
+
+  /**
+   * Bit-balance audit of the binary codes — the index-health view of
+   * the 1-bit rung: per-dimension fraction of vectors whose sign bit
+   * is set. Balanced bits (~0.5) discriminate; a dimension stuck near
+   * 0 or 1 contributes nothing to Hamming distance, so a skewed
+   * profile says "this corpus needs centering (or more rerank width)
+   * before the 1-bit codes can be trusted". One explode + a 64-key
+   * aggregate with map-side partials.
+   */
+  def binaryIndexInfo(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        // floor-form quant6: a count ratio CAN land on a decimal
+        // half-boundary where BigDecimal half-up and binary rounding
+        // disagree; the floor form is identical on both engines
+        graft.operators.TextAnalysis.quant6(
+          count(when(col("x") > 0, 1)).cast("double") / count(lit(1)))
+          .as("positive_frac"))
+      .orderBy(col("dim").asc)
+  }
+
+  /**
    * Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
    * diversity-aware top-k for RAG-style retrieval — greedily select
    * the candidate maximizing lambda*relevance - (1-lambda)*max

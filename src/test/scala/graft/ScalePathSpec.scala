@@ -108,6 +108,27 @@ class ScalePathSpec extends AnyFunSuite {
       s"no bits-only scan found (phase 1 reads floats):\n$plan")
   }
 
+  test("binary recall sweep: complete grid, monotone in factor, balanced bits") {
+    val store = emb.filter(col("vec_id") >= 5)
+      .withColumn("bits", GraftFunctions.bitPack(col("embedding")))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val rows = VectorSearch.binaryRecallSweep(store, qs, "vec_id", "embedding",
+      "bits", 10).collect()
+    assert(rows.length == 5 * 3, "incomplete (query x factor) grid")
+    // widening the shortlist can only help: recall monotone in factor
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byF = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byF.sliding(2).forall(p => p(0) <= p(1)),
+        s"query $qid recall not monotone: ${byF.toSeq}")
+    }
+    // the embedder's output is roughly centered: no stuck dims
+    val info = VectorSearch.binaryIndexInfo(emb).collect()
+    assert(info.length == 64)
+    assert(info.forall(r => r.getDouble(2) > 0.05 && r.getDouble(2) < 0.95),
+      "stuck sign dimension found")
+  }
+
   test("spilled IVF: recall at nProbe=1 matches or beats the plain assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
