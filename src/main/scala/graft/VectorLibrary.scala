@@ -547,6 +547,21 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                         metric: String = "cosine"): DataFrame =
     approxBatch(queriesFrame(queryTexts), clampK(k), metric)
 
+  /**
+   * Diversity-aware search (MMR, the RAG retrieval endpoint): the
+   * distributed relevance shortlist comes from the flat corpus scan,
+   * the greedy lambda-blend selection diversifies it — near-duplicate
+   * chunks (adjacent chunks of one document are often near-identical)
+   * stop crowding out coverage of the result list. Returns
+   * (rank, chunk_id, score) in selection order.
+   */
+  def searchDiverse(queryText: String, k: Int = 10,
+                    lambda: Double = 0.7): DataFrame =
+    operators.VectorSearch.mmrRerank(
+      chunks.select(col("chunk_id"), col("embedding")),
+      queryFrame(queryText), "chunk_id", "embedding", clampK(k), lambda)
+      .withColumnRenamed("rel", "score")
+
   /** Batch search with full chunk payloads: the Q*k-row hit set
     * broadcasts into ONE store scan, same as searchWithChunks. */
   def searchBatchWithChunks(queryTexts: Seq[String], k: Int = 10,

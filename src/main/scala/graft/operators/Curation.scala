@@ -39,7 +39,8 @@ object Curation {
    */
   def qualityClassifier(docs: DataFrame,
                         weights: (Double, Double, Double, Double, Double, Double) =
-                          (-2.5, 2.0, 1.0, 1.0, 1.5, 1.0)): DataFrame = {
+                          (-2.5, 2.0, 1.0, 1.0, 1.5, 1.0),
+                        ordered: Boolean = true): DataFrame = {
     val (b0, w1, w2, w3, w4, w5) = weights
     val st = docs.select(col("doc_id"), textStats(col("text")).as("st"),
       length(col("text")).cast("double").as("n_chars"))
@@ -53,7 +54,7 @@ object Curation {
       col("st.total_token_chars").cast("double") / col("n_chars")).otherwise(lit(0.0))
     val z = lit(b0) + lit(w1) * x1 + lit(w2) * x2 + lit(w3) * x3 +
       lit(w4) * x4 + lit(w5) * x5
-    st.select(col("doc_id"),
+    val out = st.select(col("doc_id"),
       graft.operators.TextAnalysis.quant6(x1).as("stop_ratio"),
       graft.operators.TextAnalysis.quant6(x2).as("unique_ratio"),
       graft.operators.TextAnalysis.quant6(x3).as("wordlen_plaus"),
@@ -61,7 +62,10 @@ object Curation {
       graft.operators.TextAnalysis.quant6(x5).as("alnum_density"),
       graft.operators.TextAnalysis.quant6(z).as("quality_logit"),
       (z > 0.0).as("keep"))
-      .orderBy(col("doc_id").asc)
+    // pure map-side gate: with ordered=false (no presentation sort) the
+    // same plan runs unchanged inside a streaming micro-batch — the
+    // piiScrub streaming-usability contract
+    if (ordered) out.orderBy(col("doc_id").asc) else out
   }
 
   /**

@@ -984,12 +984,12 @@ object VectorSearch {
     val spark = corpus.sparkSession
     val oneMinus = 1.0 - lambda
     val shortRows = corpus.crossJoin(broadcast(query))
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         col(vecCol), cosineSim(col(vecCol), col("qvec")).as("rel"))
       .orderBy(col("rel").desc, col("id").asc)
       .limit(shortlist)
       .collect()
-    val ids = shortRows.map(_.getLong(0))
+    val ids = shortRows.map(_.get(0))
     val vecs = shortRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val rels = shortRows.map(_.getDouble(2))
     val n = ids.length
@@ -1019,11 +1019,17 @@ object VectorSearch {
       inSel(best) = true
       selected += best
     }
-    import spark.implicits._
-    selected.zipWithIndex
-      .map { case (i, r) =>
-        (r + 1, ids(i), graft.functions.VectorOps.roundTo(rels(i), 6)) }
-      .toSeq.toDF("rank", "vec_id", "rel")
+    // preserve the caller's id type (long vec_id, string chunk_id, ...)
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      corpus.schema(idCol),
+      StructField("rel", DoubleType, nullable = false)))
+    val rows = selected.zipWithIndex.map { case (i, r) =>
+      org.apache.spark.sql.Row(r + 1, ids(i),
+        graft.functions.VectorOps.roundTo(rels(i), 6)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /**

@@ -106,6 +106,27 @@ class StreamingSpec extends AnyFunSuite {
       s"labels diverged: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming quality classifier is map-only and matches the batch twin") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val dir = Files.createTempDirectory("graft-qc-stream").toString
+    docs.select("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // ordered=false: the gate is one codegen'd pass per row — no
+    // state, no watermark, runs unchanged under append mode
+    val q = operators.Curation.qualityClassifier(stream, ordered = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qc_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qc_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(6), r.getBoolean(7))).toSet
+    val batch = operators.Curation.qualityClassifier(
+      spark.read.schema(schema).parquet(dir)).collect()
+      .map(r => (r.getLong(0), r.getDouble(6), r.getBoolean(7))).toSet
+    assert(streamed == batch, "streaming classifier diverged from batch")
+  }
+
   test("streaming pii scrub is map-only and matches the batch twin") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")

@@ -405,6 +405,22 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("searchDiverse returns MMR-ordered distinct chunks seeded by the top hit") {
+    val root = Files.createTempDirectory("graft-lib-mmr").toString
+    val lib = new VectorLibrary(spark, root, "mmr-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30))
+    val q = "spark join stream table filter"
+    val div = lib.searchDiverse(q, 5).collect()
+    assert(div.length == 5)
+    assert(div.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(div.map(_.getString(1)).distinct.length == 5)
+    // rank 1 of the diverse list IS the flat top hit (MMR seed rule)
+    val flat = lib.search(q, 1).collect()
+    assert(div.head.getString(1) == flat.head.getString(0))
+    assert(div.head.getDouble(2) == flat.head.getDouble(1))
+    lib.delete()
+  }
+
   test("ivf index info reports cluster occupancy and drift") {
     val root = Files.createTempDirectory("graft-lib-ivfinfo").toString
     val lib = new VectorLibrary(spark, root, "ivfinfo-lib")
