@@ -568,6 +568,10 @@ object SparkEntry {
       // OOV-rate dataset card against the corpus's own top-20 vocab
       // (20 of 31 synthetic tokens, so both paths exercise).
       TextAnalysis.vocabCoverage(t(s, d, "documents"))),
+    "tokenize_ids" -> ((s, d) =>
+      // vocab-id encoding (UNK=0): the (doc, pos, id) layout a
+      // training loader consumes; same fitted vocab as vocab_coverage.
+      TextAnalysis.tokenizeIds(t(s, d, "documents"))),
     "doc_pool" -> ((s, d) =>
       // chunk -> embed -> mean-pool to one vector per document,
       // exploded (doc_id, pos, pool_val); decimal-sum discipline.
@@ -2488,6 +2492,19 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS doc_freq FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    "tokenize_ids" ->
+      s"""WITH t AS ($toksCte),
+         | dtok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+         | vocab AS (SELECT token, CAST(row_number() OVER (
+         |             ORDER BY COUNT(*) DESC, token) AS INT) AS token_id
+         |           FROM dtok GROUP BY token
+         |           ORDER BY COUNT(*) DESC, token LIMIT 20),
+         | tok AS (SELECT doc_id,
+         |           CAST(unnest(range(0, len(toks))) AS INT) AS pos,
+         |           unnest(toks) AS token FROM t)
+         |SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, 0) AS token_id
+         |FROM tok LEFT JOIN vocab v USING (token)
+         |ORDER BY tok.doc_id, tok.pos""".stripMargin,
     "vocab_coverage" ->
       s"""WITH t AS ($toksCte),
          | dtok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),

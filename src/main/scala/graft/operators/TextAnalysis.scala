@@ -341,6 +341,31 @@ object TextAnalysis {
   }
 
   /**
+   * Token-id encoding — the last text-side step before tensorization:
+   * every token maps to its id in the corpus-fitted vocabulary
+   * (doc-frequency ranked, ids 1..topN; out-of-vocabulary -> 0, the
+   * UNK convention), emitted exploded (doc_id, pos, token_id) in
+   * document order. The vocab is topN rows and BROADCASTS; encoding
+   * is one map-side join — nothing corpus-sized shuffles, and the
+   * output is exactly the (sample, position, id) layout a training
+   * loader consumes. Same fitted vocab as [[vocabCoverage]].
+   */
+  def tokenizeIds(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_freq").desc, col("token").asc)
+    // topN rows total: the single-partition rank window is driver-tiny
+    val vocab = vocabulary(docs, topN)
+      .withColumn("token_id", row_number().over(w).cast("int"))
+      .select(col("token"), col("token_id"))
+    docs.select(col("doc_id"),
+        posexplode(graft.GraftFunctions.tokensOf(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+  }
+
+  /**
    * Per-source top n-grams by document frequency — the boilerplate/
    * template detector's ranked view (which phrases dominate each
    * source), and the candidate list a decontamination blocklist
