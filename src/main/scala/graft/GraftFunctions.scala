@@ -144,6 +144,9 @@ object GraftFunctions {
     ("graft_shingle_hashes", "distinct token-shingle hashes (text[, w=3])",
       checked("graft_shingle_hashes", 1, 2)(es =>
         ShingleHashesExpr(es(0), iArg(es, 1, 3)))),
+    ("graft_winnow", "winnowing sketch hashes (text[, shingle=3[, window=4]])",
+      checked("graft_winnow", 1, 3)(es =>
+        WinnowSketchExpr(es(0), iArg(es, 1, 3), iArg(es, 2, 4)))),
     ("graft_text_stats", "token statistics struct (text)",
       checked("graft_text_stats", 1, 1)(es => TextStats(es(0), stopwordsEn))),
     ("graft_topk", "bounded top-k aggregate (id, score, k)",
@@ -229,6 +232,9 @@ object GraftFunctions {
     call_function("graft_fingerprint", text, lit(seed))
   def shingleHashes(text: Column, shingleWords: Int = 3): Column =
     call_function("graft_shingle_hashes", text, lit(shingleWords))
+  /** Winnowing sketch hashes (MOSS fingerprint), sorted signed-asc. */
+  def winnowSketch(text: Column, shingleWords: Int = 3, window: Int = 4): Column =
+    call_function("graft_winnow", text, lit(shingleWords), lit(window))
   def textStats(text: Column): Column =
     call_function("graft_text_stats", text)
   /** Native bounded top-k aggregate -> array<struct<id,score>>. */

@@ -568,6 +568,12 @@ object SparkEntry {
       // OOV-rate dataset card against the corpus's own top-20 vocab
       // (20 of 31 synthetic tokens, so both paths exercise).
       TextAnalysis.vocabCoverage(t(s, d, "documents"))),
+    "winnow_sketch" -> ((s, d) =>
+      // MOSS winnowing fingerprint: distinct sliding-window minima of
+      // positional shingle hashes — local-similarity sketch.
+      t(s, d, "documents").select(col("doc_id"),
+        posexplode(winnowSketch(col("text"))).as(Seq("sk_idx", "sketch_hash")))
+        .orderBy(col("doc_id").asc, col("sk_idx").asc)),
     "tokenize_ids" -> ((s, d) =>
       // vocab-id encoding (UNK=0): the (doc, pos, id) layout a
       // training loader consumes; same fitted vocab as vocab_coverage.
@@ -2492,6 +2498,25 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, COUNT(*) AS doc_freq FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token LIMIT 50""".stripMargin,
+    // Winnowing sketch: the exact splitmix64/FNV shingle chain replays
+    // via the HUGEINT wrapping helpers; window minima compare UNSIGNED
+    // (UBIGINT list_min ≡ Long.compareUnsigned), output converts to
+    // signed and sorts — hash VALUES are part of the check.
+    "winnow_sketch" ->
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | wins AS (SELECT doc_id, list_transform(range(0, len(shs) - 3), p ->
+         |            list_min(shs[CAST(p+1 AS INT) : CAST(p+4 AS INT)])) AS mins
+         |          FROM shx WHERE len(shs) >= 4),
+         | conv AS (SELECT doc_id, unnest(list_distinct(mins)) AS uh FROM wins),
+         | sgn AS (SELECT doc_id, CAST(CASE WHEN uh >= CAST(9223372036854775808 AS UBIGINT)
+         |            THEN CAST(uh AS HUGEINT) - 18446744073709551616
+         |            ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS sketch_hash FROM conv),
+         | r AS (SELECT doc_id, sketch_hash, CAST(row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY sketch_hash) - 1 AS INT) AS sk_idx FROM sgn)
+         |SELECT doc_id, sk_idx, sketch_hash FROM r ORDER BY doc_id, sk_idx""".stripMargin,
     "tokenize_ids" ->
       s"""WITH t AS ($toksCte),
          | dtok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),

@@ -304,6 +304,54 @@ object TextHash {
   }
 
   /**
+   * Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+   * — the MOSS local-similarity fingerprint): positional 3-token
+   * shingle hashes, then the MINIMUM hash of every sliding window of
+   * `window` consecutive shingles; the distinct selected minima are
+   * the sketch. Guarantee: any shared token run covering
+   * window+shingleWords-1 tokens contributes at least one COMMON
+   * sketch hash to both documents — local plagiarism/quotation
+   * detection with a sketch ~2/(window+1) the shingle count.
+   *
+   * Window minima compare UNSIGNED (the oracle's UBIGINT list_min
+   * order); the returned array sorts SIGNED ascending (both engines
+   * sort the converted values). Docs with fewer than
+   * window+shingleWords-1 tokens sketch empty.
+   */
+  def winnowSketch(text: UTF8String, shingleWords: Int, window: Int): ArrayData = {
+    val toks = tokenHashes(lowered(text))
+    if (toks.length < shingleWords + window - 1)
+      return new GenericArrayData(Array.empty[Long])
+    val n = toks.length - shingleWords + 1
+    val hs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var sh = 0x27d4eb2f165667c5L
+      var q = 0
+      while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
+      hs(p) = sh
+      p += 1
+    }
+    val m = n - window + 1
+    val sel = new Array[Long](m)
+    p = 0
+    while (p < m) {
+      var mn = hs(p)
+      var q = 1
+      while (q < window) {
+        if (java.lang.Long.compareUnsigned(hs(p + q), mn) < 0) mn = hs(p + q)
+        q += 1
+      }
+      sel(p) = mn
+      p += 1
+    }
+    java.util.Arrays.sort(sel)
+    var w = 1; var i = 1
+    while (i < m) { if (sel(i) != sel(i - 1)) { sel(w) = sel(i); w += 1 }; i += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, w))
+  }
+
+  /**
    * One-pass per-document token statistics:
    * (n_tokens, n_unique, total_token_chars, stopword_hits).
    * Feeds tokenStats / qualityScore / langId without re-tokenizing per
@@ -598,6 +646,22 @@ case class ShingleHashesExpr(child: Expression, shingleWords: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.TextHash.shingleHashes($s, $shingleWords);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> winnowing sketch hashes (array<long>, sorted signed-asc). */
+case class WinnowSketchExpr(child: Expression, shingleWords: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.winnowSketch(v.asInstanceOf[UTF8String], shingleWords, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextHash.winnowSketch($s, $shingleWords, $window);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -193,6 +193,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowSketch: shared long runs guarantee a common sketch hash") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"shared run token$i").mkString(" ") // 30 tokens
+    val d = Seq(
+      (1L, "alpha beta gamma " + shared + " delta epsilon zeta"),
+      (2L, "completely different prefix words here " + shared),
+      (3L, "no overlap with anything " + (1 to 30).map(i => s"solo$i").mkString(" ")),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val sk = d.select(col("doc_id"), winnowSketch(col("text")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared window+shingle-1 (=6) token run
+    // yields >= 1 common fingerprint — docs 1,2 share a 30-token run
+    assert((sk(1L) intersect sk(2L)).nonEmpty, "shared run produced no common hash")
+    assert((sk(1L) intersect sk(3L)).isEmpty, "disjoint docs share a hash")
+    // sub-threshold doc sketches empty; sketches are sorted ascending
+    assert(sk(4L).isEmpty)
+    val s1 = d.filter(col("doc_id") === 1)
+      .select(winnowSketch(col("text"))).head.getSeq[Long](0)
+    assert(s1 == s1.sorted && s1.distinct.length == s1.length)
+    // density: sketch is a fraction of the shingle count (2/(w+1) exp.)
+    val nsh = d.filter(col("doc_id") === 3)
+      .select(size(shingleHashes(col("text")))).head.getInt(0)
+    assert(sk(3L).size < nsh)
+  }
+
   test("mmrRerank seeds with the top hit and diversifies near-duplicates") {
     import spark.implicits._
     val corpus = Seq(
