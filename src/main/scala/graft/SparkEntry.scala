@@ -568,6 +568,10 @@ object SparkEntry {
       // OOV-rate dataset card against the corpus's own top-20 vocab
       // (20 of 31 synthetic tokens, so both paths exercise).
       TextAnalysis.vocabCoverage(t(s, d, "documents"))),
+    "winnow_matches" -> ((s, d) =>
+      // pair view of the winnowing sketch: local-overlap detection via
+      // an inverted-index join on sketch hashes.
+      Dedup.winnowMatches(t(s, d, "documents"))),
     "winnow_sketch" -> ((s, d) =>
       // MOSS winnowing fingerprint: distinct sliding-window minima of
       // positional shingle hashes — local-similarity sketch.
@@ -2502,6 +2506,25 @@ object SparkEntry {
     // via the HUGEINT wrapping helpers; window minima compare UNSIGNED
     // (UBIGINT list_min ≡ Long.compareUnsigned), output converts to
     // signed and sorts — hash VALUES are part of the check.
+    "winnow_matches" ->
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | wins AS (SELECT doc_id, list_transform(range(0, len(shs) - 3), p ->
+         |            list_min(shs[CAST(p+1 AS INT) : CAST(p+4 AS INT)])) AS mins
+         |          FROM shx WHERE len(shs) >= 4),
+         | conv AS (SELECT doc_id, unnest(list_distinct(mins)) AS uh FROM wins),
+         | sizes AS (SELECT doc_id, COUNT(*) AS sk_size FROM conv GROUP BY doc_id),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |       FROM conv a JOIN conv b ON a.uh = b.uh AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, shared,
+         | ROUND(CAST(shared AS DOUBLE) / least(sa.sk_size, sb.sk_size), 6)
+         |   AS containment
+         |FROM p JOIN sizes sa ON sa.doc_id = doc_a
+         |       JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "winnow_sketch" ->
       s"""WITH t AS ($toksCte),
          | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),

@@ -31,6 +31,39 @@ object Dedup {
   }
 
   /**
+   * Winnowing match detection — the pair view of the MOSS sketch:
+   * documents sharing at least `minShared` winnowing fingerprints,
+   * with the shared count and containment ratio (shared / smaller
+   * sketch). Candidates come from an inverted-index join on the
+   * 8-byte sketch hash (never the pair space): the sketch is already
+   * ~40% of the shingle count, so the join input is a fraction of the
+   * n-gram inverted index the Jaccard pass builds, and a hot hash
+   * (boilerplate fingerprint) is bounded by the same AQE skew
+   * handling the dedup family relies on. Catches local overlap —
+   * quotation, shared boilerplate, partial plagiarism — that
+   * whole-document minhash underweights.
+   */
+  def winnowMatches(docs: DataFrame, minShared: Int = 2): DataFrame = {
+    val sk = docs.select(col("doc_id"),
+      explode(winnowSketch(col("text"))).as("h"))
+    val sizes = sk.groupBy(col("doc_id")).agg(count(lit(1)).as("sk_size"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sk_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sk_size", "size_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared") / least(col("size_a"), col("size_b")), 6)
+          .as("containment"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /**
    * Exact-substring duplication audit (Lee et al. 2022, "Deduplicating
    * Training Data Makes Language Models Better": duplicated >= 50-token
    * spans, here w-token windows): every doc is scored by the fraction
