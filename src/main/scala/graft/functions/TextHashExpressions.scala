@@ -284,9 +284,10 @@ object TextHash {
    * and distinct-hash cardinalities equal distinct-string cardinalities
    * (modulo 2^-64 collisions).
    */
-  def shingleHashes(text: UTF8String, shingleWords: Int): ArrayData = {
-    val toks = tokenHashes(lowered(text))
-    if (toks.length < shingleWords) return new GenericArrayData(Array.empty[Long])
+  /** Positional shingle hashes: one mix-chain hash per w-token window,
+    * in document order (the seed and fold are part of the cross-engine
+    * oracle contract — HashSql.shingle replays this exactly). */
+  private def positionalShingleHashes(toks: Array[Long], shingleWords: Int): Array[Long] = {
     val n = toks.length - shingleWords + 1
     val hs = new Array[Long](n)
     var p = 0
@@ -297,10 +298,22 @@ object TextHash {
       hs(p) = sh
       p += 1
     }
-    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** In-place sort + adjacent-dedup; returns the distinct prefix. */
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return a
+    java.util.Arrays.sort(a)
     var w = 1; var i = 1
-    while (i < n) { if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }; i += 1 }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    while (i < a.length) { if (a(i) != a(i - 1)) { a(w) = a(i); w += 1 }; i += 1 }
+    java.util.Arrays.copyOf(a, w)
+  }
+
+  def shingleHashes(text: UTF8String, shingleWords: Int): ArrayData = {
+    val toks = tokenHashes(lowered(text))
+    if (toks.length < shingleWords) return new GenericArrayData(Array.empty[Long])
+    new GenericArrayData(sortedDistinct(positionalShingleHashes(toks, shingleWords)))
   }
 
   /**
@@ -319,22 +332,15 @@ object TextHash {
    * window+shingleWords-1 tokens sketch empty.
    */
   def winnowSketch(text: UTF8String, shingleWords: Int, window: Int): ArrayData = {
+    require(shingleWords >= 1 && window >= 1,
+      s"winnow sketch needs shingleWords >= 1 and window >= 1, got ($shingleWords, $window)")
     val toks = tokenHashes(lowered(text))
     if (toks.length < shingleWords + window - 1)
       return new GenericArrayData(Array.empty[Long])
-    val n = toks.length - shingleWords + 1
-    val hs = new Array[Long](n)
-    var p = 0
-    while (p < n) {
-      var sh = 0x27d4eb2f165667c5L
-      var q = 0
-      while (q < shingleWords) { sh = mix64(sh ^ toks(p + q)); q += 1 }
-      hs(p) = sh
-      p += 1
-    }
-    val m = n - window + 1
+    val hs = positionalShingleHashes(toks, shingleWords)
+    val m = hs.length - window + 1
     val sel = new Array[Long](m)
-    p = 0
+    var p = 0
     while (p < m) {
       var mn = hs(p)
       var q = 1
@@ -345,10 +351,7 @@ object TextHash {
       sel(p) = mn
       p += 1
     }
-    java.util.Arrays.sort(sel)
-    var w = 1; var i = 1
-    while (i < m) { if (sel(i) != sel(i - 1)) { sel(w) = sel(i); w += 1 }; i += 1 }
-    new GenericArrayData(java.util.Arrays.copyOf(sel, w))
+    new GenericArrayData(sortedDistinct(sel))
   }
 
   /**

@@ -83,13 +83,18 @@ object Dedup {
    */
   def substringDup(docs: DataFrame, w: Int = 20,
                    threshold: Double = 0.2): DataFrame = {
-    val wins = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // windows hash DIRECTLY from the token-array slice (xxhash64 over
+    // array<string> is structural): the ~w*avg-token-len window string
+    // is never materialized, so the explode emits 8-byte hashes
+    // instead of ~120-byte strings. Equal-count semantics: tokens
+    // contain no separator characters, so slice and joined-string are
+    // equally injective.
+    val hashed = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(
         when(size(col("toks")) >= w,
           transform(sequence(lit(0), size(col("toks")) - w),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(w)))))
-          .otherwise(array().cast("array<string>"))).as("win"))
-    val hashed = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
+            i => xxhash64(slice(col("toks"), i + 1, lit(w)))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
     // windows present in >= 2 DISTINCT docs; the same window repeated
     // inside one document is repetition (text_repetition's tier), not
     // cross-document duplication

@@ -910,6 +910,13 @@ object VectorSearch {
     val sweep = factors.distinct.sorted
     require(sweep.nonEmpty && sweep.head >= 1 && sweep.last < 1000,
       "rerank factors must be in [1, 999]")
+    // composite-key fan (qid*1000 + factor) requires NON-NEGATIVE
+    // numeric query ids — the same contract as the IVF/IVF-PQ sweeps
+    // (DIV truncates toward zero for negatives while pmod stays
+    // positive, which would cross-attribute results)
+    require(queries.schema("query_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "binaryRecallSweep needs long query ids (non-negative)")
     val qBits = queries.select(col("query_id"), bitPack(col("qvec")).as("qbits"))
     val phase1 = indexed.select(col(idCol), col(codesCol).as("bits"))
       .crossJoin(broadcast(qBits))
@@ -983,16 +990,32 @@ object VectorSearch {
                 k: Int = 10, lambda: Double = 0.7, shortlist: Int = 40): DataFrame = {
     val spark = corpus.sparkSession
     val oneMinus = 1.0 - lambda
+    // the shortlist must cover k: a k wider than the default window
+    // widens the window rather than silently truncating the result
+    val window = math.max(shortlist, k)
     val shortRows = corpus.crossJoin(broadcast(query))
       .select(col(idCol).as("id"),
-        col(vecCol), cosineSim(col(vecCol), col("qvec")).as("rel"))
+        // double-aware extraction: float and double corpora both read
+        // back as Seq[Double] (same widening every other scan op does)
+        col(vecCol).cast("array<double>").as("__v"),
+        cosineSim(col(vecCol), col("qvec")).as("rel"))
       .orderBy(col("rel").desc, col("id").asc)
-      .limit(shortlist)
+      .limit(window)
       .collect()
     val ids = shortRows.map(_.get(0))
-    val vecs = shortRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val vecs = shortRows.map(_.getSeq[Double](1).toArray)
     val rels = shortRows.map(_.getDouble(2))
     val n = ids.length
+    // objective ties break by id ASCENDING (the oracle's ORDER BY
+    // obj DESC, id ASC) — NOT by shortlist scan order, which is
+    // (rel desc, id asc) and would keep the higher-rel candidate
+    @inline def idLess(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalArgumentException(
+        s"unsupported id type for MMR tie-break: ${a.getClass}")
+    }
     val selected = scala.collection.mutable.ArrayBuffer[Int]()
     val inSel = new Array[Boolean](n)
     while (selected.length < math.min(k, n)) {
@@ -1011,8 +1034,9 @@ object VectorSearch {
               }
               lambda * rels(i) - oneMinus * maxSim
             }
-          // strict > keeps the LOWEST id on ties (ascending scan order)
-          if (obj > bestObj) { bestObj = obj; best = i }
+          if (obj > bestObj || (obj == bestObj && best >= 0 && idLess(ids(i), ids(best)))) {
+            bestObj = obj; best = i
+          }
         }
         i += 1
       }
