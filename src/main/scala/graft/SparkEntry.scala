@@ -643,7 +643,11 @@ object SparkEntry {
       ivfpqLibraryInfo(s, d) }),
     // --- G. multimodal --------------------------------------------------
     "multimodal_features" -> ((s, d) => Multimodal.features(t(s, d, "documents"))),
-    "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents")))
+    "multimodal_framesample" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
+    "multimodal_neardup" -> ((s, d) =>
+      // pHash-shaped perceptual dedup: stub feature vector -> sign
+      // fingerprint -> group on the 8-byte code.
+      Multimodal.nearDup(t(s, d, "documents")))
   )
 
   // --- DuckDB oracle SQL (see SURVEY.md paragraph 5 for parity rules) -----
@@ -1542,6 +1546,23 @@ object SparkEntry {
          | FROM ef)
          |ORDER BY doc_id, pos""".stripMargin
     },
+    // Perceptual near-dup: the stub feature chain (hex payload ->
+    // FNV/splitmix embed -> REAL normalize) replays as in
+    // multimodal_features; the sign fingerprint is a small-int bit sum.
+    "multimodal_neardup" ->
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         | hv AS (SELECT doc_id,
+         |   CASE WHEN length(hx) = 0 THEN CAST([] AS UBIGINT[])
+         |        ELSE [list_transform([lower(hx)], tok -> ${HashSql.fnvTok})[1]] END AS hs
+         |  FROM t),
+         | ev AS (SELECT doc_id, ${HashSql.embedRaw("hs", 16)} AS v FROM hv),
+         | ef AS (SELECT doc_id, ${HashSql.normFloats} AS fv FROM ev),
+         | sg AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 17), i ->
+         |          CASE WHEN fv[CAST(i AS INT)] > 0e0
+         |            THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END))
+         |          AS BIGINT) AS sig FROM ef)
+         |SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+         |FROM sg GROUP BY sig ORDER BY sig""".stripMargin,
     // Frame sampling + stride-2 downsample, fully replicated: 4 evenly
     // spaced byte windows per payload (hex-space slicing), zlib CRC32
     // of each frame and of its every-second-byte view via the literal

@@ -41,6 +41,27 @@ object Multimodal {
   }
 
   /**
+   * Perceptual near-dup grouping for media payloads: the (stubbed)
+   * feature vector collapses to its sign fingerprint — the pHash
+   * shape: decode -> feature -> binarize -> group/compare on the
+   * fixed-width code — and payloads sharing a fingerprint cluster
+   * together. With a real decoder the same plan dedups re-encoded /
+   * metadata-tweaked copies of one image that byte-level checksums
+   * miss. One map-side pass to the 8-byte code, one group-by shuffle
+   * carrying (code, count, min-id) only.
+   */
+  def nearDup(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 1 && dim <= 64, "fingerprint must fit one long")
+    val payload = encode(col("text"), "UTF-8") // stand-in media bytes
+    docs
+      .select(col("doc_id"),
+        bitPack(embedText(hex(payload), dim)).getItem(0).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("sig").asc)
+  }
+
+  /**
    * Frame sampling + downsample plumbing (the video half of the
    * multimodal pipeline): the payload is treated as a media container
    * and `nFrames` evenly-spaced byte windows are sampled from it; each

@@ -346,6 +346,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(Seq((2L, "abc")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("multimodal nearDup groups identical payloads, splits distinct ones") {
+    import spark.implicits._
+    val d = Seq((1L, "same payload bytes"), (5L, "same payload bytes"),
+      (9L, "entirely different media")).toDF("doc_id", "text")
+    val groups = Multimodal.nearDup(d).collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L, "representative must be the min doc_id")
+    // counts partition the corpus
+    assert(groups.map(_.getLong(1)).sum == 3L)
+    assertThrows[IllegalArgumentException](Multimodal.nearDup(d, dim = 65))
+  }
+
   test("sample split is deterministic, complete, and roughly proportional") {
     val s1 = Pipeline.sampleSplit(docs).collect()
     val s2 = Pipeline.sampleSplit(docs).collect()
