@@ -582,6 +582,11 @@ object SparkEntry {
       // vocab-id encoding (UNK=0): the (doc, pos, id) layout a
       // training loader consumes; same fitted vocab as vocab_coverage.
       TextAnalysis.tokenizeIds(t(s, d, "documents"))),
+    "doc_knn" -> ((s, d) =>
+      // document-level retrieval over the pooled vectors: exploded-form
+      // cosine with decimal-summed dot, top-10 docs.
+      TextAnalysis.docKnn(t(s, d, "documents"),
+        embedLit("spark join stream table filter").map(_.toDouble))),
     "doc_pool" -> ((s, d) =>
       // chunk -> embed -> mean-pool to one vector per document,
       // exploded (doc_id, pos, pool_val); decimal-sum discipline.
@@ -1265,6 +1270,40 @@ object SparkEntry {
          |   {'pos': CAST(i-1 AS INT), 'emb_val': ROUND(x, 6)}), recursive := true)
          | FROM ef)
          |ORDER BY doc_id, pos""".stripMargin,
+    // Document-level retrieval over the pooled vectors: the pool CTE
+    // chain as in doc_pool, then an exploded-form cosine — pool*query
+    // products floor-quantized to 12 dp and DECIMAL-summed; pool^2 is
+    // 12-dp exact by construction. qnorm inlines as an exact literal.
+    "doc_knn" -> {
+      val qv = embedLit("spark join stream table filter").map(_.toDouble)
+      val qnorm = math.sqrt(qv.map(x => x * x).sum)
+      val qlit = qv.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | u AS (SELECT doc_id, unnest(list_transform(fv, (x, i) ->
+         |          {'pos': CAST(i-1 AS INT),
+         |           'x6': CAST(floor(x * 1.0e6 + 0.5e0) / 1.0e6 AS DECIMAL(28,6))}),
+         |          recursive := true) FROM cf),
+         | pool AS (SELECT doc_id, pos,
+         |            floor((CAST(SUM(x6) AS DOUBLE) / COUNT(*)) * 1.0e6 + 0.5e0) / 1.0e6
+         |              AS pv
+         |          FROM u GROUP BY doc_id, pos),
+         | sc AS (SELECT doc_id,
+         |          CAST(SUM(CAST(floor(pv * ($qlit)[pos+1] * 1.0e12 + 0.5e0) / 1.0e12
+         |            AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         |          CAST(SUM(CAST(pv * pv AS DECIMAL(38,12))) AS DOUBLE) AS nn
+         |        FROM pool GROUP BY doc_id)
+         |SELECT doc_id,
+         | floor((CASE WHEN nn > 0e0 THEN dot / (sqrt(nn) * $qnorm)
+         |        ELSE 0.0e0 END) * 1.0e6 + 0.5e0) / 1.0e6 AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     // Chunk -> embed -> mean-pool: per-chunk float vectors replayed by
     // the same CTE chain as library_search_e2e, each component
     // 6-dp-quantized and summed as DECIMAL (order-independent on both

@@ -1660,6 +1660,40 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     swapStore(chunks.repartition(numPartitions, col("source")), reindex = false)
 
   /**
+   * Lake-maintenance observability: per-source file-layout health of
+   * the store — file count, byte totals, and the small-file flag that
+   * says WHEN to run [[compact]] (streaming ingest appends one file
+   * per micro-batch per source; reading a source fragmented into many
+   * KB-scale files costs an open/footer-parse per file, the classic
+   * small-files tax). Driver-side directory listing only — the same
+   * FS metadata every planner `listFiles` pass already reads — so the
+   * audit is corpus-size-independent.
+   */
+  def storeFileStats(smallFileBytes: Long = 4L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(root)) Seq.empty[(String, Long, Long, Long, Long)]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+        .map { dir =>
+          val files = fs.listStatus(dir.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
+              && !f.getPath.getName.startsWith("_"))
+          val sizes = files.map(_.getLen)
+          (dir.getPath.getName.stripPrefix("source="),
+            files.size.toLong, sizes.sum,
+            if (sizes.isEmpty) 0L else sizes.max,
+            sizes.count(_ < smallFileBytes).toLong)
+        }
+    rows.toDF("source", "n_files", "total_bytes", "max_file_bytes", "small_files")
+      .withColumn("needs_compaction", col("small_files") > 1)
+      .orderBy(col("source").asc)
+  }
+
+  /**
    * Update a document's text (reference PUT /chunks + background
    * re-embed, services/chunk_service.py:100-127): delete the old
    * chunks, re-chunk/re-embed/re-index the new content.

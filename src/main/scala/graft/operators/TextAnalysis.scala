@@ -278,6 +278,46 @@ object TextAnalysis {
   }
 
   /**
+   * Document-level k-NN over the POOLED vectors (the retrieval mode
+   * where the unit of interest is the whole document): score =
+   * cosine(query, mean-pooled doc vector), computed ENTIRELY in the
+   * exploded (doc_id, pos, pool_val) form — no array rebuild, no
+   * collect_list; the query rides as a broadcast 64-row (pos, qv)
+   * side. Cross-engine float discipline: pool_val is 6-dp exact, so
+   * pool_val^2 is 12-dp EXACT and sums as DECIMAL without loss; the
+   * pool*query products quantize to 12 dp (floor form) before their
+   * DECIMAL sum — both engines fold identical decimals, so Spark's
+   * aggregation order cannot shift the score.
+   */
+  def docKnn(docs: DataFrame, qvec: Array[Double], window: Int = 32,
+             dim: Int = 64, k: Int = 10): DataFrame = {
+    require(qvec.length == dim, s"query dim ${qvec.length} != $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def quant12(c: Column): Column =
+      floor(c * lit(1.0e12) + lit(0.5)) / lit(1.0e12)
+    val q = qvec.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "qv")
+    val qnorm = {
+      var acc = 0.0; var i = 0
+      while (i < qvec.length) { acc += qvec(i) * qvec(i); i += 1 }
+      math.sqrt(acc)
+    }
+    docPooledEmbedding(docs, window, dim)
+      .join(broadcast(q), Seq("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(quant12(col("pool_val") * col("qv")).cast("decimal(38,12)"))
+          .cast("double").as("dot"),
+        sum((col("pool_val") * col("pool_val")).cast("decimal(38,12)"))
+          .cast("double").as("nn"))
+      .select(col("doc_id"), quant6(
+        when(col("nn") > 0.0, col("dot") / (sqrt(col("nn")) * lit(qnorm)))
+          .otherwise(lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /**
    * Sliding-window chunking with overlap (the RAG-style chunker:
    * stride < window keeps context across boundaries). `stride` =
    * `window` degenerates to chunkWords.

@@ -218,6 +218,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk(3L).size < nsh)
   }
 
+  test("docKnn ranks a query-matching document first, scores descend") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"unrelated filler token$i").mkString(" ")
+    val d = Seq(
+      (1L, "spark join stream table filter " * 8 + filler),
+      (2L, filler + " " + (1 to 40).map(i => s"other theme word$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"noise item$i entry").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("source", lit("t"))
+    val qv = d.sparkSession.range(1)
+      .select(embedText(lit("spark join stream table filter"), 64))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val got = TextAnalysis.docKnn(d, qv, k = 3).collect()
+    assert(got.head.getLong(0) == 1L, "query-heavy doc must rank first")
+    assert(got.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    assert(got.length == 3)
+  }
+
   test("mmrRerank seeds with the top hit and diversifies near-duplicates") {
     import spark.implicits._
     val corpus = Seq(

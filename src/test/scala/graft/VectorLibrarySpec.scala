@@ -421,6 +421,32 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("storeFileStats flags fragmented sources; compact clears the flag") {
+    val root = Files.createTempDirectory("graft-lib-filestats").toString
+    val lib = new VectorLibrary(spark, root, "fs-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(10)
+    lib.addDocuments(docs)
+    // second append hits the SAME sources (new doc ids) — each source
+    // partition now holds one file per micro-batch, the fragmentation
+    // streaming ingest produces
+    lib.addDocuments(docs.withColumn("doc_id", col("doc_id") + 1000))
+    val before = lib.storeFileStats().collect()
+    assert(before.nonEmpty)
+    assert(before.map(_.getLong(1)).sum >= 2, "two appends must leave >= 2 files")
+    assert(before.exists(_.getBoolean(5)), "fragmented source not flagged")
+    val total = before.map(_.getLong(2)).sum
+    lib.compact(1)
+    val after = lib.storeFileStats().collect()
+    assert(after.map(_.getLong(1)).max == 1, "compact(1) must leave 1 file/source")
+    assert(after.forall(!_.getBoolean(5)), "compacted store still flagged")
+    // bytes are conserved within parquet re-encoding slack
+    assert(after.map(_.getLong(2)).sum > 0 && total > 0)
+    // row content untouched
+    assert(lib.chunks.count() ==
+      lib.chunks.select(col("chunk_id")).distinct().count())
+    lib.delete()
+  }
+
   test("ivf index info reports cluster occupancy and drift") {
     val root = Files.createTempDirectory("graft-lib-ivfinfo").toString
     val lib = new VectorLibrary(spark, root, "ivfinfo-lib")
