@@ -398,6 +398,12 @@ object SparkEntry {
       val cents = kmeansCentersFor(s, d)
       kmeansOracleCenters("kmeans") = cents
       Clustering.clusterSample(t(s, d, "embeddings"), cents, cap = 40) }),
+    "embedding_outliers" -> ((s, d) => {
+      // embedding-space quality gate: distance-to-centroid vs the
+      // cluster's mean + 2 sigma threshold.
+      val cents = kmeansCentersFor(s, d)
+      kmeansOracleCenters("kmeans") = cents
+      Clustering.embeddingOutliers(t(s, d, "embeddings"), cents) }),
     "embedding_drift" -> ((s, d) => {
       // per-dimension mean shift between two snapshot carvings (even
       // vs odd vec_id) — the distribution-shift monitor.
@@ -927,8 +933,31 @@ object SparkEntry {
            |SELECT doc_id, source, bucket, rate_bp, bucket < rate_bp AS kept
            |FROM m ORDER BY doc_id""".stripMargin
     }
+    // Outlier gate: exact-assignment chain, per-cluster mean/std from
+    // DECIMAL sums of the quantized distances (d6^2 is 12-dp exact);
+    // the threshold floor-quantizes to 6 dp on both engines.
+    val outl = km.map { cents =>
+      "embedding_outliers" ->
+        s"""WITH ${ivfCentsCte(cents)},
+           | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+           | ad AS (SELECT vec_id, cluster, ${ivfSqdSql("v", "c")} AS d FROM e, cents),
+           | a AS (SELECT vec_id, cluster, round(d, 6) AS d6 FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS arn
+           |   FROM ad) WHERE arn = 1),
+           | st AS (SELECT cluster, COUNT(*) AS n,
+           |          CAST(SUM(CAST(d6 AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+           |          CAST(SUM(CAST(d6 * d6 AS DECIMAL(38,12))) AS DOUBLE) AS s2
+           |        FROM a GROUP BY cluster),
+           | th AS (SELECT cluster,
+           |          floor((s1/n + 2.0e0 * sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0e0)))
+           |            * 1.0e6 + 0.5e0) / 1.0e6 AS threshold
+           |        FROM st)
+           |SELECT a.vec_id, a.cluster, a.d6 AS sqd, th.threshold,
+           | a.d6 > th.threshold AS is_outlier
+           |FROM a JOIN th USING (cluster) ORDER BY a.vec_id""".stripMargin
+    }
     (card.toSeq ++ sem.toSeq ++ samp.toSeq ++ pca.toSeq ++ pcaKnn.toSeq ++
-      mixT.toSeq).toMap
+      mixT.toSeq ++ outl.toSeq).toMap
   }
 
   // --- PQ oracle: fitted codebooks replayed as literals ------------------

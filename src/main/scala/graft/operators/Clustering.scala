@@ -46,6 +46,39 @@ object Clustering {
   }
 
   /**
+   * Embedding-space outlier gate: flag vectors whose squared distance
+   * to their assigned centroid exceeds the cluster's mean + nSigma
+   * stddev — the data-quality pass that catches corrupt embeddings,
+   * mis-encoded rows, and genuine distribution strays before they
+   * poison nearest-neighbor training batches. Per-cluster statistics
+   * from exact DECIMAL sums of the 6-dp-quantized distances (d6^2 is
+   * 12-dp exact), so mean/std replay identically cross-engine; the
+   * flag compares quantized distance to the quantized threshold.
+   * One assignment pass + one tiny per-cluster aggregate (broadcast
+   * back) — map-side dominant at any scale.
+   */
+  def embeddingOutliers(emb: DataFrame, centers: Seq[(Int, Array[Double])],
+                        nSigma: Double = 2.0, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    def quant6(c: Column): Column = graft.operators.TextAnalysis.quant6(c)
+    val a = assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+      .withColumn("d6", round(col("sqd"), 6))
+    val stats = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d6").cast("decimal(28,6)")).cast("double").as("s1"),
+        sum((col("d6") * col("d6")).cast("decimal(38,12)")).cast("double").as("s2"))
+      .select(col("cluster"),
+        quant6(col("s1") / col("n") + lit(nSigma) *
+          sqrt(greatest(col("s2") / col("n")
+            - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))))
+          .as("threshold"))
+    a.join(broadcast(stats), Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("d6").as("sqd"),
+        col("threshold"), (col("d6") > col("threshold")).as("is_outlier"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /**
    * Per-cluster dataset card: occupancy, mean squared distance to the
    * centroid (cohesion), and the exemplar (member nearest its
    * centroid, lowest id on ties) — the row a curator reads to label

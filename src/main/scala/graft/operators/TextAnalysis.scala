@@ -292,7 +292,15 @@ object TextAnalysis {
   def docKnn(docs: DataFrame, qvec: Array[Double], window: Int = 32,
              dim: Int = 64, k: Int = 10): DataFrame = {
     require(qvec.length == dim, s"query dim ${qvec.length} != $dim")
-    val spark = docs.sparkSession
+    docKnnPooled(docPooledEmbedding(docs, window, dim), qvec, k)
+  }
+
+  /** The serving form of [[docKnn]]: score a PRE-MATERIALIZED pooled
+    * table (doc_pool persisted once at ingest, like every other index
+    * here) — per-query cost is then one scan of ndocs*dim exploded
+    * rows + one doc_id roll-up, not the chunk-level re-pool. */
+  def docKnnPooled(pooled: DataFrame, qvec: Array[Double], k: Int = 10): DataFrame = {
+    val spark = pooled.sparkSession
     import spark.implicits._
     def quant12(c: Column): Column =
       floor(c * lit(1.0e12) + lit(0.5)) / lit(1.0e12)
@@ -302,7 +310,7 @@ object TextAnalysis {
       while (i < qvec.length) { acc += qvec(i) * qvec(i); i += 1 }
       math.sqrt(acc)
     }
-    docPooledEmbedding(docs, window, dim)
+    pooled
       .join(broadcast(q), Seq("pos"))
       .groupBy(col("doc_id"))
       .agg(

@@ -50,6 +50,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingOutliers flags a planted far-away vector, not the bulk") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val planted = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(99999L, Array.fill(64)(50.0f).toSeq)), 1), schema)
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val out = Clustering.embeddingOutliers(corpus, centers).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(99999L), "planted far vector not flagged")
+    // the gate is a tail flag, not a bulk filter
+    assert(out.values.count(identity) < out.size / 10)
+  }
+
   test("pca projection equals the manual dot product; sign convention holds") {
     val comps = Pca.fit(emb, "embedding", 4)
     assert(comps.forall { c =>
