@@ -61,8 +61,12 @@ object Clustering {
                         nSigma: Double = 2.0, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     def quant6(c: Column): Column = graft.operators.TextAnalysis.quant6(c)
-    val a = assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
-      .withColumn("d6", round(col("sqd"), 6))
+    // the assignment frame feeds BOTH the stats aggregate and the
+    // flag join — pin it so the centroid fold runs once, not twice
+    // (same discipline as source_overlap's shared gram set)
+    val a = graft.GraftFunctions.pin(
+      assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+        .withColumn("d6", round(col("sqd"), 6)))
     val stats = a.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         sum(col("d6").cast("decimal(28,6)")).cast("double").as("s1"),
