@@ -539,6 +539,10 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Dedup.minhashIncremental(docs.filter(pmod(col("doc_id"), lit(10)) === 7),
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)) }),
+    "minhash_accuracy" -> ((s, d) =>
+      // estimate-vs-exact Jaccard audit over banded candidate pairs —
+      // the dedup family's recall-sweep analog.
+      Dedup.minhashAccuracy(t(s, d, "documents"))),
     "dedup_keep_best" -> ((s, d) =>
       // keep-best clustering: representative = longest member (token
       // count as the pluggable quality score), lowest id on ties.
@@ -1703,6 +1707,57 @@ object SparkEntry {
          |       FROM cand JOIN sigs sa ON da = sa.doc_id JOIN sigs sb ON db = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard_est FROM j WHERE jaccard_est >= 0.5e0
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // Estimate-vs-exact accuracy audit: same signature/banding chain
+    // as dedup_minhash (threshold 0.3 for a spread of agreement
+    // levels); the exact side intersects STRING shingle sets (the
+    // engine intersects hash sets — equal counts barring collision,
+    // the standing discipline).
+    "minhash_accuracy" -> {
+      import graft.functions.TextHash.mix64
+      val pa = (0 until 64).map(i => mix64(42L + 2L * i) | 1L)
+      val pb = (0 until 64).map(i => mix64(42L + 2L * i + 1L))
+      def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+      val palo = pa.map(v => s"CAST(${u(v & 0xffffffffL)} AS HUGEINT)").mkString("[", ",", "]")
+      val pahi = pa.map(v => s"CAST(${u(v >>> 32)} AS HUGEINT)").mkString("[", ",", "]")
+      val pbl = pb.map(v => s"CAST(${u(v)} AS HUGEINT)").mkString("[", ",", "]")
+      val perm =
+        s"xor(CAST((list_extract($palo, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 18446744073709551616 + " +
+          s"(list_extract($pahi, CAST(i+1 AS INT)) * CAST(s AS HUGEINT) % 4294967296) * 4294967296 + " +
+          s"list_extract($pbl, CAST(i+1 AS INT))) % 18446744073709551616 AS UBIGINT), " +
+          "CAST(9223372036854775808 AS UBIGINT))"
+      s"""WITH t AS ($toksCte),
+         | th AS (SELECT doc_id, list_transform(toks, tok -> ${HashSql.fnvTok}) AS hs FROM t),
+         | shx AS (SELECT doc_id, list_transform(range(0, greatest(len(hs)-2, 0)),
+         |           p -> ${HashSql.shingle}) AS shs FROM th),
+         | sigs AS MATERIALIZED (SELECT doc_id, list_transform(range(0, 64), i ->
+         |            list_min(list_transform(shs, s -> $perm))) AS sig
+         |          FROM shx WHERE len(shs) > 0),
+         | banded AS (SELECT doc_id, sig, unnest(list_transform(range(0, 16), b2 ->
+         |   {'band': CAST(b2 AS INT), 'key': sig[CAST(b2*4+1 AS INT):CAST(b2*4+4 AS INT)]}),
+         |   recursive := true) FROM sigs),
+         | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         | j AS (SELECT da AS doc_a, db AS doc_b,
+         |         ROUND(CAST(len(list_filter(range(0, 64),
+         |           i -> sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)])) AS DOUBLE)
+         |           / 64, 6) AS jaccard_est
+         |       FROM cand JOIN sigs sa ON da = sa.doc_id JOIN sigs sb ON db = sb.doc_id),
+         | jf AS (SELECT * FROM j WHERE jaccard_est >= 0.3e0),
+         | s AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(0, greatest(len(toks)-2, 0)),
+         |   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) sh FROM t),
+         | ex AS (SELECT jf.doc_a, jf.doc_b, jf.jaccard_est,
+         |          ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |            / (len(a.sh) + len(b.sh)
+         |               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6)
+         |            AS jaccard_exact
+         |        FROM jf JOIN s a ON jf.doc_a = a.doc_id
+         |               JOIN s b ON jf.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, jaccard_est, jaccard_exact,
+         | ROUND(abs(jaccard_est - jaccard_exact), 6) AS abs_err
+         |FROM ex ORDER BY doc_a, doc_b""".stripMargin
     },
     // Incremental variant: identical signature chain; candidates are
     // new-batch × corpus band collisions only (doc_id % 10 = 7 plays

@@ -187,6 +187,41 @@ object Dedup {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /**
+   * MinHash estimation-accuracy audit — the dedup family's analog of
+   * the ANN recall sweeps: for every banded candidate pair, report
+   * the signature-agreement Jaccard ESTIMATE next to the EXACT
+   * shingle-set Jaccard and their absolute error — the measurement a
+   * user reads before trusting a 64-hash signature (expected error
+   * ~1/sqrt(64) ≈ 0.125) or sizing a bigger one. Candidates come from
+   * the same band collisions as [[minhashLsh]]; the exact side
+   * intersects the DISTINCT shingle-hash sets (array_intersect of
+   * sorted hash arrays — k-scale per pair, local to the join).
+   */
+  def minhashAccuracy(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
+                      threshold: Double = 0.3, seed: Long = 42L): DataFrame = {
+    val banded = bandedSigs(docs, numHashes, numBands, seed)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
+    val sh = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"),
+        round(inter / (size(col("sha")) + size(col("shb")) - inter), 6)
+          .as("jaccard_exact"))
+      .withColumn("abs_err", round(abs(col("jaccard_est") - col("jaccard_exact")), 6))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** (doc_id, sig, band, bucket) banded signature rows — the
     * candidate-generation front half of [[minhashLsh]], shared with
     * the incremental variant. Short docs (empty shingle set) are

@@ -108,6 +108,18 @@ class ScalePathSpec extends AnyFunSuite {
       s"no bits-only scan found (phase 1 reads floats):\n$plan")
   }
 
+  test("minhash accuracy: errors inside the 1/sqrt(k) bound, exact on identical docs") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val rows = Dedup.minhashAccuracy(docs).collect()
+    assert(rows.nonEmpty, "no candidate pairs to audit")
+    // 64 hashes -> standard error ~0.125; allow 3x for small samples
+    assert(rows.forall(_.getDouble(4) <= 0.375),
+      s"error out of bound: ${rows.filter(_.getDouble(4) > 0.375).toSeq}")
+    // exact duplicates must audit as est=1, exact=1, err=0
+    val ident = rows.filter(_.getDouble(3) == 1.0)
+    assert(ident.forall(r => r.getDouble(2) == 1.0 && r.getDouble(4) == 0.0))
+  }
+
   test("binary recall sweep: complete grid, monotone in factor, balanced bits") {
     val store = emb.filter(col("vec_id") >= 5)
       .withColumn("bits", GraftFunctions.bitPack(col("embedding")))
