@@ -549,6 +549,10 @@ object SparkEntry {
       Dedup.minhashGroupsBest(t(s, d, "documents"),
         textStats(col("text")).getField("n_tokens"))),
     "source_overlap" -> ((s, d) => Pipeline.sourceOverlap(t(s, d, "documents"))),
+    "shard_manifest" -> ((s, d) =>
+      // per-shard reproducibility manifest with an order-independent
+      // membership checksum.
+      Pipeline.shardManifest(t(s, d, "documents"))),
     "prepare_corpus" -> ((s, d) => Pipeline.prepareCorpus(t(s, d, "documents"))),
     "dedup_components" -> ((s, d) => Dedup.minhashComponents(t(s, d, "documents"))),
     // --- E. text analysis ----------------------------------------------
@@ -2602,6 +2606,25 @@ object SparkEntry {
     // Greedy token packing: shard = exclusive prefix sum of token
     // counts over (source, doc_id order) div budget — integer window
     // math, exact on both engines.
+    // Shard manifest: order-independent membership checksum = exact
+    // HUGEINT/DECIMAL sum of per-member splitmix64 (sign cleared),
+    // emitted as a string on both engines.
+    "shard_manifest" ->
+      s"""WITH t AS ($toksCte),
+         | c AS (SELECT doc_id, source, CAST(len(toks) AS INT) n_tokens FROM t),
+         | w AS (SELECT doc_id, source, n_tokens,
+         |   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) cum FROM c),
+         | sh AS (SELECT doc_id, source, n_tokens,
+         |   CAST((cum - n_tokens) // 4096 AS INT) AS shard_idx FROM w),
+         | h AS (SELECT source, shard_idx, n_tokens,
+         |   CAST(${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1 AS HUGEINT) AS dh
+         |  FROM sh)
+         |SELECT source, shard_idx, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(SUM(dh) AS VARCHAR) AS manifest_hash
+         |FROM h GROUP BY source, shard_idx
+         |ORDER BY source, shard_idx""".stripMargin,
     "shard_pack" ->
       s"""WITH t AS ($toksCte),
          | c AS (SELECT doc_id, source, CAST(len(toks) AS INT) n_tokens FROM t),

@@ -339,6 +339,26 @@ object Pipeline {
   }
 
   /**
+   * Shard manifest — the reproducibility artifact a training run
+   * records next to its data: per (source, shard) document count,
+   * token total, and an ORDER-INDEPENDENT membership checksum (exact
+   * DECIMAL sum of each member id's splitmix64, sign bit cleared) —
+   * re-derive the manifest later and equal hashes prove the shard
+   * contains exactly the same documents, regardless of task order or
+   * cluster layout. One roll-up over shardPack's window pass.
+   */
+  def shardManifest(docs: DataFrame, budgetTokens: Int = 4096,
+                    seed: Long = 42L): DataFrame = {
+    shardPack(docs, budgetTokens)
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1)
+          .cast("decimal(38,0)")).cast("string").as("manifest_hash"))
+      .orderBy(col("source").asc, col("shard_idx").asc)
+  }
+
+  /**
    * Concat-and-chunk sequence packing: within each source, documents
    * (in doc_id order) concatenate into one token stream carved into
    * fixed `seqLen`-token training sequences — the pretraining data

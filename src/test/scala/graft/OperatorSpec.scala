@@ -193,6 +193,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest checksum is layout-independent and membership-sensitive") {
+    val d = docs.limit(60)
+    val base = Pipeline.shardManifest(d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(4)).toMap
+    // same docs, different physical layout -> identical manifest
+    val shuffled = Pipeline.shardManifest(d.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(4)).toMap
+    assert(base == shuffled, "manifest depends on partition layout")
+    // dropping one document must change its shard's hash
+    val dropped = Pipeline.shardManifest(d.filter(col("doc_id") =!= 0)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(4)).toMap
+    assert(base != dropped, "manifest blind to membership change")
+  }
+
   test("winnowSketch: shared long runs guarantee a common sketch hash") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"shared run token$i").mkString(" ") // 30 tokens
