@@ -47,8 +47,15 @@ def canon(rows, cols, ndigits=None):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
+    verdicts = {}
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -69,6 +76,8 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             fails.append((name, f"oracle error: {e}"))
+            verdicts[name] = {"rows": False, "schema": False, "hash": False,
+                              "mode": "oracle", "error": f"oracle error: {e}"}
             con.close()
             continue
         try:
@@ -78,11 +87,15 @@ def main():
             srows = cur2.fetchall()
         except Exception as e:
             fails.append((name, f"spark result unreadable: {e}"))
+            verdicts[name] = {"rows": False, "schema": False, "hash": False,
+                              "mode": "oracle", "error": f"unreadable: {e}"}
             con.close()
             continue
         con.close()
         oc, orc = canon(orows, ocols)
         sc, src = canon(srows, scols)
+        verdicts[name] = {"rows": len(orc) == len(src), "schema": oc == sc,
+                          "hash": oc == sc and orc == src, "mode": "oracle"}
         if oc != sc:
             fails.append((name, f"schema mismatch spark={sc} oracle={oc}"))
         elif len(orc) != len(src):
@@ -118,21 +131,33 @@ def main():
             if bad:
                 fails.append((name, f"ROWS-ONLY dir has array column(s) {bad} — "
                                     "driver comparator crashes on ndarrays"))
+                verdicts[name] = {"rows": False, "mode": "rows-only"}
             elif not rows:
                 fails.append((name, "ROWS-ONLY dir dumped 0 rows"))
+                verdicts[name] = {"rows": False, "mode": "rows-only"}
             else:
                 sorted(rows, key=lambda t: tuple(repr(x) for x in t))
                 rows_only += 1
+                verdicts[name] = {"rows": True, "mode": "rows-only",
+                                  "nrows": len(rows)}
                 print(f"ROWS-ONLY {name}: {len(rows)} rows, no oracle entry "
                       "(driver records a weaker rows-only check)")
         except Exception as e:
             fails.append((name, f"ROWS-ONLY dir unreadable: {e}"))
+            verdicts[name] = {"rows": False, "mode": "rows-only",
+                              "error": str(e)}
         finally:
             con.close()
     print(f"{passes}/{passes + len(fails) + rows_only} passing"
           + (f" ({rows_only} rows-only)" if rows_only else ""))
     for name, why in fails:
         print(f"FAIL {name}: {why}")
+    if json_out:
+        summary = {"sf_dir": sf_dir, "passes": passes, "fails": len(fails),
+                   "rows_only": rows_only, "queries": verdicts}
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if fails else 0)
 
 
