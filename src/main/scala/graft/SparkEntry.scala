@@ -494,6 +494,15 @@ object SparkEntry {
         "spark join stream table filter",
         "vector index search embedding",
         "window aggregate partition shuffle"), 5) }),
+    "library_search_filtered" -> ((s, d) => { configure(s)
+      // metadata-scoped probe (the reference's per-library search
+      // scoping generalized to arbitrary predicates): the source
+      // filter is applied INSIDE the pruned (tbl, bucket) directories
+      // of the partitioned LSH index — partition pruning x pushed
+      // row-group predicate — never post-hoc on the shortlist.
+      VectorLibrary.forDataset(s, d).searchApprox(
+        "spark join stream table filter", 10,
+        filter = Some(col("source").isin("src1", "src4", "src7"))) }),
     // --- D. dedup suite ------------------------------------------------
     "contamination" -> ((s, d) => {
       // benchmark decontamination: eval = the low-id slice standing in
@@ -1519,6 +1528,37 @@ object SparkEntry {
          |${perQueryCtes.mkString(",\n")}
          |SELECT query_id, chunk_id, score, rank FROM ($unionAll)
          |ORDER BY query_id, rank""".stripMargin
+    },
+    // library_lsh_partitioned scoped by a source predicate: the
+    // candidate set is (bucket predicate AND source filter) — exactly
+    // what the engine's pruned-scan filter produces — then the same
+    // exact cosine re-rank.
+    "library_search_filtered" -> {
+      val qf = embedLit("spark join stream table filter")
+      val q = HashSql.vecLit(qf)
+      val perTable = 3 // 1 main bucket + 2 extra probes
+      val flat = graft.functions.TextHash.hyperplaneProbesArr(
+        qf.map(_.toDouble), lshTables, lshBits, 2, 42L)
+      val probes = Array.tabulate(lshTables)(t =>
+        flat.slice(t * perTable, (t + 1) * perTable).distinct)
+      val cBuckets = (0 until lshTables).map(t =>
+        s"${lshBucketFromDots("cd", t)} AS cb$t").mkString(", ")
+      val candidate = (0 until lshTables).map(t =>
+        s"list_contains([${probes(t).mkString(",")}], cb$t)").mkString(" OR ")
+      s"""WITH $embedDocsCtes,
+         | c AS (SELECT doc_id, source, unnest(list_transform(
+         |          range(0, (len(toks)+31)//32),
+         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+         |          recursive := true)
+         |        FROM th WHERE len(toks) > 0),
+         | cv AS (SELECT doc_id, source, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+         | cf AS MATERIALIZED (SELECT doc_id, source, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+         | cd AS MATERIALIZED (SELECT doc_id, source, chunk_idx, fv, ${lshDotsSql("fv", "cd")} FROM cf),
+         | cb AS (SELECT doc_id, source, chunk_idx, fv, $cBuckets FROM cd)
+         |SELECT 'bench#' || CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+         | ROUND(${cosSql("fv", q)}, 6) AS score
+         |FROM cb WHERE ($candidate) AND source IN ('src1', 'src4', 'src7')
+         |ORDER BY score DESC, chunk_id LIMIT 10""".stripMargin
     },
     // Hybrid = 0.5 * dense cosine over stored embeddings + 0.5 *
     // max-normalized BM25 (same 4 terms as keyword_bm25), blended

@@ -222,7 +222,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // appended) store upgrades every row at once. A dataless index
         // directory (everything deleted copy-on-write) rebuilds too —
         // its schema is unreadable.
-        if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant"))
+        if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")
+            || !partitionedIndex.columns.contains("source"))
           buildPartitionedIndex()
         else indexRows(b).write.mode(SaveMode.Append)
           .option("maxRecordsPerFile", indexMaxRecordsPerFile)
@@ -230,7 +231,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       }
       if (hasIvfIndex)
         IvfIndex.appendAssign(spark, ivfPath,
-          b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
+          b.select(col("chunk_id"), col("embedding"),
+            col("doc_id"), col("source"), col("n_tokens")),
+          "chunk_id", "embedding")
       if (hasGridIndex) appendGridRows(b)
       if (hasPqIndex) appendPqRows(b)
       if (hasIvfPqIndex) appendIvfPqRows(b)
@@ -307,17 +310,51 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * the reference switching index classes per library
    * (tests/test_integration_algorithms.py).
    */
-  def search(queryText: String, k: Int = 10, metric: String = "cosine"): DataFrame =
-    dispatch(queryFrame(queryText), clampK(k), metric)
+  def search(queryText: String, k: Int = 10, metric: String = "cosine",
+             filter: Option[Column] = None): DataFrame =
+    dispatch(queryFrame(queryText), clampK(k), metric, filter)
 
   /** Empty (chunk_id, score) result — the empty-library answer for
     * index paths whose builds cannot run on zero rows. */
   private def emptyHits: DataFrame =
     chunks.select(col("chunk_id"), lit(0.0).as("score")).limit(0)
 
-  /** Single-query search routed through the preferred algorithm —
-    * shared by the text and raw-vector entry points. */
-  private def dispatch(q: DataFrame, kk: Int, metric: String): DataFrame = {
+  /** True when `f` resolves against `df`'s schema — i.e. the predicate
+    * can be applied to an index layout's own rows. Checked by ANALYZING
+    * the filter over a zero-row projection (no data is read). Old
+    * layouts written before metadata rode in index rows fail this and
+    * fall back to a store-backed scan (correct, just less pruned;
+    * rebuilding the index upgrades them). */
+  private def covers(df: DataFrame, f: Column): Boolean =
+    try { df.limit(0).where(f).queryExecution.analyzed; true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  private def applyF(df: DataFrame, filter: Option[Column]): DataFrame =
+    filter.fold(df)(df.where)
+
+  /** Exact search over the filtered store — the fallback serving a
+    * metadata-scoped search when the persisted index layout predates
+    * the metadata columns (exact results are a superset-recall answer;
+    * a rebuild restores the pruned path). */
+  private def flatFiltered(q: DataFrame, f: Column, kk: Int,
+                           metric: String): DataFrame =
+    VectorSearch.knnFlat(chunks.where(f).select(col("chunk_id"), col("embedding")),
+      q, "chunk_id", "embedding", kk, metric)
+
+  /**
+   * Single-query search routed through the preferred algorithm —
+   * shared by the text and raw-vector entry points.
+   *
+   * `filter` (the reference's per-library search scoping,
+   * vector_service.py:186, generalized to arbitrary metadata
+   * predicates over doc_id/source/n_tokens/chunk_idx/chunk_text):
+   * restricts the SEARCHABLE SET — all k results satisfy it, and it
+   * is applied scan-side (inside the pruned partitions of the
+   * lsh/ivf/pq/ivfpq layouts, pushed down to the store scan for
+   * flat/quantized/binary), never post-hoc on a shortlist.
+   */
+  private def dispatch(q: DataFrame, kk: Int, metric: String,
+                       filter: Option[Column] = None): DataFrame = {
     // grid bounds and k-means fits need rows; an empty library answers
     // [] on every algorithm (reference empty-library semantics). The
     // flat/lsh/quantized scans handle empty input natively.
@@ -326,14 +363,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       return emptyHits
     algo match {
       case "flat" =>
-        VectorSearch.knnFlat(chunks.select(col("chunk_id"), col("embedding")),
+        VectorSearch.knnFlat(applyF(chunks, filter)
+          .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "lsh" =>
-        VectorSearch.lshKnnIndexed(chunks, q, "chunk_id", "embedding", "lsh_buckets",
+        VectorSearch.lshKnnIndexed(applyF(chunks, filter), q,
+          "chunk_id", "embedding", "lsh_buckets",
           kk, metric, numTables, bitsPerTable, seed)
-      case "grid" if hasGridIndex =>
+      case "grid" if hasGridIndex && filter.isEmpty =>
         // probe the persisted fitted grid: no per-query bounds
-        // aggregate, partition-pruned cell scan
+        // aggregate, partition-pruned cell scan. A filtered search
+        // skips the fitted path: the cached occupancy histogram does
+        // not condition on the predicate, so the expanding probe over
+        // the filtered store (below) keeps the radius rule honest.
         val (lo, hi, gd, cpd) = gridBoundsStored()
         VectorSearch.gridKnnIndexed(spark.read.parquet(s"$gridPath/cells"),
           lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd,
@@ -342,48 +384,64 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // expanding-radius probe — the reference's GridIndex.search
         // semantics (widen until >= 2k candidates), so sparse
         // neighborhoods still fill k
-        VectorSearch.gridKnnExpanding(chunks.select(col("chunk_id"), col("embedding")),
+        VectorSearch.gridKnnExpanding(applyF(chunks, filter)
+          .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
-        IvfIndex.searchIndexed(spark, ivfPath, q, "chunk_id", "embedding", kk,
-          metric = metric)
+        val assigned = spark.read.parquet(s"$ivfPath/assigned")
+        if (filter.forall(covers(assigned, _)))
+          IvfIndex.searchIndexed(spark, ivfPath, q, "chunk_id", "embedding", kk,
+            metric = metric, rowFilter = filter)
+        else flatFiltered(q, filter.get, kk, metric)
       case "ivf" =>
         val (model, assigned) = ivfIndex
-        IvfIndex.search(assigned, model, q, "chunk_id", "embedding", kk, metric = metric)
+        IvfIndex.search(applyF(assigned, filter), model, q,
+          "chunk_id", "embedding", kk, metric = metric)
       case "quantized" =>
-        VectorSearch.knnQuantizedIndexed(chunks, q, "chunk_id", "embedding", "quant",
-          kk, metric)
+        VectorSearch.knnQuantizedIndexed(applyF(chunks, filter), q,
+          "chunk_id", "embedding", "quant", kk, metric)
       case "binary" if chunks.columns.contains("bits") =>
         // 1-bit rung: Hamming phase 1 over the stored packed-sign
         // column (8 bytes/row at 64 dims), exact re-rank
-        VectorSearch.knnBinaryIndexed(chunks, q, "chunk_id", "embedding", "bits",
-          kk, metric)
+        VectorSearch.knnBinaryIndexed(applyF(chunks, filter), q,
+          "chunk_id", "embedding", "bits", kk, metric)
       case "binary" =>
         // store predates the bits column (schema-evolution guard, same
         // contract as the quant-column index rebuild): pack on the fly
-        VectorSearch.knnBinary(chunks.select(col("chunk_id"), col("embedding")),
+        VectorSearch.knnBinary(applyF(chunks, filter)
+          .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "pq" if hasPqIndex =>
         // codes-only ADC scan of the persisted index; exact re-rank on
         // the survivors' float rows
-        PqIndex.search(spark.read.parquet(s"$pqPath/codes"), pqBooksStored(), q,
-          "chunk_id", "embedding", kk, metric, normalized = true)
+        val codes = spark.read.parquet(s"$pqPath/codes")
+        if (filter.forall(covers(codes, _)))
+          PqIndex.search(applyF(codes, filter), pqBooksStored(), q,
+            "chunk_id", "embedding", kk, metric, normalized = true)
+        else flatFiltered(q, filter.get, kk, metric)
       case "pq" =>
         val (books, enc) = pqInMemory
-        PqIndex.search(enc, books, q, "chunk_id", "embedding", kk, metric,
-          normalized = true)
+        if (filter.forall(covers(enc, _)))
+          PqIndex.search(applyF(enc, filter), books, q, "chunk_id", "embedding",
+            kk, metric, normalized = true)
+        else flatFiltered(q, filter.get, kk, metric)
       case "ivfpq" if hasIvfPqIndex =>
         // partition-pruned (nProbe cells) + column-pruned (codes-only
         // phase 1) scan of the persisted layout; exact re-rank. Side
         // tables come from the per-generation cache (like the batch
         // path) — not re-read from parquet per query.
         val (centers, books) = ivfpqSideStored()
-        IvfPq.search(IvfPq.Index(centers, books,
-            spark.read.parquet(s"$ivfpqPath/encoded")),
-          q, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        val encoded = spark.read.parquet(s"$ivfpqPath/encoded")
+        if (filter.forall(covers(encoded, _)))
+          IvfPq.search(IvfPq.Index(centers, books, applyF(encoded, filter)),
+            q, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        else flatFiltered(q, filter.get, kk, metric)
       case "ivfpq" =>
-        IvfPq.search(ivfpqInMemory, q, "chunk_id", "embedding", kk,
-          metric = metric, normalized = true)
+        val idx = ivfpqInMemory
+        if (filter.forall(covers(idx.encoded, _)))
+          IvfPq.search(idx.copy(encoded = applyF(idx.encoded, filter)), q,
+            "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        else flatFiltered(q, filter.get, kk, metric)
     }
   }
 
@@ -393,12 +451,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * validates the query dimension against the library before any scan
    * (reference algorithms.py:79).
    */
-  def searchVector(qvec: Seq[Float], k: Int = 10, metric: String = "cosine"): DataFrame = {
+  def searchVector(qvec: Seq[Float], k: Int = 10, metric: String = "cosine",
+                   filter: Option[Column] = None): DataFrame = {
     if (qvec.length != dim)
       throw new IllegalArgumentException(
         s"query dimension ${qvec.length} does not match library dimension $dim")
     dispatch(spark.range(1).select(
-      typedLit(qvec).cast("array<float>").as("qvec")), clampK(k), metric)
+      typedLit(qvec).cast("array<float>").as("qvec")), clampK(k), metric, filter)
   }
 
   /**
@@ -411,8 +470,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * same shape chunksBatch uses.
    */
   def searchWithChunks(queryText: String, k: Int = 10,
-                       metric: String = "cosine"): DataFrame = {
-    val hits = search(queryText, k, metric)
+                       metric: String = "cosine",
+                       filter: Option[Column] = None): DataFrame = {
+    val hits = search(queryText, k, metric, filter)
     chunks
       .select(col("chunk_id"), col("doc_id"), col("source"),
         col("chunk_idx"), col("chunk_text"), col("n_tokens"))
@@ -429,12 +489,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * paths return identical results (same probes, same stored
     * signatures, same exact re-rank). */
   def searchApprox(queryText: String, k: Int = 10,
-                   metric: String = "cosine"): DataFrame = {
-    if (hasPartitionedIndex)
-      VectorSearch.lshKnnPartitioned(partitionedIndex, queryFrame(queryText),
+                   metric: String = "cosine",
+                   filter: Option[Column] = None): DataFrame = {
+    // The metadata predicate composes with the probe predicate INSIDE
+    // the pruned (tbl, bucket) scan — partition pruning picks the
+    // probed directories, the pushed-down row filter drops non-matching
+    // row groups there; candidates never include filtered-out rows. An
+    // index written before metadata rode in its rows falls back to the
+    // store's bucket-column probe over the filtered store.
+    if (hasPartitionedIndex && filter.forall(covers(partitionedIndex, _)))
+      VectorSearch.lshKnnPartitioned(applyF(partitionedIndex, filter),
+        queryFrame(queryText),
         "chunk_id", "embedding", clampK(k), metric, numTables, bitsPerTable, seed)
     else
-      VectorSearch.lshKnnIndexed(chunks, queryFrame(queryText),
+      VectorSearch.lshKnnIndexed(applyF(chunks, filter), queryFrame(queryText),
         "chunk_id", "embedding", "lsh_buckets",
         clampK(k), metric, numTables, bitsPerTable, seed)
   }
@@ -451,12 +519,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def searchApproxQuantized(queryText: String, k: Int = 10,
                             rerankFactor: Int = 4,
-                            metric: String = "cosine"): DataFrame = {
-    if (hasPartitionedIndex && partitionedIndex.columns.contains("quant"))
-      VectorSearch.lshKnnPartitionedQuantized(partitionedIndex, queryFrame(queryText),
+                            metric: String = "cosine",
+                            filter: Option[Column] = None): DataFrame = {
+    if (hasPartitionedIndex && partitionedIndex.columns.contains("quant")
+        && filter.forall(covers(partitionedIndex, _)))
+      VectorSearch.lshKnnPartitionedQuantized(applyF(partitionedIndex, filter),
+        queryFrame(queryText),
         "chunk_id", "embedding", "quant", clampK(k), metric,
         numTables, bitsPerTable, seed, rerankFactor = rerankFactor)
-    else searchApprox(queryText, k, metric)
+    else searchApprox(queryText, k, metric, filter)
   }
 
   /** Embedded query frame for the batch endpoints: query_id = position
@@ -478,62 +549,88 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * flat) instead of N.
    */
   def searchBatch(queryTexts: Seq[String], k: Int = 10,
-                  metric: String = "cosine"): DataFrame = {
+                  metric: String = "cosine",
+                  filter: Option[Column] = None): DataFrame = {
     val kk = clampK(k)
     val queries = queriesFrame(queryTexts)
     if ((algo == "grid" || algo == "ivf" || algo == "pq" || algo == "ivfpq")
         && storeIsEmpty)
       return queries.limit(0).select(col("query_id"),
         lit("").as("chunk_id"), lit(0.0).as("score"), lit(0).as("rank"))
+    // Metadata-scoped batch fallback for layouts predating the
+    // metadata columns: one exact pass over the filtered store.
+    def flatBatchFiltered(f: Column): DataFrame =
+      VectorSearch.knnBatchGeneric(
+        chunks.where(f).select(col("chunk_id"), col("embedding")),
+        queries, "chunk_id", "embedding", kk, metric)
     algo match {
       case "flat" =>
-        VectorSearch.knnBatchGeneric(chunks.select(col("chunk_id"), col("embedding")),
+        VectorSearch.knnBatchGeneric(applyF(chunks, filter)
+          .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
-      case "lsh" => approxBatch(queries, kk, metric)
-      case "grid" if hasGridIndex =>
+      case "lsh" => approxBatch(queries, kk, metric, filter)
+      case "grid" if hasGridIndex && filter.isEmpty =>
         val (lo, hi, gd, cpd) = gridBoundsStored()
         VectorSearch.gridKnnIndexedBatch(spark.read.parquet(s"$gridPath/cells"),
           lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(gridCounts()))
       case "grid" =>
-        VectorSearch.gridKnnExpandingBatch(chunks.select(col("chunk_id"), col("embedding")),
+        // filtered searches take the expanding probe over the filtered
+        // store (the fitted occupancy histogram does not condition on
+        // the predicate — same policy as the single-query path)
+        VectorSearch.gridKnnExpandingBatch(applyF(chunks, filter)
+          .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
-        IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
-          "chunk_id", "embedding", kk, metric = metric)
+        val assigned = spark.read.parquet(s"$ivfPath/assigned")
+        if (filter.forall(covers(assigned, _)))
+          IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
+            "chunk_id", "embedding", kk, metric = metric, rowFilter = filter)
+        else flatBatchFiltered(filter.get)
       case "ivf" =>
         // same lazy in-memory build the single-query path uses — a
         // read API must not persist a new on-disk layout as a side
         // effect
         val (model, assigned) = ivfIndex
-        IvfIndex.searchBatch(assigned, model, queries,
+        IvfIndex.searchBatch(applyF(assigned, filter), model, queries,
           "chunk_id", "embedding", kk, metric = metric)
       case "quantized" =>
-        VectorSearch.knnQuantizedBatch(chunks, queries,
+        VectorSearch.knnQuantizedBatch(applyF(chunks, filter), queries,
           "chunk_id", "embedding", "quant", kk, metric)
       case "binary" if chunks.columns.contains("bits") =>
-        VectorSearch.knnBinaryBatch(chunks, queries,
+        VectorSearch.knnBinaryBatch(applyF(chunks, filter), queries,
           "chunk_id", "embedding", "bits", kk, metric)
       case "binary" =>
         VectorSearch.knnBinaryBatch(
-          chunks.select(col("chunk_id"), col("embedding"))
+          applyF(chunks, filter).select(col("chunk_id"), col("embedding"))
             .withColumn("bits", bitPack(col("embedding"))),
           queries, "chunk_id", "embedding", "bits", kk, metric)
       case "pq" if hasPqIndex =>
-        PqIndex.searchBatch(spark.read.parquet(s"$pqPath/codes"), pqBooksStored(),
-          queries, "chunk_id", "embedding", kk, metric, normalized = true)
+        val codes = spark.read.parquet(s"$pqPath/codes")
+        if (filter.forall(covers(codes, _)))
+          PqIndex.searchBatch(applyF(codes, filter), pqBooksStored(),
+            queries, "chunk_id", "embedding", kk, metric, normalized = true)
+        else flatBatchFiltered(filter.get)
       case "pq" =>
         val (books, enc) = pqInMemory
-        PqIndex.searchBatch(enc, books, queries, "chunk_id", "embedding", kk,
-          metric, normalized = true)
+        if (filter.forall(covers(enc, _)))
+          PqIndex.searchBatch(applyF(enc, filter), books, queries,
+            "chunk_id", "embedding", kk, metric, normalized = true)
+        else flatBatchFiltered(filter.get)
       case "ivfpq" if hasIvfPqIndex =>
-        IvfPq.searchBatch(
-          IvfPq.Index(ivfpqSideStored()._1, ivfpqSideStored()._2,
-            spark.read.parquet(s"$ivfpqPath/encoded")),
-          queries, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        val encoded = spark.read.parquet(s"$ivfpqPath/encoded")
+        if (filter.forall(covers(encoded, _)))
+          IvfPq.searchBatch(
+            IvfPq.Index(ivfpqSideStored()._1, ivfpqSideStored()._2,
+              applyF(encoded, filter)),
+            queries, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        else flatBatchFiltered(filter.get)
       case "ivfpq" =>
-        IvfPq.searchBatch(ivfpqInMemory, queries, "chunk_id", "embedding", kk,
-          metric = metric, normalized = true)
+        val idx = ivfpqInMemory
+        if (filter.forall(covers(idx.encoded, _)))
+          IvfPq.searchBatch(idx.copy(encoded = applyF(idx.encoded, filter)),
+            queries, "chunk_id", "embedding", kk, metric = metric, normalized = true)
+        else flatBatchFiltered(filter.get)
     }
   }
 
@@ -544,8 +641,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * stored `lsh_buckets` column probes in a single bucket join. Rows:
     * (query_id, chunk_id, score, rank), query_id = position in input. */
   def searchApproxBatch(queryTexts: Seq[String], k: Int = 10,
-                        metric: String = "cosine"): DataFrame =
-    approxBatch(queriesFrame(queryTexts), clampK(k), metric)
+                        metric: String = "cosine",
+                        filter: Option[Column] = None): DataFrame =
+    approxBatch(queriesFrame(queryTexts), clampK(k), metric, filter)
 
   /**
    * Diversity-aware search (MMR, the RAG retrieval endpoint): the
@@ -556,17 +654,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * (rank, chunk_id, score) in selection order.
    */
   def searchDiverse(queryText: String, k: Int = 10,
-                    lambda: Double = 0.7): DataFrame =
+                    lambda: Double = 0.7,
+                    filter: Option[Column] = None): DataFrame =
     operators.VectorSearch.mmrRerank(
-      chunks.select(col("chunk_id"), col("embedding")),
+      applyF(chunks, filter).select(col("chunk_id"), col("embedding")),
       queryFrame(queryText), "chunk_id", "embedding", clampK(k), lambda)
       .withColumnRenamed("rel", "score")
 
   /** Batch search with full chunk payloads: the Q*k-row hit set
     * broadcasts into ONE store scan, same as searchWithChunks. */
   def searchBatchWithChunks(queryTexts: Seq[String], k: Int = 10,
-                            metric: String = "cosine"): DataFrame = {
-    val hits = searchBatch(queryTexts, k, metric)
+                            metric: String = "cosine",
+                            filter: Option[Column] = None): DataFrame = {
+    val hits = searchBatch(queryTexts, k, metric, filter)
     chunks
       .select(col("chunk_id"), col("doc_id"), col("source"),
         col("chunk_idx"), col("chunk_text"), col("n_tokens"))
@@ -575,12 +675,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   private def approxBatch(queries: DataFrame, kk: Int,
-                          metric: String = "cosine"): DataFrame = {
-    if (hasPartitionedIndex)
-      VectorSearch.lshKnnPartitionedBatch(partitionedIndex, queries,
+                          metric: String = "cosine",
+                          filter: Option[Column] = None): DataFrame = {
+    if (hasPartitionedIndex && filter.forall(covers(partitionedIndex, _)))
+      VectorSearch.lshKnnPartitionedBatch(applyF(partitionedIndex, filter), queries,
         "chunk_id", "embedding", kk, metric, numTables, bitsPerTable, seed)
     else
-      VectorSearch.lshKnnBatchIndexed(chunks, queries,
+      VectorSearch.lshKnnBatchIndexed(applyF(chunks, filter), queries,
         "chunk_id", "embedding", "lsh_buckets", kk, metric,
         numTables, bitsPerTable, seed)
   }
@@ -616,6 +717,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * both column-pruned reads of the same directories). */
   private def indexRows(embedded: DataFrame): DataFrame =
     embedded.select(col("chunk_id"), col("embedding"), col("quant"),
+      // Filterable metadata rides IN the index rows (doc_id, source,
+      // n_tokens — ints + a short string next to a 64-float vector),
+      // so a metadata-scoped search applies its predicate inside the
+      // pruned (tbl, bucket) scan — partition pruning x row-group
+      // pushdown — instead of post-hoc on the shortlist.
+      col("doc_id"), col("source"), col("n_tokens"),
       posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
       .sortWithinPartitions(col("tbl"), col("bucket"), col("chunk_id"))
@@ -1144,8 +1251,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * fit + a cluster-partitioned write. `search` under algorithm "ivf"
     * then probes nProbe directories instead of scanning the store. */
   def buildIvfIndex(nCentroids: Int = 16): Unit = {
+    // Metadata columns ride in the assigned rows so a filtered search
+    // can apply its predicate inside the cluster-pruned scan.
     val (model, assigned) = IvfIndex.build(
-      chunks.select(col("chunk_id"), col("embedding")), "embedding", nCentroids)
+      chunks.select(col("chunk_id"), col("embedding"),
+        col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
     IvfIndex.writeIndex(assigned, model, ivfPath)
     // Persist the centroid count: store rewrites and drift refits must
     // rebuild at the SAME granularity, not a hardcoded default.
@@ -1204,9 +1314,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     books
   }
 
-  /** Normalized-vector projection of a chunk batch for PQ encoding. */
+  /** Normalized-vector projection of a chunk batch for PQ encoding.
+    * Carries the filterable metadata so codes-resident phase-1 scans
+    * can apply a metadata predicate before the ADC shortlist. */
   private def pqBase(batch: DataFrame): DataFrame =
-    batch.select(col("chunk_id"), col("source"), col("embedding"),
+    batch.select(col("chunk_id"), col("source"), col("doc_id"),
+      col("n_tokens"), col("embedding"),
       l2Normalize(col("embedding")).as("__nvec"))
 
   private def writePqCodes(base: DataFrame, books: PqIndex.Codebooks,
@@ -1539,7 +1652,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // old rows, silently dropping them from phase 1 — the exact guard
     // appendBatch applies, applied once at stream start.
     if (hadoopFs(path).exists(new org.apache.hadoop.fs.Path(path)) &&
-        (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")))
+        (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")
+          || !partitionedIndex.columns.contains("source")))
       buildPartitionedIndex()
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
@@ -1555,7 +1669,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // session caches drop, so ivf/grid/flat search sees the arrivals
         if (hasIvfIndex)
           IvfIndex.appendAssign(spark, ivfPath,
-            b.select(col("chunk_id"), col("embedding")), "chunk_id", "embedding")
+            b.select(col("chunk_id"), col("embedding"),
+              col("doc_id"), col("source"), col("n_tokens")),
+            "chunk_id", "embedding")
         if (hasGridIndex) appendGridRows(b)
         if (hasPqIndex) appendPqRows(b)
         if (hasIvfPqIndex) appendIvfPqRows(b)

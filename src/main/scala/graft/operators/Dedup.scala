@@ -44,8 +44,12 @@ object Dedup {
    * whole-document minhash underweights.
    */
   def winnowMatches(docs: DataFrame, minShared: Int = 2): DataFrame = {
-    val sk = docs.select(col("doc_id"),
-      explode(winnowSketch(col("text"))).as("h"))
+    // Pinned: `sk` feeds the sizes aggregate AND both self-join sides.
+    // ReuseExchange dedups the join sides but the sizes aggregate is a
+    // separate exchange, so unpinned the winnowing kernel (the most
+    // expensive text sketch) would evaluate at least twice per row.
+    val sk = graft.GraftFunctions.pin(docs.select(col("doc_id"),
+      explode(winnowSketch(col("text"))).as("h")))
     val sizes = sk.groupBy(col("doc_id")).agg(count(lit(1)).as("sk_size"))
     val pairs = sk.as("a").join(sk.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -200,7 +204,12 @@ object Dedup {
    */
   def minhashAccuracy(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                       threshold: Double = 0.3, seed: Long = 42L): DataFrame = {
-    val banded = bandedSigs(docs, numHashes, numBands, seed)
+    // Pinned: the banded-signature frame feeds both self-join sides;
+    // without the pin the full minhash chain (the priciest step of
+    // this audit) re-evaluates once per side whenever ReuseExchange
+    // fails to unify them.
+    val banded = graft.GraftFunctions.pin(
+      bandedSigs(docs, numHashes, numBands, seed))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

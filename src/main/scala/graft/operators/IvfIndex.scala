@@ -152,17 +152,14 @@ object IvfIndex {
     * refit; `assignmentDrift` tells you when a refit is due). */
   def appendAssign(spark: org.apache.spark.sql.SparkSession, path: String,
                    rows: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    rows.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col(vecCol).cast("array<double>"), col("centroid"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d"), col("cluster"))).as("m"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("m.cluster").as("cluster"))
+    // assignExact against the collected (tiny) centroid table: same
+    // fold arithmetic and lowest-cluster tie-break as the old
+    // broadcast-join + min(struct) form, but map-side only (no groupBy
+    // shuffle) and it PRESERVES every input column — metadata rides
+    // into the assigned rows so filtered searches prune on them.
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    assignExact(rows, vecCol, centers)
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster").parquet(s"$path/assigned")
@@ -189,12 +186,18 @@ object IvfIndex {
     * directories + exact re-rank. */
   def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                     query: DataFrame, idCol: String, vecCol: String, k: Int,
-                    nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
+                    nProbe: Int = 4, metric: String = "cosine",
+                    rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centers = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val qv = query.select(col("qvec")).head.getSeq[Float](0).map(_.toDouble).toArray
     val probe = nearestClusters(centers, qv, nProbe)
-    rerank(spark.read.parquet(s"$path/assigned").filter(col("cluster").isin(probe: _*)),
+    // rowFilter applies INSIDE the cluster-pruned scan (partition
+    // pruning x pushed row-group predicate), never post-hoc on the
+    // shortlist — k survivors all satisfy it.
+    val pruned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cluster").isin(probe: _*))
+    rerank(rowFilter.fold(pruned)(pruned.where),
       query, idCol, vecCol, k, metric)
   }
 
@@ -211,10 +214,12 @@ object IvfIndex {
    */
   def searchIndexedBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                          queries: DataFrame, idCol: String, vecCol: String, k: Int,
-                         nProbe: Int = 4, metric: String = "cosine"): DataFrame = {
+                         nProbe: Int = 4, metric: String = "cosine",
+                         rowFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centers = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-    batchProbe(spark.read.parquet(s"$path/assigned"), centers, queries,
+    val assigned = spark.read.parquet(s"$path/assigned")
+    batchProbe(rowFilter.fold(assigned)(assigned.where), centers, queries,
       idCol, vecCol, k, nProbe, metric)
   }
 

@@ -18,12 +18,22 @@ import graft.GraftFunctions._
  */
 object Multimodal {
 
+  /** The decode kernel behind the injectable [[graft.MediaDecoder]]
+    * seam: callers pass `decoder = null` for the default stub. */
+  private def decoderOr(decoder: graft.MediaDecoder, dim: Int): graft.MediaDecoder =
+    Option(decoder).getOrElse(new graft.StubMediaDecoder(dim))
+
   /**
    * Manufacture a binary "media" column from document text (the
    * testdata ships no real media), then run the standard multimodal
-   * pipeline: payload -> (size, checksum, feature vector).
+   * pipeline: payload -> (size, checksum, feature vector). The decode
+   * step routes through [[graft.MediaDecoder]] — a real codec drops in
+   * without touching the plan (schema, batching, partition flow are
+   * decoder-independent).
    */
-  def features(docs: DataFrame, dim: Int = 16): DataFrame = {
+  def features(docs: DataFrame, dim: Int = 16,
+               decoder: graft.MediaDecoder = null): DataFrame = {
+    val dec = decoderOr(decoder, dim)
     val payload = encode(col("text"), "UTF-8") // stand-in media bytes
     // Feature vector exploded to (pos, feat) scalar rows so outputs
     // carry no array columns (verification harness sorts/hashes rows).
@@ -31,8 +41,7 @@ object Multimodal {
       col("doc_id"),
       length(payload).cast("long").as("media_bytes"),
       crc32(payload).as("media_checksum"),
-      // STUB decode: deterministic feature vector from payload bytes.
-      posexplode(embedText(hex(payload), dim)).as(Seq("pos", "feat")))
+      posexplode(dec.features(payload)).as(Seq("pos", "feat")))
       .select(col("doc_id"), col("media_bytes"), col("media_checksum"),
         // widen to double before rounding (cross-engine contract:
         // round the float's exact double value)
@@ -50,12 +59,14 @@ object Multimodal {
    * miss. One map-side pass to the 8-byte code, one group-by shuffle
    * carrying (code, count, min-id) only.
    */
-  def nearDup(docs: DataFrame, dim: Int = 16): DataFrame = {
-    require(dim >= 1 && dim <= 64, "fingerprint must fit one long")
+  def nearDup(docs: DataFrame, dim: Int = 16,
+              decoder: graft.MediaDecoder = null): DataFrame = {
+    val dec = decoderOr(decoder, dim)
+    require(dec.dim >= 1 && dec.dim <= 64, "fingerprint must fit one long")
     val payload = encode(col("text"), "UTF-8") // stand-in media bytes
     docs
       .select(col("doc_id"),
-        bitPack(embedText(hex(payload), dim)).getItem(0).as("sig"))
+        bitPack(dec.features(payload)).getItem(0).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .orderBy(col("sig").asc)

@@ -390,6 +390,46 @@ class OperatorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.nearDup(d, dim = 65))
   }
 
+  test("media decoder seam: a second codec swaps in without changing the plumbing") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+    // A second deterministic "codec": dim scaled rotations of the
+    // payload CRC — entirely different features, same contract
+    // (Array[Float] of length dim, deterministic per byte-string).
+    class CrcDecoder(val dim: Int = 8) extends MediaDecoder {
+      def features(payload: Column): Column =
+        atransform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(crc32(payload) + i * lit(2654435761L), lit(1000L))
+            .cast("double") / 500.0 - 1.0).cast("float"))
+    }
+    val d = Seq((1L, "same payload bytes"), (5L, "same payload bytes"),
+      (9L, "entirely different media")).toDF("doc_id", "text")
+    val stub = Multimodal.features(d, dim = 8)
+    val crc = Multimodal.features(d, decoder = new CrcDecoder(8))
+    // identical plumbing: schema, row counts, metadata columns
+    assert(stub.schema == crc.schema, "decoder changed the pipeline schema")
+    assert(stub.count() == crc.count())
+    assert(stub.select("doc_id", "media_bytes", "media_checksum").distinct().collect().toSet ==
+      crc.select("doc_id", "media_bytes", "media_checksum").distinct().collect().toSet,
+      "payload metadata must be decoder-independent")
+    // different kernels: the feature values differ
+    assert(stub.select("feat").collect().toSeq != crc.select("feat").collect().toSeq)
+    // near-dup grouping works THROUGH the seam: the counts partition
+    // the corpus and equal payloads always share a fingerprint (an
+    // 8-bit sign code may legitimately collide distinct payloads, so
+    // only the equal-payload invariant is asserted)
+    val g = Multimodal.nearDup(d, decoder = new CrcDecoder(8)).collect()
+    assert(g.map(_.getLong(1)).sum == 3L)
+    assert(g.find(_.getLong(2) == 1L).get.getLong(1) >= 2L,
+      "equal payloads landed in different fingerprint groups")
+    // still a map-only pass: no shuffle before the presentation sort
+    val exchanges = "Exchange".r
+      .findAllIn(Multimodal.features(d, decoder = new CrcDecoder(8))
+        .queryExecution.executedPlan.toString).length
+    assert(exchanges <= 1, "decode pass must stay map-side")
+  }
+
   test("sample split is deterministic, complete, and roughly proportional") {
     val s1 = Pipeline.sampleSplit(docs).collect()
     val s2 = Pipeline.sampleSplit(docs).collect()

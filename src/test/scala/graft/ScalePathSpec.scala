@@ -108,6 +108,34 @@ class ScalePathSpec extends AnyFunSuite {
       s"no bits-only scan found (phase 1 reads floats):\n$plan")
   }
 
+  test("winnow/minhash pair audits evaluate their sketch kernel only inside the pinned frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // Live nodes of the executed plan, NOT descending into cached
+    // relations: if the sketch frame is pinned, every consumer reads
+    // the cache and the kernel expression appears in no live node.
+    def liveNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => liveNodes(a.executedPlan)
+      case q: QueryStageExec => liveNodes(q.plan)
+      case i: InMemoryTableScanExec => Seq(i)
+      case other => other +: other.children.flatMap(liveNodes)
+    }
+    def assertPinned(df: org.apache.spark.sql.DataFrame, kernel: String): Unit = {
+      df.collect()
+      val live = liveNodes(df.queryExecution.executedPlan)
+      assert(live.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"$kernel frame not pinned (no cache scan in the plan)")
+      val leaks = live.filter(n => !n.isInstanceOf[InMemoryTableScanExec] &&
+        n.expressions.exists(_.toString.contains(kernel)))
+      assert(leaks.isEmpty,
+        s"$kernel evaluates OUTSIDE the pinned frame in:\n${leaks.mkString("\n")}")
+    }
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    assertPinned(Dedup.winnowMatches(docs), "graft_winnow")
+    assertPinned(Dedup.minhashAccuracy(docs), "graft_minhash")
+  }
+
   test("minhash accuracy: errors inside the 1/sqrt(k) bound, exact on identical docs") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val rows = Dedup.minhashAccuracy(docs).collect()

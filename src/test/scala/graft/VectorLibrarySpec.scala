@@ -287,6 +287,95 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("metadata-filtered search: predicate lands inside the pruned scans, every algorithm scoped") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val root = Files.createTempDirectory("graft-lib-filt").toString
+    val lib = new VectorLibrary(spark, root, "filt-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs)
+    val allowed = Set("src1", "src4", "src7")
+    val pred = col("source").isin(allowed.toSeq.map(x => x: Any): _*)
+    val qt = "spark join stream table filter"
+    def sourcesOf(hits: org.apache.spark.sql.DataFrame): Seq[String] =
+      hits.join(lib.chunks.select(col("chunk_id"), col("source")), "chunk_id")
+        .select(col("source")).collect().map(_.getString(0)).toSeq
+
+    // column-probe baseline (no partitioned index yet): candidates
+    // intersect the predicate before top-k
+    val colProbe = lib.searchApprox(qt, 10, filter = Some(pred)).collect()
+    assert(colProbe.nonEmpty)
+
+    // partitioned probe: same results, and the predicate rides INSIDE
+    // the pruned (tbl, bucket) scan as a pushed data filter
+    lib.buildPartitionedIndex()
+    val part = lib.searchApprox(qt, 10, filter = Some(pred))
+    assert(part.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      colProbe.map(r => (r.getString(0), r.getDouble(1))).toSeq,
+      "filtered partitioned probe diverged from the filtered column probe")
+    val idxScans = scans(part.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_index")))
+    assert(idxScans.nonEmpty, "no lsh_index scan in the filtered probe plan")
+    assert(idxScans.head.partitionFilters.nonEmpty,
+      "bucket probe not pushed as partition filters")
+    assert(idxScans.head.dataFilters.exists(
+      _.references.exists(_.name == "source")),
+      s"source predicate not in the pruned scan's data filters:\n${idxScans.head}")
+    assert(sourcesOf(part).forall(allowed), "partitioned hit outside the predicate")
+
+    // every dispatch algorithm honors the filter scan-side
+    for (a <- Seq("flat", "lsh", "quantized", "binary", "grid")) {
+      lib.setAlgorithm(a)
+      val hits = lib.search(qt, 10, filter = Some(pred))
+      assert(sourcesOf(hits).forall(allowed), s"$a hit outside the predicate")
+      assert(hits.count() > 0, s"$a filtered search returned nothing")
+    }
+
+    // persisted IVF: predicate inside the cluster-pruned assigned scan
+    lib.setAlgorithm("ivf")
+    lib.buildIvfIndex()
+    val ivfHits = lib.search(qt, 10, filter = Some(pred))
+    assert(sourcesOf(ivfHits).forall(allowed), "ivf hit outside the predicate")
+    val ivfScans = scans(ivfHits.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivf_index")))
+    assert(ivfScans.nonEmpty && ivfScans.head.partitionFilters.nonEmpty,
+      "ivf probe lost its cluster pruning under a filter")
+    assert(ivfScans.head.dataFilters.exists(
+      _.references.exists(_.name == "source")),
+      "source predicate not inside the cluster-pruned ivf scan")
+
+    // persisted IVF-PQ: predicate composes with cell pruning + the
+    // codes-only phase-1 column pruning
+    lib.setAlgorithm("ivfpq")
+    lib.buildIvfPqIndex()
+    val pqHits = lib.search(qt, 10, filter = Some(pred))
+    assert(sourcesOf(pqHits).forall(allowed), "ivfpq hit outside the predicate")
+    val encScans = scans(pqHits.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_index")))
+    assert(encScans.exists(s => s.partitionFilters.nonEmpty &&
+        s.dataFilters.exists(_.references.exists(_.name == "source"))),
+      "ivfpq phase 1 lost cluster pruning or the source predicate")
+
+    // batch twin carries the filter too
+    lib.setAlgorithm("lsh")
+    val batch = lib.searchBatch(Seq(qt, "vector index search embedding"), 5,
+      filter = Some(pred))
+    assert(sourcesOf(batch.select(col("chunk_id"), col("score"))).forall(allowed))
+
+    // a predicate over a column NOT in the index rows (chunk_text)
+    // falls back to a store-backed scan — correct, never an error
+    val textPred = col("chunk_text").isNotNull
+    val fb = lib.searchApprox(qt, 5, filter = Some(textPred))
+    assert(fb.count() == 5, "fallback filtered search broke")
+    lib.delete()
+  }
+
   test("persisted grid index: fitted bounds reused, pruned probe, no per-query aggregate") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
