@@ -2646,9 +2646,9 @@ object SparkEntry {
     // Greedy token packing: shard = exclusive prefix sum of token
     // counts over (source, doc_id order) div budget — integer window
     // math, exact on both engines.
-    // Shard manifest: order-independent membership checksum = exact
-    // HUGEINT/DECIMAL sum of per-member splitmix64 (sign cleared),
-    // emitted as a string on both engines.
+    // Shard manifest: order-independent membership checksum = XOR
+    // fold of per-member splitmix64 (sign cleared) — overflow-free at
+    // any shard size, emitted as a string on both engines.
     "shard_manifest" ->
       s"""WITH t AS ($toksCte),
          | c AS (SELECT doc_id, source, CAST(len(toks) AS INT) n_tokens FROM t),
@@ -2658,11 +2658,11 @@ object SparkEntry {
          | sh AS (SELECT doc_id, source, n_tokens,
          |   CAST((cum - n_tokens) // 4096 AS INT) AS shard_idx FROM w),
          | h AS (SELECT source, shard_idx, n_tokens,
-         |   CAST(${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1 AS HUGEINT) AS dh
+         |   CAST(${HashSql.mix("CAST(doc_id + 42 AS UBIGINT)")} >> 1 AS BIGINT) AS dh
          |  FROM sh)
          |SELECT source, shard_idx, COUNT(*) AS n_docs,
          | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         | CAST(SUM(dh) AS VARCHAR) AS manifest_hash
+         | CAST(bit_xor(dh) AS VARCHAR) AS manifest_hash
          |FROM h GROUP BY source, shard_idx
          |ORDER BY source, shard_idx""".stripMargin,
     "shard_pack" ->

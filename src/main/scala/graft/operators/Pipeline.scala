@@ -341,20 +341,26 @@ object Pipeline {
   /**
    * Shard manifest — the reproducibility artifact a training run
    * records next to its data: per (source, shard) document count,
-   * token total, and an ORDER-INDEPENDENT membership checksum (exact
-   * DECIMAL sum of each member id's splitmix64, sign bit cleared) —
+   * token total, and an ORDER-INDEPENDENT membership checksum (XOR
+   * fold of each member id's splitmix64, sign bit cleared) —
    * re-derive the manifest later and equal hashes prove the shard
    * contains exactly the same documents, regardless of task order or
-   * cluster layout. One roll-up over shardPack's window pass.
+   * cluster layout. XOR rather than a wide-decimal sum: it is
+   * overflow-free at ANY shard size (an unbounded DECIMAL sum returns
+   * NULL on overflow with ANSI mode off — a silently-degrading
+   * reproducibility artifact), and self-cancellation cannot fire
+   * because each document appears exactly once per shard by
+   * construction. One roll-up over shardPack's window pass.
    */
   def shardManifest(docs: DataFrame, budgetTokens: Int = 4096,
                     seed: Long = 42L): DataFrame = {
     shardPack(docs, budgetTokens)
+      .withColumn("__dh",
+        shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1))
       .groupBy(col("source"), col("shard_idx"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        sum(shiftrightunsigned(mix64(col("doc_id") + lit(seed)), 1)
-          .cast("decimal(38,0)")).cast("string").as("manifest_hash"))
+        expr("CAST(bit_xor(__dh) AS STRING)").as("manifest_hash"))
       .orderBy(col("source").asc, col("shard_idx").asc)
   }
 

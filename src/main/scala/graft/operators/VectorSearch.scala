@@ -850,7 +850,13 @@ object VectorSearch {
 
   /** Binary search against PRE-BUILT packed codes: the phase-1 scan
     * reads the codes column only (8 bytes/row at 64 dims); floats are
-    * fetched for just the shortlist via a semi-join. */
+    * fetched for just the shortlist via a semi-join.
+    *
+    * `query` must be a SINGLE-ROW frame (the convention of every
+    * single-query operator in this file): with multiple rows the
+    * broadcast crossJoin would merge all queries' Hamming distances
+    * into one global shortlist. [[knnBinaryBatch]] is the documented
+    * multi-query path. */
   def knnBinaryIndexed(indexed: DataFrame, query: DataFrame, idCol: String,
                        vecCol: String, codesCol: String, k: Int,
                        metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
@@ -917,6 +923,13 @@ object VectorSearch {
     require(queries.schema("query_id").dataType ==
         org.apache.spark.sql.types.LongType,
       "binaryRecallSweep needs long query ids (non-negative)")
+    // Enforce the documented non-negativity at runtime: the query set
+    // is small by contract, so this is one tiny aggregate — without it
+    // a negative id silently cross-attributes results (DIV truncates
+    // toward zero while pmod stays positive).
+    val minQ = queries.agg(min(col("query_id"))).head
+    require(minQ.isNullAt(0) || minQ.getLong(0) >= 0L,
+      "binaryRecallSweep needs non-negative query ids")
     val qBits = queries.select(col("query_id"), bitPack(col("qvec")).as("qbits"))
     val phase1 = indexed.select(col(idCol), col(codesCol).as("bits"))
       .crossJoin(broadcast(qBits))
@@ -1018,7 +1031,8 @@ object VectorSearch {
     }
     val selected = scala.collection.mutable.ArrayBuffer[Int]()
     val inSel = new Array[Boolean](n)
-    while (selected.length < math.min(k, n)) {
+    var exhausted = false
+    while (!exhausted && selected.length < math.min(k, n)) {
       var best = -1
       var bestObj = Double.NegativeInfinity
       var i = 0
@@ -1040,8 +1054,11 @@ object VectorSearch {
         }
         i += 1
       }
-      inSel(best) = true
-      selected += best
+      // Degenerate shortlist (every remaining objective NaN — e.g. a
+      // NaN component in a stored vector): return the picks so far
+      // instead of dereferencing index -1.
+      if (best < 0) exhausted = true
+      else { inSel(best) = true; selected += best }
     }
     // preserve the caller's id type (long vec_id, string chunk_id, ...)
     import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
