@@ -122,6 +122,19 @@ object SparkEntry {
         IvfIndex.spillAssign(corpus, "embedding", centers, 1.2, 2).persist())
     })
 
+  // Build-once materialized document-pool table per (session, dataset):
+  // the ingest-time layout docKnnPooled serves from. The 6-dp pool
+  // values round-trip parquet exactly, so the pooled probe shares
+  // doc_knn's oracle verbatim.
+  private val docPoolDisk = new scala.collection.concurrent.TrieMap[String, String]()
+  private def docPoolDiskFor(s: SparkSession, d: String): String =
+    docPoolDisk.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val path = java.nio.file.Files.createTempDirectory("graft-docpool").toString
+      operators.TextAnalysis.docPooledEmbedding(t(s, d, "documents"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Fitted centroids by oracle variant ("single"|"batch"|"spill"),
     * recorded when the corresponding query runs. oracleSql inlines
     * them as exact literals — the assignment, probe and re-rank then
@@ -265,6 +278,11 @@ object SparkEntry {
       TextSearch.hybridBatch(Tables.documentsEmbedded(s, d),
         Seq("spark join stream window", "table scan filter hash",
           "sort merge partition key"), topN = 10) }),
+    "hybrid_search_rrf" -> ((s, d) => { configure(s)
+      // rank-based fusion twin of hybrid_search: 1/(60+rank) from each
+      // retriever's top-100 list, no score normalization needed.
+      TextSearch.hybridRrf(Tables.documentsEmbedded(s, d),
+        "spark join stream window") }),
     "lsh_knn" -> ((s, d) => { val (c, q) = embQuery(s, d)
       VectorSearch.lshKnn(c, q, "vec_id", "embedding", 10) }),
     "lsh_knn_batch" -> ((s, d) => {
@@ -607,8 +625,18 @@ object SparkEntry {
       TextAnalysis.tokenizeIds(t(s, d, "documents"))),
     "doc_knn" -> ((s, d) =>
       // document-level retrieval over the pooled vectors: exploded-form
-      // cosine with decimal-summed dot, top-10 docs.
+      // cosine with decimal-summed dot, top-10 docs. AUDIT form —
+      // re-pools the chunks per query; doc_knn_pooled is the serving
+      // twin over the materialized pool.
       TextAnalysis.docKnn(t(s, d, "documents"),
+        embedLit("spark join stream table filter").map(_.toDouble))),
+    "doc_knn_pooled" -> ((s, d) =>
+      // SERVING form: the pooled table is materialized once per
+      // dataset (the ingest-time layout a real deployment persists);
+      // the probe is one scan of ndocs*dim exploded rows + a doc_id
+      // roll-up — the chunk-level embed/pool never re-runs per query.
+      TextAnalysis.docKnnPooled(
+        s.read.parquet(docPoolDiskFor(s, d)),
         embedLit("spark join stream table filter").map(_.toDouble))),
     "doc_pool" -> ((s, d) =>
       // chunk -> embed -> mean-pool to one vector per document,
@@ -1303,6 +1331,42 @@ object SparkEntry {
        | ev AS (SELECT doc_id, source, toks, hs, ${HashSql.embedRaw("hs")} AS v FROM th),
        | ef AS (SELECT doc_id, source, toks, hs, ${HashSql.normFloats} AS fv FROM ev)""".stripMargin
 
+  // Shared by doc_knn (audit form — pools per query) and
+  // doc_knn_pooled (serving form — probes the materialized pool):
+  // chunk-embed, 6-dp pool, exploded-form cosine with the pool*query
+  // products floor-quantized to 12 dp and DECIMAL-summed; pool^2 is
+  // 12-dp exact by construction. qnorm inlines as an exact literal.
+  private def docKnnOracleSql: String = {
+    val qv = embedLit("spark join stream table filter").map(_.toDouble)
+    val qnorm = math.sqrt(qv.map(x => x * x).sum)
+    val qlit = qv.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH $embedDocsCtes,
+       | c AS (SELECT doc_id, unnest(list_transform(
+       |          range(0, (len(toks)+31)//32),
+       |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
+       |          recursive := true)
+       |        FROM th WHERE len(toks) > 0),
+       | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
+       | cf AS (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
+       | u AS (SELECT doc_id, unnest(list_transform(fv, (x, i) ->
+       |          {'pos': CAST(i-1 AS INT),
+       |           'x6': CAST(floor(x * 1.0e6 + 0.5e0) / 1.0e6 AS DECIMAL(28,6))}),
+       |          recursive := true) FROM cf),
+       | pool AS (SELECT doc_id, pos,
+       |            floor((CAST(SUM(x6) AS DOUBLE) / COUNT(*)) * 1.0e6 + 0.5e0) / 1.0e6
+       |              AS pv
+       |          FROM u GROUP BY doc_id, pos),
+       | sc AS (SELECT doc_id,
+       |          CAST(SUM(CAST(floor(pv * ($qlit)[pos+1] * 1.0e12 + 0.5e0) / 1.0e12
+       |            AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+       |          CAST(SUM(CAST(pv * pv AS DECIMAL(38,12))) AS DOUBLE) AS nn
+       |        FROM pool GROUP BY doc_id)
+       |SELECT doc_id,
+       | floor((CASE WHEN nn > 0e0 THEN dot / (sqrt(nn) * $qnorm)
+       |        ELSE 0.0e0 END) * 1.0e6 + 0.5e0) / 1.0e6 AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ fitOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
@@ -1320,36 +1384,11 @@ object SparkEntry {
     // chain as in doc_pool, then an exploded-form cosine — pool*query
     // products floor-quantized to 12 dp and DECIMAL-summed; pool^2 is
     // 12-dp exact by construction. qnorm inlines as an exact literal.
-    "doc_knn" -> {
-      val qv = embedLit("spark join stream table filter").map(_.toDouble)
-      val qnorm = math.sqrt(qv.map(x => x * x).sum)
-      val qlit = qv.map(_.toString).mkString("[", ", ", "]")
-      s"""WITH $embedDocsCtes,
-         | c AS (SELECT doc_id, unnest(list_transform(
-         |          range(0, (len(toks)+31)//32),
-         |          i -> {'chunk_idx': CAST(i AS INT), 'chs': hs[i*32+1 : i*32+32]}),
-         |          recursive := true)
-         |        FROM th WHERE len(toks) > 0),
-         | cv AS (SELECT doc_id, chunk_idx, ${HashSql.embedRaw("chs")} AS v FROM c),
-         | cf AS (SELECT doc_id, chunk_idx, ${HashSql.normFloats} AS fv FROM cv),
-         | u AS (SELECT doc_id, unnest(list_transform(fv, (x, i) ->
-         |          {'pos': CAST(i-1 AS INT),
-         |           'x6': CAST(floor(x * 1.0e6 + 0.5e0) / 1.0e6 AS DECIMAL(28,6))}),
-         |          recursive := true) FROM cf),
-         | pool AS (SELECT doc_id, pos,
-         |            floor((CAST(SUM(x6) AS DOUBLE) / COUNT(*)) * 1.0e6 + 0.5e0) / 1.0e6
-         |              AS pv
-         |          FROM u GROUP BY doc_id, pos),
-         | sc AS (SELECT doc_id,
-         |          CAST(SUM(CAST(floor(pv * ($qlit)[pos+1] * 1.0e12 + 0.5e0) / 1.0e12
-         |            AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-         |          CAST(SUM(CAST(pv * pv AS DECIMAL(38,12))) AS DOUBLE) AS nn
-         |        FROM pool GROUP BY doc_id)
-         |SELECT doc_id,
-         | floor((CASE WHEN nn > 0e0 THEN dot / (sqrt(nn) * $qnorm)
-         |        ELSE 0.0e0 END) * 1.0e6 + 0.5e0) / 1.0e6 AS score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "doc_knn" -> docKnnOracleSql,
+    // The serving twin probes a MATERIALIZED pool with identical
+    // arithmetic (6-dp pool values round-trip parquet exactly), so the
+    // oracle is doc_knn's verbatim.
+    "doc_knn_pooled" -> docKnnOracleSql,
     // Chunk -> embed -> mean-pool: per-chunk float vectors replayed by
     // the same CTE chain as library_search_e2e, each component
     // 6-dp-quantized and summed as DECIMAL (order-independent on both
@@ -1591,6 +1630,45 @@ object SparkEntry {
          | ROUND(0.5e0 * ds + 0.5e0 * COALESCE(l.bm25 / mx.m, 0.0e0), 6) AS score
          |FROM mx, dense d LEFT JOIN lex l ON d.doc_id = l.doc_id
          |ORDER BY score DESC, d.doc_id LIMIT 20""".stripMargin
+    },
+    // RRF hybrid: 1/(60 + rank) from the BM25 top-100 and the dense
+    // top-100 (both ranked score DESC, doc_id tie-break), summed in
+    // fixed dense-then-lexical order and rounded once — integer ranks
+    // make the fusion exactly replayable.
+    "hybrid_search_rrf" -> {
+      val q = HashSql.vecLit(embedLit("spark join stream window"))
+      s"""WITH $embedDocsCtes,
+         | f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl,
+         |   CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) tf0,
+         |   CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) tf1,
+         |   CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) tf2,
+         |   CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) tf3 FROM th),
+         | st AS (SELECT CAST(COUNT(*) AS DOUBLE) n_docs, CAST(SUM(dl) AS DOUBLE) sum_dl,
+         |   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df0,
+         |   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df1,
+         |   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df2,
+         |   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df3 FROM f),
+         | bm AS (SELECT doc_id, ROUND(
+         |   ln(1.0e0 + (n_docs - df0 + 0.5e0)/(df0 + 0.5e0)) * (tf0 * (1.2e0 + 1.0e0)) / (tf0 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df1 + 0.5e0)/(df1 + 0.5e0)) * (tf1 * (1.2e0 + 1.0e0)) / (tf1 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df2 + 0.5e0)/(df2 + 0.5e0)) * (tf2 * (1.2e0 + 1.0e0)) / (tf2 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs)))
+         | + ln(1.0e0 + (n_docs - df3 + 0.5e0)/(df3 + 0.5e0)) * (tf3 * (1.2e0 + 1.0e0)) / (tf3 + 1.2e0*(1.0e0 - 0.75e0 + 0.75e0*dl/(sum_dl/n_docs))), 6) AS bm25
+         |  FROM f, st),
+         | lex AS (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0.0e0),
+         | lexr AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lr FROM lex),
+         | lexp AS (SELECT doc_id, lr FROM lexr WHERE lr <= 100),
+         | dense AS (SELECT doc_id,
+         |   CASE WHEN len(toks) = 0 THEN 0.0e0 ELSE ${cosSql("fv", q)} END AS ds
+         |  FROM ef),
+         | denser AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY ds DESC, doc_id) AS dr FROM dense),
+         | densep AS (SELECT doc_id, dr FROM denser WHERE dr <= 100)
+         |SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         | ROUND(COALESCE(1.0e0/(60 + d.dr), 0.0e0)
+         |     + COALESCE(1.0e0/(60 + l.lr), 0.0e0), 6) AS score
+         |FROM densep d FULL OUTER JOIN lexp l ON d.doc_id = l.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
     // Batch hybrid: the single-query CTE chain templated per query
     // over the shared embedded-docs CTEs, unioned with rank windows.

@@ -129,6 +129,54 @@ object TextSearch {
     VectorSearch.finishPerQueryTopK(blended, "doc_id", topN)
   }
 
+  /**
+   * Reciprocal-rank-fusion hybrid (Cormack, Clarke & Buettcher, SIGIR
+   * 2009): each retriever contributes 1/(rrfK + rank) for the
+   * documents in its top-`pool` list; the fused score ranks. Rank-
+   * based fusion is the production alternative to the score blend in
+   * [[hybrid]]: it needs no score normalization (BM25 and cosine live
+   * on incomparable scales) and is robust to outlier scores.
+   *
+   * Scale shape: each retriever's list is a TakeOrderedAndProject
+   * top-`pool` over its one corpus pass (dense never shuffles the
+   * corpus; BM25 stats are a tiny broadcast aggregate). The rank
+   * windows and the full-outer fusion run over the two pool-bounded
+   * lists — driver-scale frames, so the unpartitioned windows are
+   * deliberate, not a scale hazard. Integer ranks make the fusion
+   * exactly replayable by a SQL oracle.
+   */
+  def hybridRrf(docs: DataFrame, queryText: String, topN: Int = 20,
+                rrfK: Int = 60, pool: Int = 100, dim: Int = 64): DataFrame = {
+    import graft.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    require(docs.columns.contains("embedding"),
+      "hybridRrf requires a precomputed `embedding` column (embed at ingest, not per query)")
+    require(rrfK >= 1 && pool >= topN, "need rrfK >= 1 and pool >= topN")
+    val spark = docs.sparkSession
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    // lexical list: BM25 top-pool (rounded scores, positive only —
+    // the bm25 contract), ranked score-desc with id tie-break
+    val lex = bm25(docs, terms, topN = pool)
+    val lexRank = lex.withColumn("lr", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lr"))
+    // dense list: cosine over the STORED embeddings, top-pool
+    val qv = spark.range(1).select(embedText(lit(queryText), dim).as("qvec"))
+    val dense = docs.crossJoin(broadcast(qv))
+      .select(col("doc_id"), cosineSim(col("embedding"), col("qvec")).as("ds"))
+      .orderBy(col("ds").desc, col("doc_id").asc)
+      .limit(pool)
+    val denseRank = dense.withColumn("dr", row_number().over(
+        Window.orderBy(col("ds").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("dr"))
+    denseRank.join(lexRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lr")), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   def hybrid(docs: DataFrame, queryText: String, alpha: Double = 0.5,
              topN: Int = 20, dim: Int = 64): DataFrame = {
     import graft.GraftFunctions._
