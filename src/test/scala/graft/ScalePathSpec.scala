@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, IvfIndex, VectorSearch}
+import graft.operators.{Dedup, IvfIndex, IvfPq, VectorSearch}
 
 /**
  * Round-3 scale paths: top-k rewrite rule, indexed LSH/quantized
@@ -106,6 +106,22 @@ class ScalePathSpec extends AnyFunSuite {
       l.contains("ReadSchema") && l.contains("bits") && !l.contains("embedding"))
     assert(phase1Scans.nonEmpty,
       s"no bits-only scan found (phase 1 reads floats):\n$plan")
+  }
+
+  test("IvfPq.encodeFast (native bulk encode) probes identically to the exact-fold encode") {
+    val corpus = emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val (model, _) = IvfIndex.build(corpus, "embedding")
+    val geo = IvfPq.trainFrom(model, corpus, "embedding")
+    val slow = IvfPq.Index(geo.centers, geo.books,
+      IvfPq.encodeFrozen(corpus, "embedding", geo.centers, geo.books))
+    val fast = IvfPq.Index(geo.centers, geo.books,
+      IvfPq.encodeFast(corpus, "embedding", model, geo.books))
+    val rs = IvfPq.search(slow, q, "vec_id", "embedding", 10, metric = "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rf = IvfPq.search(fast, q, "vec_id", "embedding", 10, metric = "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rs == rf, "fast bulk encode changed probe results")
   }
 
   test("winnow/minhash pair audits evaluate their sketch kernel only inside the pinned frame") {
