@@ -861,13 +861,22 @@ object VectorSearch {
                        vecCol: String, codesCol: String, k: Int,
                        metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
     val queryB = broadcast(query.select(bitPack(col("qvec")).as("qbits")))
-    val candIds = indexed.select(col(idCol), col(codesCol).as("bits"))
+    // Phase 2 resolves the bounded (k*rerankFactor-row) shortlist
+    // driver-side and pushes it into the float scan as an In-filter:
+    // with the store clustered by id (the library layout keeps files
+    // id-sorted with row-group min/max stats), parquet skips every
+    // row group holding no survivor — point reads, where the earlier
+    // semi-join re-scanned the full float column.
+    val ids = indexed.select(col(idCol), col(codesCol).as("bits"))
       .crossJoin(queryB)
       .select(col(idCol), bitHamming(col("bits"), col("qbits")).as("hdist"))
       .orderBy(col("hdist").asc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .select(col(idCol))
-    indexed.join(candIds, Seq(idCol), "left_semi")
+      .collect().map(_.get(0))
+    if (ids.isEmpty)
+      return indexed.limit(0).crossJoin(broadcast(query))
+        .select(col(idCol), lit(0.0).as("score"))
+    indexed.filter(col(idCol).isin(ids: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
@@ -888,9 +897,22 @@ object VectorSearch {
       .crossJoin(broadcast(queryB))
       .select(col("query_id"), col(idCol),
         (-bitHamming(col("bits"), col("qbits")).cast("double")).as("score"))
-    val cand = finishPerQueryTopK(phase1, idCol, k * rerankFactor, ordered = false)
-      .select(col("query_id"), col(idCol))
-    val scored = indexed.join(broadcast(cand), idCol)
+    // The union of candidate ids is bounded (Q * k * rerankFactor):
+    // resolve it driver-side and push it into the float scan as an
+    // In-filter (row-group point reads on an id-clustered store); the
+    // broadcast pair join then only attributes survivors to queries.
+    // The pair frame is pinned — it feeds the ids collect AND the
+    // attribution join.
+    val cand = graft.GraftFunctions.pin(
+      finishPerQueryTopK(phase1, idCol, k * rerankFactor, ordered = false)
+        .select(col("query_id"), col(idCol)))
+    val ids = cand.select(col(idCol)).distinct().collect().map(_.get(0))
+    if (ids.isEmpty)
+      return indexed.limit(0).crossJoin(broadcast(queries))
+        .select(col("query_id"), col(idCol), lit(0.0).as("score"),
+          lit(0).as("rank"))
+    val scored = indexed.filter(col(idCol).isin(ids: _*))
+      .join(broadcast(cand), idCol)
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col(idCol),
         round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))

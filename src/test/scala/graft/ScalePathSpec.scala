@@ -99,13 +99,15 @@ class ScalePathSpec extends AnyFunSuite {
     // 64-bit sign codes are the coarsest rung: the shortlist must
     // still recover the bulk of the true top-10 before exact re-rank
     assert(recall >= 0.5, s"recall@10=$recall")
-    // the phase-1 (TakeOrderedAndProject) side must scan a schema
-    // WITHOUT the float embedding column — that is the 32x narrowing
+    // phase 1 is bits-only BY CONSTRUCTION (it projects (id, codes)
+    // before the eager shortlist resolve); the RETURNED plan is phase
+    // 2, whose scan must carry the shortlist as a PUSHED In-filter on
+    // the id column (row-group point reads on an id-clustered store)
+    // — not a full-store semi-join.
     val plan = got.queryExecution.executedPlan.toString
-    val phase1Scans = plan.split("\n").filter(l =>
-      l.contains("ReadSchema") && l.contains("bits") && !l.contains("embedding"))
-    assert(phase1Scans.nonEmpty,
-      s"no bits-only scan found (phase 1 reads floats):\n$plan")
+    val p2 = plan.split("\n").filter(_.contains("PushedFilters"))
+    assert(p2.exists(l => l.contains("In(vec_id") || l.contains("vec_id IN")),
+      s"phase-2 scan lost the pushed id shortlist filter:\n$plan")
   }
 
   test("IvfPq.encodeFast (native bulk encode) probes identically to the exact-fold encode") {
