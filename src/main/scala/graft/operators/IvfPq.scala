@@ -127,15 +127,25 @@ object IvfPq {
       .head.getSeq[Double](0).toArray
     val probe = IvfIndex.nearestClusters(idx.centers, qv, nProbe)
     val luts = probeLuts(query, idx.centers, idx.books, probe, normalized)
-    val candIds = idx.encoded
+    // Phase 2 re-reads ONLY the probed cells (partition pruning —
+    // previously the semi-join scanned every cell's float column) and
+    // pushes the bounded shortlist in as an In-filter: on the
+    // id-sorted cell files, row-group min/max stats turn the re-rank
+    // fetch into point reads.
+    val ids = idx.encoded
       .filter(col("cluster").isin(probe.map(Int.box): _*))
       .select(col(idCol), col("cluster"), col("pq_codes"))
       .join(broadcast(luts), "cluster")
       .select(col(idCol), PqIndex.adcCol(idx.books.size).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .select(col(idCol))
-    idx.encoded.join(candIds, Seq(idCol), "left_semi")
+      .collect().map(_.get(0))
+    if (ids.isEmpty)
+      return idx.encoded.limit(0).crossJoin(broadcast(query.select(col("qvec"))))
+        .select(col(idCol), lit(0.0).as("score"))
+    idx.encoded
+      .filter(col("cluster").isin(probe.map(Int.box): _*) &&
+        col(idCol).isin(ids: _*))
       .crossJoin(broadcast(query.select(col("qvec"))))
       .select(col(idCol),
         round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
@@ -177,10 +187,25 @@ object IvfPq {
       // negate: the bounded top-k finisher ranks score DESC
       .select(col("query_id"), col(idCol),
         (-PqIndex.adcCol(idx.books.size)).as("score"))
-    val cand = VectorSearch.finishPerQueryTopK(phase1, idCol, k * rerankFactor,
-        ordered = false)
-      .select(col("query_id"), col(idCol))
-    val scored = idx.encoded.join(broadcast(cand), idCol)
+    // Phase 2: probed-cells partition pruning + the bounded candidate
+    // union pushed in as an In-filter (row-group point reads on the
+    // id-sorted cell files); the broadcast pair join only attributes
+    // survivors to queries. Pinned — the pair frame feeds both the
+    // collect and the join.
+    val cand = graft.GraftFunctions.pin(
+      VectorSearch.finishPerQueryTopK(phase1, idCol, k * rerankFactor,
+          ordered = false)
+        .select(col("query_id"), col(idCol)))
+    val ids = cand.select(col(idCol)).distinct().collect().map(_.get(0))
+    if (ids.isEmpty)
+      return idx.encoded.limit(0)
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
+        .select(col("query_id"), col(idCol), lit(0.0).as("score"),
+          lit(0).as("rank"))
+    val scored = idx.encoded
+      .filter(col("cluster").isin(union.map(Int.box): _*) &&
+        col(idCol).isin(ids: _*))
+      .join(broadcast(cand), idCol)
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col(idCol),
         round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
@@ -275,8 +300,11 @@ object IvfPq {
   def writeIndex(idx: Index, path: String): Unit = {
     val spark = idx.encoded.sparkSession
     import spark.implicits._
+    // Sort cells by the id column too (first column by construction):
+    // row-group min/max stats then make the phase-2 In-filter fetch a
+    // point read instead of a cell scan.
     idx.encoded.repartition(col("cluster"))
-      .sortWithinPartitions(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col(idx.encoded.columns.head))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cluster").parquet(s"$path/encoded")

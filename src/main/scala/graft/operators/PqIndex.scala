@@ -105,13 +105,22 @@ object PqIndex {
     // re-rank always runs on the raw vectors with the caller's metric.
     val qv = if (normalized) graft.GraftFunctions.l2Normalize(col("qvec")) else col("qvec")
     val q2 = broadcast(query.select(lutCol(books, qv).as("__lut")))
-    val candIds = encoded.select(col(idCol), col("pq_codes"))
+    // Phase 2 resolves the bounded (k*rerankFactor-row) ADC shortlist
+    // driver-side and pushes it into the float scan as an In-filter:
+    // on the id-clustered codes layout (files sorted by (source, id)
+    // with row-group min/max stats) parquet skips every row group
+    // holding no survivor — point reads, where a semi-join would
+    // re-scan the full float column.
+    val ids = encoded.select(col(idCol), col("pq_codes"))
       .crossJoin(q2)
       .select(col(idCol), adcCol(books.size).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .select(col(idCol))
-    encoded.join(candIds, Seq(idCol), "left_semi")
+      .collect().map(_.get(0))
+    if (ids.isEmpty)
+      return encoded.limit(0).crossJoin(broadcast(query.select(col("qvec"))))
+        .select(col(idCol), lit(0.0).as("score"))
+    encoded.filter(col(idCol).isin(ids: _*))
       .crossJoin(broadcast(query.select(col("qvec"))))
       .select(col(idCol),
         round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
@@ -135,10 +144,23 @@ object PqIndex {
       .crossJoin(broadcast(q2))
       // negate: the bounded top-k finisher ranks score DESC
       .select(col("query_id"), col(idCol), (-adcCol(books.size)).as("score"))
-    val cand = VectorSearch.finishPerQueryTopK(phase1, idCol, k * rerankFactor,
-        ordered = false)
-      .select(col("query_id"), col(idCol))
-    val scored = encoded.join(broadcast(cand), idCol)
+    // Bounded (Q * k * rerankFactor) candidate union: resolve it
+    // driver-side, push the id set into the float scan as an
+    // In-filter (row-group point reads), attribute via the broadcast
+    // pair join. The pair frame is pinned — it feeds both the collect
+    // and the join.
+    val cand = graft.GraftFunctions.pin(
+      VectorSearch.finishPerQueryTopK(phase1, idCol, k * rerankFactor,
+          ordered = false)
+        .select(col("query_id"), col(idCol)))
+    val ids = cand.select(col(idCol)).distinct().collect().map(_.get(0))
+    if (ids.isEmpty)
+      return encoded.limit(0)
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
+        .select(col("query_id"), col(idCol), lit(0.0).as("score"),
+          lit(0).as("rank"))
+    val scored = encoded.filter(col(idCol).isin(ids: _*))
+      .join(broadcast(cand), idCol)
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col(idCol),
         round(VectorSearch.similarity(metric, col(vecCol), col("qvec")), 6).as("score"))

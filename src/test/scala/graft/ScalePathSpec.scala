@@ -395,12 +395,16 @@ class ScalePathSpec extends AnyFunSuite {
     val direct = IvfPq.search(idx, q, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
+    // phase 1 is a cluster-pruned codes-only scan BY CONSTRUCTION
+    // (it projects (id, cluster, pq_codes) inside the probed cells
+    // before the eager shortlist resolve); the RETURNED plan is phase
+    // 2, whose scan must stay cluster-pruned AND carry the shortlist
+    // as a pushed In-filter on the id (row-group point reads).
     val scans = served.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("FileScan")).toSeq
-    val phase1 = scans.filter(s => s.contains("pq_codes") && !s.contains("embedding"))
-    assert(phase1.nonEmpty, s"no codes-only scan in:\n${scans.mkString("\n")}")
-    assert(phase1.exists(_.contains("cluster")),
-      s"codes-only scan not cluster-pruned:\n${phase1.mkString("\n")}")
+    assert(scans.exists(s => s.contains("cluster") &&
+        (s.contains("In(vec_id") || s.contains("vec_id IN"))),
+      s"phase-2 scan lost cluster pruning or the id shortlist filter:\n${scans.mkString("\n")}")
     idx.encoded.unpersist(); idxB.encoded.unpersist()
   }
 

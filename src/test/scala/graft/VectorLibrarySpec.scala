@@ -907,11 +907,14 @@ class VectorLibrarySpec extends AnyFunSuite {
       .collect()(0).getString(0)
     lib.setAlgorithm("ivfpq")
     assert(rows(0).getString(0) == exactTop, "ivfpq top-1 diverged from flat")
-    // the probe's phase 1 is a cluster-pruned codes-only scan
+    // phase 1 (codes-only, cluster-pruned) runs eagerly inside the
+    // probe; the returned plan is phase 2 — its scan must stay
+    // cluster-pruned and carry the pushed id-shortlist In-filter
     val scans = res.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("FileScan")).toSeq
-    assert(scans.exists(s => s.contains("pq_codes") && !s.contains("embedding")
-      && s.contains("cluster")), s"no pruned codes-only scan:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("cluster") &&
+        (s.contains("In(chunk_id") || s.contains("chunk_id IN"))),
+      s"phase-2 scan lost pruning or the id shortlist filter:\n${scans.mkString("\n")}")
 
     // batch matches per-query
     val qs = Seq("spark join stream table filter", "tokenize documents fast")
