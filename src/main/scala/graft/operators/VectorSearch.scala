@@ -377,14 +377,22 @@ object VectorSearch {
     val pruned = index.filter(pred)
     val queryQ = broadcast(query.select(
       quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
-    val candIds = pruned.select(col(idCol), col(codesCol).as("codes"))
+    // Bounded shortlist resolved driver-side; phase 2 keeps the
+    // partition-probe predicate AND pushes the id set as an In-filter
+    // — the probed directories' float pages open only for the
+    // row groups holding survivors (bucket rows are id-sorted), so
+    // phase-2 I/O tracks the shortlist, not the buckets' occupancy.
+    val ids = pruned.select(col(idCol), col(codesCol).as("codes"))
       .crossJoin(queryQ)
       .select(col(idCol), quantizedDot(col("codes"), col("qqv")).as("ascore"))
       .groupBy(col(idCol)).agg(max(col("ascore")).as("ascore"))
       .orderBy(col("ascore").desc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .select(col(idCol))
-    pruned.join(candIds, Seq(idCol), "left_semi")
+      .collect().map(_.get(0))
+    if (ids.isEmpty)
+      return index.limit(0).crossJoin(broadcast(query))
+        .select(col(idCol), lit(0.0).as("score"))
+    pruned.filter(col(idCol).isin(ids: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .groupBy(col(idCol)).agg(max(col("score")).as("score"))
@@ -789,13 +797,20 @@ object VectorSearch {
                           metric: String = "cosine", rerankFactor: Int = 4): DataFrame = {
     val queryQ = broadcast(query.select(
       quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
-    val candIds = indexed.select(col(idCol), col(codesCol).as("codes"))
+    // Bounded shortlist resolved driver-side and pushed into the
+    // float scan as an In-filter — row-group point reads on an
+    // id-clustered store, instead of a full-float-column semi-join
+    // (the binary/PQ/IVF-PQ phase-2 discipline).
+    val ids = indexed.select(col(idCol), col(codesCol).as("codes"))
       .crossJoin(queryQ)
       .select(col(idCol), quantizedDot(col("codes"), col("qqv")).as("ascore"))
       .orderBy(col("ascore").desc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .select(col(idCol))
-    indexed.join(candIds, Seq(idCol), "left_semi")
+      .collect().map(_.get(0))
+    if (ids.isEmpty)
+      return indexed.limit(0).crossJoin(broadcast(query))
+        .select(col(idCol), lit(0.0).as("score"))
+    indexed.filter(col(idCol).isin(ids: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
