@@ -377,22 +377,21 @@ object VectorSearch {
     val pruned = index.filter(pred)
     val queryQ = broadcast(query.select(
       quantizeVec(l2Normalize(col("qvec"))).as("qqv")))
-    // Bounded shortlist resolved driver-side; phase 2 keeps the
-    // partition-probe predicate AND pushes the id set as an In-filter
-    // — the probed directories' float pages open only for the
-    // row groups holding survivors (bucket rows are id-sorted), so
-    // phase-2 I/O tracks the shortlist, not the buckets' occupancy.
-    val ids = pruned.select(col(idCol), col(codesCol).as("codes"))
+    // Phase 2 stays a LAZY pruned semi-join here (unlike the
+    // binary/PQ/IVF-PQ probes, which switched to driver-resolved
+    // In-filter point reads): both phases already read only the
+    // probed (tbl, bucket) directories, whose occupancy the
+    // bits-scaling ingest rule holds constant in corpus size — so the
+    // semi-join's float I/O is already corpus-independent, and the
+    // one-job plan skips a driver sync per query.
+    val candIds = pruned.select(col(idCol), col(codesCol).as("codes"))
       .crossJoin(queryQ)
       .select(col(idCol), quantizedDot(col("codes"), col("qqv")).as("ascore"))
       .groupBy(col(idCol)).agg(max(col("ascore")).as("ascore"))
       .orderBy(col("ascore").desc, col(idCol).asc)
       .limit(k * rerankFactor)
-      .collect().map(_.get(0))
-    if (ids.isEmpty)
-      return index.limit(0).crossJoin(broadcast(query))
-        .select(col(idCol), lit(0.0).as("score"))
-    pruned.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol))
+    pruned.join(candIds, Seq(idCol), "left_semi")
       .crossJoin(broadcast(query))
       .select(col(idCol), round(similarity(metric, col(vecCol), col("qvec")), 6).as("score"))
       .groupBy(col(idCol)).agg(max(col("score")).as("score"))

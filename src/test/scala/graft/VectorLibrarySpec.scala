@@ -460,11 +460,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     val res = lib.searchApproxQuantized("spark join stream table filter", k = 10)
     assert(res.count() == 10)
 
-    // Phase 1 (codes-only over the pruned directories) runs eagerly
-    // inside the probe; the RETURNED plan is phase 2, which must stay
-    // inside the index (never the store), keep the partition-probe
-    // predicate, and carry the shortlist as a pushed In-filter on the
-    // id — point reads, not a bucket-occupancy-sized float scan.
+    // Both phases scan the index, never the store; phase 1 reads the
+    // codes column only (the float embeddings stay on disk).
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
@@ -473,11 +470,11 @@ class VectorLibrarySpec extends AnyFunSuite {
     }
     val idxScans = scans(res.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_index")))
-    assert(idxScans.nonEmpty, "expected the phase-2 scan over lsh_index")
+    assert(idxScans.size >= 2, "expected phase-1 and phase-2 scans over lsh_index")
     assert(idxScans.forall(_.partitionFilters.nonEmpty), "probe not partition-pruned")
-    assert(idxScans.exists(_.dataFilters.exists(
-        _.references.exists(_.name == "chunk_id"))),
-      "phase-2 scan lost the pushed id shortlist filter")
+    assert(idxScans.exists(s => s.schema.fieldNames.contains("quant") &&
+      !s.schema.fieldNames.contains("embedding")),
+      "no codes-only phase-1 scan — embedding column read in phase 1")
     val storeScans = scans(res.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("chunks")))
     assert(storeScans.isEmpty, "quantized probe touched the chunk store")
