@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CRITICAL for the driver contract: the default forked-run output
+// strategy (LoggedOutput) prefixes every stdout line with "[info] ",
+// which broke the driver's JSON-line parse of the bench marker two
+// rounds running (BENCH_r05/r06 parsed:null with the marker fully
+// present in the tail). StdoutOutput passes the forked process's
+// stdout/stderr through verbatim: bare JSON on stdout, Spark logs on
+// stderr, nothing re-leveled or prefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

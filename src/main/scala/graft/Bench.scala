@@ -57,11 +57,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"errors":$errs,"sf":"$sfDir","detail":"$outFile"}"""
-    println(compact)
     spark.stop()
-    // Marker-prefixed FINAL stdout line: a harness that greps rather
-    // than tails finds the JSON regardless of window size or log
-    // interleaving (after stop(), nothing else prints to stdout).
+    // Marker-prefixed line for harnesses that grep; then the bare JSON
+    // as the FINAL stdout line for harnesses that parse the last line
+    // (after stop(), nothing else prints to stdout; StdoutOutput in
+    // build.sbt guarantees no "[info] " prefix on either line).
     println(s"GRAFT_BENCH_JSON: $compact")
+    println(compact)
   }
 }

@@ -172,11 +172,18 @@ object GraftFunctions {
       checked("graft_term_freqs", 2, 2)(es =>
         TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq))))
 
-  /** Idempotent; call once per SparkSession before using the helpers. */
+  /** Idempotent; call once per SparkSession before using the helpers.
+    * Skips sessions already registered: createOrReplaceTempFunction WARNs
+    * "replaced a previously registered function" per function per call,
+    * and configure() runs per query — 125 queries × ~30 functions of WARN
+    * flooded the driver's stdout tail window for two rounds running. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    sqlBuilders.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    val probe = org.apache.spark.sql.catalyst.FunctionIdentifier(sqlBuilders.head._1)
+    if (!reg.functionExists(probe)) {
+      sqlBuilders.foreach { case (name, _, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
   }
 

@@ -19,6 +19,12 @@ object SparkEntry {
     // projection and double their per-row cost; semantics without them
     // are identical (empty/null arrays simply generate no rows).
     spark.conf.set("spark.sql.optimizer.inferFiltersFromGenerate", "false")
+    // Phase-2 point reads push a k*rerankFactor (~80) id shortlist into
+    // the parquet scan as an In filter; above this threshold Spark
+    // degrades In to a min/max range predicate, which on ids spread
+    // across the id space prunes almost nothing. 1024 keeps per-value
+    // row-group/dictionary filtering for every bounded shortlist we emit.
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
     GraftFunctions.register(spark)
     // Sessions not built with GraftExtensions still get the top-k
     // rewrite (idempotent: the rule object is a singleton).

@@ -51,6 +51,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: compare.py SF_DIR OUT_DIR [names...] [--json FILE]")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir, out_dir = argv[0], argv[1]
