@@ -33,6 +33,9 @@ object Bench {
       // A failed query must not masquerade as a fast one: report -1
       // and list it under "errors" instead of feeding min()/total.
       val okTimes = runs.collect { case (t, true) => t }
+      // drop this query's pinned frames before the next query runs
+      // (pin() caches survive their operator call by design)
+      graft.GraftFunctions.releasePins()
       name -> (if (okTimes.nonEmpty) okTimes.min else -1.0)
     }
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }

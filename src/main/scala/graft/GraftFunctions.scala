@@ -31,8 +31,32 @@ object GraftFunctions {
     df.sparkSession.conf.get("spark.graft.pin", "disk") match {
       case "local" => df.localCheckpoint()
       case "reliable" => df.checkpoint()
-      case _ => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _ =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        pinnedFrames.add(p)
+        p
     }
+
+  // Pinned frames outlive their operator call on purpose (the
+  // RETURNED lazy frame references them; unpersisting inside the
+  // operator would force a recompute per downstream action). On a
+  // long-lived session they would otherwise accumulate cached blocks
+  // until ContextCleaner happens to GC them, so the driver mains
+  // (Bench/Verify) release them BETWEEN queries via [[releasePins]] —
+  // the query's own actions are done, the next query re-pins what it
+  // needs. Unpersist of an already-GC'd frame is a no-op.
+  private val pinnedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
+  /** Unpersist every frame [[pin]] has cached since the last release.
+    * Call between queries / requests on a long-lived session. */
+  def releasePins(): Unit = {
+    var d = pinnedFrames.poll()
+    while (d != null) {
+      try d.unpersist() catch { case _: Throwable => () }
+      d = pinnedFrames.poll()
+    }
+  }
 
   /**
    * Pin ITERATIVE loop state. Unlike [[pin]], lineage must TRUNCATE
@@ -170,7 +194,10 @@ object GraftFunctions {
     // terms ride as one comma-separated literal (tokens never contain ',')
     ("graft_term_freqs", "doc length + term frequencies (text, 'a,b,c')",
       checked("graft_term_freqs", 2, 2)(es =>
-        TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq))))
+        TermFreqsExpr(es(0), strLit(es(1)).split(',').toSeq))),
+    ("graft_image_features", "decode image bytes, block-mean luminance grid (payload[, dim=16])",
+      checked("graft_image_features", 1, 2)(es =>
+        ImageFeatures(es(0), iArg(es, 1, 16)))))
 
   /** Idempotent; call once per SparkSession before using the helpers.
     * Skips sessions already registered: createOrReplaceTempFunction WARNs

@@ -38,3 +38,17 @@ final class StubMediaDecoder(val dim: Int = 16) extends MediaDecoder {
   def features(payload: Column): Column =
     GraftFunctions.embedText(hex(payload), dim)
 }
+
+/** PRODUCTION decoder through the seam: pure-JVM image decode
+  * (javax.imageio — PNG/BMP/GIF readers ship with the JDK, no native
+  * libs) + block-mean luminance features on a ceil(sqrt(dim)) grid,
+  * as a native codegen'd expression
+  * ([[graft.functions.ImageFeatures]]). Undecodable payloads map to
+  * the zero vector, deterministically, so fingerprints and near-dup
+  * groups stay replayable. Drop-in proof that the seam carries a real
+  * codec: identical schema, identical map-side plan shape, the
+  * multimodal operators unchanged. */
+final class ImageIoMediaDecoder(val dim: Int = 16) extends MediaDecoder {
+  def features(payload: Column): Column =
+    call_function("graft_image_features", payload, lit(dim))
+}

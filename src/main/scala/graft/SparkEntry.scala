@@ -454,6 +454,15 @@ object SparkEntry {
       // diversity-aware top-k (Carbonell & Goldstein MMR): distributed
       // relevance shortlist, greedy lambda-blend selection.
       VectorSearch.mmrRerank(c, q, "vec_id", "embedding", 10) }),
+    "mmr_rerank_batch" -> ((s, d) => {
+      // batch twin: N queries share ONE shortlist scan (bounded
+      // per-query heap, vectors fetched once via In-filter); greedy
+      // selection identical to the single-query form per query.
+      val emb = t(s, d, "embeddings")
+      VectorSearch.mmrRerankBatch(emb.filter(col("vec_id") >= 3),
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "vec_id", "embedding", 10) }),
     "knn_binary" -> ((s, d) => { val (c, q) = embQuery(s, d)
       // 1-bit rung of the quantization ladder: packed sign bits,
       // XOR+popcount phase 1 (8 bytes/row at 64 dims), exact re-rank.
@@ -1265,11 +1274,13 @@ object SparkEntry {
 
     /** Per-token-hash embed contribution: DOUBLE[dim] from the seeded
       * PRNG chain state = mix^j(mix(h ^ seed)), each component
-      * (state >>> 11)/2^52*2-1. Fold carries {state, values} struct. */
+      * (state >>> 11)/2^52-1, uniform [-1,1) — must track the kernel
+      * (TextHashExpressions.embed) exactly. Fold carries {state,
+      * values} struct. */
     def tokVec(dim: Int): String = {
       val step = let(mix("acc.st")) { st =>
         s"{'st': $st, 'vs': list_append(acc.vs, " +
-          s"CAST($st >> 11 AS DOUBLE)/4503599627370496.0*2.0 - 1.0)}"
+          s"CAST($st >> 11 AS DOUBLE)/4503599627370496.0 - 1.0)}"
       }
       "list_reduce(list_prepend(" +
         s"{'st': ${mix("xor(h, CAST(42 AS UBIGINT))")}, 'vs': CAST([] AS DOUBLE[])}, " +
@@ -2917,6 +2928,47 @@ object SparkEntry {
          |           CAST(unnest(range(1, len(ids) + 1)) AS INT) AS rank FROM rec)
          |SELECT sel.rank, c.id AS vec_id, ROUND(c.rel, 6) AS rel
          |FROM sel JOIN cand c ON c.id = sel.id ORDER BY sel.rank""".stripMargin,
+    // Batch MMR: the single-query recursive greedy, parameterized by
+    // query_id — per-query shortlist via a window rank, per-query seed,
+    // and the recursion keyed on (query_id, step). Arithmetic literals
+    // (lambda, 1-lambda) interpolate through the SAME Scala doubles the
+    // engine folds with, so the objective replays bit-for-bit.
+    "mmr_rerank_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings WHERE vec_id >= 3),
+         | qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+         |        FROM embeddings WHERE vec_id < 3),
+         | scored AS (SELECT q.query_id, e.vec_id AS id, e.v,
+         |              ${cosSql("e.v", "q.qv")} AS rel FROM e, qs q),
+         | cand AS (SELECT query_id, id, v, rel FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel DESC, id) rn FROM scored) WHERE rn <= 40),
+         | sim AS (SELECT a.query_id, a.id ia, b.id ib, ${cosSql("a.v", "b.v")} s
+         |         FROM cand a JOIN cand b
+         |           ON a.query_id = b.query_id AND a.id <> b.id),
+         | seed AS (SELECT query_id, id FROM (
+         |            SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel DESC, id) rn FROM cand) WHERE rn = 1),
+         | rec AS (
+         |   WITH RECURSIVE r(query_id, step, ids) AS (
+         |     SELECT query_id, 1, [id] FROM seed
+         |     UNION ALL
+         |     SELECT r.query_id, step + 1, list_append(ids, (
+         |       SELECT c.id FROM cand c
+         |       WHERE c.query_id = r.query_id AND NOT list_contains(r.ids, c.id)
+         |       ORDER BY ${0.7}e0 * c.rel - ${1.0 - 0.7}e0 *
+         |           (SELECT max(s.s) FROM sim s
+         |            WHERE s.query_id = r.query_id AND s.ia = c.id
+         |              AND list_contains(r.ids, s.ib)) DESC,
+         |         c.id ASC
+         |       LIMIT 1))
+         |     FROM r WHERE step < 10)
+         |   SELECT query_id, ids FROM r WHERE step = 10),
+         | sel AS (SELECT query_id, unnest(ids) AS id,
+         |           CAST(unnest(range(1, len(ids) + 1)) AS INT) AS rank FROM rec)
+         |SELECT sel.query_id, sel.rank, c.id AS vec_id, ROUND(c.rel, 6) AS rel
+         |FROM sel JOIN cand c ON c.query_id = sel.query_id AND c.id = sel.id
+         |ORDER BY sel.query_id, sel.rank""".stripMargin,
     // Binary two-phase search: the Hamming distance over packed sign
     // bits equals the count of dimensions whose signs disagree, so the
     // oracle never packs — it counts sign disagreements directly

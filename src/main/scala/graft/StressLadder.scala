@@ -170,3 +170,323 @@ object StressLadder {
     Rung(n, results.toMap)
   }
 }
+
+/**
+ * Scale ladder for the DEDUP family's 100 TB forms — the linear-output
+ * operators a training-data pipeline actually runs at corpus scale:
+ *  - [[operators.Dedup.minhashGroups]]: banded clustering with ONE
+ *    row out per doc (never the quadratic pair list);
+ *  - [[operators.Dedup.minhashIncremental]]: the nightly
+ *    new-batch-vs-corpus probe, output linear in the NEW batch.
+ *
+ * Corpus: the sf0.1 `documents` table (5k docs) replicated `copies`
+ * times with a per-copy text perturbation — every copy of one base
+ * doc is a PLANTED near-duplicate cluster (Jaccard ~0.97: a few
+ * trailing shingles differ out of ~300), so cluster structure, not
+ * just row count, scales with the corpus. Defaults: 4M then 16M docs.
+ *
+ * Assertions (exit non-zero on violation):
+ *  - output of minhashGroups is exactly one row per doc (linear), and
+ *    the distinct cluster count tracks the ~5k planted clusters, not
+ *    the corpus size;
+ *  - incremental output is bounded by the new batch; planted matches
+ *    resolve, novel docs stay unmatched;
+ *  - wall growth across the x4 corpus step stays <= x6 (linear x1.5
+ *    headroom) for BOTH operators.
+ *
+ * Run: `sbt "runMain graft.DedupLadder"` (4M then 16M), or
+ *      `sbt "runMain graft.DedupLadder 200"` for one small rung.
+ */
+object DedupLadder {
+
+  private case class Rung(n: Long, results: Map[String, Double])
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val copiesSeq: Seq[Int] =
+      if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(800, 3200)
+    val measured = copiesSeq.map(c => rung(spark, c))
+
+    if (measured.length >= 2) {
+      val lo = measured.head; val hi = measured.last
+      val growth = hi.n.toDouble / lo.n
+      for (name <- Seq("minhash_groups", "minhash_incremental")) {
+        val ratio = hi.results(name) / math.max(lo.results(name), 1e-9)
+        println(f"[dedup-ladder] WALL $name: ${lo.results(name)}%.1fs -> " +
+          f"${hi.results(name)}%.1fs (x$ratio%.2f over x$growth%.1f corpus)")
+        assert(ratio <= growth * 1.5,
+          f"$name wall grew x$ratio%.2f across a x$growth%.1f corpus — superlinear")
+      }
+    }
+    spark.stop()
+  }
+
+  private def rung(spark: SparkSession, copies: Int): Rung = {
+    import operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-ladder").toString
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val nBase = base.count()
+    // copy i of base doc d: near-identical text (a trailing revision
+    // token differs), fresh id. All copies of d form one planted
+    // near-dup cluster.
+    base.crossJoin(spark.range(copies))
+      .select((col("id") * 1000000 + col("doc_id")).as("doc_id"),
+        concat(col("text"), lit(" rev "), (col("id") % 97).cast("string")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+    val n = docs.count()
+    println(s"[dedup-ladder] ===== rung: $n docs ($nBase base x $copies copies) =====")
+    val results = scala.collection.mutable.Map[String, Double]()
+
+    // --- linear-output clustering over the full corpus ---------------
+    val t0 = System.nanoTime()
+    val grouped = Dedup.minhashGroups(docs)
+    val outRows = grouped.count()
+    results("minhash_groups") = (System.nanoTime() - t0) / 1e9
+    // cluster census from the same materialization window (cheap: the
+    // pinned edges are still cached)
+    val nClusters = grouped.agg(countDistinct(col("cluster_rep"))).head.getLong(0)
+    val nDup = grouped.filter(col("is_duplicate")).count()
+    println(f"[dedup-ladder] minhash_groups: ${results("minhash_groups")}%.1fs, " +
+      s"$outRows rows out, $nClusters clusters, $nDup flagged duplicates")
+    // Short docs are excluded from banding by design (no shingle
+    // signal), so output is <= n but must track it 1:1 otherwise, and
+    // the cluster count must track the ~5k PLANTED clusters (merged
+    // base-doc pairs that were already near-dups at sf0.1 shrink it a
+    // little), never scale with the corpus.
+    assert(outRows <= n && outRows > (n * 9) / 10,
+      s"minhash_groups output $outRows not linear in corpus $n")
+    assert(nClusters < 2 * nBase,
+      s"cluster count $nClusters scales with the corpus, not the planted ~$nBase")
+    assert(nDup > (outRows * 8) / 10,
+      s"only $nDup/$outRows flagged duplicate in a ~${copies}x-duplicated corpus")
+
+    // --- incremental probe: new batch vs the corpus -------------------
+    // New batch: one more perturbed copy of every base doc (planted
+    // matches) + an equal count of novel docs (40 random hex tokens —
+    // no shingle overlap with anything).
+    val matchedNew = base.select((col("doc_id") + 900000000L).as("doc_id"),
+      concat(col("text"), lit(" rev new")).as("text"))
+    val novelNew = base.select((col("doc_id") + 950000000L).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(40)),
+        i => substring(md5(concat(col("doc_id").cast("string"), i.cast("string"))), 1, 8)))
+        .as("text"))
+    val newBatch = matchedNew.unionAll(novelNew)
+    val t1 = System.nanoTime()
+    val inc = Dedup.minhashIncremental(newBatch, docs)
+    val incRows = inc.count()
+    results("minhash_incremental") = (System.nanoTime() - t1) / 1e9
+    val matchedHits = inc.filter(col("doc_id") < 950000000L).count()
+    val novelHits = incRows - matchedHits
+    println(f"[dedup-ladder] minhash_incremental: ${results("minhash_incremental")}%.1fs, " +
+      s"$incRows rows out ($matchedHits planted matched, $novelHits novel false-positives)")
+    assert(incRows <= 2 * nBase,
+      s"incremental output $incRows exceeds the new batch ${2 * nBase} — not linear in the batch")
+    assert(matchedHits > (nBase * 9) / 10,
+      s"only $matchedHits/$nBase planted near-dups resolved")
+    assert(novelHits < nBase / 20,
+      s"$novelHits novel docs matched the corpus — false-positive storm")
+
+    // drop this rung's pinned frames before the next one accumulates
+    spark.sharedState.cacheManager.clearCache()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Rung(n, results.toMap)
+  }
+}
+
+/**
+ * High-dimension quantization ladder: the flat / int8 / binary / PQ /
+ * IVF-PQ probe forms measured at PRODUCTION embedding width (512
+ * dims vs the 64 every other bench/ladder number uses). The kernels
+ * generalize by construction — `bitPack` emits `array<long>` (8
+ * longs at 512 dims), PQ's subspace count m is a parameter — and
+ * this run turns that from a shape claim into measured recall@10 +
+ * latency per rung AT BOTH WIDTHS in one invocation.
+ *
+ * Corpus design (why not just embed the documents table): recall of
+ * a 1-bit or ADC probe is a function of the NEIGHBOR COSINE ladder,
+ * not just the kernel — short text queries against document
+ * embeddings sit at cosine ~0.3-0.5 where 64 sign bits cannot beat a
+ * 20k-row noise floor (measured recall 0.00 — at ANY width that
+ * regime needs a wider shortlist, see the rerank sweep below). So
+ * the ladder PLANTS its truth: per query, 10 variants of the query
+ * document at a graded token-overlap ladder (cosine ~0.95 down to
+ * ~0.5) inside a corpus of random-token noise docs. Exact top-10 =
+ * the planted variants; what each rung recalls of them measures its
+ * discrimination at that width honestly.
+ *
+ * The headline claim under test: higher dims discriminate MORE
+ * sharply (sign-agreement separation grows ~sqrt(dim) for the same
+ * cosine gap), so binary/PQ recall must RISE from 64 -> 512 dims.
+ * Asserted, exit non-zero on violation.
+ *
+ * Run: `sbt "runMain graft.HighDimLadder"` (200k docs, dims 64+512),
+ *      `sbt "runMain graft.HighDimLadder 20000 64,128"` (n, dims).
+ */
+object HighDimLadder {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val n = if (args.nonEmpty) args(0).toInt else 200000
+    val dims = (if (args.length > 1) args(1) else "64,512")
+      .split(",").map(_.toInt).toSeq
+    val measured = dims.map(d => d -> runDim(spark, n, d)).toMap
+
+    if (dims.length >= 2) {
+      val lo = measured(dims.min); val hi = measured(dims.max)
+      for (name <- Seq("binary", "pq")) {
+        println(f"[hidim] DISCRIMINATION $name: recall@10 " +
+          f"${lo(name)._1}%.2f @${dims.min}d -> ${hi(name)._1}%.2f @${dims.max}d")
+        assert(hi(name)._1 >= lo(name)._1 - 0.05,
+          s"$name recall FELL from ${dims.min} to ${dims.max} dims — kernel not width-clean")
+      }
+      assert(hi("binary")._1 >= 0.8,
+        f"binary recall ${hi("binary")._1}%.2f < 0.8 at ${dims.max} dims on planted neighbors")
+    }
+    spark.stop()
+  }
+
+  /** One width: build corpus + planted truth, measure every rung.
+    * Returns name -> (recall@10, s/query). */
+  private def runDim(spark: SparkSession, n: Int, dim: Int)
+      : Map[String, (Double, Double)] = {
+    import graft.GraftFunctions._
+    import operators.{IvfIndex, IvfPq, PqIndex, VectorSearch}
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val k = 10
+    val nQ = 8
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-hidim-$dim").toString
+
+    // driver-side deterministic token pools (no RNG: md5 of position)
+    def tokens(tag: String, cnt: Int): Seq[String] =
+      (1 to cnt).map(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$tag:$i").substring(0, 6))
+
+    // noise corpus: random-token docs, embedded at `dim`
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(60)),
+          i => substring(md5(concat(col("id").cast("string"), lit(":"), i.cast("string"))), 1, 6)))
+          .as("text"))
+      .select(col("vec_id"), embedText(col("text"), dim).as("embedding"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/noise")
+
+    // planted truth: per query doc, 10 variants keeping the first
+    // 60-4j of its 60 tokens (j=1..10): cosine ladder ~0.96 -> ~0.55
+    val qTokens = (0 until nQ).map(d => tokens(s"q$d", 60))
+    val planted = (0 until nQ).flatMap { d =>
+      (1 to 10).map { j =>
+        (800000000L + d * 100L + j, qTokens(d).take(60 - 4 * j).mkString(" "))
+      }
+    }.toDF("vec_id", "text")
+      .select(col("vec_id"), embedText(col("text"), dim).as("embedding"))
+    planted.write.mode("overwrite").parquet(s"$tmp/planted")
+
+    val corpus = spark.read.parquet(s"$tmp/noise")
+      .unionAll(spark.read.parquet(s"$tmp/planted")).persist()
+    val total = corpus.count()
+    println(s"[hidim] ===== $total vectors x $dim dims (${nQ}x10 planted) =====")
+
+    val queries = (0 until nQ).map(d => (d.toLong, qTokens(d).mkString(" ")))
+      .toDF("query_id", "text")
+      .select(col("query_id"), embedText(col("text"), dim).as("qvec")).persist()
+    queries.count()
+    def q1(i: Int): DataFrame = queries.filter(col("query_id") === i)
+      .select(col("qvec"))
+
+    // ground truth from the exact scan (the planted set by design;
+    // measured, not assumed)
+    val exact = (0 until nQ).map { i =>
+      i -> VectorSearch.knnFlat(corpus, q1(i), "vec_id", "embedding", k, "cosine")
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val plantedRecall = (0 until nQ)
+      .map(i => exact(i).count(_ >= 800000000L).toDouble / k).sum / nQ
+    println(f"[hidim] exact top-10 is $plantedRecall%.2f planted (sanity)")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def rung(name: String)(probe: Int => DataFrame): Unit = {
+      probe(0).count() // warmup
+      val t0 = System.nanoTime()
+      val hits = (0 until nQ).map(i => probe(i).collect().map(_.getLong(0)))
+      val wall = (System.nanoTime() - t0) / 1e9 / nQ
+      val recall = (0 until nQ)
+        .map(i => hits(i).count(exact(i)).toDouble / k).sum / nQ
+      results(name) = (recall, wall)
+      println(f"[hidim] $name%-14s recall@10=$recall%.2f  ${wall}%.2fs/query")
+    }
+
+    rung("flat")(i => VectorSearch.knnFlat(corpus, q1(i), "vec_id", "embedding", k, "cosine"))
+
+    // int8 store codes (the `quant` column form)
+    val int8Store = corpus.withColumn("quant",
+      quantizeVec(l2Normalize(col("embedding")))).persist()
+    int8Store.count()
+    rung("int8")(i => VectorSearch.knnQuantizedIndexed(int8Store, q1(i),
+      "vec_id", "embedding", "quant", k, "cosine"))
+
+    // 1-bit packed signs: dim/64 longs per row
+    val binStore = corpus.withColumn("bits", bitPack(col("embedding"))).persist()
+    binStore.count()
+    rung("binary")(i => VectorSearch.knnBinaryIndexed(binStore, q1(i),
+      "vec_id", "embedding", "bits", k, "cosine"))
+
+    // PQ over normalized vectors: m scales with dim (16 subspaces at
+    // 512 dims = 32-dim slices), 16 codewords each
+    val m = math.max(8, dim / 32)
+    val normed = corpus.withColumn("embn", l2Normalize(col("embedding")))
+    val books = PqIndex.train(
+      normed.select(col("embn")).sample(math.min(1.0, 100000.0 / total), 42L),
+      "embn", m, 16)
+    val pqStore = PqIndex.encodeExact(normed, "embn", books).drop("embn").persist()
+    pqStore.count()
+    rung("pq")(i => PqIndex.search(pqStore, books, q1(i),
+      "vec_id", "embedding", k, "cosine", normalized = true))
+
+    // IVF-PQ: sample coarse fit + residual books, fast bulk encode
+    val sample = normed.select(col("embn"))
+      .sample(math.min(1.0, 100000.0 / total), 43L)
+    val (model, _) = IvfIndex.build(sample, "embn", 64)
+    val geo = IvfPq.trainFrom(model, sample, "embn", m = m)
+    val ivfpqStore = IvfPq.encodeFast(normed, "embn", model, geo.books)
+      .drop("embn").persist()
+    ivfpqStore.count()
+    val idx = IvfPq.Index(geo.centers, geo.books, ivfpqStore)
+    rung("ivfpq")(i => IvfPq.search(idx, q1(i), "vec_id", "embedding", k,
+      nProbe = 8, metric = "cosine", normalized = true))
+
+    println(s"[hidim] PLANS.md rows (dim=$dim): | rung | recall@10 | s/query |")
+    results.foreach { case (name, (r, w)) =>
+      println(f"[hidim] | $dim | $name | $r%.2f | $w%.2f |") }
+
+    assert(results("flat")._1 == 1.0, "exact path disagrees with itself")
+    assert(results("int8")._1 >= 0.9,
+      f"int8 recall ${results("int8")._1}%.2f < 0.9 at $dim dims")
+
+    corpus.unpersist(); queries.unpersist(); int8Store.unpersist()
+    binStore.unpersist(); pqStore.unpersist(); ivfpqStore.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    results.toMap
+  }
+}

@@ -153,7 +153,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // assert that targeted deletes stay pruned without instrumenting
   // the filesystem.
   @volatile private[graft] var lastDeleteAudit: Map[String, Seq[String]] = Map.empty
-  private def invalidateIndexes(): Unit = {
+  private[graft] def invalidateIndexes(): Unit = {
     ivfState.foreach(_._2.unpersist())
     ivfState = None
     emptyCache = None
@@ -165,6 +165,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ivfpqSideCache = None
     ivfpqState.foreach(_.encoded.unpersist())
     ivfpqState = None
+    partIdxCache = None
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -229,11 +230,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .option("maxRecordsPerFile", indexMaxRecordsPerFile)
           .partitionBy("tbl", "bucket").parquet(indexPath)
       }
-      if (hasIvfIndex)
-        IvfIndex.appendAssign(spark, ivfPath,
-          b.select(col("chunk_id"), col("embedding"),
-            col("doc_id"), col("source"), col("n_tokens")),
-          "chunk_id", "embedding")
+      if (hasIvfIndex) appendOrRebuildIvf(b)
       if (hasGridIndex) appendGridRows(b)
       if (hasPqIndex) appendPqRows(b)
       if (hasIvfPqIndex) appendIvfPqRows(b)
@@ -300,7 +297,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /** Embed query text with the library's doc/query-symmetric embedder. */
-  private def queryFrame(queryText: String): DataFrame =
+  private[graft] def queryFrame(queryText: String): DataFrame =
     spark.range(1).select(
       embed.embed(lit(queryText), "search_query").as("qvec"))
 
@@ -372,14 +369,28 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           kk, metric, numTables, bitsPerTable, seed)
       case "grid" if hasGridIndex && filter.isEmpty =>
         // probe the persisted fitted grid: no per-query bounds
-        // aggregate, partition-pruned cell scan. A filtered search
-        // skips the fitted path: the cached occupancy histogram does
-        // not condition on the predicate, so the expanding probe over
-        // the filtered store (below) keeps the radius rule honest.
+        // aggregate, partition-pruned cell scan.
         val (lo, hi, gd, cpd) = gridBoundsStored()
         VectorSearch.gridKnnIndexed(spark.read.parquet(s"$gridPath/cells"),
           lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(gridCounts()))
+      case "grid" if hasGridIndex
+          && covers(spark.read.parquet(s"$gridPath/cells"), filter.get) =>
+        // Filtered search THROUGH the fitted index: the expanding-rule
+        // radius resolves from the per-cell occupancy of the FILTERED
+        // rows — one narrow (cell, predicate-cols) aggregate over the
+        // cell-partitioned layout, not a corpus bounds pass — and the
+        // probe scan stays partition-pruned to the chosen cells with
+        // the predicate pushed inside them. Results are expanding-rule
+        // honest by construction: identical to running the expanding
+        // probe over the filtered subset under the frozen fitted
+        // bounds. Pre-metadata cell layouts fail covers() and take the
+        // store-backed fallback below (rebuild upgrades them).
+        val (lo, hi, gd, cpd) = gridBoundsStored()
+        val filtered = spark.read.parquet(s"$gridPath/cells").where(filter.get)
+        VectorSearch.gridKnnIndexed(filtered, lo, hi, q,
+          "chunk_id", "embedding", kk, metric, gd, cpd,
+          countsOpt = Some(VectorSearch.gridCellCounts(filtered)))
       case "grid" =>
         // expanding-radius probe — the reference's GridIndex.search
         // semantics (widen until >= 2k candidates), so sparse
@@ -574,10 +585,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         VectorSearch.gridKnnIndexedBatch(spark.read.parquet(s"$gridPath/cells"),
           lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(gridCounts()))
+      case "grid" if hasGridIndex
+          && covers(spark.read.parquet(s"$gridPath/cells"), filter.get) =>
+        // filtered batch through the fitted index — same contract as
+        // the single-query arm: radii from the FILTERED per-cell
+        // occupancy, predicate inside the cell-pruned scan
+        val (lo, hi, gd, cpd) = gridBoundsStored()
+        val filtered = spark.read.parquet(s"$gridPath/cells").where(filter.get)
+        VectorSearch.gridKnnIndexedBatch(filtered, lo, hi, queries,
+          "chunk_id", "embedding", kk, metric, gd, cpd,
+          countsOpt = Some(VectorSearch.gridCellCounts(filtered)))
       case "grid" =>
-        // filtered searches take the expanding probe over the filtered
-        // store (the fitted occupancy histogram does not condition on
-        // the predicate — same policy as the single-query path)
+        // no fitted index, or a pre-metadata cell layout that cannot
+        // resolve the predicate: expanding probe over the filtered
+        // store (rebuild upgrades the layout)
         VectorSearch.gridKnnExpandingBatch(applyF(chunks, filter)
           .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
@@ -661,6 +682,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       queryFrame(queryText), "chunk_id", "embedding", clampK(k), lambda)
       .withColumnRenamed("rel", "score")
 
+  /** Batch twin of [[searchDiverse]]: N query texts share ONE
+    * relevance-shortlist scan (bounded per-query heap + one In-filter
+    * vector fetch); the greedy lambda-blend selection runs per query
+    * over its k-scale candidates, identical in order to the
+    * single-query form. Rows (query_id, rank, chunk_id, score). */
+  def searchDiverseBatch(queryTexts: Seq[String], k: Int = 10,
+                         lambda: Double = 0.7,
+                         filter: Option[Column] = None): DataFrame =
+    operators.VectorSearch.mmrRerankBatch(
+      applyF(chunks, filter).select(col("chunk_id"), col("embedding")),
+      queriesFrame(queryTexts), "chunk_id", "embedding", clampK(k), lambda)
+      .withColumnRenamed("rel", "score")
+
   /** Batch search with full chunk payloads: the Q*k-row hit set
     * broadcasts into ONE store scan, same as searchWithChunks. */
   def searchBatchWithChunks(queryTexts: Seq[String], k: Int = 10,
@@ -701,7 +735,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * nothing to read; the fallback column probe serves instead). */
   def hasPartitionedIndex: Boolean = hasVisibleData(indexPath)
 
-  private def partitionedIndex: DataFrame = spark.read.parquet(indexPath)
+  // Memoized per index generation (invalidateIndexes drops it): a
+  // fresh spark.read.parquet re-LISTS the partition tree on every
+  // probe's planning pass, and a healthy balanced index has
+  // numTables * 2^bits (~2k) directories — measured seconds/query of
+  // pure driver-side listing once the hyperplane fix spread rows
+  // across all buckets. Reusing one DataFrame reuses its
+  // InMemoryFileIndex, so listing is paid once per generation. (At
+  // cluster scale the same role is played by a manifest/metastore.)
+  private var partIdxCache: Option[DataFrame] = None
+  private def partitionedIndex: DataFrame = partIdxCache.getOrElse {
+    val df = spark.read.parquet(indexPath)
+    partIdxCache = Some(df)
+    df
+  }
 
   /** Exploded index rows of an embedded chunk batch, clustered per
     * (tbl, bucket) partition directory and SORTED BY chunk_id within
@@ -737,14 +784,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * Later `addDocuments` / `ingestStreamIndexed` batches append only
     * their own rows to the affected partitions — incremental, never a
     * full rewrite. */
-  def buildPartitionedIndex(): Unit =
+  def buildPartitionedIndex(): Unit = {
     indexRows(chunks).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
+    partIdxCache = None
+  }
 
   /** Drop the partitioned index (search falls back to the column probe). */
-  def dropPartitionedIndex(): Unit =
+  def dropPartitionedIndex(): Unit = {
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
+    partIdxCache = None
+  }
 
   /**
    * Selective compaction of the partitioned index (the OPTIMIZE half
@@ -798,6 +849,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         new Path(s"$indexPath/tbl=$t/bucket=$b"))
     }
     fs.delete(new Path(tmpPath), true)
+    // the memoized index frame's file listing predates the swap
+    partIdxCache = None
     swappable.size
   }
 
@@ -1222,7 +1275,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * cell, so a targeted delete rewrites files, not the cell). */
   private def gridRows(batch: DataFrame, lo: Array[Double], hi: Array[Double],
                        cellsPerDim: Int): DataFrame =
+    // Metadata columns ride in the cell rows (same contract as the IVF
+    // assigned rows) so a filtered search can resolve its radius from
+    // the FILTERED occupancy and apply the predicate inside the
+    // cell-pruned scan instead of falling back to a corpus-scale
+    // expanding probe over the store.
     batch.select(col("chunk_id"), col("embedding"),
+      col("doc_id"), col("source"), col("n_tokens"),
       VectorSearch.cellKeyCol(col("embedding"), lo, hi, cellsPerDim).as("cell"))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("chunk_id"))
@@ -1265,6 +1324,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** The centroid count this library's IVF index was built with. */
   private def ivfCentroids: Int =
     readMeta().get("ivf_centroids").map(_.toInt).getOrElse(16)
+
+  /** Append a batch to the IVF index — unless the existing assigned
+    * rows predate the metadata columns, in which case rebuild from the
+    * (already appended) store instead. Same schema-migration contract
+    * as the partitioned index's `quant`/`source` guard in
+    * [[appendBatch]]: a mixed-generation append would read pre-upgrade
+    * rows with null metadata, and a filtered search would then
+    * silently drop every old row inside the cluster-pruned scan. */
+  private def appendOrRebuildIvf(b: DataFrame): Unit = {
+    val assignedCurrent =
+      scala.util.Try(spark.read.parquet(s"$ivfPath/assigned").columns).toOption
+        .exists(cs => Seq("doc_id", "source", "n_tokens").forall(cs.contains))
+    if (assignedCurrent)
+      IvfIndex.appendAssign(spark, ivfPath,
+        b.select(col("chunk_id"), col("embedding"),
+          col("doc_id"), col("source"), col("n_tokens")),
+        "chunk_id", "embedding")
+    else buildIvfIndex(ivfCentroids)
+  }
 
   /** Drop the on-disk IVF index (search falls back to the lazy
     * in-memory build). */
@@ -1667,11 +1745,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .partitionBy("tbl", "bucket").parquet(indexPath)
         // mirror appendBatch: every derived index stays current and
         // session caches drop, so ivf/grid/flat search sees the arrivals
-        if (hasIvfIndex)
-          IvfIndex.appendAssign(spark, ivfPath,
-            b.select(col("chunk_id"), col("embedding"),
-              col("doc_id"), col("source"), col("n_tokens")),
-            "chunk_id", "embedding")
+        if (hasIvfIndex) appendOrRebuildIvf(b)
         if (hasGridIndex) appendGridRows(b)
         if (hasPqIndex) appendPqRows(b)
         if (hasIvfPqIndex) appendIvfPqRows(b)

@@ -40,6 +40,10 @@ object Verify {
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), 60.minutes)
     pool.shutdown()
+    // Queries run concurrently here, so per-query release would race an
+    // in-flight sibling's pinned frame; one drain after the pool settles
+    // still bounds the session's cached blocks (DISK_ONLY, sf0.01-sized).
+    GraftFunctions.releasePins()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -110,8 +110,13 @@ object TextHash {
       var j = 0
       while (j < dim) {
         state = mix64(state)
-        // uniform in [-1, 1)
-        v(j) += (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        // uniform in [-1, 1): (state>>>11) spans [0, 2^53), so /2^52
+        // lands in [0, 2). (The former *2.0-1.0 on the same quotient
+        // spanned [-1, 3) — a +1 mean per token per component that
+        // collapsed every embedding toward the all-ones direction:
+        // noise pairs at cosine ~0.98, all sign bits positive, LSH
+        // buckets degenerate. Caught by the high-dim recall ladder.)
+        v(j) += (state >>> 11).toDouble / (1L << 52).toDouble - 1.0
         j += 1
       }
       t += 1
@@ -210,8 +215,9 @@ object TextHash {
         var j = 0
         while (j < dim) {
           state = mix64(state)
+          // uniform in [-1, 1) — same distribution fix as embed()
           out((t * bitsPerTable + b) * dim + j) =
-            (state >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+            (state >>> 11).toDouble / (1L << 52).toDouble - 1.0
           j += 1
         }
         b += 1

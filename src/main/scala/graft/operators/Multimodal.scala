@@ -32,9 +32,15 @@ object Multimodal {
    * decoder-independent).
    */
   def features(docs: DataFrame, dim: Int = 16,
-               decoder: graft.MediaDecoder = null): DataFrame = {
+               decoder: graft.MediaDecoder = null): DataFrame =
+    featuresOf(docs, encode(col("text"), "UTF-8"), dim, decoder)
+
+  /** [[features]] over a REAL binary media column (the production
+    * entry point — the text-derived form above is the testdata
+    * stand-in; same plan either way). */
+  def featuresOf(docs: DataFrame, payload: org.apache.spark.sql.Column,
+                 dim: Int = 16, decoder: graft.MediaDecoder = null): DataFrame = {
     val dec = decoderOr(decoder, dim)
-    val payload = encode(col("text"), "UTF-8") // stand-in media bytes
     // Feature vector exploded to (pos, feat) scalar rows so outputs
     // carry no array columns (verification harness sorts/hashes rows).
     docs.select(
@@ -60,10 +66,17 @@ object Multimodal {
    * carrying (code, count, min-id) only.
    */
   def nearDup(docs: DataFrame, dim: Int = 16,
-              decoder: graft.MediaDecoder = null): DataFrame = {
+              decoder: graft.MediaDecoder = null): DataFrame =
+    nearDupOf(docs, encode(col("text"), "UTF-8"), dim, decoder)
+
+  /** [[nearDup]] over a REAL binary media column. With a real decoder
+    * ([[graft.ImageIoMediaDecoder]]) this groups re-encoded copies of
+    * one image (png vs bmp of the same pixels) that byte-level
+    * checksums miss — spec-proven. */
+  def nearDupOf(docs: DataFrame, payload: org.apache.spark.sql.Column,
+                dim: Int = 16, decoder: graft.MediaDecoder = null): DataFrame = {
     val dec = decoderOr(decoder, dim)
     require(dec.dim >= 1 && dec.dim <= 64, "fingerprint must fit one long")
-    val payload = encode(col("text"), "UTF-8") // stand-in media bytes
     docs
       .select(col("doc_id"),
         bitPack(dec.features(payload)).getItem(0).as("sig"))

@@ -1054,17 +1054,40 @@ object VectorSearch {
     val ids = shortRows.map(_.get(0))
     val vecs = shortRows.map(_.getSeq[Double](1).toArray)
     val rels = shortRows.map(_.getDouble(2))
+    val selected = mmrSelect(ids, vecs, rels, k, lambda)
+    // preserve the caller's id type (long vec_id, string chunk_id, ...)
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      corpus.schema(idCol),
+      StructField("rel", DoubleType, nullable = false)))
+    val rows = selected.zipWithIndex.map { case (i, r) =>
+      org.apache.spark.sql.Row(r + 1, ids(i),
+        graft.functions.VectorOps.roundTo(rels(i), 6)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** objective ties break by id ASCENDING (the oracle's ORDER BY
+    * obj DESC, id ASC) — NOT by shortlist scan order, which is
+    * (rel desc, id asc) and would keep the higher-rel candidate */
+  @inline private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Int, y: Int)       => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalArgumentException(
+      s"unsupported id type for MMR tie-break: ${a.getClass}")
+  }
+
+  /** The sequential MMR greedy over ONE query's shortlist (rows
+    * already sorted rel desc, id asc): selected indices in selection
+    * order. Shared verbatim by the single-query and batch forms so
+    * their selection orders cannot diverge. */
+  private def mmrSelect(ids: Array[Any], vecs: Array[Array[Double]],
+                        rels: Array[Double], k: Int,
+                        lambda: Double): Seq[Int] = {
+    val oneMinus = 1.0 - lambda
     val n = ids.length
-    // objective ties break by id ASCENDING (the oracle's ORDER BY
-    // obj DESC, id ASC) — NOT by shortlist scan order, which is
-    // (rel desc, id asc) and would keep the higher-rel candidate
-    @inline def idLess(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long)     => x < y
-      case (x: Int, y: Int)       => x < y
-      case (x: String, y: String) => x < y
-      case _ => throw new IllegalArgumentException(
-        s"unsupported id type for MMR tie-break: ${a.getClass}")
-    }
     val selected = scala.collection.mutable.ArrayBuffer[Int]()
     val inSel = new Array[Boolean](n)
     var exhausted = false
@@ -1096,17 +1119,63 @@ object VectorSearch {
       if (best < 0) exhausted = true
       else { inSel(best) = true; selected += best }
     }
-    // preserve the caller's id type (long vec_id, string chunk_id, ...)
-    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
+    selected.toSeq
+  }
+
+  /**
+   * Batch twin of [[mmrRerank]]: N queries' shortlists from ONE
+   * corpus scan (the bounded per-query heap — shuffle carries
+   * `shortlist` (id, rel) partials per query per partition, never
+   * vectors), the union of shortlist ids resolved driver-side and
+   * their vectors fetched once as an In-filter point read (the
+   * phase-2 discipline), then the per-query sequential greedy over
+   * k-scale candidates. Selection order per query is IDENTICAL to
+   * the single-query form by shared-code construction. Rows:
+   * (query_id, rank, id, rel) in selection order per query.
+   */
+  def mmrRerankBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 10, lambda: Double = 0.7,
+                     shortlist: Int = 40): DataFrame = {
+    val spark = corpus.sparkSession
+    val window = math.max(shortlist, k)
+    val phase1 = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol),
+        cosineSim(col(vecCol), col("qvec")).as("score"))
+    val cand = graft.GraftFunctions.pin(
+      finishPerQueryTopK(phase1, idCol, window, ordered = false))
+    val (candRows, vecMap) =
+      try {
+        val rows = cand.select(col("query_id"), col(idCol), col("score")).collect()
+        val ids = rows.map(_.get(1)).distinct.toSeq
+        val vm: Map[Any, Array[Double]] =
+          if (ids.isEmpty) Map.empty
+          else corpus.filter(col(idCol).isin(ids: _*))
+            .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+            .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
+        (rows, vm)
+      } finally cand.unpersist()
+    val perQuery = candRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val out = perQuery.flatMap { case (qid, rows) =>
+      // same candidate order the single-query scan produces
+      val sorted = rows.sortWith { (a, b) =>
+        val sa = a.getDouble(2); val sb = b.getDouble(2)
+        if (sa != sb) sa > sb else idLess(a.get(1), b.get(1))
+      }
+      val ids = sorted.map(_.get(1))
+      val rels = sorted.map(_.getDouble(2))
+      val vecs = ids.map(vecMap)
+      mmrSelect(ids, vecs, rels, k, lambda).zipWithIndex.map { case (i, r) =>
+        org.apache.spark.sql.Row(qid, r + 1, ids(i),
+          graft.functions.VectorOps.roundTo(rels(i), 6))
+      }
+    }
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType, LongType}
     val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
       StructField("rank", IntegerType, nullable = false),
       corpus.schema(idCol),
       StructField("rel", DoubleType, nullable = false)))
-    val rows = selected.zipWithIndex.map { case (i, r) =>
-      org.apache.spark.sql.Row(r + 1, ids(i),
-        graft.functions.VectorOps.roundTo(rels(i), 6)) }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /**

@@ -430,6 +430,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(exchanges <= 1, "decode pass must stay map-side")
   }
 
+  test("media decoder seam carries a REAL codec: javax.imageio decode, re-encode-invariant near-dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.awt.image.BufferedImage
+    // real images, entirely JVM-side: 2 distinct 16x16 block patterns
+    def img(pattern: Int): BufferedImage = {
+      val im = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val on = pattern match {
+          case 0 => (x / 4 + y / 4) % 2 == 0 // checkerboard
+          case _ => x < 8                    // half split
+        }
+        im.setRGB(x, y, if (on) 0xffffff else 0x000000)
+      }
+      im
+    }
+    def bytes(im: BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, baos)
+      baos.toByteArray
+    }
+    // doc 1 and doc 5: the SAME pixels under different encodings (png
+    // vs bmp) — different payload bytes, so checksum dedup misses
+    // them; doc 9: a different image. doc 13: not an image at all.
+    val rows = Seq(
+      (1L, bytes(img(0), "png")),
+      (5L, bytes(img(0), "bmp")),
+      (9L, bytes(img(1), "png")),
+      (13L, "not an image".getBytes("UTF-8")))
+    val d = rows.toDF("doc_id", "payload")
+    val dec = new ImageIoMediaDecoder(16)
+
+    val feats = Multimodal.featuresOf(d, col("payload"), 16, dec)
+    val stubF = Multimodal.featuresOf(d, col("payload"), 16)
+    // identical plumbing vs the stub: schema and plan shape
+    assert(feats.schema == stubF.schema, "real codec changed the pipeline schema")
+    val exchanges = "Exchange".r
+      .findAllIn(feats.queryExecution.executedPlan.toString).length
+    assert(exchanges <= 1, "real decode pass must stay map-side")
+
+    val byDoc = feats.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getDouble(4)).toSeq).toMap
+    // re-encode invariance: identical pixels -> identical features
+    // even though the payload bytes (and checksums) differ
+    assert(byDoc(1L) == byDoc(5L), "png/bmp re-encode broke feature identity")
+    val checksums = feats.select(col("doc_id"), col("media_checksum"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(checksums(1L) != checksums(5L),
+      "test is vacuous: the two encodings produced identical bytes")
+    // discrimination: a different image decodes to different features
+    assert(byDoc(1L) != byDoc(9L), "distinct images collapsed")
+    // undecodable payload -> deterministic zero vector, never a crash
+    assert(byDoc(13L).forall(_ == 0.0), "undecodable payload must yield zeros")
+    // centered luminance is physical: white blocks ~ +0.5, black ~ -0.5
+    assert(byDoc(9L).max > 0.4 && byDoc(9L).min < -0.4,
+      "centered block luminance lost the black/white structure")
+
+    // near-dup THROUGH the real codec: the re-encoded pair shares a
+    // fingerprint group; the distinct image does not join it
+    val groups = Multimodal.nearDupOf(d, col("payload"), 16, dec).collect()
+    assert(groups.map(_.getLong(1)).sum == 4L)
+    val pairGroup = groups.find(_.getLong(2) == 1L).get
+    assert(pairGroup.getLong(1) == 2L,
+      "re-encoded copies (png vs bmp) must share a perceptual fingerprint")
+  }
+
   test("sample split is deterministic, complete, and roughly proportional") {
     val s1 = Pipeline.sampleSplit(docs).collect()
     val s2 = Pipeline.sampleSplit(docs).collect()

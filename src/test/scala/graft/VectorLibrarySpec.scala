@@ -440,6 +440,186 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("filtered BATCH search: predicate inside the pruned scans on the ivf/pq/ivfpq batch arms") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-fbatch").toString
+    val lib = new VectorLibrary(spark, root, "fbatch-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(100))
+    val qs = Seq("spark join stream table filter", "vector index search embedding")
+    val allowed = Set("src1", "src4", "src7")
+    val pred = col("source").isin(allowed.toSeq: _*)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def sourcesOf(hits: org.apache.spark.sql.DataFrame): Seq[String] =
+      lib.chunks.join(hits.select(col("chunk_id")).distinct(), "chunk_id")
+        .select(col("source")).collect().map(_.getString(0)).toSeq
+
+    // build the three persisted layouts once
+    lib.buildIvfIndex(); lib.buildPqIndex(); lib.buildIvfPqIndex()
+    for ((algo, tree) <- Seq(("ivf", "ivf_index"), ("pq", "pq_index"),
+        ("ivfpq", "ivfpq_index"))) {
+      lib.setAlgorithm(algo)
+      val batch = lib.searchBatch(qs, 5, filter = Some(pred))
+      assert(batch.count() > 0, s"$algo filtered batch returned nothing")
+      assert(sourcesOf(batch).forall(allowed), s"$algo batch hit outside the predicate")
+      val idxScans = scans(batch.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(tree)))
+      assert(idxScans.nonEmpty, s"$algo batch abandoned the persisted index")
+      // the predicate must land INSIDE the index scan: as a data
+      // filter next to the partition pruning (ivf/ivfpq cluster dirs)
+      // or as the partition filter itself (pq codes are partitioned
+      // by source)
+      assert(idxScans.exists(s =>
+        s.dataFilters.exists(_.references.exists(_.name == "source")) ||
+        s.partitionFilters.exists(_.references.exists(_.name == "source"))),
+        s"$algo batch: source predicate not inside the pruned index scan")
+      if (algo != "pq")
+        assert(idxScans.exists(_.partitionFilters.nonEmpty),
+          s"$algo batch lost its partition pruning under a filter")
+      // batch ≡ per-query under the same filter
+      val byQ = batch.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(3)).map(_.getString(1)).toSeq).toMap
+      qs.zipWithIndex.foreach { case (t, i) =>
+        assert(byQ(i.toLong) ==
+          lib.search(t, 5, filter = Some(pred)).collect().map(_.getString(0)).toSeq,
+          s"$algo filtered batch diverged from per-query search")
+      }
+    }
+    lib.delete()
+  }
+
+  test("filtered grid search keeps the fitted index: pruned probe, filtered radius, schema-evolution fallback") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = Files.createTempDirectory("graft-lib-gridf").toString
+    val lib = new VectorLibrary(spark, root, "gridf-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(120)
+    lib.addDocuments(docs)
+    lib.setAlgorithm("grid")
+    lib.buildGridIndex()
+
+    val qt = "spark join stream table filter"
+    val allowed = Set("src1", "src4", "src7")
+    val pred = col("source").isin(allowed.toSeq: _*)
+    val hits = lib.search(qt, 10, filter = Some(pred))
+    val hitRows = hits.collect()
+    assert(hitRows.nonEmpty, "filtered fitted-grid search returned nothing")
+
+    // every hit satisfies the predicate
+    val srcs = lib.chunks.join(hits, "chunk_id")
+      .select(col("source")).collect().map(_.getString(0))
+    assert(srcs.forall(allowed), "fitted-grid hit outside the predicate")
+
+    // plan shape: the probe scans the grid_index (NOT the store), the
+    // cell probe is partition-pruned, and the predicate rides inside
+    // the pruned scan as a data filter
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val gScans = scans(hits.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("grid_index")))
+    assert(gScans.nonEmpty, "filtered grid search abandoned the fitted index")
+    assert(gScans.head.partitionFilters.nonEmpty,
+      "filtered grid probe lost its cell partition pruning")
+    assert(gScans.head.dataFilters.exists(
+      _.references.exists(_.name == "source")),
+      "source predicate not inside the cell-pruned scan")
+    assert(!hits.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "filtered fitted probe re-aggregates in the probe plan")
+
+    // equality: identical to the expanding rule under the SAME frozen
+    // bounds over the filtered subset, derived from the STORE (catches
+    // a stale or mixed-schema index)
+    val (lo, hi, gd, cpd) = {
+      val m = spark.read.parquet(s"$root/gridf-lib/grid_index/bounds")
+        .collect().sortBy(_.getInt(0))
+      (m.map(_.getDouble(1)), m.map(_.getDouble(2)), m.length, 4)
+    }
+    val storeSide = lib.chunks.where(pred)
+      .select(col("chunk_id"), col("embedding"),
+        operators.VectorSearch.cellKeyCol(col("embedding"), lo, hi, cpd).as("cell"))
+    val expect = operators.VectorSearch.gridKnnIndexed(storeSide, lo, hi,
+      lib.queryFrame(qt), "chunk_id", "embedding", 10, "cosine", gd, cpd)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(hitRows.map(r => (r.getString(0), r.getDouble(1))).toSeq == expect,
+      "fitted filtered probe diverged from the store-derived expanding rule")
+
+    // batch twin: same arm, same results as per-query
+    val qs2 = Seq(qt, "table scan filter hash")
+    val batch = lib.searchBatch(qs2, 5, filter = Some(pred)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    qs2.zipWithIndex.foreach { case (t, i) =>
+      assert(batch(i.toLong) ==
+        lib.search(t, 5, filter = Some(pred)).collect().map(_.getString(0)).toSeq,
+        s"filtered grid batch diverged for query $i")
+    }
+
+    // schema-evolution: a pre-metadata cell layout cannot resolve the
+    // predicate -> store-backed fallback, never an error or a silent
+    // wrong answer
+    val cellsPath = s"$root/gridf-lib/grid_index/cells"
+    val old = spark.read.parquet(cellsPath)
+      .select(col("chunk_id"), col("embedding"), col("cell")).collect()
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(old.toIndexedSeq),
+      spark.read.parquet(cellsPath)
+        .select(col("chunk_id"), col("embedding"), col("cell")).schema)
+    oldDf.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    lib.invalidateIndexes()
+    val fb = lib.search(qt, 5, filter = Some(pred))
+    assert(fb.count() == 5, "pre-metadata grid layout broke the filtered fallback")
+    val fbSrcs = lib.chunks.join(fb, "chunk_id")
+      .select(col("source")).collect().map(_.getString(0))
+    assert(fbSrcs.forall(allowed), "fallback hit outside the predicate")
+    lib.delete()
+  }
+
+  test("IVF append onto a pre-metadata assigned layout rebuilds instead of mixing schemas") {
+    val root = Files.createTempDirectory("graft-lib-ivfmig").toString
+    val lib = new VectorLibrary(spark, root, "ivfmig-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 60))
+    lib.setAlgorithm("ivf")
+    lib.buildIvfIndex()
+
+    // simulate an index written before metadata rode in assigned rows
+    val aPath = s"$root/ivfmig-lib/ivf_index/assigned"
+    val oldSchema = spark.read.parquet(aPath)
+      .select(col("chunk_id"), col("embedding"), col("cluster"))
+    val oldRows = oldSchema.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(oldRows.toIndexedSeq), oldSchema.schema)
+      .write.mode("overwrite").partitionBy("cluster").parquet(aPath)
+    lib.invalidateIndexes()
+
+    // append: the guard must REBUILD (with metadata) rather than mix
+    lib.addDocuments(docs.filter(col("doc_id") >= 60))
+    val assigned = spark.read.parquet(aPath)
+    assert(Seq("doc_id", "source", "n_tokens").forall(assigned.columns.contains),
+      "IVF append onto a pre-metadata layout did not rebuild")
+    assert(assigned.count() == lib.chunks.count(),
+      "rebuilt IVF index lost rows")
+    assert(assigned.filter(col("source").isNull).count() == 0,
+      "rebuilt IVF index carries null metadata")
+
+    // a filtered search now sees pre-upgrade documents too
+    val pred = col("doc_id") < 10
+    val hits = lib.search("spark join stream table filter", 10, filter = Some(pred))
+    val ids = lib.chunks.join(hits, "chunk_id")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ < 10),
+      "filtered IVF search dropped pre-upgrade rows after migration")
+    lib.delete()
+  }
+
   test("quantized index probe: fully index-resident, codes-only phase 1") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -507,6 +687,26 @@ class VectorLibrarySpec extends AnyFunSuite {
     val flat = lib.search(q, 1).collect()
     assert(div.head.getString(1) == flat.head.getString(0))
     assert(div.head.getDouble(2) == flat.head.getDouble(1))
+
+    // batch twin: per-query selection ORDER identical to single-query
+    val qs = Seq(q, "vector index search embedding", "window aggregate retention")
+    val batch = lib.searchDiverseBatch(qs, 5).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3))).toSeq)
+      .toMap
+    qs.zipWithIndex.foreach { case (t, i) =>
+      val single = lib.searchDiverse(t, 5).collect()
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+      assert(batch(i.toLong) == single,
+        s"searchDiverseBatch diverged from searchDiverse for query $i")
+    }
+    // filter composes: every batch hit satisfies the predicate
+    val pred = col("source").isin("src1", "src2", "src3", "src4", "src5")
+    val fb = lib.searchDiverseBatch(qs, 3, filter = Some(pred))
+    val fbSrcs = lib.chunks.join(fb.withColumnRenamed("chunk_id", "chunk_id"),
+      "chunk_id").select(col("source")).collect().map(_.getString(0))
+    assert(fbSrcs.forall(Set("src1", "src2", "src3", "src4", "src5")),
+      "filtered searchDiverseBatch hit outside the predicate")
     lib.delete()
   }
 
