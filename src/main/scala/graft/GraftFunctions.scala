@@ -175,6 +175,8 @@ object GraftFunctions {
       checked("graft_text_stats", 1, 1)(es => TextStats(es(0), stopwordsEn))),
     ("graft_topk", "bounded top-k aggregate (id, score, k)",
       checked("graft_topk", 3, 3)(es => TopKAgg(es(0), es(1), intLit(es(2))))),
+    ("graft_topk_str", "bounded top-k aggregate over string payloads (item, score, k)",
+      checked("graft_topk_str", 3, 3)(es => TopKStrAgg(es(0), es(1), intLit(es(2))))),
     ("graft_lsh_probes", "multi-probe LSH buckets (vec[, tables=8[, bits=8[, probes=2[, seed=42]]]])",
       checked("graft_lsh_probes", 1, 5)(es =>
         HyperplaneProbes(es(0), iArg(es, 1, 8), iArg(es, 2, 8), iArg(es, 3, 2),
@@ -274,6 +276,10 @@ object GraftFunctions {
   /** Native bounded top-k aggregate -> array<struct<id,score>>. */
   def topKAgg(id: Column, score: Column, k: Int): Column =
     call_function("graft_topk", id, score, lit(k))
+  /** String-payload top-k aggregate -> array<struct<item,score>>,
+    * (score desc, item asc), already in final rank order. */
+  def topKStrings(item: Column, score: Column, k: Int): Column =
+    call_function("graft_topk_str", item, score, lit(k))
   /** vector -> struct(scale, int8 bytes): 4x compressed form. */
   def quantizeVec(vec: Column): Column = call_function("graft_quantize", vec)
   /** approximate dot of two quantized structs. */

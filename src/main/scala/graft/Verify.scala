@@ -13,7 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: this main's stdout tail is a driver-parsed
+    // artifact, and benign WARNs (CacheManager re-cache notices, task
+    // retries) interleave into a merged stdout+stderr capture.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     // 125 queries sequentially = ~2.5 min wall at sf0.01; the driver's
     // correctness step has come back empty since the suite crossed 120

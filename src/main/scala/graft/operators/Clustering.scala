@@ -93,13 +93,16 @@ object Clustering {
                   vecCol: String = "embedding"): DataFrame = {
     val a = assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
       .withColumn("sqd6", round(col("sqd"), 6).cast("decimal(28,6)"))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("sqd").asc, col(idCol).asc)
-    a.withColumn("rn", row_number().over(w))
-      .groupBy(col("cluster"))
+    // exemplar = argmin(sqd, id) AS a struct-min — it folds into the
+    // same hash aggregate as the counts (map-side partials, one row
+    // per cluster per partition at the exchange), where a rank window
+    // would sort every cluster's full membership first
+    a.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vectors"),
         round(sum(col("sqd6")).cast("double") / count(lit(1)), 6).as("avg_sqdist"),
-        min(when(col("rn") === 1, col(idCol))).as("exemplar_id"))
+        min(struct(col("sqd"), col(idCol))).as("ex"))
+      .select(col("cluster"), col("n_vectors"), col("avg_sqdist"),
+        col("ex").getField(idCol).as("exemplar_id"))
       .orderBy(col("cluster").asc)
   }
 
@@ -173,10 +176,13 @@ object Clustering {
       .select(col(s"b.$idCol").as("vec_id"), col(s"a.$idCol").as("dup_of"),
         round(cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("dup_of").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("dup_of"), col("cos_sim"))
+    // best match = argmax(cos_sim, smallest dup_of) as a struct-max
+    // hash aggregate (the minhashIncremental pattern): partials
+    // collapse map-side, no per-vec_id sort of the candidate pairs
+    pairs.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("dup_of")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
+        col("m.cos_sim").as("cos_sim"))
       .orderBy(col("vec_id").asc)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -418,11 +417,14 @@ object TextAnalysis {
    * template detector's ranked view (which phrases dominate each
    * source), and the candidate list a decontamination blocklist
    * starts from. Shape at scale: grams dedup per document map-side
-   * (array_distinct before the explode), one shuffle on (source,
-   * gram), then the per-source top-k — the rank-window form the
-   * TopKWindowRewrite rule collapses to a bounded heap aggregate, so
-   * the shuffle after counting carries k rows per source per
-   * partition, never the full gram vocabulary.
+   * (array_distinct before the explode), one irreducible shuffle on
+   * (source, gram) for the exact document frequencies, then the
+   * per-source top-k as a NATIVE bounded aggregate (graft_topk_str,
+   * partial-aggregable) — the rank-window form would re-shuffle and
+   * SORT the full per-source gram vocabulary (the long-count/string
+   * key shape the TopKWindowRewrite rule does not cover); the
+   * aggregate's post-count shuffle carries k entries per source per
+   * partition, never the vocabulary.
    */
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 10): DataFrame = {
     val grams = when(size(col("toks")) >= n,
@@ -439,10 +441,12 @@ object TextAnalysis {
       .select(col("source"), explode(array_distinct(grams)).as("ngram"))
       .groupBy(col("source"), col("ngram"))
       .agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("df").desc, col("ngram").asc)
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    counts
+      .groupBy(col("source"))
+      .agg(graft.GraftFunctions.topKStrings(col("ngram"), col("df"), k).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), col("e.item").as("ngram"), col("e.score").as("df"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("source").asc, col("rank").asc)
   }
 

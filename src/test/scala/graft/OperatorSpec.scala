@@ -738,6 +738,43 @@ class OperatorSpec extends AnyFunSuite {
       ("b", "the cat sat", 1L, 1)))
   }
 
+  test("topNgrams top-k is a bounded native aggregate, not a rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the gram vocabulary here is larger than k, with a tie at the
+    // k boundary (df=1 grams resolve by gram asc) — the exact case
+    // where heap and window orders could diverge
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        s"common prefix token w$i x$i y$i z$i tail")
+    }.toDF("doc_id", "source", "text")
+    val out = TextAnalysis.topNgrams(docs, n = 3, k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-source top-k must be the bounded aggregate, not a rank window")
+    assert(plan.contains("partial_graft_topk_str"),
+      "top-k aggregate must run a map-side partial pass")
+    // ground truth: the rank-window form over the same counts
+    val counts = docs
+      .select(col("source"), graft.GraftFunctions.tokensOf(col("text")).as("toks"))
+      .select(col("source"), explode(array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>")))).as("ngram"))
+      .groupBy(col("source"), col("ngram")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("df").desc, col("ngram").asc)
+    val expect = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("source").asc, col("rank").asc)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == expect.toSeq,
+      "bounded aggregate must reproduce the rank-window order exactly")
+  }
+
   test("contamination scores containment against the eval corpus") {
     import spark.implicits._
     val evalDocs = Seq(
