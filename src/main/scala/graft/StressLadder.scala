@@ -490,3 +490,109 @@ object HighDimLadder {
     results.toMap
   }
 }
+
+/**
+ * Scale ladder for the TEXT-ANALYSIS family's vocabulary-shaped
+ * aggregates — the two ops whose shuffle payload grows with the
+ * corpus's VOCABULARY, not just its row count:
+ *  - [[operators.TextAnalysis.topNgrams]]: per-source top-k grams.
+ *    The count shuffle is irreducible (exact document frequencies),
+ *    but the top-k must stay a BOUNDED aggregate (graft_topk_str, k
+ *    entries per source per partition) — the rank-window form would
+ *    re-shuffle and sort the full gram vocabulary, which this rung
+ *    grows linearly with the corpus (copy-unique tokens);
+ *  - [[operators.TextAnalysis.unigramSurprise]]: corpus-LM quality
+ *    scoring, whose vocabulary-sized count table joins per DISTINCT
+ *    doc-token with multiplicities as counts.
+ *
+ * Corpus: sf0.1 `documents` x copies; each copy appends copy-unique
+ * tokens so the gram vocabulary scales with the corpus (~nBase x
+ * copies new trigrams) — the axis that breaks vocabulary-sorting
+ * plans. Rungs default to 500k and 2M docs (the gram explode is
+ * ~300 rows/doc, so these rungs already shuffle 0.15-0.6B gram
+ * rows).
+ *
+ * Assertions (exit non-zero on violation):
+ *  - top_ngrams output stays k x nSources rows at BOTH rungs
+ *    (bounded, corpus-independent);
+ *  - unigram_surprise output is exactly one row per doc;
+ *  - wall growth across the x4 corpus step <= x6 for both.
+ *
+ * Run: `sbt "runMain graft.TextLadder"` (500k then 2M), or
+ *      `sbt "runMain graft.TextLadder 20"` for one small rung.
+ */
+object TextLadder {
+
+  private case class Rung(n: Long, results: Map[String, Double])
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val copiesSeq: Seq[Int] =
+      if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(100, 400)
+    val measured = copiesSeq.map(c => rung(spark, c))
+
+    if (measured.length >= 2) {
+      val lo = measured.head; val hi = measured.last
+      val growth = hi.n.toDouble / lo.n
+      for (name <- Seq("top_ngrams", "unigram_surprise")) {
+        val ratio = hi.results(name) / math.max(lo.results(name), 1e-9)
+        println(f"[text-ladder] WALL $name: ${lo.results(name)}%.1fs -> " +
+          f"${hi.results(name)}%.1fs (x$ratio%.2f over x$growth%.1f corpus)")
+        assert(ratio <= growth * 1.5,
+          f"$name wall grew x$ratio%.2f across a x$growth%.1f corpus — superlinear")
+      }
+    }
+    spark.stop()
+  }
+
+  private def rung(spark: SparkSession, copies: Int): Rung = {
+    import operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-text-ladder").toString
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // copy i of doc d appends tokens unique to (d, i): every copy
+    // contributes fresh trigrams, so the gram vocabulary grows with
+    // the corpus — exactly what a vocabulary-sorting plan chokes on
+    base.crossJoin(spark.range(copies))
+      .select((col("id") * 1000000 + col("doc_id")).as("doc_id"), col("source"),
+        concat(col("text"), lit(" uniq "),
+          md5(concat(col("doc_id").cast("string"), lit("_"), col("id").cast("string"))),
+          lit(" mark"), (col("id") % 97).cast("string")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+    val n = docs.count()
+    val nSources = docs.select(col("source")).distinct().count()
+    println(s"[text-ladder] ===== rung: $n docs, $nSources sources =====")
+    val results = scala.collection.mutable.Map[String, Double]()
+
+    val t0 = System.nanoTime()
+    val top = TextAnalysis.topNgrams(docs, n = 3, k = 10)
+    val topRows = top.count()
+    results("top_ngrams") = (System.nanoTime() - t0) / 1e9
+    println(f"[text-ladder] top_ngrams: ${results("top_ngrams")}%.1fs, $topRows rows out")
+    assert(topRows == nSources * 10,
+      s"top_ngrams emitted $topRows rows, expected ${nSources * 10} — output not bounded")
+
+    val t1 = System.nanoTime()
+    val sup = TextAnalysis.unigramSurprise(docs)
+    val supRows = sup.count()
+    results("unigram_surprise") = (System.nanoTime() - t1) / 1e9
+    println(f"[text-ladder] unigram_surprise: ${results("unigram_surprise")}%.1fs, $supRows rows out")
+    assert(supRows == n,
+      s"unigram_surprise emitted $supRows rows for $n docs — not one per doc")
+
+    spark.sharedState.cacheManager.clearCache()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Rung(n, results.toMap)
+  }
+}
