@@ -56,6 +56,10 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     // Compact marker payload: total + the 8 slowest queries (the ones a
     // grader actually inspects) + a pointer to the full map. ~500 bytes.
+    // The key stays "queries" because that is the driver's documented
+    // marker contract; consumers that need the complete map must read
+    // `detail` (nqueries flags the truncation). The full file of
+    // record above keeps the untruncated map under the same key.
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val compact =

@@ -226,9 +226,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")
             || !partitionedIndex.columns.contains("source"))
           buildPartitionedIndex()
-        else indexRows(b).write.mode(SaveMode.Append)
-          .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-          .partitionBy("tbl", "bucket").parquet(indexPath)
+        else appendIndexRowsCommitted(indexRows(b))
       }
       if (hasIvfIndex) appendOrRebuildIvf(b)
       if (hasGridIndex) appendGridRows(b)
@@ -735,17 +733,111 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * nothing to read; the fallback column probe serves instead). */
   def hasPartitionedIndex: Boolean = hasVisibleData(indexPath)
 
-  // Memoized per index generation (invalidateIndexes drops it): a
-  // fresh spark.read.parquet re-LISTS the partition tree on every
-  // probe's planning pass, and a healthy balanced index has
-  // numTables * 2^bits (~2k) directories — measured seconds/query of
-  // pure driver-side listing once the hyperplane fix spread rows
-  // across all buckets. Reusing one DataFrame reuses its
-  // InMemoryFileIndex, so listing is paid once per generation. (At
-  // cluster scale the same role is played by a manifest/metastore.)
+  // --- partitioned-index file manifest --------------------------------
+  // One `_manifest.txt` at the index root: the relative paths of every
+  // LIVE data file, replaced atomically (tmp + rename) at each
+  // mutation's commit point. Readers plan from the manifest instead of
+  // listing the numTables * 2^bits (~2k+) partition directories, which
+  // buys two things a 100 TB deployment needs:
+  //  - OPEN COST: one small file read per index generation, not a
+  //    recursive tree listing (at ~8k dirs the listing alone measured
+  //    seconds per open);
+  //  - ATOMIC COMMITS for concurrent readers: append/compact/delete
+  //    publish their files by swapping the manifest, so a reader never
+  //    plans against half-installed directories or picks up a crashed
+  //    writer's orphan files (the FAILED_READ_FILE class a listing
+  //    reader hits mid-swap). This is the same commit discipline a
+  //    lake table format applies, scoped to this one derived layout.
+  // Pre-manifest layouts read via listing (unchanged behavior) and are
+  // upgraded by the next mutation. Maintenance resolution scans
+  // (victim files, compaction occupancy) stay listing-based: they run
+  // under the single-writer discipline the COW design already assumes.
+  private val manifestPath = s"$indexPath/_manifest.txt"
+
+  private def readIndexManifest(): Option[Seq[String]] = {
+    val fs = hadoopFs(manifestPath)
+    val p = new org.apache.hadoop.fs.Path(manifestPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  private def writeIndexManifest(files: Seq[String]): Unit = {
+    val fs = hadoopFs(manifestPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/._manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(manifestPath)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest: cannot install $manifestPath")
+  }
+
+  /** Relative paths of the visible files under `treeRoot` — the whole
+    * tree, or the given "tbl=i/bucket=j" subdirectories only. */
+  private def listTreeFiles(treeRoot: String, dirs: Option[Seq[String]]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(treeRoot)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def filesUnder(d: Path, rel: String): Seq[String] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!visible(n)) Seq.empty
+        else if (st.isDirectory) filesUnder(st.getPath, s"$rel$n/")
+        else Seq(s"$rel$n")
+      }
+    dirs match {
+      case Some(ds) => ds.flatMap(d => filesUnder(new Path(s"$treeRoot/$d"), s"$d/"))
+      case None => filesUnder(new Path(treeRoot), "")
+    }
+  }
+
+  private def listIndexFiles(dirs: Option[Seq[String]]): Seq[String] =
+    listTreeFiles(indexPath, dirs)
+
+  /** Append a batch's exploded index rows and commit exactly THEIR
+    * files to the manifest: the new files are identified by a
+    * touched-directory listing DIFF around the write, so a crashed
+    * writer's orphans sitting in the same directories are never
+    * adopted (they stay invisible until compaction vacuums them).
+    * Commit cost tracks the batch's directories, never the index.
+    * Pre-manifest layouts upgrade to a full on-disk snapshot instead
+    * — their listing is already the source of truth. */
+  private def appendIndexRowsCommitted(rows: DataFrame): Unit = {
+    val touched = rows.select(col("tbl"), col("bucket")).distinct()
+      .collect().map(r => s"tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq
+    val manifestBefore = readIndexManifest()
+    val pre =
+      if (manifestBefore.isDefined) listIndexFiles(Some(touched)).toSet
+      else Set.empty[String]
+    rows.write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("tbl", "bucket").parquet(indexPath)
+    manifestBefore match {
+      case Some(base) =>
+        writeIndexManifest(base ++ listIndexFiles(Some(touched)).filterNot(pre))
+      case None => writeIndexManifest(listIndexFiles(None))
+    }
+  }
+
+  // Memoized per index generation (invalidateIndexes drops it):
+  // manifest-backed when present — one InMemoryFileIndex built from
+  // the manifest's file list (basePath keeps the tbl/bucket partition
+  // columns and their pruning) — with the recursive-listing read as
+  // the pre-manifest fallback. Reusing one DataFrame per generation
+  // means even the fallback pays its listing once.
   private var partIdxCache: Option[DataFrame] = None
   private def partitionedIndex: DataFrame = partIdxCache.getOrElse {
-    val df = spark.read.parquet(indexPath)
+    val df = readIndexManifest() match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", indexPath)
+          .parquet(files.map(f => s"$indexPath/$f"): _*)
+      case _ => spark.read.parquet(indexPath)
+    }
     partIdxCache = Some(df)
     df
   }
@@ -788,6 +880,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     indexRows(chunks).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
+    writeIndexManifest(listIndexFiles(None))
     partIdxCache = None
   }
 
@@ -803,9 +896,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * leave one small file per batch in every touched (tbl, bucket)
    * directory; this rewrites ONLY the directories holding more than
    * `maxFilesPerPartition` files — one partition-pruned scan of the
-   * oversized directories, one clustered write, then a per-directory
-   * rename swap. Untouched directories keep their files byte-for-byte,
-   * so at 100 TB the cost tracks the churn, not the index size.
+   * oversized directories, one clustered write. The commit is a
+   * MANIFEST FLIP, not a directory swap: compacted files land BESIDE
+   * the fragments under fresh unique names, the manifest republishes
+   * referencing only them, and the replaced files (plus any orphans a
+   * crashed writer left — by definition unreferenced) are vacuumed
+   * after the flip. A concurrent reader therefore always plans
+   * against a complete file set: pre-flip it reads the fragments,
+   * post-flip the compacted files; there is no half-installed window
+   * (the rename-swap form had one, and a listing reader could also
+   * adopt a crashed writer's partial output). In a shared deployment
+   * the vacuum would defer past a reader grace period. Untouched
+   * directories keep their files byte-for-byte, so at 100 TB the
+   * cost tracks the churn, not the index size.
    * Returns the number of directories compacted.
    */
   def compactPartitionedIndex(maxFilesPerPartition: Int = 4): Int = {
@@ -829,9 +932,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
              bDir.getPath.getName.stripPrefix("bucket=").toInt)
     if (oversized.isEmpty) return 0
     // Partition-column-only predicate: the rewrite scan is pruned to
-    // exactly the oversized directories at planning time.
-    val pred = oversized.map { case (t, b) =>
-      col("tbl") === t && col("bucket") === b }.reduce(_ || _)
+    // exactly the oversized directories at planning time. A FLAT In
+    // over a combined key, not an OR-chain — reducing (tbl===t &&
+    // bucket===b) across thousands of directories nests the Column
+    // tree thousands deep and overflows the converter stack (and
+    // plans miserably); one In keeps depth constant at any fan-out.
+    val pred = (col("tbl").cast("long") * (1L << 20) + col("bucket"))
+      .isin(oversized.map { case (t, b) => t.toLong * (1L << 20) + b }: _*)
     val tmpPath = s"$root/$name/.lsh_index_compact"
     fs.delete(new Path(tmpPath), true)
     partitionedIndex.filter(pred)
@@ -842,34 +949,43 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .partitionBy("tbl", "bucket").parquet(tmpPath)
     // A directory whose files hold zero rows produces no rewrite
     // output; leave it untouched rather than installing nothing.
-    val swappable = oversized.filter { case (t, b) =>
+    val compacted = oversized.filter { case (t, b) =>
       fs.exists(new Path(s"$tmpPath/tbl=$t/bucket=$b")) }
-    swappable.foreach { case (t, b) =>
-      installDir(fs, new Path(s"$tmpPath/tbl=$t/bucket=$b"),
-        new Path(s"$indexPath/tbl=$t/bucket=$b"))
+    if (compacted.isEmpty) { fs.delete(new Path(tmpPath), true); return 0 }
+    val compactedDirs = compacted.map { case (t, b) => s"tbl=$t/bucket=$b" }
+    // move the compacted files INTO the live directories beside the
+    // fragments (fresh UUID part-names — no clashes, no dir swap)
+    val moved = compactedDirs.flatMap { d =>
+      fs.listStatus(new Path(s"$tmpPath/$d")).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!visible(st.getPath)) Seq.empty
+        else {
+          if (!fs.rename(st.getPath, new Path(s"$indexPath/$d/$n")))
+            throw new java.io.IOException(s"compact: cannot install $d/$n")
+          Seq(s"$d/$n")
+        }
+      }
     }
     fs.delete(new Path(tmpPath), true)
-    // the memoized index frame's file listing predates the swap
+    // COMMIT: manifest entries for the compacted dirs become exactly
+    // the moved files (a pre-manifest layout upgrades via full list)
+    val dirPrefixes = compactedDirs.map(_ + "/")
+    val base = readIndexManifest().getOrElse(listIndexFiles(None))
+    writeIndexManifest(
+      base.filterNot(f => dirPrefixes.exists(f.startsWith)) ++ moved)
     partIdxCache = None
-    swappable.size
-  }
-
-  /** Install `fresh` at `live` via rename-aside swap: a crash
-    * mid-sequence leaves the old directory recoverable at the aside
-    * name; a failed install rolls the old directory back. */
-  private def installDir(fs: org.apache.hadoop.fs.FileSystem,
-                         fresh: org.apache.hadoop.fs.Path,
-                         live: org.apache.hadoop.fs.Path): Unit = {
-    val aside = new org.apache.hadoop.fs.Path(
-      live.getParent, s".${live.getName}.old")
-    fs.delete(aside, true)
-    if (!fs.rename(live, aside) && fs.exists(live))
-      throw new java.io.IOException(s"swap: cannot move $live aside")
-    if (!fs.rename(fresh, live)) {
-      fs.rename(aside, live) // roll back; directory is still intact
-      throw new java.io.IOException(s"swap: cannot install $fresh at $live")
+    // VACUUM: every on-disk file in the compacted dirs that the new
+    // manifest does not reference — the replaced fragments and any
+    // crashed-writer orphans (unreferenced by construction, so safe)
+    val keep = moved.toSet
+    compactedDirs.foreach { d =>
+      fs.listStatus(new Path(s"$indexPath/$d")).foreach { st =>
+        val rel = s"$d/${st.getPath.getName}"
+        if (visible(st.getPath) && !keep.contains(rel))
+          fs.delete(st.getPath, false)
+      }
     }
-    fs.delete(aside, true)
+    compacted.size
   }
 
   /**
@@ -1127,8 +1243,26 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // source of truth the indexes re-derive from on any recovery).
       step("swap-store")(cowTree(path, storeTmp, storeFiles))
       if (lshFiles.nonEmpty) step("swap-lsh") {
+        // the rewrite's replacement files, captured from the tmp tree
+        // BEFORE cowTree consumes it — the manifest commit references
+        // exactly these plus the untouched survivors, so neither a
+        // crashed writer's orphans nor the victims can be adopted
+        val freshRel = listTreeFiles(idxTmp, None)
         cowTree(indexPath, idxTmp, lshFiles)
         pruneEmptyParents(indexPath)
+        val rootStr = {
+          val s = hadoopFs(indexPath).makeQualified(
+            new org.apache.hadoop.fs.Path(indexPath)).toUri.getPath
+          if (s.endsWith("/")) s else s + "/"
+        }
+        val victimsRel = lshFiles
+          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
+            .stripPrefix(rootStr)).toSet
+        readIndexManifest() match {
+          case Some(base) =>
+            writeIndexManifest(base.filterNot(victimsRel) ++ freshRel)
+          case None => writeIndexManifest(listIndexFiles(None))
+        }
       }
       if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
       if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
@@ -1740,9 +1874,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
-        indexRows(b).write.mode(SaveMode.Append)
-          .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-          .partitionBy("tbl", "bucket").parquet(indexPath)
+        appendIndexRowsCommitted(indexRows(b))
         // mirror appendBatch: every derived index stays current and
         // session caches drop, so ivf/grid/flat search sees the arrivals
         if (hasIvfIndex) appendOrRebuildIvf(b)

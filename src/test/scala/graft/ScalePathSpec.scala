@@ -480,7 +480,11 @@ class ScalePathSpec extends AnyFunSuite {
       if (!java.nio.file.Files.exists(base)) return Map.empty
       java.nio.file.Files.walk(base).iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p))
-        .filter(p => !p.getFileName.toString.startsWith("_"))
+        // visible data files only — underscore (_SUCCESS, _manifest)
+        // and dot (checksum sidecars) names are commit/bookkeeping
+        // artifacts that legitimately change on any manifest flip
+        .filter(p => { val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".") })
         .toSeq
         .groupBy(p => base.relativize(p.getParent).toString)
         .map { case (d, fs) => d -> fs.map(p =>

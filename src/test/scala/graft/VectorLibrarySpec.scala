@@ -937,6 +937,76 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("index manifest: readers plan from committed files only; orphans invisible and vacuumed") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-manifest").toString
+    val lib = new VectorLibrary(spark, root, "man-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    lib.buildPartitionedIndex()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxRoot = s"$root/man-lib/lsh_index"
+    assert(fs.exists(new Path(s"$idxRoot/_manifest.txt")),
+      "build must publish a manifest")
+    val q = "spark join stream table filter"
+    val before = lib.searchApprox(q, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+    // Plant an ORPHAN: a crashed writer's duplicate part-file in a
+    // populated bucket dir. A listing reader would double those rows;
+    // the manifest reader must not see it.
+    val someFile = (for {
+      t <- fs.listStatus(new Path(idxRoot)).toSeq if t.isDirectory
+      b <- fs.listStatus(t.getPath).toSeq if b.isDirectory
+      f <- fs.listStatus(b.getPath).toSeq
+      if !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")
+    } yield f.getPath).head
+    val orphan = new Path(someFile.getParent, "part-orphan-crashed.snappy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, someFile, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    lib.invalidateIndexes() // force a fresh plan — the point under test
+    val withOrphan = lib.searchApprox(q, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(withOrphan == before,
+      "an uncommitted file changed search results — reader is not manifest-scoped")
+
+    // Append commits THROUGH the manifest: new docs searchable, the
+    // orphan still invisible.
+    lib.addDocuments(docs.filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 1000))
+    val manifest = scala.io.Source.fromInputStream(
+      fs.open(new Path(s"$idxRoot/_manifest.txt")), "UTF-8").mkString
+    assert(!manifest.contains("part-orphan-crashed"),
+      "append splice adopted an uncommitted file into the manifest")
+
+    // Compaction's vacuum removes unreferenced files in the dirs it
+    // compacts; wherever the orphan's dir got compacted it is gone,
+    // and results are unchanged either way.
+    val afterAppend = lib.searchApprox(q, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // maxFiles=0 forces every populated dir (including the orphan's)
+    // through the compact-flip-vacuum cycle
+    lib.compactPartitionedIndex(maxFilesPerPartition = 0)
+    val afterCompact = lib.searchApprox(q, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(afterCompact == afterAppend, "compaction changed search results")
+    assert(!fs.exists(orphan),
+      "vacuum left an unreferenced file in a compacted directory")
+
+    // Pre-manifest layout: deleting the manifest falls back to the
+    // listing reader (which DOES see the orphan if still present) and
+    // the next mutation upgrades the layout with a fresh manifest.
+    fs.delete(new Path(s"$idxRoot/_manifest.txt"), false)
+    lib.invalidateIndexes()
+    assert(lib.searchApprox(q, k = 10).collect().nonEmpty,
+      "legacy listing fallback broken")
+    lib.addDocuments(docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 5000))
+    assert(fs.exists(new Path(s"$idxRoot/_manifest.txt")),
+      "mutation on a legacy layout must publish a manifest")
+    lib.delete()
+  }
+
   test("batch approximate search matches per-query results on both index paths") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
