@@ -17,7 +17,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stdout here is a driver-parsed artifact, and a
+    // merged stdout+stderr capture would interleave benign WARNs
+    // (CacheManager re-cache notices, registry replacements) into the
+    // tail window the driver greps for the marker line.
+    spark.sparkContext.setLogLevel("ERROR")
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       // best of 2 timed runs: single-JVM local mode has multi-second
@@ -62,8 +66,13 @@ object Bench {
     // record above keeps the untruncated map under the same key.
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // "truncated":true is the loud machine-readable flag that the
+    // marker's "queries" map is the slowest-8 subset, not the full map
+    // (which rides under the same key in `detail`) — a consumer that
+    // sums or counts marker entries can detect the repurposing instead
+    // of silently under-reporting.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"errors":$errs,"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"truncated":true,"queries":$slow,"errors":$errs,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
     // Marker-prefixed line for harnesses that grep; then the bare JSON
     // as the FINAL stdout line for harnesses that parse the last line

@@ -754,41 +754,54 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // under the single-writer discipline the COW design already assumes.
   private val manifestPath = s"$indexPath/_manifest.txt"
 
-  private def readIndexManifest(): Option[Seq[String]] = {
+  /** Manifest entries are `relativePath<TAB>sizeBytes`. Sizes ride in
+    * the manifest so the scan's split planning needs ZERO filesystem
+    * stat calls (see [[graft.plans.ManifestFileIndex]]); a legacy
+    * size-less line parses with size -1 and demotes that generation's
+    * read to the per-file-stat path until the next mutation rewrites
+    * the manifest with sizes. */
+  private def readIndexManifest(): Option[Seq[(String, Long)]] = {
     val fs = hadoopFs(manifestPath)
     val p = new org.apache.hadoop.fs.Path(manifestPath)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq)
+      Some(raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
+        line.split('\t') match {
+          case Array(path, size) => (path, size.toLong)
+          case _ => (line, -1L)
+        }
+      })
     }
   }
 
-  private def writeIndexManifest(files: Seq[String]): Unit = {
+  private def writeIndexManifest(files: Seq[(String, Long)]): Unit = {
     val fs = hadoopFs(manifestPath)
     val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/._manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(files.sortBy(_._1)
+      .map { case (p, s) => s"$p\t$s" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     val dest = new org.apache.hadoop.fs.Path(manifestPath)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest: cannot install $manifestPath")
   }
 
-  /** Relative paths of the visible files under `treeRoot` — the whole
-    * tree, or the given "tbl=i/bucket=j" subdirectories only. */
-  private def listTreeFiles(treeRoot: String, dirs: Option[Seq[String]]): Seq[String] = {
+  /** (relative path, size) of the visible files under `treeRoot` — the
+    * whole tree, or the given "tbl=i/bucket=j" subdirectories only. */
+  private def listTreeFiles(treeRoot: String, dirs: Option[Seq[String]]): Seq[(String, Long)] = {
     import org.apache.hadoop.fs.Path
     val fs = hadoopFs(treeRoot)
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    def filesUnder(d: Path, rel: String): Seq[String] =
+    def filesUnder(d: Path, rel: String): Seq[(String, Long)] =
       if (!fs.exists(d)) Seq.empty
       else fs.listStatus(d).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (!visible(n)) Seq.empty
         else if (st.isDirectory) filesUnder(st.getPath, s"$rel$n/")
-        else Seq(s"$rel$n")
+        else Seq((s"$rel$n", st.getLen))
       }
     dirs match {
       case Some(ds) => ds.flatMap(d => filesUnder(new Path(s"$treeRoot/$d"), s"$d/"))
@@ -796,7 +809,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
   }
 
-  private def listIndexFiles(dirs: Option[Seq[String]]): Seq[String] =
+  private def listIndexFiles(dirs: Option[Seq[String]]): Seq[(String, Long)] =
     listTreeFiles(indexPath, dirs)
 
   /** Append a batch's exploded index rows and commit exactly THEIR
@@ -812,30 +825,40 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .collect().map(r => s"tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq
     val manifestBefore = readIndexManifest()
     val pre =
-      if (manifestBefore.isDefined) listIndexFiles(Some(touched)).toSet
+      if (manifestBefore.isDefined)
+        listIndexFiles(Some(touched)).map(_._1).toSet
       else Set.empty[String]
     rows.write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
     manifestBefore match {
       case Some(base) =>
-        writeIndexManifest(base ++ listIndexFiles(Some(touched)).filterNot(pre))
+        writeIndexManifest(
+          base ++ listIndexFiles(Some(touched)).filterNot(f => pre(f._1)))
       case None => writeIndexManifest(listIndexFiles(None))
     }
   }
 
   // Memoized per index generation (invalidateIndexes drops it):
-  // manifest-backed when present — one InMemoryFileIndex built from
-  // the manifest's file list (basePath keeps the tbl/bucket partition
-  // columns and their pruning) — with the recursive-listing read as
-  // the pre-manifest fallback. Reusing one DataFrame per generation
-  // means even the fallback pays its listing once.
+  // manifest-backed when present — a graft.plans.ManifestFileIndex
+  // plans the scan directly from the manifest's (path, size) entries,
+  // so an open performs ZERO filesystem list/stat calls (one footer
+  // read for the data schema) while keeping tbl/bucket partition
+  // pruning. A legacy size-less manifest demotes to the per-file read
+  // (one stat per entry); no manifest at all falls back to the
+  // recursive listing. Reusing one DataFrame per generation means
+  // even the fallbacks pay their I/O once.
   private var partIdxCache: Option[DataFrame] = None
   private def partitionedIndex: DataFrame = partIdxCache.getOrElse {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val df = readIndexManifest() match {
-      case Some(files) if files.nonEmpty =>
+      case Some(entries) if entries.nonEmpty && entries.forall(_._2 >= 0) =>
+        graft.plans.ManifestFileIndex.read(spark, indexPath, entries,
+          StructType(Seq(StructField("tbl", IntegerType),
+                         StructField("bucket", IntegerType))))
+      case Some(entries) if entries.nonEmpty =>
         spark.read.option("basePath", indexPath)
-          .parquet(files.map(f => s"$indexPath/$f"): _*)
+          .parquet(entries.map(f => s"$indexPath/${f._1}"): _*)
       case _ => spark.read.parquet(indexPath)
     }
     partIdxCache = Some(df)
@@ -962,7 +985,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         else {
           if (!fs.rename(st.getPath, new Path(s"$indexPath/$d/$n")))
             throw new java.io.IOException(s"compact: cannot install $d/$n")
-          Seq(s"$d/$n")
+          Seq((s"$d/$n", st.getLen))
         }
       }
     }
@@ -972,12 +995,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val dirPrefixes = compactedDirs.map(_ + "/")
     val base = readIndexManifest().getOrElse(listIndexFiles(None))
     writeIndexManifest(
-      base.filterNot(f => dirPrefixes.exists(f.startsWith)) ++ moved)
+      base.filterNot(f => dirPrefixes.exists(f._1.startsWith)) ++ moved)
     partIdxCache = None
     // VACUUM: every on-disk file in the compacted dirs that the new
     // manifest does not reference — the replaced fragments and any
     // crashed-writer orphans (unreferenced by construction, so safe)
-    val keep = moved.toSet
+    val keep = moved.map(_._1).toSet
     compactedDirs.foreach { d =>
       fs.listStatus(new Path(s"$indexPath/$d")).foreach { st =>
         val rel = s"$d/${st.getPath.getName}"
@@ -1260,7 +1283,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             .stripPrefix(rootStr)).toSet
         readIndexManifest() match {
           case Some(base) =>
-            writeIndexManifest(base.filterNot(victimsRel) ++ freshRel)
+            writeIndexManifest(base.filterNot(f => victimsRel(f._1)) ++ freshRel)
           case None => writeIndexManifest(listIndexFiles(None))
         }
       }

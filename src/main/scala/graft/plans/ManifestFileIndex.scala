@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, InterpretedPredicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * A Catalyst [[FileIndex]] planned entirely from a manifest — the
+ * zero-listing open for a partitioned derived layout.
+ *
+ * The library's `_manifest.txt` names every LIVE data file (relative
+ * path + size) under the index root; this class turns those entries
+ * directly into the `PartitionDirectory` batches Spark's V1 parquet
+ * scan plans from. Consequences, all load-bearing at 100 TB:
+ *
+ *  - OPEN COST: constructing the scan performs ZERO filesystem
+ *    list/stat calls — no recursive tree listing (the
+ *    `InMemoryFileIndex` open), and no per-file `getFileStatus`
+ *    either (what `spark.read.parquet(files: _*)` still pays, one
+ *    stat per manifest entry — thousands of object-store HEADs for a
+ *    healthy index). File sizes ride in the manifest, so split
+ *    planning needs nothing from the store.
+ *  - ATOMICITY: a scan sees exactly one manifest generation. Orphans
+ *    from crashed writers are invisible by construction; a
+ *    mid-mutation reader plans against the complete previous
+ *    generation.
+ *  - PARTITION PRUNING: `listFiles` evaluates the pushed partition
+ *    filters against values parsed from the `name=value` directory
+ *    segments of each entry's path — the same pruning contract
+ *    `PartitioningAwareFileIndex` provides, so `tbl`/`bucket`
+ *    predicates reach the scan unchanged.
+ *
+ * This is the table-format design (a Delta/Iceberg snapshot read,
+ * where the log supplies paths, sizes and partition values) scoped to
+ * the one derived layout that needs it. Reference behavior served:
+ * the persisted LSH index open in sternbergm/vector-db-service
+ * (services/persistence.py re-opens the whole pickled index per
+ * process; here an open is one small file read at any index size).
+ */
+final class ManifestFileIndex(
+    spark: SparkSession,
+    root: Path,
+    entries: Seq[(String, Long)],
+    override val partitionSchema: StructType) extends FileIndex {
+
+  // Group entries by partition directory once at construction; each
+  // group carries its parsed partition values as an InternalRow. Any
+  // entry whose path lacks a schema segment is a corrupt manifest —
+  // fail the open loudly rather than silently dropping rows.
+  private val dirs: Seq[(InternalRow, Seq[FileStatusWithMetadata])] = {
+    entries.groupBy(e => e._1.take(math.max(e._1.lastIndexOf('/'), 0)))
+      .toSeq.map { case (dir, es) =>
+        val segs = dir.split('/')
+        val values = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+          val seg = segs.find(_.startsWith(f.name + "="))
+            .getOrElse(throw new IllegalStateException(
+              s"manifest entry '$dir/...' missing partition segment '${f.name}='"))
+            .substring(f.name.length + 1)
+          f.dataType match {
+            case IntegerType => seg.toInt
+            case LongType => seg.toLong
+            case StringType => UTF8String.fromString(seg)
+            case dt => throw new IllegalStateException(
+              s"unsupported manifest partition type $dt for '${f.name}'")
+          }
+        })
+        val files = es.map { case (rel, size) =>
+          FileStatusWithMetadata(new FileStatus(
+            size, false, 1, 128L * 1024 * 1024, 0L, new Path(root, rel)))
+        }
+        (values, files)
+      }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned =
+      if (partitionFilters.isEmpty) dirs
+      else {
+        // Bind the pushed predicates to the partition-values row — the
+        // standard PartitioningAwareFileIndex.prunePartitions shape.
+        val predicate = InterpretedPredicate(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fields
+                .indexWhere(_.name.equalsIgnoreCase(a.name))
+              BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+          })
+        predicate.initialize(0)
+        dirs.filter { case (row, _) => predicate.eval(row) }
+      }
+    pruned.map { case (row, files) => PartitionDirectory(row, files) }
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(e => new Path(root, e._1).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(_._2).sum
+
+  override def toString: String =
+    s"ManifestFileIndex($root, ${entries.size} files)"
+}
+
+object ManifestFileIndex {
+
+  /**
+   * DataFrame over manifest entries, schema-equivalent to
+   * `spark.read.parquet(root)` on the same live files (data columns
+   * followed by the partition columns). The only filesystem I/O at
+   * open is ONE footer read for the data schema — file discovery,
+   * sizes and partition values all come from the manifest. Rebuild
+   * the frame per manifest generation (callers memoize per
+   * generation already); `refresh()` is deliberately a no-op.
+   */
+  def read(spark: SparkSession, root: String, entries: Seq[(String, Long)],
+           partitionSchema: StructType): DataFrame = {
+    require(entries.nonEmpty, "empty manifest: nothing to plan")
+    val rootPath = new Path(root)
+    val qualified = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(rootPath)
+    // One generation writes one schema (schema evolution rebuilds the
+    // layout wholesale), so any single footer is authoritative.
+    val dataSchema = StructType(
+      spark.read.parquet(s"$root/${entries.head._1}").schema
+        .filterNot(f => partitionSchema.fieldNames.contains(f.name)))
+    val index = new ManifestFileIndex(spark, qualified, entries, partitionSchema)
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      index, partitionSchema, dataSchema, None, new ParquetFileFormat,
+      Map.empty[String, String])(spark))
+  }
+}
