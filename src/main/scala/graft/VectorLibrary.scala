@@ -165,7 +165,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ivfpqSideCache = None
     ivfpqState.foreach(_.encoded.unpersist())
     ivfpqState = None
-    partIdxCache = None
+    lshTree.invalidate()
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -226,7 +226,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")
             || !partitionedIndex.columns.contains("source"))
           buildPartitionedIndex()
-        else appendIndexRowsCommitted(indexRows(b))
+        else lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
       }
       if (hasIvfIndex) appendOrRebuildIvf(b)
       if (hasGridIndex) appendGridRows(b)
@@ -733,137 +733,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * nothing to read; the fallback column probe serves instead). */
   def hasPartitionedIndex: Boolean = hasVisibleData(indexPath)
 
-  // --- partitioned-index file manifest --------------------------------
-  // One `_manifest.txt` at the index root: the relative paths of every
-  // LIVE data file, replaced atomically (tmp + rename) at each
-  // mutation's commit point. Readers plan from the manifest instead of
-  // listing the numTables * 2^bits (~2k+) partition directories, which
-  // buys two things a 100 TB deployment needs:
-  //  - OPEN COST: one small file read per index generation, not a
-  //    recursive tree listing (at ~8k dirs the listing alone measured
-  //    seconds per open);
-  //  - ATOMIC COMMITS for concurrent readers: append/compact/delete
-  //    publish their files by swapping the manifest, so a reader never
-  //    plans against half-installed directories or picks up a crashed
-  //    writer's orphan files (the FAILED_READ_FILE class a listing
-  //    reader hits mid-swap). This is the same commit discipline a
-  //    lake table format applies, scoped to this one derived layout.
+  // --- derived-layout file manifests ----------------------------------
+  // Every persisted index layout publishes its LIVE file set through a
+  // root-level `_manifest.txt` (graft.plans.ManifestedTree): readers
+  // plan from the manifest instead of listing the partition
+  // directories (zero-stat opens), and append/compact/delete publish
+  // by swapping the manifest (atomic commits — a crashed writer's
+  // orphans are invisible by construction). The same commit discipline
+  // a lake table format applies, scoped to the derived layouts.
   // Pre-manifest layouts read via listing (unchanged behavior) and are
   // upgraded by the next mutation. Maintenance resolution scans
   // (victim files, compaction occupancy) stay listing-based: they run
   // under the single-writer discipline the COW design already assumes.
-  private val manifestPath = s"$indexPath/_manifest.txt"
-
-  /** Manifest entries are `relativePath<TAB>sizeBytes`. Sizes ride in
-    * the manifest so the scan's split planning needs ZERO filesystem
-    * stat calls (see [[graft.plans.ManifestFileIndex]]); a legacy
-    * size-less line parses with size -1 and demotes that generation's
-    * read to the per-file-stat path until the next mutation rewrites
-    * the manifest with sizes. */
-  private def readIndexManifest(): Option[Seq[(String, Long)]] = {
-    val fs = hadoopFs(manifestPath)
-    val p = new org.apache.hadoop.fs.Path(manifestPath)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
-        line.split('\t') match {
-          case Array(path, size) => (path, size.toLong)
-          case _ => (line, -1L)
-        }
-      })
-    }
-  }
-
-  private def writeIndexManifest(files: Seq[(String, Long)]): Unit = {
-    val fs = hadoopFs(manifestPath)
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/._manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(files.sortBy(_._1)
-      .map { case (p, s) => s"$p\t$s" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(manifestPath)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest: cannot install $manifestPath")
-  }
-
-  /** (relative path, size) of the visible files under `treeRoot` — the
-    * whole tree, or the given "tbl=i/bucket=j" subdirectories only. */
-  private def listTreeFiles(treeRoot: String, dirs: Option[Seq[String]]): Seq[(String, Long)] = {
-    import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(treeRoot)
-    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    def filesUnder(d: Path, rel: String): Seq[(String, Long)] =
-      if (!fs.exists(d)) Seq.empty
-      else fs.listStatus(d).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (!visible(n)) Seq.empty
-        else if (st.isDirectory) filesUnder(st.getPath, s"$rel$n/")
-        else Seq((s"$rel$n", st.getLen))
-      }
-    dirs match {
-      case Some(ds) => ds.flatMap(d => filesUnder(new Path(s"$treeRoot/$d"), s"$d/"))
-      case None => filesUnder(new Path(treeRoot), "")
-    }
-  }
-
-  private def listIndexFiles(dirs: Option[Seq[String]]): Seq[(String, Long)] =
-    listTreeFiles(indexPath, dirs)
-
-  /** Append a batch's exploded index rows and commit exactly THEIR
-    * files to the manifest: the new files are identified by a
-    * touched-directory listing DIFF around the write, so a crashed
-    * writer's orphans sitting in the same directories are never
-    * adopted (they stay invisible until compaction vacuums them).
-    * Commit cost tracks the batch's directories, never the index.
-    * Pre-manifest layouts upgrade to a full on-disk snapshot instead
-    * — their listing is already the source of truth. */
-  private def appendIndexRowsCommitted(rows: DataFrame): Unit = {
-    val touched = rows.select(col("tbl"), col("bucket")).distinct()
-      .collect().map(r => s"tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq
-    val manifestBefore = readIndexManifest()
-    val pre =
-      if (manifestBefore.isDefined)
-        listIndexFiles(Some(touched)).map(_._1).toSet
-      else Set.empty[String]
-    rows.write.mode(SaveMode.Append)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("tbl", "bucket").parquet(indexPath)
-    manifestBefore match {
-      case Some(base) =>
-        writeIndexManifest(
-          base ++ listIndexFiles(Some(touched)).filterNot(f => pre(f._1)))
-      case None => writeIndexManifest(listIndexFiles(None))
-    }
-  }
-
-  // Memoized per index generation (invalidateIndexes drops it):
-  // manifest-backed when present — a graft.plans.ManifestFileIndex
-  // plans the scan directly from the manifest's (path, size) entries,
-  // so an open performs ZERO filesystem list/stat calls (one footer
-  // read for the data schema) while keeping tbl/bucket partition
-  // pruning. A legacy size-less manifest demotes to the per-file read
-  // (one stat per entry); no manifest at all falls back to the
-  // recursive listing. Reusing one DataFrame per generation means
-  // even the fallbacks pay their I/O once.
-  private var partIdxCache: Option[DataFrame] = None
-  private def partitionedIndex: DataFrame = partIdxCache.getOrElse {
+  private def intTree(root: String, cols: String*) = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val df = readIndexManifest() match {
-      case Some(entries) if entries.nonEmpty && entries.forall(_._2 >= 0) =>
-        graft.plans.ManifestFileIndex.read(spark, indexPath, entries,
-          StructType(Seq(StructField("tbl", IntegerType),
-                         StructField("bucket", IntegerType))))
-      case Some(entries) if entries.nonEmpty =>
-        spark.read.option("basePath", indexPath)
-          .parquet(entries.map(f => s"$indexPath/${f._1}"): _*)
-      case _ => spark.read.parquet(indexPath)
-    }
-    partIdxCache = Some(df)
-    df
+    new graft.plans.ManifestedTree(spark, root,
+      StructType(cols.map(c => StructField(c, IntegerType))))
   }
+  private def strTree(root: String, cols: String*) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    new graft.plans.ManifestedTree(spark, root,
+      StructType(cols.map(c => StructField(c, StringType))))
+  }
+  private val lshTree = intTree(indexPath, "tbl", "bucket")
+
+  /** The bucket-partitioned index, memoized per manifest generation. */
+  private def partitionedIndex: DataFrame = lshTree.open()
 
   /** Exploded index rows of an embedded chunk batch, clustered per
     * (tbl, bucket) partition directory and SORTED BY chunk_id within
@@ -903,14 +798,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     indexRows(chunks).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
-    writeIndexManifest(listIndexFiles(None))
-    partIdxCache = None
+    lshTree.commitSnapshot()
   }
 
   /** Drop the partitioned index (search falls back to the column probe). */
   def dropPartitionedIndex(): Unit = {
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    partIdxCache = None
+    lshTree.invalidate()
   }
 
   /**
@@ -992,11 +886,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     fs.delete(new Path(tmpPath), true)
     // COMMIT: manifest entries for the compacted dirs become exactly
     // the moved files (a pre-manifest layout upgrades via full list)
-    val dirPrefixes = compactedDirs.map(_ + "/")
-    val base = readIndexManifest().getOrElse(listIndexFiles(None))
-    writeIndexManifest(
-      base.filterNot(f => dirPrefixes.exists(f._1.startsWith)) ++ moved)
-    partIdxCache = None
+    lshTree.commitDirReplacement(compactedDirs.map(_ + "/"), moved)
     // VACUUM: every on-disk file in the compacted dirs that the new
     // manifest does not reference — the replaced fragments and any
     // crashed-writer orphans (unreferenced by construction, so safe)
@@ -1270,22 +1160,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // BEFORE cowTree consumes it — the manifest commit references
         // exactly these plus the untouched survivors, so neither a
         // crashed writer's orphans nor the victims can be adopted
-        val freshRel = listTreeFiles(idxTmp, None)
+        val freshRel = graft.plans.ManifestedTree.listTree(spark, idxTmp, None)
         cowTree(indexPath, idxTmp, lshFiles)
         pruneEmptyParents(indexPath)
-        val rootStr = {
-          val s = hadoopFs(indexPath).makeQualified(
-            new org.apache.hadoop.fs.Path(indexPath)).toUri.getPath
-          if (s.endsWith("/")) s else s + "/"
-        }
-        val victimsRel = lshFiles
-          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
-            .stripPrefix(rootStr)).toSet
-        readIndexManifest() match {
-          case Some(base) =>
-            writeIndexManifest(base.filterNot(f => victimsRel(f._1)) ++ freshRel)
-          case None => writeIndexManifest(listIndexFiles(None))
-        }
+        lshTree.commitSwap(lshFiles, freshRel)
       }
       if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
       if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
@@ -1897,7 +1775,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
-        appendIndexRowsCommitted(indexRows(b))
+        lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
         // mirror appendBatch: every derived index stays current and
         // session caches drop, so ivf/grid/flat search sees the arrivals
         if (hasIvfIndex) appendOrRebuildIvf(b)

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, InterpretedPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -57,11 +58,16 @@ final class ManifestFileIndex(
       .toSeq.map { case (dir, es) =>
         val segs = dir.split('/')
         val values = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
-          val seg = segs.find(_.startsWith(f.name + "="))
-            .getOrElse(throw new IllegalStateException(
-              s"manifest entry '$dir/...' missing partition segment '${f.name}='"))
-            .substring(f.name.length + 1)
-          f.dataType match {
+          // Directory segments carry Spark's partition-path escaping
+          // (and the Hive default-partition marker for null values) —
+          // decode them the same way PartitioningUtils does.
+          val seg = ExternalCatalogUtils.unescapePathName(
+            segs.find(_.startsWith(f.name + "="))
+              .getOrElse(throw new IllegalStateException(
+                s"manifest entry '$dir/...' missing partition segment '${f.name}='"))
+              .substring(f.name.length + 1))
+          if (seg == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else f.dataType match {
             case IntegerType => seg.toInt
             case LongType => seg.toLong
             case StringType => UTF8String.fromString(seg)
