@@ -166,6 +166,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ivfpqState.foreach(_.encoded.unpersist())
     ivfpqState = None
     lshTree.invalidate()
+    gridTree.invalidate()
+    ivfTree.invalidate()
+    pqTree.invalidate()
+    ivfpqTree.invalidate()
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
     val (model, assigned) = IvfIndex.build(chunks, "embedding")
@@ -369,11 +373,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // probe the persisted fitted grid: no per-query bounds
         // aggregate, partition-pruned cell scan.
         val (lo, hi, gd, cpd) = gridBoundsStored()
-        VectorSearch.gridKnnIndexed(spark.read.parquet(s"$gridPath/cells"),
+        VectorSearch.gridKnnIndexed(gridTree.open(),
           lo, hi, q, "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(gridCounts()))
       case "grid" if hasGridIndex
-          && covers(spark.read.parquet(s"$gridPath/cells"), filter.get) =>
+          && covers(gridTree.open(), filter.get) =>
         // Filtered search THROUGH the fitted index: the expanding-rule
         // radius resolves from the per-cell occupancy of the FILTERED
         // rows — one narrow (cell, predicate-cols) aggregate over the
@@ -385,7 +389,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // bounds. Pre-metadata cell layouts fail covers() and take the
         // store-backed fallback below (rebuild upgrades them).
         val (lo, hi, gd, cpd) = gridBoundsStored()
-        val filtered = spark.read.parquet(s"$gridPath/cells").where(filter.get)
+        val filtered = gridTree.open().where(filter.get)
         VectorSearch.gridKnnIndexed(filtered, lo, hi, q,
           "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(VectorSearch.gridCellCounts(filtered)))
@@ -397,10 +401,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
-        val assigned = spark.read.parquet(s"$ivfPath/assigned")
+        // manifest-planned open + driver-resolved probe cells; the
+        // predicate applies INSIDE the cluster-pruned scan
+        val assigned = ivfTree.open()
         if (filter.forall(covers(assigned, _)))
-          IvfIndex.searchIndexed(spark, ivfPath, q, "chunk_id", "embedding", kk,
-            metric = metric, rowFilter = filter)
+          IvfIndex.searchAssigned(applyF(assigned, filter), ivfCentersStored(),
+            q, "chunk_id", "embedding", kk, metric = metric)
         else flatFiltered(q, filter.get, kk, metric)
       case "ivf" =>
         val (model, assigned) = ivfIndex
@@ -423,7 +429,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "pq" if hasPqIndex =>
         // codes-only ADC scan of the persisted index; exact re-rank on
         // the survivors' float rows
-        val codes = spark.read.parquet(s"$pqPath/codes")
+        val codes = pqTree.open()
         if (filter.forall(covers(codes, _)))
           PqIndex.search(applyF(codes, filter), pqBooksStored(), q,
             "chunk_id", "embedding", kk, metric, normalized = true)
@@ -440,7 +446,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // tables come from the per-generation cache (like the batch
         // path) — not re-read from parquet per query.
         val (centers, books) = ivfpqSideStored()
-        val encoded = spark.read.parquet(s"$ivfpqPath/encoded")
+        val encoded = ivfpqTree.open()
         if (filter.forall(covers(encoded, _)))
           IvfPq.search(IvfPq.Index(centers, books, applyF(encoded, filter)),
             q, "chunk_id", "embedding", kk, metric = metric, normalized = true)
@@ -580,16 +586,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       case "lsh" => approxBatch(queries, kk, metric, filter)
       case "grid" if hasGridIndex && filter.isEmpty =>
         val (lo, hi, gd, cpd) = gridBoundsStored()
-        VectorSearch.gridKnnIndexedBatch(spark.read.parquet(s"$gridPath/cells"),
+        VectorSearch.gridKnnIndexedBatch(gridTree.open(),
           lo, hi, queries, "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(gridCounts()))
       case "grid" if hasGridIndex
-          && covers(spark.read.parquet(s"$gridPath/cells"), filter.get) =>
+          && covers(gridTree.open(), filter.get) =>
         // filtered batch through the fitted index — same contract as
         // the single-query arm: radii from the FILTERED per-cell
         // occupancy, predicate inside the cell-pruned scan
         val (lo, hi, gd, cpd) = gridBoundsStored()
-        val filtered = spark.read.parquet(s"$gridPath/cells").where(filter.get)
+        val filtered = gridTree.open().where(filter.get)
         VectorSearch.gridKnnIndexedBatch(filtered, lo, hi, queries,
           "chunk_id", "embedding", kk, metric, gd, cpd,
           countsOpt = Some(VectorSearch.gridCellCounts(filtered)))
@@ -601,10 +607,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
-        val assigned = spark.read.parquet(s"$ivfPath/assigned")
+        val assigned = ivfTree.open()
         if (filter.forall(covers(assigned, _)))
-          IvfIndex.searchIndexedBatch(spark, ivfPath, queries,
-            "chunk_id", "embedding", kk, metric = metric, rowFilter = filter)
+          IvfIndex.searchAssignedBatch(applyF(assigned, filter),
+            ivfCentersStored(), queries, "chunk_id", "embedding", kk,
+            metric = metric)
         else flatBatchFiltered(filter.get)
       case "ivf" =>
         // same lazy in-memory build the single-query path uses — a
@@ -625,7 +632,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             .withColumn("bits", bitPack(col("embedding"))),
           queries, "chunk_id", "embedding", "bits", kk, metric)
       case "pq" if hasPqIndex =>
-        val codes = spark.read.parquet(s"$pqPath/codes")
+        val codes = pqTree.open()
         if (filter.forall(covers(codes, _)))
           PqIndex.searchBatch(applyF(codes, filter), pqBooksStored(),
             queries, "chunk_id", "embedding", kk, metric, normalized = true)
@@ -637,7 +644,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             "chunk_id", "embedding", kk, metric, normalized = true)
         else flatBatchFiltered(filter.get)
       case "ivfpq" if hasIvfPqIndex =>
-        val encoded = spark.read.parquet(s"$ivfpqPath/encoded")
+        val encoded = ivfpqTree.open()
         if (filter.forall(covers(encoded, _)))
           IvfPq.searchBatch(
             IvfPq.Index(ivfpqSideStored()._1, ivfpqSideStored()._2,
@@ -808,98 +815,53 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /**
-   * Selective compaction of the partitioned index (the OPTIMIZE half
-   * of a lake table's maintenance loop): incremental/streaming appends
-   * leave one small file per batch in every touched (tbl, bucket)
-   * directory; this rewrites ONLY the directories holding more than
-   * `maxFilesPerPartition` files — one partition-pruned scan of the
-   * oversized directories, one clustered write. The commit is a
-   * MANIFEST FLIP, not a directory swap: compacted files land BESIDE
-   * the fragments under fresh unique names, the manifest republishes
-   * referencing only them, and the replaced files (plus any orphans a
-   * crashed writer left — by definition unreferenced) are vacuumed
-   * after the flip. A concurrent reader therefore always plans
-   * against a complete file set: pre-flip it reads the fragments,
-   * post-flip the compacted files; there is no half-installed window
-   * (the rename-swap form had one, and a listing reader could also
-   * adopt a crashed writer's partial output). In a shared deployment
-   * the vacuum would defer past a reader grace period. Untouched
-   * directories keep their files byte-for-byte, so at 100 TB the
-   * cost tracks the churn, not the index size.
+   * Selective compaction of the partitioned LSH index — the OPTIMIZE
+   * half of a lake table's maintenance loop, shared by every
+   * manifested layout (see [[graft.plans.ManifestedTree.compact]] for
+   * the rewrite-beside + manifest-flip + vacuum mechanics). Only
+   * directories fragmented past `maxFilesPerPartition` SMALL files
+   * rewrite; a hot bucket legitimately holding several files at the
+   * rolling bound is never re-compacted (merging full-size files
+   * would undo the bounded-rewrite-unit property deletes rely on).
    * Returns the number of directories compacted.
    */
   def compactPartitionedIndex(maxFilesPerPartition: Int = 4): Int = {
-    import org.apache.hadoop.fs.Path
     if (!hasPartitionedIndex) return 0
-    val fs = hadoopFs(indexPath)
-    def visible(p: Path) = { val n = p.getName; !n.startsWith(".") && !n.startsWith("_") }
-    // Only SMALL files count as fragments: a hot bucket legitimately
-    // holds several files at the rolling bound (indexMaxRecordsPerFile)
-    // and must not be re-compacted forever — merging full-size files
-    // would undo the bounded-rewrite-unit property deletes rely on.
-    val smallFileBytes = 2L << 20
-    val oversized = for {
-      tblDir <- fs.listStatus(new Path(indexPath)).toSeq
-      if tblDir.isDirectory && visible(tblDir.getPath)
-      bDir <- fs.listStatus(tblDir.getPath).toSeq
-      if bDir.isDirectory && visible(bDir.getPath)
-      if fs.listStatus(bDir.getPath).count(f =>
-        visible(f.getPath) && f.getLen < smallFileBytes) > maxFilesPerPartition
-    } yield (tblDir.getPath.getName.stripPrefix("tbl=").toInt,
-             bDir.getPath.getName.stripPrefix("bucket=").toInt)
-    if (oversized.isEmpty) return 0
-    // Partition-column-only predicate: the rewrite scan is pruned to
-    // exactly the oversized directories at planning time. A FLAT In
-    // over a combined key, not an OR-chain — reducing (tbl===t &&
-    // bucket===b) across thousands of directories nests the Column
-    // tree thousands deep and overflows the converter stack (and
-    // plans miserably); one In keeps depth constant at any fan-out.
-    val pred = (col("tbl").cast("long") * (1L << 20) + col("bucket"))
-      .isin(oversized.map { case (t, b) => t.toLong * (1L << 20) + b }: _*)
-    val tmpPath = s"$root/$name/.lsh_index_compact"
-    fs.delete(new Path(tmpPath), true)
-    partitionedIndex.filter(pred)
-      .repartition(col("tbl"), col("bucket"))
-      .sortWithinPartitions(col("tbl"), col("bucket"), col("chunk_id"))
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("tbl", "bucket").parquet(tmpPath)
-    // A directory whose files hold zero rows produces no rewrite
-    // output; leave it untouched rather than installing nothing.
-    val compacted = oversized.filter { case (t, b) =>
-      fs.exists(new Path(s"$tmpPath/tbl=$t/bucket=$b")) }
-    if (compacted.isEmpty) { fs.delete(new Path(tmpPath), true); return 0 }
-    val compactedDirs = compacted.map { case (t, b) => s"tbl=$t/bucket=$b" }
-    // move the compacted files INTO the live directories beside the
-    // fragments (fresh UUID part-names — no clashes, no dir swap)
-    val moved = compactedDirs.flatMap { d =>
-      fs.listStatus(new Path(s"$tmpPath/$d")).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (!visible(st.getPath)) Seq.empty
-        else {
-          if (!fs.rename(st.getPath, new Path(s"$indexPath/$d/$n")))
-            throw new java.io.IOException(s"compact: cannot install $d/$n")
-          Seq((s"$d/$n", st.getLen))
-        }
-      }
-    }
-    fs.delete(new Path(tmpPath), true)
-    // COMMIT: manifest entries for the compacted dirs become exactly
-    // the moved files (a pre-manifest layout upgrades via full list)
-    lshTree.commitDirReplacement(compactedDirs.map(_ + "/"), moved)
-    // VACUUM: every on-disk file in the compacted dirs that the new
-    // manifest does not reference — the replaced fragments and any
-    // crashed-writer orphans (unreferenced by construction, so safe)
-    val keep = moved.map(_._1).toSet
-    compactedDirs.foreach { d =>
-      fs.listStatus(new Path(s"$indexPath/$d")).foreach { st =>
-        val rel = s"$d/${st.getPath.getName}"
-        if (visible(st.getPath) && !keep.contains(rel))
-          fs.delete(st.getPath, false)
-      }
-    }
-    compacted.size
+    lshTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))
   }
+
+  /**
+   * One maintenance pass over EVERY persisted derived layout: compact
+   * each fragmented partition directory and vacuum crash orphans, per
+   * tree, committed through its manifest. The whole-library OPTIMIZE
+   * + VACUUM a deployment schedules after streaming ingest (each
+   * micro-batch leaves one small file per touched directory in each
+   * of the five layouts). Returns (tree -> directories compacted).
+   */
+  def compactIndexes(maxFilesPerPartition: Int = 4): Map[String, Int] = {
+    val passes = Seq(
+      ("lsh", hasPartitionedIndex, () => compactPartitionedIndex(maxFilesPerPartition)),
+      ("ivf", hasIvfIndex, () =>
+        ivfTree.compact(maxFilesPerPartition, IvfIndex.maxRecordsPerFile, Seq("chunk_id"))),
+      ("grid", hasGridIndex, () =>
+        gridTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))),
+      ("pq", hasPqIndex, () =>
+        pqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))),
+      ("ivfpq", hasIvfPqIndex, () =>
+        ivfpqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))))
+    val out = passes.collect { case (n, true, run) => n -> run() }.toMap
+    invalidateIndexes()
+    out
+  }
+
+  /** Standalone vacuum: remove crash-orphan files no manifest
+    * references, across every persisted layout (compaction already
+    * vacuums the directories it rewrites; this catches orphans in
+    * healthy directories). Returns (tree -> files removed). */
+  def vacuumIndexes(): Map[String, Int] = Map(
+    "lsh" -> lshTree, "ivf" -> ivfTree, "grid" -> gridTree,
+    "pq" -> pqTree, "ivfpq" -> ivfpqTree)
+    .map { case (n, t) => n -> t.vacuum() }
 
   /**
    * Copy-on-write removal of the victim chunks from the store AND
@@ -1165,11 +1127,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         pruneEmptyParents(indexPath)
         lshTree.commitSwap(lshFiles, freshRel)
       }
-      if (ivfFiles.nonEmpty) step("swap-ivf")(cowTree(s"$ivfPath/assigned", ivfTmp, ivfFiles))
-      if (gridFiles.nonEmpty) step("swap-grid")(cowTree(s"$gridPath/cells", gridTmp, gridFiles))
-      if (pqFiles.nonEmpty) step("swap-pq")(cowTree(s"$pqPath/codes", pqTmp, pqFiles))
+      // same commit discipline per derived tree: capture the rewrite
+      // outputs from the tmp tree, swap, flip the manifest
+      def swapCommitted(label: String, tree: graft.plans.ManifestedTree,
+                        tmp: String, victimFiles: Seq[String]): Unit =
+        step(label) {
+          val freshRel = graft.plans.ManifestedTree.listTree(spark, tmp, None)
+          cowTree(tree.root, tmp, victimFiles)
+          tree.commitSwap(victimFiles, freshRel)
+        }
+      if (ivfFiles.nonEmpty) swapCommitted("swap-ivf", ivfTree, ivfTmp, ivfFiles)
+      if (gridFiles.nonEmpty) swapCommitted("swap-grid", gridTree, gridTmp, gridFiles)
+      if (pqFiles.nonEmpty) swapCommitted("swap-pq", pqTree, pqTmp, pqFiles)
       if (ivfpqFiles.nonEmpty)
-        step("swap-ivfpq")(cowTree(s"$ivfpqPath/encoded", ivfpqTmp, ivfpqFiles))
+        swapCommitted("swap-ivfpq", ivfpqTree, ivfpqTmp, ivfpqFiles)
       lastDeleteAudit = audit.toMap
       nVictims
     } finally {
@@ -1252,6 +1223,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // assign against the FROZEN bounds (clamped, exactly like any
   // out-of-range vector), so ingest never refits.
   private val gridPath = s"$root/$name/grid_index"
+  private val gridTree = strTree(s"$gridPath/cells", "cell")
 
   /** True when the persisted grid index has been built and holds data. */
   def hasGridIndex: Boolean = hasVisibleData(s"$gridPath/cells")
@@ -1270,7 +1242,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Per-cell occupancy of the grid index, cached per store generation. */
   private def gridCounts(): Seq[(String, Long)] = gridCountsCache.getOrElse {
-    val c = VectorSearch.gridCellCounts(spark.read.parquet(s"$gridPath/cells"))
+    val c = VectorSearch.gridCellCounts(gridTree.open())
     gridCountsCache = Some(c)
     c
   }
@@ -1289,6 +1261,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("cell").parquet(s"$gridPath/cells")
+    gridTree.commitSnapshot()
     gridMetaCache = None
     gridCountsCache = None
     touchMeta("grid_dims" -> gridDims.toString,
@@ -1299,6 +1272,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * expanding probe over the store). */
   def dropGridIndex(): Unit = {
     hadoopFs(gridPath).delete(new org.apache.hadoop.fs.Path(gridPath), true)
+    gridTree.invalidate()
     gridMetaCache = None
     gridCountsCache = None
   }
@@ -1324,10 +1298,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Append a batch to the grid index under the frozen fitted bounds. */
   private def appendGridRows(batch: DataFrame): Unit = {
     val (lo, hi, _, cellsPerDim) = gridBoundsStored()
-    gridRows(batch, lo, hi, cellsPerDim)
-      .write.mode(SaveMode.Append)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("cell").parquet(s"$gridPath/cells")
+    gridTree.appendCommitted(gridRows(batch, lo, hi, cellsPerDim),
+      indexMaxRecordsPerFile)
   }
 
   // --- on-disk IVF index ---------------------------------------------
@@ -1336,6 +1308,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // build, this survives the session: a new cluster reopening the
   // library probes it with zero build cost.
   private val ivfPath = s"$root/$name/ivf_index"
+  private val ivfTree = intTree(s"$ivfPath/assigned", "cluster")
 
   /** True when the on-disk IVF index has been built. */
   def hasIvfIndex: Boolean = hadoopFs(ivfPath)
@@ -1351,6 +1324,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       chunks.select(col("chunk_id"), col("embedding"),
         col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
     IvfIndex.writeIndex(assigned, model, ivfPath)
+    ivfTree.commitSnapshot()
     // Persist the centroid count: store rewrites and drift refits must
     // rebuild at the SAME granularity, not a hardcoded default.
     touchMeta("ivf_centroids" -> nCentroids.toString)
@@ -1359,6 +1333,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** The centroid count this library's IVF index was built with. */
   private def ivfCentroids: Int =
     readMeta().get("ivf_centroids").map(_.toInt).getOrElse(16)
+
+  /** The stored IVF centroid table (tiny single-file parquet, read per
+    * probe — the same cost the path-based probe paid). */
+  private def ivfCentersStored(): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$ivfPath/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
 
   /** Append a batch to the IVF index — unless the existing assigned
     * rows predate the metadata columns, in which case rebuild from the
@@ -1369,23 +1349,28 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * silently drop every old row inside the cluster-pruned scan. */
   private def appendOrRebuildIvf(b: DataFrame): Unit = {
     val assignedCurrent =
-      scala.util.Try(spark.read.parquet(s"$ivfPath/assigned").columns).toOption
+      scala.util.Try(ivfTree.open().columns).toOption
         .exists(cs => Seq("doc_id", "source", "n_tokens").forall(cs.contains))
     if (assignedCurrent)
-      IvfIndex.appendAssign(spark, ivfPath,
-        b.select(col("chunk_id"), col("embedding"),
-          col("doc_id"), col("source"), col("n_tokens")),
-        "chunk_id", "embedding")
+      ivfTree.appendCommitted(
+        IvfIndex.assignExact(
+          b.select(col("chunk_id"), col("embedding"),
+            col("doc_id"), col("source"), col("n_tokens")),
+          "embedding", ivfCentersStored()),
+        IvfIndex.maxRecordsPerFile)
     else buildIvfIndex(ivfCentroids)
   }
 
   /** Drop the on-disk IVF index (search falls back to the lazy
     * in-memory build). */
-  def dropIvfIndex(): Unit =
+  def dropIvfIndex(): Unit = {
     hadoopFs(ivfPath).delete(new org.apache.hadoop.fs.Path(ivfPath), true)
+    ivfTree.invalidate()
+  }
 
   /** Current IVF drift ratio (1.0 = as healthy as at build). */
-  def ivfDrift: Double = IvfIndex.assignmentDrift(spark, ivfPath)
+  def ivfDrift: Double =
+    IvfIndex.assignmentDrift(spark, ivfPath, assignedOpt = Some(ivfTree.open()))
 
   /**
    * Re-fit the IVF centroids when appended data has drifted away from
@@ -1412,6 +1397,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // codebooks (ingest never refits), the same contract as the grid's
   // frozen bounds and the IVF centroids.
   private val pqPath = s"$root/$name/pq_index"
+  private val pqTree = strTree(s"$pqPath/codes", "source")
 
   /** True when the persisted PQ index has been built and holds data. */
   def hasPqIndex: Boolean = hasVisibleData(s"$pqPath/codes")
@@ -1435,13 +1421,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       col("n_tokens"), col("embedding"),
       l2Normalize(col("embedding")).as("__nvec"))
 
-  private def writePqCodes(base: DataFrame, books: PqIndex.Codebooks,
-                           mode: SaveMode): Unit =
+  /** Encoded code rows of a batch, clustered per source directory. */
+  private def pqCodeRows(base: DataFrame, books: PqIndex.Codebooks): DataFrame =
     PqIndex.encodeExact(base, "__nvec", books).drop("__nvec")
       .sortWithinPartitions(col("source"), col("chunk_id"))
-      .write.mode(mode)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("source").parquet(s"$pqPath/codes")
 
   /** Build (or rebuild) the persisted PQ index: m tiny subspace
     * k-means fits + one encoded write. Search under algorithm "pq"
@@ -1454,19 +1437,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
       .toDF("s", "j", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$pqPath/books")
-    writePqCodes(base, books, SaveMode.Overwrite)
+    pqCodeRows(base, books)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("source").parquet(s"$pqPath/codes")
+    pqTree.commitSnapshot()
     pqBooksCache = None
     touchMeta("pq_m" -> m.toString, "pq_k" -> kk.toString)
   }
 
   /** Append a batch's codes under the frozen stored codebooks. */
   private def appendPqRows(batch: DataFrame): Unit =
-    writePqCodes(pqBase(batch), pqBooksStored(), SaveMode.Append)
+    pqTree.appendCommitted(pqCodeRows(pqBase(batch), pqBooksStored()),
+      indexMaxRecordsPerFile)
 
   /** Drop the persisted PQ index (search falls back to the lazy
     * in-memory fit). */
   def dropPqIndex(): Unit = {
     hadoopFs(pqPath).delete(new org.apache.hadoop.fs.Path(pqPath), true)
+    pqTree.invalidate()
     pqBooksCache = None
   }
 
@@ -1480,6 +1469,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // tracks cosine, like the pq layout). Appends assign + encode under
   // the FROZEN geometry; targeted deletes copy-on-write victim files.
   private val ivfpqPath = s"$root/$name/ivfpq_index"
+  private val ivfpqTree = intTree(s"$ivfpqPath/encoded", "cluster")
 
   /** True when the persisted IVF-PQ index has been built and holds data. */
   def hasIvfPqIndex: Boolean = hasVisibleData(s"$ivfpqPath/encoded")
@@ -1493,11 +1483,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       side
     }
 
-  private def writeIvfPqRows(encoded: DataFrame, mode: SaveMode): Unit =
+  /** Encoded rows clustered per coarse-cluster directory. */
+  private def ivfpqRowsClustered(encoded: DataFrame): DataFrame =
     encoded.sortWithinPartitions(col("cluster"), col("chunk_id"))
-      .write.mode(mode)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("cluster").parquet(s"$ivfpqPath/encoded")
 
   /** Build (or rebuild) the persisted IVF-PQ index: one coarse
     * k-means + m residual-subspace fits + one partitioned write.
@@ -1512,7 +1500,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
       .toDF("s", "j", "codeword")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/books")
-    writeIvfPqRows(idx.encoded.drop("__nvec"), SaveMode.Overwrite)
+    ivfpqRowsClustered(idx.encoded.drop("__nvec"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+      .partitionBy("cluster").parquet(s"$ivfpqPath/encoded")
+    ivfpqTree.commitSnapshot()
     ivfpqSideCache = None
     // Build-time coarse-assignment quality: the drift baseline
     // (appends assign to the FROZEN geometry; this number rising is
@@ -1526,15 +1518,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Append a batch under the frozen stored centroids + codebooks. */
   private def appendIvfPqRows(batch: DataFrame): Unit = {
     val (centers, books) = ivfpqSideStored()
-    writeIvfPqRows(
-      IvfPq.encodeFrozen(pqBase(batch), "__nvec", centers, books).drop("__nvec"),
-      SaveMode.Append)
+    ivfpqTree.appendCommitted(
+      ivfpqRowsClustered(
+        IvfPq.encodeFrozen(pqBase(batch), "__nvec", centers, books)
+          .drop("__nvec")),
+      indexMaxRecordsPerFile)
   }
 
   /** Drop the persisted IVF-PQ index (search falls back to the lazy
     * in-memory fit). */
   def dropIvfPqIndex(): Unit = {
     hadoopFs(ivfpqPath).delete(new org.apache.hadoop.fs.Path(ivfpqPath), true)
+    ivfpqTree.invalidate()
     ivfpqSideCache = None
   }
 
@@ -1547,7 +1542,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     import spark.implicits._
     val cents = ivfpqSideStored()._1
       .map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
-    spark.read.parquet(s"$ivfpqPath/encoded")
+    ivfpqTree.open()
       .join(broadcast(cents), "cluster")
       .select(aggregate(
         zip_with(l2Normalize(col("embedding")).cast("array<double>"), col("centroid"),
@@ -1584,7 +1579,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def ivfpqIndexInfo: DataFrame = {
     require(hasIvfPqIndex, s"library $name has no IVF-PQ index (buildIvfPqIndex first)")
     val total = ivfpqSideStored()._1.size
-    spark.read.parquet(s"$ivfpqPath/encoded")
+    ivfpqTree.open()
       .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
       .agg(
         count(lit(1)).as("occupied_clusters"),
@@ -1650,7 +1645,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def ivfIndexInfo: DataFrame = {
     require(hasIvfIndex, s"library $name has no IVF index (buildIvfIndex first)")
-    val perCluster = spark.read.parquet(s"$ivfPath/assigned")
+    val perCluster = ivfTree.open()
       .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
     val total = ivfCentroids
     perCluster.agg(

@@ -23,7 +23,7 @@ object IvfIndex {
     * copy-on-write rewrite, so deleting a document from a dense cell
     * rewrites a file, not the cell (same constant class as the LSH
     * index's indexMaxRecordsPerFile). */
-  private val maxRecordsPerFile = 16384
+  private[graft] val maxRecordsPerFile = 16384
 
   /** Fit centroids and return the corpus with a `cluster` column. */
   def build(emb: DataFrame, vecCol: String, nCentroids: Int = 16,
@@ -173,9 +173,11 @@ object IvfIndex {
    * re-fit (rebuild) is due. One pruned scan + two tiny aggregates.
    */
   def assignmentDrift(spark: org.apache.spark.sql.SparkSession, path: String,
-                      vecCol: String = "embedding"): Double = {
+                      vecCol: String = "embedding",
+                      assignedOpt: Option[DataFrame] = None): Double = {
     val base = spark.read.parquet(s"$path/stats").head.getAs[Double]("mean_sq_dist")
-    val cur = meanSqDist(spark.read.parquet(s"$path/assigned"),
+    val cur = meanSqDist(
+      assignedOpt.getOrElse(spark.read.parquet(s"$path/assigned")),
       spark.read.parquet(s"$path/centroids"), vecCol)
       .head.getAs[Double]("mean_sq_dist")
     if (base > 0.0) cur / base else 1.0
@@ -222,6 +224,16 @@ object IvfIndex {
     batchProbe(rowFilter.fold(assigned)(assigned.where), centers, queries,
       idCol, vecCol, k, nProbe, metric)
   }
+
+  /** Batch twin of [[searchAssigned]]: probe an already-opened
+    * assigned frame against given centers. This is the
+    * manifest-planned serving path — the path-based form above
+    * re-lists the partition tree on every call. */
+  def searchAssignedBatch(assigned: DataFrame, centers: Seq[(Int, Array[Double])],
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nProbe: Int = 4,
+                          metric: String = "cosine"): DataFrame =
+    batchProbe(assigned, centers, queries, idCol, vecCol, k, nProbe, metric)
 
   /** Batch probe of an in-memory (model, assigned) index — the batch
     * twin of `search`, same union-pruned shape as the on-disk path. */

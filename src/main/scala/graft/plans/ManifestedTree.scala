@@ -149,6 +149,128 @@ final class ManifestedTree(
       base.filterNot(f => dirPrefixes.exists(f._1.startsWith)) ++ moved)
   }
 
+  /** Leaf partition directories (relative, e.g. "cell=3_1") holding
+    * more than `maxFiles` visible files smaller than `smallBytes` —
+    * the fragmentation census a compaction acts on. Only SMALL files
+    * count: a hot partition legitimately holds several files at the
+    * rolling bound and must not be re-compacted forever (merging
+    * full-size files would undo the bounded-rewrite-unit property
+    * copy-on-write deletes rely on). Listing-based by design: like
+    * victim resolution, maintenance runs under the single-writer
+    * discipline, and the on-disk state (orphans included) is exactly
+    * what it must measure. */
+  private def fragmentedDirs(maxFiles: Int, smallBytes: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    def leaves(d: Path, rel: String, depth: Int): Seq[(String, Path)] =
+      if (!fs.exists(d)) Seq.empty
+      else if (depth == 0) Seq((rel.stripSuffix("/"), d))
+      else fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && visible(n)) leaves(st.getPath, s"$rel$n/", depth - 1)
+        else Seq.empty
+      }
+    leaves(new Path(root), "", partitionSchema.length).collect {
+      case (rel, p) if fs.listStatus(p).count(f =>
+          visible(f.getPath.getName) && !f.isDirectory &&
+            f.getLen < smallBytes) > maxFiles => rel
+    }
+  }
+
+  /**
+   * Selective compaction — the OPTIMIZE half of the maintenance loop,
+   * shared by every manifested layout: incremental/streaming appends
+   * leave one small file per batch in each touched partition
+   * directory; this rewrites ONLY the directories fragmented past
+   * `maxFilesPerPartition`, with a directory-scoped read (basePath +
+   * explicit dirs — planning never touches the healthy partitions).
+   * The commit is a MANIFEST FLIP, not a directory swap: compacted
+   * files land BESIDE the fragments under fresh unique names, the
+   * manifest republishes referencing only them, and everything
+   * unreferenced in the compacted dirs (the fragments plus any
+   * crashed writer's orphans) is vacuumed after the flip. A
+   * concurrent reader always plans one complete generation. Cost
+   * tracks the churn, never the tree. Returns directories compacted.
+   */
+  def compact(maxFilesPerPartition: Int, maxRecordsPerFile: Long,
+              sortCols: Seq[String], smallFileBytes: Long = 2L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    val oversized = fragmentedDirs(maxFilesPerPartition, smallFileBytes)
+    if (oversized.isEmpty) return 0
+    val partCols = partitionSchema.fieldNames.toSeq
+    val tmpPath = root.stripSuffix("/") + ".compact_tmp"
+    fs.delete(new Path(tmpPath), true)
+    // The rewrite reads the manifest-LIVE files of the fragmented
+    // dirs, never their listing: a listing read would adopt a crashed
+    // writer's orphan rows into the compacted output. Pre-manifest
+    // trees have no orphan concept — their listing is the live set.
+    val liveFiles = readManifest() match {
+      case Some(entries) => entries.map(_._1)
+        .filter(rel => oversized.exists(d => rel.startsWith(d + "/")))
+      case None => oversized.flatMap(d =>
+        ManifestedTree.listTree(spark, root, Some(Seq(d))).map(_._1))
+    }
+    if (liveFiles.isEmpty) return 0
+    spark.read.option("basePath", root)
+      .parquet(liveFiles.map(rel => s"$root/$rel"): _*)
+      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(
+        (partCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*).parquet(tmpPath)
+    // A directory whose files hold zero rows produces no rewrite
+    // output; leave it untouched rather than installing nothing.
+    val compacted = oversized.filter(d => fs.exists(new Path(s"$tmpPath/$d")))
+    if (compacted.isEmpty) { fs.delete(new Path(tmpPath), true); return 0 }
+    // move the compacted files INTO the live directories beside the
+    // fragments (fresh UUID part-names — no clashes, no dir swap)
+    val moved = compacted.flatMap { d =>
+      fs.listStatus(new Path(s"$tmpPath/$d")).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!visible(n) || st.isDirectory) Seq.empty
+        else {
+          if (!fs.rename(st.getPath, new Path(s"$root/$d/$n")))
+            throw new java.io.IOException(s"compact: cannot install $d/$n")
+          Seq((s"$d/$n", st.getLen))
+        }
+      }
+    }
+    fs.delete(new Path(tmpPath), true)
+    // COMMIT: manifest entries for the compacted dirs become exactly
+    // the moved files (a pre-manifest layout upgrades via full list)
+    commitDirReplacement(compacted.map(_ + "/"), moved)
+    // VACUUM: every on-disk file in the compacted dirs the new
+    // manifest does not reference — the replaced fragments and any
+    // crashed-writer orphans (unreferenced by construction, so safe)
+    val keep = moved.map(_._1).toSet
+    compacted.foreach { d =>
+      fs.listStatus(new Path(s"$root/$d")).foreach { st =>
+        val rel = s"$d/${st.getPath.getName}"
+        if (!st.isDirectory && visible(st.getPath.getName) && !keep(rel))
+          fs.delete(st.getPath, false)
+      }
+    }
+    compacted.size
+  }
+
+  /** Delete every visible on-disk file the manifest does not
+    * reference — the standalone VACUUM for crash orphans outside any
+    * compacted directory. No-op on a pre-manifest tree (its listing
+    * IS the live set). Returns the number of files removed. Safe
+    * under the single-writer discipline: an unreferenced file is
+    * unreachable by every manifest reader by construction. */
+  def vacuum(): Int = readManifest() match {
+    case None => 0
+    case Some(entries) =>
+      val live = entries.map(_._1).toSet
+      val dead = listFiles(None).map(_._1).filterNot(live)
+      dead.foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
+      dead.size
+  }
+
   /** The tree as a DataFrame, memoized per manifest generation:
     * manifest-planned ([[ManifestFileIndex]] — zero list/stat calls,
     * partition pruning kept) when sizes are present; a legacy

@@ -1007,6 +1007,156 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("derived-tree manifests: ivf/grid/pq/ivfpq plan from committed files; orphans invisible") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-man4").toString
+    val lib = new VectorLibrary(spark, root, "man4-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs.filter(col("doc_id") < 40))
+    lib.buildIvfIndex(); lib.buildGridIndex(); lib.buildPqIndex(); lib.buildIvfPqIndex()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trees = Seq("ivf" -> "ivf_index/assigned", "grid" -> "grid_index/cells",
+      "pq" -> "pq_index/codes", "ivfpq" -> "ivfpq_index/encoded")
+    for ((a, rel) <- trees)
+      assert(fs.exists(new Path(s"$root/man4-lib/$rel/_manifest.txt")),
+        s"$a build did not publish a manifest")
+
+    val q = "spark join stream table filter"
+    def results(algo: String): Seq[(String, Double)] = {
+      lib.setAlgorithm(algo)
+      lib.search(q, k = 10).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val before = trees.map { case (a, _) => a -> results(a) }.toMap
+
+    // Plant a crashed writer's duplicate part-file in a populated
+    // partition dir of EVERY tree: a listing reader would double
+    // those rows (duplicate ids in the top-k); the manifest reader
+    // must plan the identical result set.
+    val orphans = trees.map { case (a, rel) =>
+      val treeRoot = new Path(s"$root/man4-lib/$rel")
+      val someFile = (for {
+        d <- fs.listStatus(treeRoot).toSeq if d.isDirectory
+        f <- fs.listStatus(d.getPath).toSeq
+        if !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")
+      } yield f.getPath).head
+      val orphan = new Path(someFile.getParent, s"part-orphan-$a.snappy.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, someFile, fs, orphan, false,
+        spark.sparkContext.hadoopConfiguration)
+      a -> orphan
+    }.toMap
+    lib.invalidateIndexes()
+    for ((a, _) <- trees)
+      assert(results(a) == before(a),
+        s"an uncommitted file changed $a search results — reader is not manifest-scoped")
+
+    // Appends commit through the manifests (appendBatch maintains all
+    // four trees): orphans are never adopted, searches keep working.
+    lib.addDocuments(docs.filter(col("doc_id") >= 40)
+      .withColumn("doc_id", col("doc_id") + 1000))
+    for ((a, rel) <- trees) {
+      val manifest = scala.io.Source.fromInputStream(
+        fs.open(new Path(s"$root/man4-lib/$rel/_manifest.txt")), "UTF-8").mkString
+      assert(!manifest.contains(s"part-orphan-$a"),
+        s"$a append adopted an uncommitted file into the manifest")
+      assert(results(a).size == 10, s"$a search broke after append")
+    }
+
+    // Copy-on-write delete commits its file swaps through the
+    // manifests too: victims leave, results stay orphan-free.
+    lib.deleteDocuments(col("doc_id") < 3)
+    for ((a, rel) <- trees) {
+      val manifest = scala.io.Source.fromInputStream(
+        fs.open(new Path(s"$root/man4-lib/$rel/_manifest.txt")), "UTF-8").mkString
+      assert(!manifest.contains(s"part-orphan-$a"),
+        s"$a delete swap adopted an uncommitted file")
+      val hits = results(a)
+      assert(hits.size == 10 && hits.map(_._1).distinct.size == 10,
+        s"$a search returned duplicates or too few rows after the delete swap")
+    }
+    lib.delete()
+  }
+
+  test("compactIndexes/vacuumIndexes: one maintenance pass defragments and cleans all five layouts") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-optimize").toString
+    val lib = new VectorLibrary(spark, root, "opt-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(80)
+    lib.addDocuments(docs.filter(col("doc_id") < 30))
+    lib.buildPartitionedIndex()
+    lib.buildIvfIndex(); lib.buildGridIndex(); lib.buildPqIndex(); lib.buildIvfPqIndex()
+    // three incremental appends fragment every tree (one small file
+    // per touched partition directory per batch — the streaming shape)
+    for (lo <- Seq(30, 45, 60))
+      lib.addDocuments(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 15)
+        .withColumn("doc_id", col("doc_id") + lo * 1000))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trees = Seq("lsh" -> "lsh_index", "ivf" -> "ivf_index/assigned",
+      "grid" -> "grid_index/cells", "pq" -> "pq_index/codes",
+      "ivfpq" -> "ivfpq_index/encoded")
+    def dataFiles(rel: String): Seq[String] = {
+      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st))
+      walk(new Path(s"$root/opt-lib/$rel")).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+    }
+    val filesBefore = trees.map { case (n, rel) => n -> dataFiles(rel).size }.toMap
+    val q = "spark join stream table filter"
+    def results(algo: String): Seq[(String, Double)] = {
+      lib.setAlgorithm(algo)
+      lib.search(q, k = 10).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    val algos = Seq("lsh", "ivf", "grid", "pq", "ivfpq")
+    val before = algos.map(a => a -> results(a)).toMap
+
+    val compacted = lib.compactIndexes(maxFilesPerPartition = 0)
+    assert(compacted.keySet == algos.toSet, s"maintenance skipped a tree: $compacted")
+    for ((n, rel) <- trees) {
+      assert(compacted(n) > 0, s"$n: nothing compacted after 3 fragmenting appends")
+      assert(dataFiles(rel).size < filesBefore(n),
+        s"$n: compaction did not reduce the file count " +
+          s"(${filesBefore(n)} -> ${dataFiles(rel).size})")
+    }
+    for (a <- algos)
+      assert(results(a) == before(a), s"$a results changed across compaction")
+
+    // vacuum: a crash orphan in a HEALTHY (not-being-compacted) dir of
+    // each tree is unreferenced by the manifest and gets removed
+    val orphans = trees.map { case (n, rel) =>
+      val treeRoot = new Path(s"$root/opt-lib/$rel")
+      def firstFile(p: Path): Path =
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName).collectFirst {
+          case st if st.isDirectory &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_") => firstFile(st.getPath)
+          case st if !st.isDirectory &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_") => st.getPath
+        }.get
+      val src = firstFile(treeRoot)
+      val orphan = new Path(src.getParent, s"part-orphan-$n.snappy.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false,
+        spark.sparkContext.hadoopConfiguration)
+      n -> orphan
+    }.toMap
+    val vacuumed = lib.vacuumIndexes()
+    for ((n, orphan) <- orphans) {
+      assert(vacuumed(n) >= 1, s"$n: vacuum removed nothing")
+      assert(!fs.exists(orphan), s"$n: vacuum left the orphan")
+    }
+    lib.invalidateIndexes()
+    for (a <- algos)
+      assert(results(a) == before(a), s"$a results changed across vacuum")
+
+    // idempotence: every directory now holds a single compacted file,
+    // so a second pass at threshold 1 finds nothing to do (threshold 0
+    // would re-qualify any dir with one small file, by definition)
+    assert(lib.compactIndexes(maxFilesPerPartition = 1).values.sum == 0,
+      "second compaction pass was not a no-op")
+    assert(lib.vacuumIndexes().values.sum == 0, "second vacuum was not a no-op")
+    lib.delete()
+  }
+
   test("batch approximate search matches per-query results on both index paths") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
