@@ -596,3 +596,118 @@ object TextLadder {
     Rung(n, results.toMap)
   }
 }
+
+/**
+ * Events scale ladder: the behavioral-analytics family (sessionize,
+ * funnel, retention, windowed aggregation) measured at 2.5M and 10M
+ * events — every published number for these operators is sf0.1
+ * (100k rows). The corpus replicates sf0.1 events across FRESH USER
+ * POPULATIONS (copy i shifts user_id; timestamps, types and values
+ * keep their real temporal pattern), which is exactly how these
+ * workloads grow in production: more users, same span. All four
+ * operators are one-shuffle-on-a-compact-key plans, so wall growth
+ * is ASSERTED <= corpus growth x1.5 across the x4 rung step (exit
+ * non-zero otherwise), and output shapes are asserted to scale the
+ * way each semantics dictates: sessionize/funnel linear in users,
+ * retention/window_agg CONSTANT (fixed span x fixed type/offset
+ * sets — the aggregate family a dashboard reads stays bounded no
+ * matter the corpus).
+ *
+ * Run: `sbt "runMain graft.EventsLadder"` (25 and 100 copies),
+ *      `sbt "runMain graft.EventsLadder 10,40"` (copies list).
+ */
+object EventsLadder {
+  import org.apache.spark.sql.DataFrame
+
+  private case class Rung(n: Long, results: Map[String, Double],
+                          outRows: Map[String, Long])
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val copiesSeq: Seq[Int] =
+      if (args.nonEmpty) args.head.split(',').map(_.trim.toInt).toSeq
+      else Seq(100, 400)
+    // warm-up: one untimed pass of every operator over the raw sf0.1
+    // table, so the first rung doesn't charge JVM/codegen warmup to
+    // its wall (measured: cold-start made a x4 rung step read x0.6)
+    locally {
+      val w = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      operators.Events.sessionize(w).count()
+      operators.Events.funnel(w).count()
+      operators.Events.retention(w).count()
+      operators.Events.windowAgg(w).count()
+      ()
+    }
+    val measured = copiesSeq.map(c => rung(spark, c))
+
+    if (measured.length >= 2) {
+      val lo = measured.head; val hi = measured.last
+      val growth = hi.n.toDouble / lo.n
+      for (name <- Seq("sessionize", "funnel", "retention", "window_agg")) {
+        val ratio = hi.results(name) / math.max(lo.results(name), 1e-9)
+        println(f"[events-ladder] WALL $name: ${lo.results(name)}%.1fs -> " +
+          f"${hi.results(name)}%.1fs (x$ratio%.2f over x$growth%.1f corpus)")
+        assert(ratio <= growth * 1.5,
+          f"$name wall grew x$ratio%.2f across a x$growth%.1f corpus — superlinear")
+      }
+      // Output-shape law per semantics: the per-user families scale
+      // with the user population, the fixed-span aggregates do not.
+      for (name <- Seq("sessionize", "funnel")) {
+        val r = hi.outRows(name).toDouble / lo.outRows(name)
+        assert(math.abs(r - growth) < growth * 0.2,
+          s"$name output rows x$r across x$growth users — not linear")
+      }
+      for (name <- Seq("retention", "window_agg"))
+        assert(hi.outRows(name) == lo.outRows(name),
+          s"$name output grew ${lo.outRows(name)} -> ${hi.outRows(name)} — " +
+            "a fixed-span aggregate must stay bounded")
+    }
+    spark.stop()
+  }
+
+  private def rung(spark: SparkSession, copies: Int): Rung = {
+    import operators.Events
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-ladder").toString
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    // copy i = the same event stream replayed by a fresh user
+    // population: ids offset per copy, timestamps untouched.
+    base.crossJoin(spark.range(copies))
+      .select(
+        (col("id") * 10000000000L + col("event_id")).as("event_id"),
+        col("ts"),
+        (col("id") * 10000000L + col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    val events = spark.read.parquet(s"$tmp/events")
+    val n = events.count()
+    println(s"[events-ladder] ===== rung: $n events ($copies copies) =====")
+    val results = scala.collection.mutable.Map[String, Double]()
+    val outRows = scala.collection.mutable.Map[String, Long]()
+
+    def measure(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      results(name) = (System.nanoTime() - t0) / 1e9
+      outRows(name) = rows
+      println(f"[events-ladder] $name: ${results(name)}%.1fs, $rows rows out")
+    }
+    measure("sessionize")(Events.sessionize(events))
+    measure("funnel")(Events.funnel(events))
+    measure("retention")(Events.retention(events))
+    measure("window_agg")(Events.windowAgg(events))
+
+    spark.sharedState.cacheManager.clearCache()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Rung(n, results.toMap, outRows.toMap)
+  }
+}
