@@ -172,17 +172,23 @@ object Events {
   /**
    * Cohort retention: users grouped by their first-activity day
    * (cohort); for each (cohort, day-offset) cell, how many of the
-   * cohort's users were active that day. Two aggregations on compact
-   * keys — (user, day) distinct activity, then the cohort matrix; the
-   * cohort day joins back via a broadcast-size per-user table at any
-   * realistic user count, or a co-partitioned shuffle join beyond.
+   * cohort's users were active that day. ONE corpus-scale shuffle:
+   * per-user distinct active days collect map-side into a bounded set
+   * (its size is the report's DAY SPAN, never the event count), the
+   * cohort is the set's minimum, and the offset cells explode from
+   * the tiny set — replacing the distinct + cohort-aggregate + join
+   * chain (three corpus-scale shuffles) the textbook formulation
+   * pays. At 100 TB the difference is the event table crossing the
+   * wire once instead of three times.
    */
   def retention(events: DataFrame, maxOffsetDays: Int = 14): DataFrame = {
-    val activity = events
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val cohorts = activity.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    activity.join(cohorts, "user_id")
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+    perUser
+      .select(array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
       .select(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .filter(col("day_offset") <= maxOffsetDays)
