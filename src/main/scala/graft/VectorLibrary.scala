@@ -165,6 +165,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ivfpqSideCache = None
     ivfpqState.foreach(_.encoded.unpersist())
     ivfpqState = None
+    storeTree.invalidate()
     lshTree.invalidate()
     gridTree.invalidate()
     ivfTree.invalidate()
@@ -218,7 +219,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // Multi-sink write: cache the embedded batch so the expensive
       // embed + signature pass runs once, not once per sink.
       val b = batch.persist()
-      b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+      storeTree.appendCommitted(b, 0L)
       if (indexDirExists) {
         // Schema migration = rebuild, never a mixed-generation append:
         // an index written before `quant` rode along would read the
@@ -238,7 +239,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (hasIvfPqIndex) appendIvfPqRows(b)
       b.unpersist()
     } else {
-      batch.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+      // persist: the manifest commit's touched-dir resolution and the
+      // write would otherwise each run the embed pass
+      val b = batch.persist()
+      storeTree.appendCommitted(b, 0L)
+      b.unpersist()
     }
     invalidateIndexes()
     touchMeta()
@@ -286,7 +291,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // not fail schema inference. One listStatus — same FS round-trip
     // cost as the plain exists check it replaces.
     if (hasVisibleData(path))
-      spark.read.parquet(path)
+      storeTree.open()
     else {
       import org.apache.spark.sql.types._
       val base = StructType(Seq(
@@ -763,6 +768,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       StructType(cols.map(c => StructField(c, StringType))))
   }
   private val lshTree = intTree(indexPath, "tbl", "bucket")
+  // The STORE itself carries the same discipline — it is the biggest
+  // tree of all, and the one a recovery re-derives everything from.
+  private val storeTree = strTree(path, "source")
 
   /** The bucket-partitioned index, memoized per manifest generation. */
   private def partitionedIndex: DataFrame = lshTree.open()
@@ -840,6 +848,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def compactIndexes(maxFilesPerPartition: Int = 4): Map[String, Int] = {
     val passes = Seq(
+      // the store compacts to training-shard-sized files (1M chunk
+      // rows), not the index trees' delete-granularity bound
+      ("store", hasVisibleData(path), () =>
+        storeTree.compact(maxFilesPerPartition, 1L << 20, Seq("doc_id"))),
       ("lsh", hasPartitionedIndex, () => compactPartitionedIndex(maxFilesPerPartition)),
       ("ivf", hasIvfIndex, () =>
         ivfTree.compact(maxFilesPerPartition, IvfIndex.maxRecordsPerFile, Seq("chunk_id"))),
@@ -859,8 +871,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * vacuums the directories it rewrites; this catches orphans in
     * healthy directories). Returns (tree -> files removed). */
   def vacuumIndexes(): Map[String, Int] = Map(
-    "lsh" -> lshTree, "ivf" -> ivfTree, "grid" -> gridTree,
-    "pq" -> pqTree, "ivfpq" -> ivfpqTree)
+    "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
+    "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
     .map { case (n, t) => n -> t.vacuum() }
 
   /**
@@ -1116,19 +1128,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
       // Phase 2: per-directory file swaps (store first — it is the
       // source of truth the indexes re-derive from on any recovery).
-      step("swap-store")(cowTree(path, storeTmp, storeFiles))
-      if (lshFiles.nonEmpty) step("swap-lsh") {
-        // the rewrite's replacement files, captured from the tmp tree
-        // BEFORE cowTree consumes it — the manifest commit references
-        // exactly these plus the untouched survivors, so neither a
-        // crashed writer's orphans nor the victims can be adopted
-        val freshRel = graft.plans.ManifestedTree.listTree(spark, idxTmp, None)
-        cowTree(indexPath, idxTmp, lshFiles)
-        pruneEmptyParents(indexPath)
-        lshTree.commitSwap(lshFiles, freshRel)
-      }
-      // same commit discipline per derived tree: capture the rewrite
-      // outputs from the tmp tree, swap, flip the manifest
+      // Each swap commits through its tree's manifest: the rewrite's
+      // replacement files are captured from the tmp tree BEFORE
+      // cowTree consumes it, so the commit references exactly those
+      // plus the untouched survivors — neither a crashed writer's
+      // orphans nor the victims can be adopted.
       def swapCommitted(label: String, tree: graft.plans.ManifestedTree,
                         tmp: String, victimFiles: Seq[String]): Unit =
         step(label) {
@@ -1136,6 +1140,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           cowTree(tree.root, tmp, victimFiles)
           tree.commitSwap(victimFiles, freshRel)
         }
+      swapCommitted("swap-store", storeTree, storeTmp, storeFiles)
+      if (lshFiles.nonEmpty) step("swap-lsh") {
+        val freshRel = graft.plans.ManifestedTree.listTree(spark, idxTmp, None)
+        cowTree(indexPath, idxTmp, lshFiles)
+        pruneEmptyParents(indexPath)
+        lshTree.commitSwap(lshFiles, freshRel)
+      }
       if (ivfFiles.nonEmpty) swapCommitted("swap-ivf", ivfTree, ivfTmp, ivfFiles)
       if (gridFiles.nonEmpty) swapCommitted("swap-grid", gridTree, gridTmp, gridFiles)
       if (pqFiles.nonEmpty) swapCommitted("swap-pq", pqTree, pqTmp, pqFiles)
@@ -1769,7 +1780,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        b.write.mode(SaveMode.Append).partitionBy("source").parquet(path)
+        storeTree.appendCommitted(b, 0L)
         lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
         // mirror appendBatch: every derived index stays current and
         // session caches drop, so ivf/grid/flat search sees the arrivals

@@ -1090,9 +1090,9 @@ class VectorLibrarySpec extends AnyFunSuite {
       lib.addDocuments(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 15)
         .withColumn("doc_id", col("doc_id") + lo * 1000))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val trees = Seq("lsh" -> "lsh_index", "ivf" -> "ivf_index/assigned",
-      "grid" -> "grid_index/cells", "pq" -> "pq_index/codes",
-      "ivfpq" -> "ivfpq_index/encoded")
+    val trees = Seq("store" -> "chunks", "lsh" -> "lsh_index",
+      "ivf" -> "ivf_index/assigned", "grid" -> "grid_index/cells",
+      "pq" -> "pq_index/codes", "ivfpq" -> "ivfpq_index/encoded")
     def dataFiles(rel: String): Seq[String] = {
       def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
         fs.listStatus(p).toSeq.flatMap(st =>
@@ -1110,7 +1110,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     val before = algos.map(a => a -> results(a)).toMap
 
     val compacted = lib.compactIndexes(maxFilesPerPartition = 0)
-    assert(compacted.keySet == algos.toSet, s"maintenance skipped a tree: $compacted")
+    assert(compacted.keySet == trees.map(_._1).toSet,
+      s"maintenance skipped a tree: $compacted")
     for ((n, rel) <- trees) {
       assert(compacted(n) > 0, s"$n: nothing compacted after 3 fragmenting appends")
       assert(dataFiles(rel).size < filesBefore(n),
