@@ -833,47 +833,62 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * would undo the bounded-rewrite-unit property deletes rely on).
    * Returns the number of directories compacted.
    */
-  def compactPartitionedIndex(maxFilesPerPartition: Int = 4): Int = {
+  def compactPartitionedIndex(maxFilesPerPartition: Int = 4,
+                              vacuumAfter: Boolean = true): Int = {
     if (!hasPartitionedIndex) return 0
-    lshTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))
+    lshTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
+      Seq("chunk_id"), vacuumAfter = vacuumAfter)
   }
 
   /**
-   * One maintenance pass over EVERY persisted derived layout: compact
-   * each fragmented partition directory and vacuum crash orphans, per
-   * tree, committed through its manifest. The whole-library OPTIMIZE
-   * + VACUUM a deployment schedules after streaming ingest (each
-   * micro-batch leaves one small file per touched directory in each
-   * of the five layouts). Returns (tree -> directories compacted).
+   * One maintenance pass over the store AND every persisted derived
+   * layout: compact each fragmented partition directory, committed
+   * through its manifest. The whole-library OPTIMIZE a deployment
+   * schedules after streaming ingest (each micro-batch leaves one
+   * small file per touched directory in each layout).
+   * `vacuumAfter = false` defers fragment removal to a later
+   * [[vacuumIndexes]] — the reader grace period: in-flight readers of
+   * the previous generation keep collecting from the intact fragments
+   * while new readers already plan the compacted files.
+   * Returns (tree -> directories compacted).
    */
-  def compactIndexes(maxFilesPerPartition: Int = 4): Map[String, Int] = {
+  def compactIndexes(maxFilesPerPartition: Int = 4,
+                     vacuumAfter: Boolean = true): Map[String, Int] = {
     val passes = Seq(
       // the store compacts to training-shard-sized files (1M chunk
       // rows), not the index trees' delete-granularity bound
       ("store", hasVisibleData(path), () =>
-        storeTree.compact(maxFilesPerPartition, 1L << 20, Seq("doc_id"))),
-      ("lsh", hasPartitionedIndex, () => compactPartitionedIndex(maxFilesPerPartition)),
+        storeTree.compact(maxFilesPerPartition, 1L << 20, Seq("doc_id"),
+          vacuumAfter = vacuumAfter)),
+      ("lsh", hasPartitionedIndex, () =>
+        compactPartitionedIndex(maxFilesPerPartition, vacuumAfter)),
       ("ivf", hasIvfIndex, () =>
-        ivfTree.compact(maxFilesPerPartition, IvfIndex.maxRecordsPerFile, Seq("chunk_id"))),
+        ivfTree.compact(maxFilesPerPartition, IvfIndex.maxRecordsPerFile,
+          Seq("chunk_id"), vacuumAfter = vacuumAfter)),
       ("grid", hasGridIndex, () =>
-        gridTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))),
+        gridTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
+          Seq("chunk_id"), vacuumAfter = vacuumAfter)),
       ("pq", hasPqIndex, () =>
-        pqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))),
+        pqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
+          Seq("chunk_id"), vacuumAfter = vacuumAfter)),
       ("ivfpq", hasIvfPqIndex, () =>
-        ivfpqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile, Seq("chunk_id"))))
+        ivfpqTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
+          Seq("chunk_id"), vacuumAfter = vacuumAfter)))
     val out = passes.collect { case (n, true, run) => n -> run() }.toMap
     invalidateIndexes()
     out
   }
 
-  /** Standalone vacuum: remove crash-orphan files no manifest
-    * references, across every persisted layout (compaction already
-    * vacuums the directories it rewrites; this catches orphans in
-    * healthy directories). Returns (tree -> files removed). */
-  def vacuumIndexes(): Map[String, Int] = Map(
+  /** Standalone vacuum: remove files no manifest references — crash
+    * orphans, and fragments a deferred-vacuum compaction left for the
+    * reader grace period — across the store and every persisted
+    * layout. `olderThanMs` removes only files last modified at least
+    * that long ago, so in-flight readers of a previous generation
+    * finish first. Returns (tree -> files removed). */
+  def vacuumIndexes(olderThanMs: Long = 0L): Map[String, Int] = Map(
     "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
     "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
-    .map { case (n, t) => n -> t.vacuum() }
+    .map { case (n, t) => n -> t.vacuum(olderThanMs) }
 
   /**
    * Copy-on-write removal of the victim chunks from the store AND

@@ -193,7 +193,8 @@ final class ManifestedTree(
    * tracks the churn, never the tree. Returns directories compacted.
    */
   def compact(maxFilesPerPartition: Int, maxRecordsPerFile: Long,
-              sortCols: Seq[String], smallFileBytes: Long = 2L << 20): Int = {
+              sortCols: Seq[String], smallFileBytes: Long = 2L << 20,
+              vacuumAfter: Boolean = true): Int = {
     import org.apache.hadoop.fs.Path
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
     val oversized = fragmentedDirs(maxFilesPerPartition, smallFileBytes)
@@ -243,29 +244,44 @@ final class ManifestedTree(
     commitDirReplacement(compacted.map(_ + "/"), moved)
     // VACUUM: every on-disk file in the compacted dirs the new
     // manifest does not reference — the replaced fragments and any
-    // crashed-writer orphans (unreferenced by construction, so safe)
-    val keep = moved.map(_._1).toSet
-    compacted.foreach { d =>
-      fs.listStatus(new Path(s"$root/$d")).foreach { st =>
-        val rel = s"$d/${st.getPath.getName}"
-        if (!st.isDirectory && visible(st.getPath.getName) && !keep(rel))
-          fs.delete(st.getPath, false)
+    // crashed-writer orphans (unreferenced by construction, so safe).
+    // `vacuumAfter = false` defers this to a later [[vacuum]] call —
+    // the READER GRACE PERIOD of a shared deployment: a concurrent
+    // reader that planned the PREVIOUS generation keeps collecting
+    // from the intact fragments until maintenance vacuums them past
+    // the grace window; new readers already plan the compacted files.
+    if (vacuumAfter) {
+      val keep = moved.map(_._1).toSet
+      compacted.foreach { d =>
+        fs.listStatus(new Path(s"$root/$d")).foreach { st =>
+          val rel = s"$d/${st.getPath.getName}"
+          if (!st.isDirectory && visible(st.getPath.getName) && !keep(rel))
+            fs.delete(st.getPath, false)
+        }
       }
     }
     compacted.size
   }
 
   /** Delete every visible on-disk file the manifest does not
-    * reference — the standalone VACUUM for crash orphans outside any
-    * compacted directory. No-op on a pre-manifest tree (its listing
-    * IS the live set). Returns the number of files removed. Safe
-    * under the single-writer discipline: an unreferenced file is
-    * unreachable by every manifest reader by construction. */
-  def vacuum(): Int = readManifest() match {
+    * reference — the standalone VACUUM for crash orphans and for
+    * fragments a `vacuumAfter = false` compaction left behind. No-op
+    * on a pre-manifest tree (its listing IS the live set). Returns
+    * the number of files removed. Safe under the single-writer
+    * discipline: an unreferenced file is unreachable by every
+    * manifest reader; `olderThanMs` adds the reader grace period —
+    * only files last modified at least that long ago are removed, so
+    * an in-flight reader of the previous generation finishes first. */
+  def vacuum(olderThanMs: Long = 0L): Int = readManifest() match {
     case None => 0
     case Some(entries) =>
       val live = entries.map(_._1).toSet
-      val dead = listFiles(None).map(_._1).filterNot(live)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val dead = listFiles(None).map(_._1).filterNot(live).filter { rel =>
+        olderThanMs <= 0L || fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          .getModificationTime <= cutoff
+      }
       dead.foreach(rel =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
       dead.size

@@ -1158,6 +1158,40 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("deferred vacuum: readers of the previous generation survive a compaction until the grace period ends") {
+    val root = Files.createTempDirectory("graft-lib-grace").toString
+    val lib = new VectorLibrary(spark, root, "grace-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs.filter(col("doc_id") < 30))
+    for (lo <- Seq(30, 45))
+      lib.addDocuments(docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 15)
+        .withColumn("doc_id", col("doc_id") + lo * 1000))
+    val nRows = lib.chunks.count()
+
+    // the in-flight reader: planned against THIS generation's file set
+    val oldReader = lib.chunks
+    assert(oldReader.count() == nRows)
+
+    // compact with the vacuum deferred: the manifest flips (new
+    // readers plan the compacted files) but the fragments stay on
+    // disk for the grace period
+    val compacted = lib.compactIndexes(maxFilesPerPartition = 0, vacuumAfter = false)
+    assert(compacted("store") > 0, "store did not compact")
+    assert(lib.chunks.count() == nRows, "new-generation reader lost rows")
+    assert(oldReader.count() == nRows,
+      "previous-generation reader broke during the grace period")
+
+    // a young-files-only vacuum respects the grace window
+    assert(lib.vacuumIndexes(olderThanMs = 3600L * 1000).values.sum == 0,
+      "vacuum removed files younger than the grace period")
+    assert(oldReader.count() == nRows)
+
+    // grace over: the fragments go, the live generation is unaffected
+    assert(lib.vacuumIndexes().values.sum > 0, "deferred fragments were not vacuumed")
+    assert(lib.chunks.count() == nRows)
+    lib.delete()
+  }
+
   test("batch approximate search matches per-query results on both index paths") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
