@@ -645,6 +645,8 @@ object EventsLadder {
       operators.Events.funnel(w).count()
       operators.Events.retention(w).count()
       operators.Events.windowAgg(w).count()
+      operators.Events.asofJoin(w).count()
+      operators.Events.rolling(w).count()
       ()
     }
     val measured = copiesSeq.map(c => rung(spark, c))
@@ -652,21 +654,23 @@ object EventsLadder {
     if (measured.length >= 2) {
       val lo = measured.head; val hi = measured.last
       val growth = hi.n.toDouble / lo.n
-      for (name <- Seq("sessionize", "funnel", "retention", "window_agg")) {
+      for (name <- Seq("sessionize", "funnel", "retention", "window_agg",
+                       "asof", "rolling")) {
         val ratio = hi.results(name) / math.max(lo.results(name), 1e-9)
         println(f"[events-ladder] WALL $name: ${lo.results(name)}%.1fs -> " +
           f"${hi.results(name)}%.1fs (x$ratio%.2f over x$growth%.1f corpus)")
         assert(ratio <= growth * 1.5,
           f"$name wall grew x$ratio%.2f across a x$growth%.1f corpus — superlinear")
       }
-      // Output-shape law per semantics: the per-user families scale
-      // with the user population, the fixed-span aggregates do not.
-      for (name <- Seq("sessionize", "funnel")) {
+      // Output-shape law per semantics: the per-user/per-event
+      // families scale with the user population, the fixed-span
+      // aggregates do not.
+      for (name <- Seq("sessionize", "funnel", "asof")) {
         val r = hi.outRows(name).toDouble / lo.outRows(name)
         assert(math.abs(r - growth) < growth * 0.2,
           s"$name output rows x$r across x$growth users — not linear")
       }
-      for (name <- Seq("retention", "window_agg"))
+      for (name <- Seq("retention", "window_agg", "rolling"))
         assert(hi.outRows(name) == lo.outRows(name),
           s"$name output grew ${lo.outRows(name)} -> ${hi.outRows(name)} — " +
             "a fixed-span aggregate must stay bounded")
@@ -705,6 +709,8 @@ object EventsLadder {
     measure("funnel")(Events.funnel(events))
     measure("retention")(Events.retention(events))
     measure("window_agg")(Events.windowAgg(events))
+    measure("asof")(Events.asofJoin(events))
+    measure("rolling")(Events.rolling(events))
 
     spark.sharedState.cacheManager.clearCache()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
