@@ -1938,6 +1938,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /**
+   * Per-tree manifest census — the observability face of the
+   * maintenance loop: for the store and each derived layout, whether
+   * it is manifest-committed, and the LIVE file count / bytes read
+   * straight from the manifest (zero filesystem listing — at 100 TB
+   * this is six small file reads). `live_files = -1` marks a
+   * pre-manifest tree (reads fall back to listing until its next
+   * mutation upgrades it); absent trees are omitted.
+   */
+  def manifestInfo: DataFrame = {
+    import spark.implicits._
+    Seq("store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
+      "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
+      .filter { case (_, t) => hadoopFs(t.root)
+        .exists(new org.apache.hadoop.fs.Path(t.root)) }
+      .map { case (n, t) =>
+        t.readManifest() match {
+          case Some(entries) =>
+            (n, true, entries.size.toLong, entries.map(_._2).filter(_ > 0).sum)
+          case None => (n, false, -1L, -1L)
+        }
+      }
+      .toDF("tree", "manifested", "live_files", "live_bytes")
+      .withColumn("library", lit(name))
+  }
+
+  /**
    * Update a document's text (reference PUT /chunks + background
    * re-embed, services/chunk_service.py:100-127): delete the old
    * chunks, re-chunk/re-embed/re-index the new content.

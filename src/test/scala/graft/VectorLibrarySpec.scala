@@ -1155,6 +1155,16 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.compactIndexes(maxFilesPerPartition = 1).values.sum == 0,
       "second compaction pass was not a no-op")
     assert(lib.vacuumIndexes().values.sum == 0, "second vacuum was not a no-op")
+
+    // the census reads only the manifests and agrees with the disk
+    val info = lib.manifestInfo.collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(info.keySet == trees.map(_._1).toSet, s"census missed a tree: $info")
+    for ((n, rel) <- trees) {
+      assert(info(n)._1, s"$n not manifested after maintenance")
+      assert(info(n)._2 == dataFiles(rel).size,
+        s"$n census ${info(n)._2} != on-disk ${dataFiles(rel).size}")
+    }
     lib.delete()
   }
 
