@@ -39,6 +39,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Cross-process single-writer enforcement: every mutating entry
+  // point runs under a lease-based `_writer.lock` (see [[WriterLock]];
+  // reference parity: storage.py's per-process RLock +
+  // background_tasks.py's per-library rebuild serialization). A second
+  // live writer gets a loud ConcurrentWriterException instead of
+  // silently interleaved manifest generations. Reentrant, so composed
+  // mutations (updateDocument = delete + add) take one lease.
+  private lazy val writerLock = new WriterLock(
+    hadoopFs(root), s"$root/$name",
+    spark.conf.getOption("spark.graft.writerLockLeaseMs")
+      .map(_.toLong).getOrElse(300000L))
+  private def withWriterLock[T](body: => T): T = writerLock.withLock(body)
+
   /** True when `p` exists AND holds at least one visible (non-hidden,
     * non-marker) entry. A directory can exist yet be dataless — e.g.
     * after a copy-on-write delete removed every partition — and such a
@@ -207,7 +220,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Append an embedded+indexed batch to the store and, for each
     * on-disk index present, its derived rows to that index — ingest
     * stays incremental, indexes never rebuild on append. */
-  private def appendBatch(batch0: DataFrame): Unit = {
+  private def appendBatch(batch0: DataFrame): Unit = withWriterLock {
     // Cluster store files by doc_id: parquet keeps per-row-group
     // min/max stats, so a doc_id predicate (documentChunks, targeted
     // deletes) skips whole row groups of a sorted file. At 100 TB this
@@ -746,13 +759,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def hasPartitionedIndex: Boolean = hasVisibleData(indexPath)
 
   // --- derived-layout file manifests ----------------------------------
-  // Every persisted index layout publishes its LIVE file set through a
-  // root-level `_manifest.txt` (graft.plans.ManifestedTree): readers
-  // plan from the manifest instead of listing the partition
-  // directories (zero-stat opens), and append/compact/delete publish
-  // by swapping the manifest (atomic commits — a crashed writer's
-  // orphans are invisible by construction). The same commit discipline
-  // a lake table format applies, scoped to the derived layouts.
+  // Every persisted index layout publishes its LIVE file set through
+  // root-level generation-numbered manifests (graft.plans.
+  // ManifestedTree): readers plan from the manifest chain instead of
+  // listing the partition directories (zero-stat opens), incremental
+  // mutations commit O(batch) DELTA manifests (full rebase every 16),
+  // and every install is a rename to a fresh generation file (atomic
+  // commits with a reader grace chain — a crashed writer's orphans
+  // are invisible by construction). The same commit discipline a lake
+  // table format applies, scoped to the derived layouts.
   // Pre-manifest layouts read via listing (unchanged behavior) and are
   // upgraded by the next mutation. Maintenance resolution scans
   // (victim files, compaction occupancy) stay listing-based: they run
@@ -809,7 +824,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * Later `addDocuments` / `ingestStreamIndexed` batches append only
     * their own rows to the affected partitions — incremental, never a
     * full rewrite. */
-  def buildPartitionedIndex(): Unit = {
+  def buildPartitionedIndex(): Unit = withWriterLock {
     indexRows(chunks).write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", indexMaxRecordsPerFile)
       .partitionBy("tbl", "bucket").parquet(indexPath)
@@ -817,7 +832,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /** Drop the partitioned index (search falls back to the column probe). */
-  def dropPartitionedIndex(): Unit = {
+  def dropPartitionedIndex(): Unit = withWriterLock {
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
     lshTree.invalidate()
   }
@@ -834,7 +849,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * Returns the number of directories compacted.
    */
   def compactPartitionedIndex(maxFilesPerPartition: Int = 4,
-                              vacuumAfter: Boolean = true): Int = {
+                              vacuumAfter: Boolean = true): Int = withWriterLock {
     if (!hasPartitionedIndex) return 0
     lshTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
       Seq("chunk_id"), vacuumAfter = vacuumAfter)
@@ -853,7 +868,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * Returns (tree -> directories compacted).
    */
   def compactIndexes(maxFilesPerPartition: Int = 4,
-                     vacuumAfter: Boolean = true): Map[String, Int] = {
+                     vacuumAfter: Boolean = true): Map[String, Int] = withWriterLock {
     val passes = Seq(
       // the store compacts to training-shard-sized files (1M chunk
       // rows), not the index trees' delete-granularity bound
@@ -885,10 +900,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * layout. `olderThanMs` removes only files last modified at least
     * that long ago, so in-flight readers of a previous generation
     * finish first. Returns (tree -> files removed). */
-  def vacuumIndexes(olderThanMs: Long = 0L): Map[String, Int] = Map(
-    "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
-    "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
-    .map { case (n, t) => n -> t.vacuum(olderThanMs) }
+  def vacuumIndexes(olderThanMs: Long = 0L): Map[String, Int] = withWriterLock {
+    Map(
+      "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
+      "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
+      .map { case (n, t) => n -> t.vacuum(olderThanMs) }
+  }
 
   /**
    * Copy-on-write removal of the victim chunks from the store AND
@@ -1118,6 +1135,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // is parquet reader/writer setup over few bounded files, and the
       // default bin-packing would lump them into one or two tasks,
       // serializing those setups.
+      // SESSION-GLOBAL conf save/restore: safe only because mutations
+      // are single-writer (withWriterLock serializes them per library,
+      // and Verify's concurrent query pool runs read-only queries —
+      // noted there). A concurrent READER in this session during the
+      // rewrite window would momentarily plan 4 MiB splits: benign for
+      // correctness, mild over-parallelism at worst.
       val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
       spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       try {
@@ -1277,7 +1300,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * over the store, one cell-clustered write. Search under algorithm
     * "grid" then probes the cell directories instead of scanning the
     * store and re-deriving bounds per query. */
-  def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = {
+  def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = withWriterLock {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit a grid to")
     import spark.implicits._
     val (lo, hi) = VectorSearch.gridBounds(chunks, "embedding", gridDims)
@@ -1296,7 +1319,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted grid index (search falls back to the ad-hoc
     * expanding probe over the store). */
-  def dropGridIndex(): Unit = {
+  def dropGridIndex(): Unit = withWriterLock {
     hadoopFs(gridPath).delete(new org.apache.hadoop.fs.Path(gridPath), true)
     gridTree.invalidate()
     gridMetaCache = None
@@ -1343,7 +1366,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Build (or rebuild) the on-disk IVF index: one distributed k-means
     * fit + a cluster-partitioned write. `search` under algorithm "ivf"
     * then probes nProbe directories instead of scanning the store. */
-  def buildIvfIndex(nCentroids: Int = 16): Unit = {
+  def buildIvfIndex(nCentroids: Int = 16): Unit = withWriterLock {
     // Metadata columns ride in the assigned rows so a filtered search
     // can apply its predicate inside the cluster-pruned scan.
     val (model, assigned) = IvfIndex.build(
@@ -1389,7 +1412,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the on-disk IVF index (search falls back to the lazy
     * in-memory build). */
-  def dropIvfIndex(): Unit = {
+  def dropIvfIndex(): Unit = withWriterLock {
     hadoopFs(ivfPath).delete(new org.apache.hadoop.fs.Path(ivfPath), true)
     ivfTree.invalidate()
   }
@@ -1406,7 +1429,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * mean, one distributed re-fit restores probe selectivity). Returns
    * true when a re-fit ran.
    */
-  def refitIvfIfDrifted(threshold: Double = 1.5): Boolean = {
+  def refitIvfIfDrifted(threshold: Double = 1.5): Boolean = withWriterLock {
     if (!hasIvfIndex) return false
     if (ivfDrift <= threshold) return false
     buildIvfIndex(ivfCentroids)
@@ -1455,7 +1478,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Build (or rebuild) the persisted PQ index: m tiny subspace
     * k-means fits + one encoded write. Search under algorithm "pq"
     * then scans 8-byte codes instead of float vectors for phase 1. */
-  def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = {
+  def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = withWriterLock {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit codebooks to")
     val base = pqBase(chunks)
     val books = PqIndex.train(base, "__nvec", m, kk)
@@ -1479,7 +1502,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted PQ index (search falls back to the lazy
     * in-memory fit). */
-  def dropPqIndex(): Unit = {
+  def dropPqIndex(): Unit = withWriterLock {
     hadoopFs(pqPath).delete(new org.apache.hadoop.fs.Path(pqPath), true)
     pqTree.invalidate()
     pqBooksCache = None
@@ -1517,7 +1540,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * k-means + m residual-subspace fits + one partitioned write.
     * Search under algorithm "ivfpq" then opens nProbe cluster
     * directories and reads codes-only in phase 1. */
-  def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = {
+  def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = withWriterLock {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit IVF-PQ to")
     val idx = IvfPq.train(pqBase(chunks), "__nvec", nCentroids, m, kk)
     import spark.implicits._
@@ -1553,7 +1576,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted IVF-PQ index (search falls back to the lazy
     * in-memory fit). */
-  def dropIvfPqIndex(): Unit = {
+  def dropIvfPqIndex(): Unit = withWriterLock {
     hadoopFs(ivfpqPath).delete(new org.apache.hadoop.fs.Path(ivfpqPath), true)
     ivfpqTree.invalidate()
     ivfpqSideCache = None
@@ -1591,7 +1614,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Re-fit the full IVF-PQ geometry (coarse centroids AND residual
     * codebooks) when drift exceeds `threshold` — the composed analog
     * of refitIvfIfDrifted. Returns true when a re-fit ran. */
-  def refitIvfPqIfDrifted(threshold: Double = 1.5): Boolean = {
+  def refitIvfPqIfDrifted(threshold: Double = 1.5): Boolean = withWriterLock {
     if (!hasIvfPqIndex) return false
     if (ivfpqDrift <= threshold) return false
     val m = readMeta()
@@ -1820,7 +1843,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * predicate result KEEPS the row (a victim is a row where the
    * predicate is definitely true).
    */
-  def deleteDocuments(predicate: Column): Unit = {
+  def deleteDocuments(predicate: Column): Unit = withWriterLock {
     deleteVictims(chunks.filter(coalesce(predicate, lit(false))))
     ()
   }
@@ -1884,7 +1907,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * embedding are re-embedded; lsh_buckets and quant codes are
    * re-derived for every row; the store swaps atomically.
    */
-  def rebuildIndex(): Unit = {
+  def rebuildIndex(): Unit = withWriterLock {
     swapStore(chunks
       .withColumn("embedding", coalesce(col("embedding"),
         embed.embed(col("chunk_text"), "search_document")))
@@ -1900,8 +1923,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * compaction rewrites them into `numPartitions` files clustered by
    * source, restoring scan efficiency without touching row content.
    */
-  def compact(numPartitions: Int = 1): Unit =
+  def compact(numPartitions: Int = 1): Unit = withWriterLock {
     swapStore(chunks.repartition(numPartitions, col("source")), reindex = false)
+  }
 
   /**
    * Lake-maintenance observability: per-source file-layout health of
@@ -1968,7 +1992,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * re-embed, services/chunk_service.py:100-127): delete the old
    * chunks, re-chunk/re-embed/re-index the new content.
    */
-  def updateDocument(docId: Long, newDocs: DataFrame): Unit = {
+  def updateDocument(docId: Long, newDocs: DataFrame): Unit = withWriterLock {
     deleteDocuments(col("doc_id") === docId)
     addDocuments(newDocs)
   }
@@ -2004,7 +2028,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   def updateChunk(chunkId: String, newText: String,
-                  source: Option[String] = None): Unit = {
+                  source: Option[String] = None): Unit = withWriterLock {
     val old = chunkLookup(chunkId, source)
       .select(col("doc_id"), col("source"), col("chunk_idx")).collect()
     require(old.nonEmpty, s"chunk $chunkId does not exist")
@@ -2016,7 +2040,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /** Drop the library store (reference DELETE /libraries/{id}). */
-  def delete(): Unit = {
+  def delete(): Unit = withWriterLock {
     invalidateIndexes()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

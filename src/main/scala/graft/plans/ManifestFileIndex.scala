@@ -39,9 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * This is the table-format design (a Delta/Iceberg snapshot read,
  * where the log supplies paths, sizes and partition values) scoped to
  * the one derived layout that needs it. Reference behavior served:
- * the persisted LSH index open in sternbergm/vector-db-service
- * (services/persistence.py re-opens the whole pickled index per
- * process; here an open is one small file read at any index size).
+ * sternbergm/vector-db-service holds every index in process memory
+ * (vector_db/storage.py:11 `VectorStorage`, dicts under an RLock), so
+ * "opening" an index there is a restart-time full re-ingest; here an
+ * open is one small manifest read at any index size.
  */
 final class ManifestFileIndex(
     spark: SparkSession,

@@ -1,26 +1,59 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
- * A partitioned parquet tree whose LIVE file set is published through a
- * root-level `_manifest.txt` — the reusable commit-and-open discipline
- * behind every derived index layout the library persists (LSH buckets,
- * IVF/IVF-PQ cluster assignments, grid cells, PQ codes).
+ * A partitioned parquet tree whose LIVE file set is published through
+ * GENERATION-NUMBERED root-level manifests — the reusable
+ * commit-and-open discipline behind every derived index layout the
+ * library persists (LSH buckets, IVF/IVF-PQ cluster assignments, grid
+ * cells, PQ codes).
  *
  * What the manifest buys at 100 TB, per layout:
- *  - OPEN COST: a reader plans from one small file via
+ *  - OPEN COST: a reader plans from one small file chain via
  *    [[ManifestFileIndex]] — zero filesystem list/stat calls instead of
  *    a recursive listing over thousands of partition directories.
- *  - ATOMIC COMMITS: appends, copy-on-write deletes and compactions
- *    publish by swapping the manifest (tmp + rename), so a concurrent
- *    reader always plans against one complete generation and a crashed
- *    writer's orphan files are invisible by construction.
+ *  - ATOMIC COMMITS: every commit installs a NEW immutable manifest
+ *    file under a fresh generation number (tmp + rename-to-nonexistent,
+ *    atomic on HDFS/posix); there is no delete-then-replace window in
+ *    which a reader could find no manifest and fall back to a listing
+ *    (the round-7 gap). The previous generation chain survives each
+ *    commit as the reader grace copy, so a racing reader always
+ *    resolves one complete generation. A crashed writer's orphan data
+ *    files are invisible by construction.
+ *  - COMMIT COST TRACKS THE BATCH, NOT THE TREE: incremental commits
+ *    (appends, copy-on-write swaps, compaction flips) write a DELTA
+ *    manifest holding only the batch's own add/remove lines; a full
+ *    snapshot is rebased in every `rebaseEvery` commits, so reader
+ *    chain length stays bounded while a steady append stream never
+ *    rewrites an O(tree) file per batch (at 1M live files a full
+ *    manifest is ~60 MB — per-commit rewrite would dominate streaming
+ *    ingest; a delta is a few hundred bytes).
+ *
+ * On-disk protocol (all root-level, invisible to data listings):
+ *  - `_manifest.<gen>.full.txt`  — complete live set at generation
+ *    <gen> (zero-padded), one `path<TAB>size` line per file, optional
+ *    leading `#schema<TAB><json>` directive recording the read schema.
+ *  - `_manifest.<gen>.delta.txt` — changes vs generation <gen>-1:
+ *    `+<TAB>path<TAB>size` adds, `-<TAB>path` removes (same optional
+ *    `#schema` directive).
+ *  - `_manifest.txt`             — the legacy single-file manifest
+ *    (generation 0); read-compatible, upgraded on the next commit.
+ *  - `_manifest.seal`            — permanent marker that this tree has
+ *    published manifests: if it exists but no generation is readable,
+ *    `open()` retries briefly then FAILS LOUDLY — it never silently
+ *    demotes to the listing read (which would adopt crash orphans and
+ *    double-count mid-compaction trees).
+ * A reader resolves max(gen), loads the greatest full <= it and
+ * applies the deltas after it, in order. Old generations are pruned at
+ * commit time back to the PREVIOUS full snapshot — one full chain of
+ * grace for in-flight readers.
  *
  * Lifecycle contract (single mutating writer, many readers — the COW
- * discipline the library already assumes):
+ * discipline the library already assumes; see [[graft.WriterLock]]):
  *  - a full rebuild (Overwrite write) commits via [[commitSnapshot]];
  *  - an incremental append goes through [[appendCommitted]], which
  *    commits exactly the batch's own files via a touched-directory
@@ -30,56 +63,135 @@ import org.apache.spark.sql.types.StructType
  * Trees written before the manifest existed read via listing
  * (unchanged behavior) and upgrade to a snapshot at their next commit.
  *
- * Reference behavior served: the persisted index lifecycles of
- * sternbergm/vector-db-service (services/persistence.py pickles whole
- * indexes per mutation and re-reads them per process); here a mutation
- * commits one manifest line-set and an open is one small file read at
- * any index size.
+ * Reference behavior served: sternbergm/vector-db-service keeps its
+ * vectors and indexes IN MEMORY per process (vector_db/storage.py:11
+ * `VectorStorage` — dict-of-ndarray under an RLock; an index rebuild
+ * re-derives the whole structure and a process restart re-ingests).
+ * Here the same lifecycle is durable and shared: a mutation commits
+ * one manifest delta and an open is one small file-chain read at any
+ * index size, with no per-process rebuild.
  */
 final class ManifestedTree(
     spark: SparkSession,
     val root: String,
     partitionSchema: StructType) {
 
-  private def fs = new org.apache.hadoop.fs.Path(root)
+  import ManifestedTree._
+
+  private def fs: FileSystem = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val manifestFile = s"$root/_manifest.txt"
 
-  // One open per manifest generation: every commit path lands in
-  // writeManifest, which drops the cached frame.
+  // One open per manifest generation: every commit path refreshes the
+  // cached state and drops the cached frame.
   @volatile private var openCache: Option[DataFrame] = None
-  def invalidate(): Unit = openCache = None
+  @volatile private var stateCache: Option[Chain] = None
+  def invalidate(): Unit = { openCache = None; stateCache = None }
 
-  /** Manifest entries are `relativePath<TAB>sizeBytes`. Sizes ride in
-    * the manifest so split planning needs ZERO stat calls; a legacy
-    * size-less line parses with size -1 and demotes that generation's
-    * read to the per-file-stat path until the next commit rewrites it. */
-  def readManifest(): Option[Seq[(String, Long)]] = {
-    val p = new org.apache.hadoop.fs.Path(manifestFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map { line =>
-        line.split('\t') match {
-          case Array(path, size) => (path, size.toLong)
-          case _ => (line, -1L)
-        }
-      })
-    }
+  private def resolveState(): Option[Chain] = stateCache.orElse {
+    val c = resolveChain(fs, root)
+    stateCache = c
+    c
   }
 
-  def writeManifest(files: Seq[(String, Long)]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/._manifest.tmp")
+  /** Live `(relativePath, sizeBytes)` entries of the current manifest
+    * generation, or None on a pre-manifest tree. Sizes ride in the
+    * manifest so split planning needs ZERO stat calls; a legacy
+    * size-less line parses with size -1 and demotes that generation's
+    * read to the per-file-stat path until the next commit rewrites it. */
+  def readManifest(): Option[Seq[(String, Long)]] =
+    resolveState().map(_.entries)
+
+  /** Commit `files` as a FULL snapshot generation. Kept public for
+    * tests and as the rebase primitive; incremental mutations should
+    * go through the commit* entry points (delta commits). */
+  def writeManifest(files: Seq[(String, Long)]): Unit =
+    commitFull(files, None)
+
+  private def installManifest(name: String, content: String): Unit = {
+    val tmp = new Path(s"$root/._manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.sortBy(_._1)
-      .map { case (p, s) => s"$p\t$s" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(manifestFile)
-    fs.delete(dest, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(s"$root/$name")
+    // dest is a FRESH generation file — rename-to-nonexistent is the
+    // atomic install; a pre-existing dest means a second writer raced
+    // this commit (the single-writer contract was violated): fail loud.
     if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest: cannot install $manifestFile")
+      throw new java.io.IOException(
+        s"manifest: cannot install $root/$name (generation already " +
+        "exists — concurrent writer?)")
+    val seal = new Path(s"$root/$SealName")
+    if (!fs.exists(seal)) fs.create(seal, true).close()
+  }
+
+  private def commitFull(files: Seq[(String, Long)],
+                         schemaHint: Option[StructType]): Unit = {
+    val prev = resolveState()
+    val gen = prev.map(_.gen).getOrElse(0L) + 1
+    // Persist a read-schema record with every full snapshot so an
+    // empty generation (delete-everything) still opens as a typed
+    // empty frame. Derived from (in order): the caller's hint, the
+    // carried-forward record, or ONE footer read (full commits are
+    // rare — builds and rebases — so the read is off the hot path).
+    val schema = schemaHint.orElse(prev.flatMap(_.schema))
+      .orElse(files.headOption.flatMap { case (rel, _) =>
+        // best-effort: an unreadable first entry (tests commit
+        // synthetic manifests) just leaves the generation schema-less
+        scala.util.Try(StructType(spark.read.parquet(s"$root/$rel").schema
+          .filterNot(f => partitionSchema.fieldNames.contains(f.name))
+          ++ partitionSchema.fields)).toOption
+      })
+    val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
+    val body = files.sortBy(_._1)
+      .map { case (p, s) => s"$p\t$s" }.mkString("\n")
+    installManifest(f"${ManifestPrefix}$gen%09d.full.txt", header + body)
+    stateCache = Some(Chain(files.toVector, schema, gen, gen, 0))
     openCache = None
+    pruneOldGenerations()
+  }
+
+  private def commitDelta(removals: Seq[String],
+                          additions: Seq[(String, Long)],
+                          schemaHint: Option[StructType]): Unit =
+    resolveState() match {
+      case None =>
+        // pre-manifest tree: upgrade to a snapshot (its listing is the
+        // source of truth, already including this batch)
+        commitFull(listFiles(None), schemaHint)
+      case Some(st) =>
+        val rm = removals.toSet
+        val entries =
+          st.entries.filterNot(e => rm(e._1)) ++ additions
+        if (st.deltas + 1 >= RebaseEvery) {
+          // periodic rebase bounds the reader's chain length; its
+          // O(tree) write amortizes over RebaseEvery O(batch) commits
+          commitFull(entries, schemaHint.orElse(st.schema))
+        } else {
+          val gen = st.gen + 1
+          val schema = schemaHint.filterNot(h => st.schema.contains(h))
+          val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
+          val body = (removals.map(p => s"-\t$p") ++
+            additions.map { case (p, s) => s"+\t$p\t$s" }).mkString("\n")
+          installManifest(f"${ManifestPrefix}$gen%09d.delta.txt", header + body)
+          stateCache = Some(Chain(entries, schema.orElse(st.schema),
+            gen, st.fullGen, st.deltas + 1))
+          openCache = None
+          pruneOldGenerations()
+        }
+    }
+
+  /** Remove manifest generations older than the PREVIOUS full snapshot
+    * — everything a reader holding a pre-commit glob could still need
+    * stays; anything older is unreachable by any live resolve. */
+  private def pruneOldGenerations(): Unit = {
+    val files = globManifests(fs, root)
+    val fulls = files.collect { case (g, true, _) => g }
+    if (fulls.isEmpty) return
+    val currentFull = fulls.max
+    val keepFrom = fulls.filter(_ < currentFull) match {
+      case older if older.nonEmpty => older.max
+      case _ => currentFull
+    }
+    files.foreach { case (g, _, p) => if (g < keepFrom) fs.delete(p, false) }
   }
 
   /** (relative path, size) of the visible files under this tree — the
@@ -87,13 +199,15 @@ final class ManifestedTree(
   def listFiles(dirs: Option[Seq[String]] = None): Seq[(String, Long)] =
     ManifestedTree.listTree(spark, root, dirs)
 
-  /** Append a batch and commit exactly ITS files to the manifest: the
-    * new files are identified by a touched-directory listing DIFF
-    * around the write, so a crashed writer's orphans sitting in the
-    * same directories are never adopted (they stay invisible until a
+  /** Append a batch and commit exactly ITS files as a delta: the new
+    * files are identified by a touched-directory listing DIFF around
+    * the write, so a crashed writer's orphans sitting in the same
+    * directories are never adopted (they stay invisible until a
     * maintenance vacuum). Commit cost tracks the batch's directories,
-    * never the tree. A pre-manifest tree upgrades to a full snapshot
-    * instead — its listing is already the source of truth. */
+    * never the tree (one delta manifest per batch; a full rebase every
+    * [[ManifestedTree.RebaseEvery]] commits). A pre-manifest tree
+    * upgrades to a full snapshot instead — its listing is already the
+    * source of truth. */
   def appendCommitted(rows: DataFrame, maxRecordsPerFile: Long): Unit = {
     val partCols = partitionSchema.fieldNames.toSeq
     val touched = rows.selectExpr(partCols: _*).distinct().collect()
@@ -104,50 +218,59 @@ final class ManifestedTree(
           s"${partCols(i)}=$v"
         }.mkString("/")
       }.toSeq
-    val manifestBefore = readManifest()
+    // read schema this batch would produce: data columns in frame
+    // order (nullable — a parquet read never reports required fields),
+    // partition columns (declared types) at the end — exactly the
+    // ManifestFileIndex.read column order
+    val schemaHint = StructType(
+      rows.schema.filterNot(f => partCols.contains(f.name))
+        .map(_.copy(nullable = true)) ++ partitionSchema.fields)
+    val manifested = resolveState().isDefined
     val pre =
-      if (manifestBefore.isDefined) listFiles(Some(touched)).map(_._1).toSet
+      if (manifested) listFiles(Some(touched)).map(_._1).toSet
       else Set.empty[String]
     rows.write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*).parquet(root)
-    manifestBefore match {
-      case Some(base) =>
-        writeManifest(base ++ listFiles(Some(touched)).filterNot(f => pre(f._1)))
-      case None => writeManifest(listFiles(None))
-    }
+    if (manifested)
+      commitDelta(Nil,
+        listFiles(Some(touched)).filterNot(f => pre(f._1)), Some(schemaHint))
+    else commitFull(listFiles(None), Some(schemaHint))
   }
 
   /** Publish the full on-disk tree — the commit of an Overwrite
     * rebuild (the writer's own output is the complete live set). */
-  def commitSnapshot(): Unit = writeManifest(listFiles(None))
+  def commitSnapshot(): Unit = commitFull(listFiles(None), None)
 
-  /** Commit a copy-on-write file swap: the victim files leave the
-    * manifest, the replacement files (captured from the rewrite's tmp
-    * tree BEFORE the swap consumed it) join it. `victimsAbs` are
-    * absolute victim paths as the resolution scan reported them. */
+  /** Commit a copy-on-write file swap as a delta: the victim files
+    * leave the manifest, the replacement files (captured from the
+    * rewrite's tmp tree BEFORE the swap consumed it) join it.
+    * `victimsAbs` are absolute victim paths as the resolution scan
+    * reported them. */
   def commitSwap(victimsAbs: Seq[String], fresh: Seq[(String, Long)]): Unit = {
     val rootStr = {
-      val s = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
+      val s = fs.makeQualified(new Path(root)).toUri.getPath
       if (s.endsWith("/")) s else s + "/"
     }
     val victimsRel = victimsAbs
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
-        .stripPrefix(rootStr)).toSet
-    readManifest() match {
-      case Some(base) => writeManifest(base.filterNot(f => victimsRel(f._1)) ++ fresh)
-      case None => writeManifest(listFiles(None))
-    }
+      .map(f => new Path(f).toUri.getPath.stripPrefix(rootStr))
+    commitDelta(victimsRel, fresh, None)
   }
 
-  /** Commit a compaction: every manifest entry under `dirPrefixes`
-    * (each ending in "/") is replaced by the compacted `moved` files. */
+  /** Commit a compaction as a delta: every manifest entry under
+    * `dirPrefixes` (each ending in "/") is replaced by the compacted
+    * `moved` files. */
   def commitDirReplacement(dirPrefixes: Seq[String],
-                           moved: Seq[(String, Long)]): Unit = {
-    val base = readManifest().getOrElse(listFiles(None))
-    writeManifest(
-      base.filterNot(f => dirPrefixes.exists(f._1.startsWith)) ++ moved)
-  }
+                           moved: Seq[(String, Long)]): Unit =
+    resolveState() match {
+      case Some(st) =>
+        val removals = st.entries.map(_._1)
+          .filter(p => dirPrefixes.exists(p.startsWith))
+        commitDelta(removals, moved, None)
+      case None =>
+        commitFull(listFiles(None)
+          .filterNot(f => dirPrefixes.exists(f._1.startsWith)) ++ moved, None)
+    }
 
   /** Leaf partition directories (relative, e.g. "cell=3_1") holding
     * more than `maxFiles` visible files smaller than `smallBytes` —
@@ -160,7 +283,6 @@ final class ManifestedTree(
     * discipline, and the on-disk state (orphans included) is exactly
     * what it must measure. */
   private def fragmentedDirs(maxFiles: Int, smallBytes: Long): Seq[String] = {
-    import org.apache.hadoop.fs.Path
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
     def leaves(d: Path, rel: String, depth: Int): Seq[(String, Path)] =
       if (!fs.exists(d)) Seq.empty
@@ -195,7 +317,6 @@ final class ManifestedTree(
   def compact(maxFilesPerPartition: Int, maxRecordsPerFile: Long,
               sortCols: Seq[String], smallFileBytes: Long = 2L << 20,
               vacuumAfter: Boolean = true): Int = {
-    import org.apache.hadoop.fs.Path
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
     val oversized = fragmentedDirs(maxFilesPerPartition, smallFileBytes)
     if (oversized.isEmpty) return 0
@@ -279,11 +400,9 @@ final class ManifestedTree(
       val cutoff = System.currentTimeMillis() - olderThanMs
       val dead = listFiles(None).map(_._1).filterNot(live).filter { rel =>
         olderThanMs <= 0L || fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(s"$root/$rel"))
-          .getModificationTime <= cutoff
+          new Path(s"$root/$rel")).getModificationTime <= cutoff
       }
-      dead.foreach(rel =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), false))
+      dead.foreach(rel => fs.delete(new Path(s"$root/$rel"), false))
       dead.size
   }
 
@@ -291,15 +410,34 @@ final class ManifestedTree(
     * manifest-planned ([[ManifestFileIndex]] — zero list/stat calls,
     * partition pruning kept) when sizes are present; a legacy
     * size-less manifest demotes to the per-file read (one stat per
-    * entry); no manifest falls back to the recursive listing. */
+    * entry); an EMPTY generation (delete-everything) opens as a typed
+    * empty frame from the manifest's schema record. Only a tree that
+    * never published a manifest falls back to the recursive listing —
+    * a sealed tree with no readable generation FAILS LOUDLY instead
+    * (a listing there would adopt crash orphans and double-count a
+    * mid-compaction tree). */
   def open(): DataFrame = openCache.getOrElse {
-    val df = readManifest() match {
-      case Some(entries) if entries.nonEmpty && entries.forall(_._2 >= 0) =>
-        ManifestFileIndex.read(spark, root, entries, partitionSchema)
-      case Some(entries) if entries.nonEmpty =>
+    val df = resolveState() match {
+      case Some(c) if c.entries.nonEmpty && c.entries.forall(_._2 >= 0) =>
+        ManifestFileIndex.read(spark, root, c.entries, partitionSchema)
+      case Some(c) if c.entries.nonEmpty =>
         spark.read.option("basePath", root)
-          .parquet(entries.map(f => s"$root/${f._1}"): _*)
-      case _ => spark.read.parquet(root)
+          .parquet(c.entries.map(f => s"$root/${f._1}"): _*)
+      case Some(c) => c.schema match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None => throw new IllegalStateException(
+          s"manifested tree $root: current generation is empty and " +
+          "carries no schema record — cannot open (rebuild or append " +
+          "to re-establish one)")
+      }
+      case None if fs.exists(new Path(s"$root/$SealName")) =>
+        throw new IllegalStateException(
+          s"manifested tree $root: seal present but no manifest " +
+          "generation is readable — refusing the listing fallback " +
+          "(it would adopt uncommitted files); restore a manifest or " +
+          "rebuild the layout")
+      case None => spark.read.parquet(root)
     }
     openCache = Some(df)
     df
@@ -307,11 +445,145 @@ final class ManifestedTree(
 }
 
 object ManifestedTree {
+  private val ManifestPrefix = "_manifest."
+  private val LegacyName = "_manifest.txt"
+  private[plans] val SealName = "_manifest.seal"
+  /** Delta commits between full-snapshot rebases: bounds the reader's
+    * chain length (resolve reads at most 1 full + 15 deltas) while a
+    * steady append stream pays O(batch) per commit instead of
+    * rewriting an O(tree) manifest every batch. */
+  val RebaseEvery = 16
+
+  private[plans] case class Chain(
+      entries: Vector[(String, Long)],
+      schema: Option[StructType],
+      gen: Long,
+      fullGen: Long,
+      deltas: Int)
+
+  /** All manifest generation files under `root`:
+    * (generation, isFull, path). The legacy `_manifest.txt` reports as
+    * generation 0 full. */
+  private def globManifests(fs: FileSystem,
+                            root: String): Seq[(Long, Boolean, Path)] = {
+    val st = fs.globStatus(new Path(s"$root/${ManifestPrefix}*"))
+    if (st == null) Seq.empty
+    else st.toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      n match {
+        case LegacyName => Seq((0L, true, s.getPath))
+        case _ if n.endsWith(".full.txt") =>
+          n.stripPrefix(ManifestPrefix).stripSuffix(".full.txt").toLongOption
+            .map(g => (g, true, s.getPath)).toSeq
+        case _ if n.endsWith(".delta.txt") =>
+          n.stripPrefix(ManifestPrefix).stripSuffix(".delta.txt").toLongOption
+            .map(g => (g, false, s.getPath)).toSeq
+        case _ => Seq.empty // seal, tmp
+      }
+    }
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    raw.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Resolve the live chain: newest generation = greatest numbered
+    * full <= max(gen) (or the legacy file) plus the deltas after it,
+    * applied in order. Retries once on a vanished file (a reader
+    * racing two full commits past its glob — the pruner keeps one
+    * full chain of grace, so this needs back-to-back rebases to ever
+    * trigger); a sealed tree that still fails to resolve throws. */
+  private[plans] def resolveChain(fs: FileSystem, root: String): Option[Chain] = {
+    def attempt(): Option[Chain] = {
+      val files = globManifests(fs, root)
+      if (files.isEmpty) return None
+      val maxGen = files.map(_._1).max
+      val fulls = files.collect { case (g, true, p) if g <= maxGen => (g, p) }
+      if (fulls.isEmpty)
+        throw new java.io.FileNotFoundException(
+          s"manifest chain at $root has deltas up to gen $maxGen but no " +
+          "full snapshot base")
+      val (fullGen, fullPath) = fulls.maxBy(_._1)
+      val deltaByGen = files.collect {
+        case (g, false, p) if g > fullGen && g <= maxGen => (g, p) }.toMap
+      // contiguity: a missing delta means a torn chain — loud, never a
+      // partial apply
+      val missing = ((fullGen + 1) to maxGen).filterNot(deltaByGen.contains)
+      if (missing.nonEmpty)
+        throw new java.io.FileNotFoundException(
+          s"manifest chain at $root is torn: missing generation(s) " +
+          missing.mkString(","))
+      var schema: Option[StructType] = None
+      def parse(lines: Seq[String]): Seq[String] = lines.filter { l =>
+        if (l.startsWith("#")) {
+          if (l.startsWith("#schema\t"))
+            schema = Some(DataType.fromJson(l.stripPrefix("#schema\t"))
+              .asInstanceOf[StructType])
+          false
+        } else true
+      }
+      val entries = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      parse(readLines(fs, fullPath)).foreach { line =>
+        line.split('\t') match {
+          case Array(p, s) => entries(p) = s.toLong
+          case _ => entries(line) = -1L
+        }
+      }
+      ((fullGen + 1) to maxGen).foreach { g =>
+        parse(readLines(fs, deltaByGen(g))).foreach { line =>
+          line.split('\t') match {
+            case Array("+", p, s) => entries(p) = s.toLong
+            case Array("-", p) => entries.remove(p)
+            case other => throw new IllegalStateException(
+              s"manifest delta gen $g at $root: bad line '${other.mkString("\t")}'")
+          }
+        }
+      }
+      Some(Chain(entries.toVector, schema, maxGen, fullGen,
+        (maxGen - fullGen).toInt))
+    }
+    try attempt() catch {
+      case _: java.io.FileNotFoundException =>
+        Thread.sleep(100)
+        try attempt() catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"manifested tree $root: cannot resolve a complete " +
+              s"manifest generation after retry (${e.getMessage})", e)
+        }
+    }
+  }
+
+  /** Test/observability helpers — the on-disk manifest layout is an
+    * implementation detail; specs assert through these. */
+  def manifestExists(spark: SparkSession, root: String): Boolean = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    globManifests(fs, root).nonEmpty
+  }
+
+  /** The resolved LIVE entries as `path<TAB>size` text (one line per
+    * file) — what the v1 single-file manifest contained. */
+  def liveManifestText(spark: SparkSession, root: String): String = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveChain(fs, root).map(_.entries.sortBy(_._1)
+      .map { case (p, s) => s"$p\t$s" }.mkString("\n")).getOrElse("")
+  }
+
+  /** Remove every manifest control file (generations, legacy, seal) —
+    * the test helper that turns a tree back into a pre-manifest one. */
+  def clearManifests(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    globManifests(fs, root).foreach { case (_, _, p) => fs.delete(p, false) }
+    fs.delete(new Path(s"$root/$SealName"), false)
+  }
+
   /** (relative path, size) of the visible files under `treeRoot` — the
     * whole tree, or the given partition subdirectories only. */
   def listTree(spark: SparkSession, treeRoot: String,
                dirs: Option[Seq[String]]): Seq[(String, Long)] = {
-    import org.apache.hadoop.fs.Path
     val fs = new Path(treeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.ManifestedTree
+
+/** The generation-numbered manifest discipline: atomic installs with
+  * no reader window, O(batch) delta commits with bounded chains,
+  * typed empty generations, and loud failure over silent listing. */
+class ManifestedTreeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pSchema = StructType(Seq(StructField("bucket", LongType)))
+
+  private def fs = new Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshTree(): (ManifestedTree, String) = {
+    val root = Files.createTempDirectory("graft-mtree").toString
+    (new ManifestedTree(spark, root, pSchema), root)
+  }
+
+  private def rows(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"doc-$i", i.toLong % 4)).toDF("id", "txt", "bucket")
+
+  test("delta commits: N appends resolve to the full row set; chain stays bounded; rebase prunes") {
+    val (tree, root) = freshTree()
+    val batches = ManifestedTree.RebaseEvery * 2 + 3 // forces 2 rebases
+    (0 until batches).foreach { b =>
+      tree.appendCommitted(rows(b * 10 until (b + 1) * 10), 1000000L)
+    }
+    assert(tree.open().count() == batches * 10L,
+      "delta chain lost or duplicated rows")
+    assert(tree.open().where(col("bucket") === 1).count() ==
+      (0 until batches * 10).count(_ % 4 == 1),
+      "partition pruning over a delta chain returned wrong rows")
+    // chain bound: at most 1 full + RebaseEvery deltas live per chain,
+    // and at most two chains (current + grace) on disk
+    val manifests = fs.globStatus(new Path(s"$root/_manifest.*")).toSeq
+      .map(_.getPath.getName).filterNot(_ == "_manifest.seal")
+    assert(manifests.count(_.endsWith(".full.txt")) <= 2,
+      s"rebase did not prune old fulls: $manifests")
+    assert(manifests.size <= 2 * (ManifestedTree.RebaseEvery + 1),
+      s"manifest files unbounded: ${manifests.size}")
+    // a fresh reader (no writer state) resolves the same set
+    val reader = new ManifestedTree(spark, root, pSchema)
+    assert(reader.open().count() == batches * 10L)
+    fs.delete(new Path(root), true)
+  }
+
+  test("no reader window: a reader racing continuous commits never sees a listing-planned frame") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 40), 1000000L)
+    // Plant an orphan a LISTING reader would adopt (the round-7 gap:
+    // delete-then-rename left a window where open() fell back to
+    // spark.read.parquet(root) and double-counted).
+    val dataFile = ManifestedTree.listTree(spark, root, None).head._1
+    val orphan = new Path(s"$root/bucket=0/part-orphan-crashed.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$root/$dataFile"),
+      fs, orphan, false, spark.sparkContext.hadoopConfiguration)
+
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          // a FRESH tree instance per read: no cached state, full
+          // disk-resolve every time — the racing-open shape
+          val n = new ManifestedTree(spark, root, pSchema)
+            .readManifest().map(_.size).getOrElse(-1)
+          if (n == -1) failure = Some("reader saw NO manifest mid-commit")
+          else if (ManifestedTree.liveManifestText(spark, root)
+              .contains("part-orphan")) failure = Some("reader adopted an orphan")
+        }
+      } catch { case t: Throwable => failure = Some(s"reader threw: $t") }
+    })
+    reader.start()
+    try {
+      // continuous commits, crossing several rebase boundaries (the
+      // old design's vulnerable instant was inside every one of these)
+      (0 until ManifestedTree.RebaseEvery * 2 + 5).foreach { b =>
+        tree.appendCommitted(rows(100 + b * 2 until 102 + b * 2), 1000000L)
+        assert(failure.isEmpty, failure.getOrElse(""))
+      }
+    } finally { stop = true; reader.join(10000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    fs.delete(new Path(root), true)
+  }
+
+  test("empty generation opens as a typed empty frame, never the listing") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 20), 1000000L)
+    val schemaBefore = tree.open().schema
+    // delete-everything: a commitSwap that removes every live file
+    val victims = tree.readManifest().get.map(e => s"$root/${e._1}")
+    tree.commitSwap(victims, Seq.empty)
+    // the dead files are still ON DISK (vacuum not run) — a listing
+    // fallback would resurrect all 20 rows
+    val opened = tree.open()
+    assert(opened.count() == 0, "empty generation read rows (listing fallback?)")
+    assert(opened.schema == schemaBefore,
+      s"empty frame lost the schema record: ${opened.schema} vs $schemaBefore")
+    // and it composes: filters/projections analyze against real columns
+    assert(opened.where(col("bucket") === 2).select("id", "txt").count() == 0)
+    fs.delete(new Path(root), true)
+  }
+
+  test("sealed tree with no readable generation fails loudly instead of listing") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 12), 1000000L)
+    // simulate total manifest loss (torn copy, bad vacuum) with data
+    // files — orphans included — still on disk
+    fs.globStatus(new Path(s"$root/_manifest.*")).foreach { s =>
+      if (s.getPath.getName != "_manifest.seal") fs.delete(s.getPath, false)
+    }
+    val reader = new ManifestedTree(spark, root, pSchema)
+    val e = intercept[IllegalStateException](reader.open())
+    assert(e.getMessage.contains("seal"), s"wrong failure: ${e.getMessage}")
+    fs.delete(new Path(root), true)
+  }
+
+  test("legacy single-file manifest reads as generation 0 and upgrades via delta commits") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 16), 1000000L)
+    val legacyText = ManifestedTree.liveManifestText(spark, root)
+    // rewind to the v1 layout: one _manifest.txt, no generations/seal
+    ManifestedTree.clearManifests(spark, root)
+    val out = fs.create(new Path(s"$root/_manifest.txt"), true)
+    out.write(legacyText.getBytes("UTF-8")); out.close()
+    val v1 = new ManifestedTree(spark, root, pSchema)
+    assert(v1.open().count() == 16, "legacy manifest not readable")
+    // next commits ride deltas on the legacy base
+    v1.appendCommitted(rows(100 until 110), 1000000L)
+    assert(v1.open().count() == 26)
+    assert(fs.exists(new Path(s"$root/_manifest.txt")),
+      "legacy base deleted while still the chain's only full snapshot")
+    // enough commits to rebase twice: the legacy file is pruned
+    (0 until ManifestedTree.RebaseEvery * 2).foreach { b =>
+      v1.appendCommitted(rows(200 + b * 2 until 202 + b * 2), 1000000L)
+    }
+    assert(!fs.exists(new Path(s"$root/_manifest.txt")),
+      "legacy manifest survived two rebases")
+    assert(v1.open().count() == 26 + ManifestedTree.RebaseEvery * 2 * 2)
+    fs.delete(new Path(root), true)
+  }
+
+  test("copy-on-write swap and dir replacement commit as deltas, not full rewrites") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 40), 1000000L)
+    val genBefore = fs.globStatus(new Path(s"$root/_manifest.*")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".txt")).max
+    val filesBefore = tree.readManifest().get.size
+    val rowsBefore = tree.open().count()
+    val victim = tree.readManifest().get.head
+    tree.commitSwap(Seq(s"$root/${victim._1}"), Seq.empty)
+    val deltas = fs.globStatus(new Path(s"$root/_manifest.*")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".delta.txt"))
+    assert(deltas.exists(_ > genBefore), "swap did not commit a delta")
+    assert(tree.readManifest().get.size == filesBefore - 1)
+    assert(tree.open().count() < rowsBefore, "victim rows still planned")
+    // the delta file is O(batch): one removal line (+ no schema header)
+    val deltaLen = fs.getFileStatus(new Path(s"$root/${deltas.max}")).getLen
+    assert(deltaLen < 200, s"swap delta unexpectedly large: $deltaLen bytes")
+    fs.delete(new Path(root), true)
+  }
+}

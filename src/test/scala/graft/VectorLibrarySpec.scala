@@ -946,7 +946,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.buildPartitionedIndex()
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idxRoot = s"$root/man-lib/lsh_index"
-    assert(fs.exists(new Path(s"$idxRoot/_manifest.txt")),
+    assert(graft.plans.ManifestedTree.manifestExists(spark, idxRoot),
       "build must publish a manifest")
     val q = "spark join stream table filter"
     val before = lib.searchApprox(q, k = 10).collect()
@@ -974,8 +974,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     // orphan still invisible.
     lib.addDocuments(docs.filter(col("doc_id") >= 20)
       .withColumn("doc_id", col("doc_id") + 1000))
-    val manifest = scala.io.Source.fromInputStream(
-      fs.open(new Path(s"$idxRoot/_manifest.txt")), "UTF-8").mkString
+    val manifest = graft.plans.ManifestedTree.liveManifestText(spark, idxRoot)
     assert(!manifest.contains("part-orphan-crashed"),
       "append splice adopted an uncommitted file into the manifest")
 
@@ -993,16 +992,18 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(!fs.exists(orphan),
       "vacuum left an unreferenced file in a compacted directory")
 
-    // Pre-manifest layout: deleting the manifest falls back to the
-    // listing reader (which DOES see the orphan if still present) and
-    // the next mutation upgrades the layout with a fresh manifest.
-    fs.delete(new Path(s"$idxRoot/_manifest.txt"), false)
+    // Pre-manifest layout: clearing ALL manifest control files (the
+    // seal included — a sealed tree with no generations fails loudly
+    // instead, ManifestedTreeSpec) falls back to the listing reader
+    // (which DOES see the orphan if still present) and the next
+    // mutation upgrades the layout with a fresh manifest.
+    graft.plans.ManifestedTree.clearManifests(spark, idxRoot)
     lib.invalidateIndexes()
     assert(lib.searchApprox(q, k = 10).collect().nonEmpty,
       "legacy listing fallback broken")
     lib.addDocuments(docs.filter(col("doc_id") < 5)
       .withColumn("doc_id", col("doc_id") + 5000))
-    assert(fs.exists(new Path(s"$idxRoot/_manifest.txt")),
+    assert(graft.plans.ManifestedTree.manifestExists(spark, idxRoot),
       "mutation on a legacy layout must publish a manifest")
     lib.delete()
   }
@@ -1018,7 +1019,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     val trees = Seq("ivf" -> "ivf_index/assigned", "grid" -> "grid_index/cells",
       "pq" -> "pq_index/codes", "ivfpq" -> "ivfpq_index/encoded")
     for ((a, rel) <- trees)
-      assert(fs.exists(new Path(s"$root/man4-lib/$rel/_manifest.txt")),
+      assert(graft.plans.ManifestedTree.manifestExists(spark, s"$root/man4-lib/$rel"),
         s"$a build did not publish a manifest")
 
     val q = "spark join stream table filter"
@@ -1054,8 +1055,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.addDocuments(docs.filter(col("doc_id") >= 40)
       .withColumn("doc_id", col("doc_id") + 1000))
     for ((a, rel) <- trees) {
-      val manifest = scala.io.Source.fromInputStream(
-        fs.open(new Path(s"$root/man4-lib/$rel/_manifest.txt")), "UTF-8").mkString
+      val manifest = graft.plans.ManifestedTree
+        .liveManifestText(spark, s"$root/man4-lib/$rel")
       assert(!manifest.contains(s"part-orphan-$a"),
         s"$a append adopted an uncommitted file into the manifest")
       assert(results(a).size == 10, s"$a search broke after append")
@@ -1065,8 +1066,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     // manifests too: victims leave, results stay orphan-free.
     lib.deleteDocuments(col("doc_id") < 3)
     for ((a, rel) <- trees) {
-      val manifest = scala.io.Source.fromInputStream(
-        fs.open(new Path(s"$root/man4-lib/$rel/_manifest.txt")), "UTF-8").mkString
+      val manifest = graft.plans.ManifestedTree
+        .liveManifestText(spark, s"$root/man4-lib/$rel")
       assert(!manifest.contains(s"part-orphan-$a"),
         s"$a delete swap adopted an uncommitted file")
       val hits = results(a)
