@@ -207,12 +207,15 @@ object GraftFunctions {
     * and configure() runs per query — 125 queries × ~30 functions of WARN
     * flooded the driver's stdout tail window for two rounds running. */
   def register(spark: SparkSession): Unit = {
+    // createOrReplaceTempFunction is idempotent on its own — no
+    // existence probe. The old check-then-act probe raced under
+    // concurrent configure() calls (Verify's query pool): two threads
+    // could both see "absent" and interleave partial registrations.
+    // Replacing every builder unconditionally is a cheap registry put
+    // per name and always lands a complete set.
     val reg = spark.sessionState.functionRegistry
-    val probe = org.apache.spark.sql.catalyst.FunctionIdentifier(sqlBuilders.head._1)
-    if (!reg.functionExists(probe)) {
-      sqlBuilders.foreach { case (name, _, builder) =>
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-      }
+    sqlBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 

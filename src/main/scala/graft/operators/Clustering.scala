@@ -178,11 +178,25 @@ object Clustering {
       .filter(col("cos_sim") >= threshold)
     // best match = argmax(cos_sim, smallest dup_of) as a struct-max
     // hash aggregate (the minhashIncremental pattern): partials
-    // collapse map-side, no per-vec_id sort of the candidate pairs
-    pairs.groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_sim"), (-col("dup_of")).as("nid"))).as("m"))
-      .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
-        col("m.cos_sim").as("cos_sim"))
-      .orderBy(col("vec_id").asc)
+    // collapse map-side, no per-vec_id sort of the candidate pairs.
+    // The smallest-id tie-break negates NUMERIC ids only (the same
+    // type dispatch finishPerQueryTopK applies); any other orderable
+    // idCol keeps the rank-window form — correctness over the
+    // aggregate's shuffle savings for exotic id types.
+    emb.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pairs.groupBy(col("vec_id"))
+          .agg(max(struct(col("cos_sim"), (-col("dup_of")).as("nid"))).as("m"))
+          .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
+            col("m.cos_sim").as("cos_sim"))
+          .orderBy(col("vec_id").asc)
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("dup_of").asc)
+        pairs.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+          .select(col("vec_id"), col("dup_of"), col("cos_sim"))
+          .orderBy(col("vec_id").asc)
+    }
   }
 }

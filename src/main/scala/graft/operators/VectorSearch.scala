@@ -1147,14 +1147,26 @@ object VectorSearch {
       try {
         val rows = cand.select(col("query_id"), col(idCol), col("score")).collect()
         val ids = rows.map(_.get(1)).distinct.toSeq
-        val vm: Map[Any, Array[Double]] =
-          if (ids.isEmpty) Map.empty
+        val fetched =
+          if (ids.isEmpty) Array.empty[org.apache.spark.sql.Row]
           else corpus.filter(col(idCol).isin(ids: _*))
             .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-            .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
+            .collect()
+        // the greedy needs ONE vector per id: a duplicate id would
+        // silently pick an arbitrary one (the single-query form keeps
+        // each row's own vector) — surface the contract loudly instead
+        val dup = fetched.groupBy(_.get(0)).collectFirst {
+          case (id, rs) if rs.length > 1 => id }
+        require(dup.isEmpty,
+          s"mmrRerankBatch: corpus has multiple rows for $idCol=${dup.get}" +
+          " — batch rerank requires unique ids (use mmrRerank per query" +
+          " for duplicate-id corpora)")
+        val vm: Map[Any, Array[Double]] =
+          fetched.map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
         (rows, vm)
       } finally cand.unpersist()
-    val perQuery = candRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val perQuery = candRows.groupBy(_.get(0)).toSeq
+      .sortWith((a, b) => idLess(a._1, b._1))
     val out = perQuery.flatMap { case (qid, rows) =>
       // same candidate order the single-query scan produces
       val sorted = rows.sortWith { (a, b) =>
@@ -1163,15 +1175,19 @@ object VectorSearch {
       }
       val ids = sorted.map(_.get(1))
       val rels = sorted.map(_.getDouble(2))
-      val vecs = ids.map(vecMap)
+      val vecs = ids.map(id => vecMap.getOrElse(id,
+        throw new IllegalStateException(
+          s"mmrRerankBatch: shortlist id $id vanished from the corpus " +
+          "between phase 1 and the vector point read (concurrent " +
+          "mutation?)")))
       mmrSelect(ids, vecs, rels, k, lambda).zipWithIndex.map { case (i, r) =>
         org.apache.spark.sql.Row(qid, r + 1, ids(i),
           graft.functions.VectorOps.roundTo(rels(i), 6))
       }
     }
-    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType, LongType}
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
     val schema = StructType(Seq(
-      StructField("query_id", LongType, nullable = false),
+      queries.schema("query_id"),
       StructField("rank", IntegerType, nullable = false),
       corpus.schema(idCol),
       StructField("rel", DoubleType, nullable = false)))
