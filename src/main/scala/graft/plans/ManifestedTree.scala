@@ -101,6 +101,11 @@ final class ManifestedTree(
   def readManifest(): Option[Seq[(String, Long)]] =
     resolveState().map(_.entries)
 
+  /** (current generation, deltas since the last full snapshot) — the
+    * chain-health census `manifestInfo` surfaces. None pre-manifest. */
+  def chainInfo(): Option[(Long, Int)] =
+    resolveState().map(c => (c.gen, c.deltas))
+
   /** Commit `files` as a FULL snapshot generation. Kept public for
     * tests and as the rebase primitive; incremental mutations should
     * go through the commit* entry points (delta commits). */
@@ -442,6 +447,53 @@ final class ManifestedTree(
     openCache = Some(df)
     df
   }
+
+  // --- snapshot reads + rollback (the lake RESTORE shape) -------------
+
+  /** Resolvable generations, oldest first: (gen, isFull). Spans the
+    * RETAINED window — the current chain plus the previous full chain
+    * (the pruner's reader grace copy); older generations are gone. */
+  def generations(): Seq[(Long, Boolean)] =
+    ManifestedTree.listGenerations(fs, root)
+
+  /** The tree AS OF `gen` — planned from that generation's resolved
+    * chain, uncached. Valid while the snapshot's files are still on
+    * disk: copy-on-write victims survive until [[vacuum]] collects
+    * them past the grace window, which is exactly the deferred-vacuum
+    * workflow this read serves (debugging a mutation, replaying a
+    * reader that planned the previous generation). */
+  def openAt(gen: Long): DataFrame =
+    ManifestedTree.resolveChain(fs, root, Some(gen)) match {
+      case Some(c) if c.entries.nonEmpty && c.entries.forall(_._2 >= 0) =>
+        ManifestFileIndex.read(spark, root, c.entries, partitionSchema)
+      case Some(c) if c.entries.nonEmpty =>
+        spark.read.option("basePath", root)
+          .parquet(c.entries.map(f => s"$root/${f._1}"): _*)
+      case Some(c) => c.schema match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None => throw new IllegalStateException(
+          s"manifested tree $root: generation $gen is empty with no " +
+          "schema record")
+      }
+      case None => throw new IllegalArgumentException(
+        s"manifested tree $root: no generation <= $gen is retained " +
+        s"(available: ${generations().map(_._1).mkString(",")})")
+    }
+
+  /** Restore the live set of generation `gen` by committing it FORWARD
+    * as a new full snapshot (history is never rewritten — the Delta
+    * RESTORE shape): an accidental delete/append rolls back with one
+    * manifest commit, no data movement, while readers of the botched
+    * generation keep their grace copy. Same on-disk-files caveat as
+    * [[openAt]]. */
+  def rollbackTo(gen: Long): Unit =
+    ManifestedTree.resolveChain(fs, root, Some(gen)) match {
+      case Some(c) => commitFull(c.entries, c.schema)
+      case None => throw new IllegalArgumentException(
+        s"manifested tree $root: no generation <= $gen is retained " +
+        s"(available: ${generations().map(_._1).mkString(",")})")
+    }
 }
 
 object ManifestedTree {
@@ -496,9 +548,14 @@ object ManifestedTree {
     * racing two full commits past its glob — the pruner keeps one
     * full chain of grace, so this needs back-to-back rebases to ever
     * trigger); a sealed tree that still fails to resolve throws. */
-  private[plans] def resolveChain(fs: FileSystem, root: String): Option[Chain] = {
+  private[plans] def resolveChain(fs: FileSystem, root: String,
+                                  upTo: Option[Long] = None): Option[Chain] = {
     def attempt(): Option[Chain] = {
-      val files = globManifests(fs, root)
+      val all = globManifests(fs, root)
+      val files = upTo match {
+        case Some(cap) => all.filter(_._1 <= cap)
+        case None => all
+      }
       if (files.isEmpty) return None
       val maxGen = files.map(_._1).max
       val fulls = files.collect { case (g, true, p) if g <= maxGen => (g, p) }
@@ -556,6 +613,10 @@ object ManifestedTree {
         }
     }
   }
+
+  private[plans] def listGenerations(fs: FileSystem,
+                                     root: String): Seq[(Long, Boolean)] =
+    globManifests(fs, root).map(f => (f._1, f._2)).sortBy(_._1)
 
   /** Test/observability helpers — the on-disk manifest layout is an
     * implementation detail; specs assert through these. */

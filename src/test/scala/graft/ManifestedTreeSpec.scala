@@ -148,6 +148,33 @@ class ManifestedTreeSpec extends AnyFunSuite {
     fs.delete(new Path(root), true)
   }
 
+  test("snapshot reads and rollback: openAt replays a retained generation; rollbackTo restores it forward") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 20), 1000000L)
+    val gen1 = tree.generations().last._1
+    tree.appendCommitted(rows(100 until 130), 1000000L)
+    val gen2 = tree.generations().last._1
+    assert(tree.open().count() == 50)
+    // time travel: the pre-append snapshot is still resolvable
+    assert(tree.openAt(gen1).count() == 20, "snapshot read saw the append")
+    assert(tree.openAt(gen2).count() == 50)
+    // a "botched" delete-everything commit...
+    val victims = tree.readManifest().get.map(e => s"$root/${e._1}")
+    tree.commitSwap(victims, Seq.empty)
+    assert(tree.open().count() == 0)
+    // ...rolls back FORWARD: one manifest commit, no data movement,
+    // history intact (the botched generation stays resolvable)
+    val botched = tree.generations().last._1
+    tree.rollbackTo(gen2)
+    assert(tree.open().count() == 50, "rollback did not restore the live set")
+    assert(tree.openAt(botched).count() == 0, "history was rewritten")
+    assert(tree.generations().last._1 > botched, "rollback must commit forward")
+    // outside the retained window: loud, never a listing
+    val e = intercept[IllegalArgumentException](tree.openAt(-1L))
+    assert(e.getMessage.contains("retained"))
+    fs.delete(new Path(root), true)
+  }
+
   test("copy-on-write swap and dir replacement commit as deltas, not full rewrites") {
     val (tree, root) = freshTree()
     tree.appendCommitted(rows(0 until 40), 1000000L)
