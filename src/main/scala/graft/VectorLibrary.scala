@@ -908,6 +908,79 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /**
+   * Crash-consistency repair: reconcile every present derived index
+   * with the store. Ingest and delete commit each tree's manifest
+   * SEPARATELY, so a writer crash between commits leaves an index
+   * either MISSING the batch's rows (crash after the store commit —
+   * new documents silently absent from that index's searches) or
+   * carrying GHOST rows of deleted chunks (crash mid copy-on-write
+   * delete — searches return ids the store no longer holds). The
+   * store is the source of truth — the reference's recovery contract
+   * exactly (indexes re-derive from stored vectors;
+   * services/background_tasks.py re-runs the per-library rebuild):
+   *
+   *  - missing rows (store anti-join index on chunk_id) re-derive
+   *    under the index's FROZEN geometry and append incrementally —
+   *    repair cost tracks the gap, never the tree;
+   *  - ghosts trigger a rebuild of that index (the rare half: only a
+   *    crashed delete produces them, and a rebuild from the store is
+   *    the unconditionally correct recovery — victim files are
+   *    already gone, so file-level COW cannot replay).
+   *
+   * Returns per index: (missing rows appended, ghost rows found).
+   * Clean trees cost two chunk_id anti-joins each and touch nothing.
+   */
+  def repairIndexes(): Map[String, (Long, Long)] = withWriterLock {
+    if (storeIsEmpty) return Map.empty
+    val store = chunks.persist()
+    try {
+      val storeIds = store.select(col("chunk_id"))
+      val m = readMeta()
+      val targets: Seq[(String, Boolean, () => DataFrame,
+          DataFrame => Unit, () => Unit)] = Seq(
+        ("lsh", hasPartitionedIndex, () => partitionedIndex,
+          b => lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile),
+          () => buildPartitionedIndex()),
+        ("ivf", hasIvfIndex, () => ivfTree.open(),
+          b => appendOrRebuildIvf(b),
+          () => buildIvfIndex(ivfCentroids)),
+        ("grid", hasGridIndex, () => gridTree.open(),
+          b => appendGridRows(b),
+          () => buildGridIndex(m.getOrElse("grid_dims", "4").toInt,
+            m.getOrElse("grid_cells_per_dim", "4").toInt)),
+        ("pq", hasPqIndex, () => pqTree.open(),
+          b => appendPqRows(b),
+          () => buildPqIndex(m.getOrElse("pq_m", "8").toInt,
+            m.getOrElse("pq_k", "16").toInt)),
+        ("ivfpq", hasIvfPqIndex, () => ivfpqTree.open(),
+          b => appendIvfPqRows(b),
+          () => buildIvfPqIndex(m.getOrElse("ivfpq_ncentroids", "16").toInt,
+            m.getOrElse("ivfpq_m", "8").toInt,
+            m.getOrElse("ivfpq_k", "16").toInt)))
+      val out = targets.collect { case (n, true, frame, append, rebuild) =>
+        val tf = frame()
+        if (!tf.columns.contains("chunk_id")) {
+          // pre-chunk_id schema generation: migration = rebuild
+          rebuild(); n -> (0L, -1L)
+        } else {
+          val ids = tf.select(col("chunk_id")).distinct()
+          val ghosts = ids.join(storeIds, Seq("chunk_id"), "left_anti").count()
+          val missing = store.join(ids, Seq("chunk_id"), "left_anti").persist()
+          try {
+            val nMissing = missing.count()
+            if (ghosts > 0) rebuild()
+            else if (nMissing > 0) append(missing)
+            n -> (nMissing, ghosts)
+          } finally missing.unpersist()
+        }
+      }.toMap
+      invalidateIndexes()
+      if (out.exists { case (_, (miss, gh)) => miss > 0 || gh != 0 }) touchMeta()
+      out
+    } finally store.unpersist()
+  }
+
+  /**
    * Copy-on-write removal of the victim chunks from the store AND
    * every derived index, at FILE granularity (the Delta/Iceberg
    * shape): only the parquet files actually CONTAINING a victim row
@@ -1816,7 +1889,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) => withWriterLock {
         val b = batch.persist()
         storeTree.appendCommitted(b, 0L)
         lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
@@ -1831,7 +1904,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactPartitionedIndex(maxFilesPerPartition)
         ()
-      }
+      } }
       .start()
   }
 
@@ -1977,13 +2050,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .filter { case (_, t) => hadoopFs(t.root)
         .exists(new org.apache.hadoop.fs.Path(t.root)) }
       .map { case (n, t) =>
-        t.readManifest() match {
-          case Some(entries) =>
-            (n, true, entries.size.toLong, entries.map(_._2).filter(_ > 0).sum)
-          case None => (n, false, -1L, -1L)
+        (t.readManifest(), t.chainInfo()) match {
+          case (Some(entries), Some((gen, deltas))) =>
+            (n, true, entries.size.toLong, entries.map(_._2).filter(_ > 0).sum,
+              gen, deltas)
+          case _ => (n, false, -1L, -1L, -1L, -1)
         }
       }
-      .toDF("tree", "manifested", "live_files", "live_bytes")
+      .toDF("tree", "manifested", "live_files", "live_bytes",
+        "generation", "chain_deltas")
       .withColumn("library", lit(name))
   }
 

@@ -1008,6 +1008,60 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("repairIndexes: a crash between tree commits heals from the store") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    import graft.plans.ManifestedTree
+    val root = Files.createTempDirectory("graft-lib-repair").toString
+    val lib = new VectorLibrary(spark, root, "repair-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    lib.buildPartitionedIndex(); lib.buildGridIndex()
+    val lshRoot = s"$root/repair-lib/lsh_index"
+    val storeRoot = s"$root/repair-lib/chunks"
+    def lshExt = new ManifestedTree(spark, lshRoot, StructType(Seq(
+      StructField("tbl", IntegerType), StructField("bucket", IntegerType))))
+    def storeExt = new ManifestedTree(spark, storeRoot, StructType(Seq(
+      StructField("source", StringType))))
+    val lshGenClean = lshExt.generations().last._1
+    val storeGenClean = storeExt.generations().last._1
+    lib.addDocuments(docs.filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 1000))
+    val storeCount = lib.chunks.count()
+
+    // clean library: repair is a no-op census
+    assert(lib.repairIndexes().values.forall(_ == ((0L, 0L))),
+      "repair touched a consistent library")
+
+    // CRASH SHAPE 1 (missing): writer died after the store commit,
+    // before the lsh commit — replayed by rolling the lsh manifest
+    // back to its pre-append generation (batch-2 files become
+    // invisible orphans, exactly the on-disk state a crash leaves)
+    lshExt.rollbackTo(lshGenClean)
+    lib.invalidateIndexes()
+    val r1 = lib.repairIndexes()
+    assert(r1("lsh")._1 > 0 && r1("lsh")._2 == 0,
+      s"missing rows not detected/appended: $r1")
+    assert(r1("grid") == ((0L, 0L)), s"grid was clean but repaired: $r1")
+    val hit = lib.searchApprox("spark join stream table filter", k = 40)
+    assert(hit.count() > 0, "search broke after repair")
+    assert(lib.chunks.count() == storeCount, "repair must not touch the store")
+
+    // CRASH SHAPE 2 (ghosts): writer died mid copy-on-write delete —
+    // store committed, indexes kept the victims. Replayed by rolling
+    // the STORE back to its pre-append generation: both indexes now
+    // carry chunk_ids the store no longer holds.
+    storeExt.rollbackTo(storeGenClean)
+    lib.invalidateIndexes()
+    val r2 = lib.repairIndexes()
+    assert(r2("lsh")._2 > 0 && r2("grid")._2 > 0,
+      s"ghost rows not detected: $r2")
+    // fixed point: a second pass finds a fully consistent library
+    val r3 = lib.repairIndexes()
+    assert(r3.values.forall(_ == ((0L, 0L))), s"repair not a fixed point: $r3")
+    lib.delete()
+  }
+
   test("derived-tree manifests: ivf/grid/pq/ivfpq plan from committed files; orphans invisible") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-lib-man4").toString
