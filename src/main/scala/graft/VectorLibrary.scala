@@ -1839,13 +1839,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def ingestStream(docsStream: DataFrame, checkpoint: String,
                    chunkWindow: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch + the store tree's manifest commit, NOT the native
+    // parquet streaming sink: the sink writes files straight into the
+    // store directory, which a MANIFESTED store never adopts (streamed
+    // rows would be invisible orphans), and its _spark_metadata log
+    // makes even listing reads sink-scoped. Committing through
+    // appendCommitted keeps one ingest discipline for batch and
+    // stream; recovery is at-least-once per micro-batch with
+    // deterministic chunk_ids (exact duplicates on replay).
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .partitionBy("source")
-      .format("parquet")
-      .option("path", path)
+      .foreachBatch { (batch: DataFrame, _: Long) => withWriterLock {
+        val b = batch.persist()
+        storeTree.appendCommitted(b, 0L)
+        b.unpersist()
+        invalidateIndexes()
+      } }
       .start()
   }
 

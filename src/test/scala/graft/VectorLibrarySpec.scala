@@ -1611,6 +1611,38 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.count() > 0)
     val hits = lib.search("spark join stream", k = 3).collect()
     assert(hits.length == 3)
+    // streamed micro-batches commit through the store manifest (the
+    // native parquet sink would leave files a manifested store never
+    // adopts), so the store is manifested from the first batch
+    assert(graft.plans.ManifestedTree
+      .manifestExists(spark, s"$root/stream-lib/chunks"),
+      "streaming ingest bypassed the store manifest")
+    lib.delete()
+  }
+
+  test("streaming ingest onto a MANIFESTED store: arrivals are adopted, not orphaned") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-lib-stream2").toString
+    val docsDir = Files.createTempDirectory("graft-docs2").toString
+    val lib = new VectorLibrary(spark, root, "stream2-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    // batch ingest first: the store commits a manifest generation
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    val before = lib.chunks.count()
+    docs.filter(col("doc_id") >= 20).withColumn("doc_id", col("doc_id") + 7000)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = lib.ingestStream(
+      spark.readStream.schema(schema).parquet(docsDir), s"$root/ckpt2")
+    q.processAllAvailable(); q.stop()
+    // the regression this guards: the old parquet-sink form wrote
+    // files the manifest never adopted — streamed rows were invisible
+    assert(lib.chunks.count() > before,
+      "streamed rows invisible on a manifested store")
+    assert(lib.chunks.filter(col("doc_id") >= 7000).count() > 0)
     lib.delete()
   }
 }
