@@ -7,7 +7,17 @@ import java.nio.file.{Files, Paths}
   * one compact GRAFT_CORRECTNESS_JSON stdout line carries the per-round
   * verdict even when the driver's own compare step dies silently
   * (CORRECTNESS_r05..r07 all came back `{}` despite 126/126 passing;
-  * this mirrors the bench-marker fix that made BENCH_r07 parse). */
+  * this mirrors the bench-marker fix that made BENCH_r07 parse).
+  *
+  * r9: the r8 gate worked but took ~16 min wall (dumps ~5 min + a SERIAL
+  * compare ~11 min) — longer than the driver's correctness-step budget,
+  * so the marker never reached the recorded tail. Now the compare runs
+  * CONCURRENTLY with the dumps: oracle_sql.json is written first,
+  * compare.py starts immediately in --wait mode with a multiprocessing
+  * pool, and each query becomes comparable the moment its dump lands
+  * (signalled via <outDir>/_done/<name>). Progress lines
+  * (GRAFT_CORRECTNESS_PROGRESS) stream through to stdout so even a
+  * truncated tail carries a partial verdict. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -23,6 +33,73 @@ object Verify {
     // retries) interleave into a merged stdout+stderr capture.
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    val doneDir = new java.io.File(outDir, "_done")
+    // stale sentinels from a previous run would release compares against
+    // half-written dumps — clear, then recreate
+    Option(doneDir.listFiles()).foreach(_.foreach(_.delete()))
+    doneDir.mkdirs()
+
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // oracle_sql.json FIRST: compare.py reads it at startup, and the
+    // compare now starts before the dumps finish. This startup snapshot
+    // holds only the STATIC entries — the ~18 dynamic oracles (IVF/PQ/
+    // PCA/clustering inline centroids fitted while their query runs)
+    // appear in the post-dump rewrite below, which compare.py re-reads
+    // when the _ALL sentinel lands.
+    def writeOracleJson(): Unit = {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+    writeOracleJson()
+
+    // ---- start the oracle compare CONCURRENTLY with the dumps --------
+    // Python+duckdb are driver-side tools; if this environment lacks
+    // them the marker says so loudly instead of staying silent.
+    val compareScript = Seq("tools/compare.py", "/root/repo/tools/compare.py")
+      .find(p => new java.io.File(p).isFile)
+    val cmpJson = s"$outDir/compare.json"
+    val markerJson = s"$outDir/marker.json"
+    val compareProc: Option[(Process, Thread)] = compareScript.map { script =>
+      val logFile = new java.io.File(s"$outDir/compare_log.txt")
+      val pb = new ProcessBuilder(
+        "python3", script, sfDir, outDir, "--wait", "--jobs", "12",
+        "--json", cmpJson, "--marker", markerJson)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      // pump the child's stdout: everything → compare_log.txt, and the
+      // GRAFT_CORRECTNESS_PROGRESS lines ALSO echo to our stdout so a
+      // driver window that times out mid-gate still records a partial
+      // verdict in its captured tail
+      val pump = new Thread(() => {
+        val w = new java.io.PrintWriter(new java.io.FileWriter(logFile))
+        try {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+          var line = r.readLine()
+          while (line != null) {
+            w.println(line); w.flush()
+            if (line.startsWith("GRAFT_")) println(line)
+            line = r.readLine()
+          }
+        } finally w.close()
+      }, "graft-compare-pump")
+      pump.setDaemon(true)
+      pump.start()
+      (proc, pump)
+    }
+
     // 126 queries sequentially = ~2.5 min wall at sf0.01; the driver's
     // correctness step has come back empty since the suite crossed 120
     // queries (r5/r6), consistent with a step timeout. Spark's scheduler
@@ -36,7 +113,10 @@ object Verify {
     // mutate a shared library (deleteDocuments' session-conf
     // save/restore, VectorLibrary.scala, is NOT safe under this pool —
     // keep mutation out of `queries`, it belongs in specs/ladders).
+    // VerifyPoolSafetySpec enforces this: every query must leave session
+    // confs and library manifest generations untouched.
     val dumpFailed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val dumpedCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -48,82 +128,60 @@ object Verify {
           dumpFailed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // sentinel AFTER the write (or failure) — releases this query's
+        // oracle compare in the concurrently-running compare.py
+        new java.io.File(doneDir, name).createNewFile()
+        val n = dumpedCount.incrementAndGet()
+        if (n % 20 == 0)
+          println(s"""GRAFT_DUMP_PROGRESS: {"dumped":$n,"total":${SparkEntry.queries.size}}""")
       }
     }
     import scala.concurrent.duration._
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), 60.minutes)
     pool.shutdown()
+    // the complete oracle map — dynamic entries are stashed now that
+    // every query has run — MUST land before _ALL releases compare.py's
+    // re-read
+    writeOracleJson()
+    // _ALL releases any compare still gated on a sentinel (belt and
+    // braces — every future above touches its own) and tells compare.py
+    // to re-read oracle_sql.json for the dynamic entries
+    new java.io.File(doneDir, "_ALL").createNewFile()
     // Queries run concurrently here, so per-query release would race an
     // in-flight sibling's pinned frame; one drain after the pool settles
     // still bounds the session's cached blocks (DISK_ONLY, sf0.01-sized).
     GraftFunctions.releasePins()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
 
-    // ---- in-process oracle compare + compact stdout marker ----------
-    // The DuckDB compare runs HERE, from the same main the driver
-    // already invokes, so its verdict cannot be lost to a downstream
-    // step. Python+duckdb are driver-side tools; if this environment
-    // lacks them the marker says so loudly instead of staying silent.
+    // ---- collect the compare verdict + compact stdout marker ---------
     val dumped = SparkEntry.queries.size - dumpFailed.size
     val failedDumps = {
       import scala.jdk.CollectionConverters._
       dumpFailed.asScala.toSeq.sorted
     }
-    val compareScript = Seq("tools/compare.py", "/root/repo/tools/compare.py")
-      .find(p => new java.io.File(p).isFile)
-    val marker: String = compareScript match {
+    val marker: String = compareProc match {
       case None =>
         s"""{"dumped":$dumped,"dump_failed":${failedDumps.size},"compare":"unavailable: tools/compare.py not found"}"""
-      case Some(script) =>
-        val cmpJson = s"$outDir/compare.json"
+      case Some((proc, pump)) =>
         try {
-          val logFile = new java.io.File(s"$outDir/compare_log.txt")
-          val pb = new ProcessBuilder(
-            "python3", script, sfDir, outDir, "--json", cmpJson)
-          pb.redirectErrorStream(true)
-          pb.redirectOutput(logFile)
-          val proc = pb.start()
           val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
           if (!done) { proc.destroyForcibly()
             throw new RuntimeException("compare timed out after 20 min") }
-          val raw = Files.readString(Paths.get(cmpJson))
+          pump.join(10000)
+          // the marker file is the compare's own compact verdict —
+          // written atomically (write+rename), read verbatim; no regex
+          // over compare.json (the r8 regex misparsed the enclosing
+          // "verdicts" key when the first verdict failed)
+          val m = Files.readString(Paths.get(markerJson)).trim
+          require(m.startsWith("{") && m.endsWith("}"),
+            s"marker.json is not a JSON object: ${m.take(80)}")
           // refresh the repo-root record when run from the repo (the
           // standing VERIFY_LOCAL.json contract, tools/verify_local.sh)
           if (new java.io.File("tools/compare.py").isFile)
-            Files.writeString(Paths.get("VERIFY_LOCAL.json"), raw)
-          // minimal field pulls — no JSON lib on the main classpath,
-          // and the three counters are flat ints in compare.py's dump
-          def intField(k: String): String =
-            ("\"" + k + "\":\\s*(\\d+)").r.findFirstMatchIn(raw)
-              .map(_.group(1)).getOrElse("-1")
-          // failing query names: a verdict passes with hash:true
-          // (oracle mode) or rows:true in rows-only mode; anything
-          // else is a fail the marker should name
-          val nameRe = "\"([A-Za-z0-9_]+)\":\\s*\\{([^}]*)\\}".r
-          val failedNames = nameRe.findAllMatchIn(raw).collect {
-            case m if !m.group(2).contains("\"hash\": true") &&
-                      !(m.group(2).contains("rows-only") &&
-                        m.group(2).contains("\"rows\": true")) =>
-              m.group(1)
-          }.toSeq.distinct.take(20)
-          val failedJson = failedNames.map(n => s""""$n"""").mkString("[", ",", "]")
-          s"""{"passes":${intField("passes")},"fails":${intField("fails")},"rows_only":${intField("rows_only")},"failed":$failedJson,"dump_failed":${failedDumps.size},"sf":"$sfDir","detail":"$cmpJson"}"""
+            Files.writeString(Paths.get("VERIFY_LOCAL.json"),
+              Files.readString(Paths.get(cmpJson)))
+          s"""{${m.stripPrefix("{").stripSuffix("}")},"dump_failed":${failedDumps.size},"sf":"$sfDir","detail":"$cmpJson"}"""
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.toString)
             .replace("\\", "\\\\").replace("\"", "'").take(160)
