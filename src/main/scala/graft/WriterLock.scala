@@ -19,12 +19,28 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *
  * Protocol: `_writer.lock` under the library root, created with
  * overwrite=false (atomic create-if-absent on HDFS and object stores
- * with preconditions; best-effort on raw local fs). The holder
- * heartbeats the file's mtime every `leaseMs / 3`; a lock whose mtime
- * is older than `leaseMs` is STALE (crashed holder) and may be broken
- * by the next acquirer. Reentrant within one holder instance — nested
- * mutations (updateDocument = delete + add) acquire depth, not a
- * second lease.
+ * with preconditions; best-effort on raw local fs). The file carries
+ * `ownerId\nlastBeatMs`; the holder heartbeats every `leaseMs / 3` by
+ * advancing the mtime, falling back to rewriting the content timestamp
+ * on filesystems where setTimes is unsupported (several object-store
+ * connectors) — staleness always evaluates max(mtime, content ts), so
+ * either channel keeps the lease alive. A lock whose freshest timestamp
+ * is older than `leaseMs` is STALE (crashed holder) and may be broken.
+ *
+ * Breaking is TOCTOU-safe: the breaker atomically RENAMES the stale
+ * lock to a unique tombstone (exactly one racing breaker's rename
+ * succeeds — a plain delete could remove a FRESH lease created between
+ * the breaker's stat and its delete), then re-checks the displaced
+ * file's timestamp. Genuinely stale → tombstone deleted, create
+ * proceeds; fresh (the tiny stat→rename window caught a new lease) →
+ * renamed back and the breaker reports the live holder. If the
+ * rename-back loses a further race the displaced holder is not silent:
+ * its next heartbeat sees foreign/missing lock content, flags the lease
+ * LOST, and the mutation call itself fails loudly on exit — at no point
+ * do two writers both hold an unflagged lease.
+ *
+ * Reentrant within one holder instance — nested mutations
+ * (updateDocument = delete + add) acquire depth, not a second lease.
  */
 final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   import WriterLock._
@@ -33,20 +49,75 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private val ownerId = java.util.UUID.randomUUID().toString
   private var depth = 0
   private var heartbeat: Option[java.util.Timer] = None
+  private val beatMisses = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var lost = false
+
+  /** True when the holder's lease can no longer be trusted: the
+    * heartbeat found foreign/missing lock content (a breaker displaced
+    * us) or failed `LostAfterMisses` consecutive beats. The in-flight
+    * mutation finishes, but its `withLock` call throws on exit so the
+    * possible interleaving is never silent. */
+  def leaseLost: Boolean = lost
 
   /** Run `body` holding the lease; acquire on depth 0, release when
     * the outermost frame exits. Throws [[ConcurrentWriterException]]
-    * if another live holder has the lock. */
+    * if another live holder has the lock, or — after `body` completes —
+    * if the lease was lost while it ran. */
   def withLock[T](body: => T): T = synchronized {
     if (depth == 0) acquire()
+    else if (lost) throw new ConcurrentWriterException(
+      s"writer lease on $libRoot was lost mid-mutation (heartbeat saw a " +
+      "foreign or missing lock) — a concurrent writer may have broken " +
+      "the lease; verify the store and retry")
     depth += 1
-    try body finally {
+    var ok = false
+    try { val r = body; ok = true; r } finally {
       depth -= 1
-      if (depth == 0) release()
+      if (depth == 0) {
+        val wasLost = lost
+        release()
+        if (ok && wasLost) throw new ConcurrentWriterException(
+          s"writer lease on $libRoot was lost while this mutation ran " +
+          "(heartbeat could not maintain or verify the lock) — another " +
+          "writer may have interleaved; verify the store (repairIndexes) " +
+          "before trusting this commit")
+      }
     }
   }
 
+  /** Lock-file content: `ownerId\nlastBeatMs`. Returns (owner, beatMs)
+    * or None if unreadable/missing. */
+  private def readLock(p: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().take(2).toList finally in.close()
+      lines match {
+        case owner :: ts :: _ => Some((owner, ts.trim.toLongOption.getOrElse(0L)))
+        case owner :: Nil     => Some((owner, 0L))
+        case _                => None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Freshest evidence of life: max(file mtime, content timestamp) —
+    * mtime is the cheap heartbeat channel, content the fallback for
+    * filesystems where setTimes is a no-op. -1 if the file is gone. */
+  private def lastBeat(p: Path): Long =
+    try {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      math.max(mtime, readLock(p).map(_._2).getOrElse(0L))
+    } catch { case _: Throwable => -1L }
+
+  private def writeLock(overwrite: Boolean): Unit = {
+    val out = fs.create(lockPath, overwrite)
+    try out.write(
+      s"$ownerId\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def acquire(): Unit = {
+    lost = false
+    beatMisses.set(0)
     var attempt = 0
     var held = false
     while (!held) {
@@ -55,48 +126,102 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
         // parent must exist for create(); the library root is created
         // by the first mutation — make sure it is there
         fs.mkdirs(new Path(libRoot))
-        val out = fs.create(lockPath, false) // overwrite=false: fail if held
-        try out.write(
-          s"$ownerId\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        finally out.close()
+        writeLock(overwrite = false) // fail if held
         held = true
       } catch {
-        case _: java.io.IOException if attempt <= 2 =>
+        case _: java.io.IOException if attempt <= 4 =>
           // lock exists: live holder → loud error; stale → break it
-          val st = try Some(fs.getFileStatus(lockPath))
-            catch { case _: java.io.FileNotFoundException => None }
-          st match {
-            case Some(s)
-                if System.currentTimeMillis() - s.getModificationTime <= leaseMs =>
-              val holder = try {
-                val in = fs.open(lockPath)
-                try scala.io.Source.fromInputStream(in, "UTF-8")
-                  .getLines().nextOption().getOrElse("?") finally in.close()
-              } catch { case _: Throwable => "?" }
-              throw new ConcurrentWriterException(
-                s"library at $libRoot is being mutated by writer $holder " +
-                s"(lease fresh within ${leaseMs} ms) — concurrent mutation " +
-                "would interleave manifest generations; retry after it " +
-                "finishes or raise spark.graft.writerLockLeaseMs if its " +
-                "process crashed")
-            case Some(_) =>
-              // stale: holder stopped heartbeating past the lease —
-              // break and retry the atomic create (a racing breaker
-              // loses the create and re-enters this arm)
-              fs.delete(lockPath, false)
-            case None => () // vanished between create and stat: retry
-          }
+          val beat = lastBeat(lockPath)
+          if (beat < 0) {
+            () // vanished between create and stat: retry the create
+          } else if (System.currentTimeMillis() - beat <= leaseMs) {
+            val holder = readLock(lockPath).map(_._1).getOrElse("?")
+            throw new ConcurrentWriterException(
+              s"library at $libRoot is being mutated by writer $holder " +
+              s"(lease fresh within ${leaseMs} ms) — concurrent mutation " +
+              "would interleave manifest generations; retry after it " +
+              "finishes or raise spark.graft.writerLockLeaseMs if its " +
+              "process crashed")
+          } else breakStale(attempt)
       }
     }
     // heartbeat at a third of the lease so one missed beat never
     // expires a live holder
     val t = new java.util.Timer(s"graft-writer-lock-$ownerId", true)
     t.scheduleAtFixedRate(new java.util.TimerTask {
-      override def run(): Unit =
-        try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-        catch { case _: Throwable => () }
+      override def run(): Unit = beat()
     }, leaseMs / 3, leaseMs / 3)
     heartbeat = Some(t)
+  }
+
+  /** Break a stale lease WITHOUT the delete TOCTOU: atomically rename
+    * the stale lock to a unique tombstone (exactly one racing breaker
+    * wins the rename — the loser re-enters the acquire loop and finds
+    * either no lock or the winner's fresh one), then re-verify
+    * staleness on the displaced file. If the stat→rename window caught
+    * a FRESH lease (its owner broke + re-created in between), restore
+    * it and report the live holder. */
+  private def breakStale(attempt: Int): Unit = {
+    val tomb = new Path(
+      s"$libRoot/_writer.lock.breaking.$ownerId.$attempt")
+    val won = try fs.rename(lockPath, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!won) return // lost the break race; the retry loop re-evaluates
+    val beat = lastBeat(tomb)
+    if (beat >= 0 && System.currentTimeMillis() - beat <= leaseMs) {
+      // we displaced a LIVE lease — put it back and report the holder.
+      // If the restore loses a further race (a third writer created a
+      // new lock in this microsecond window) the displaced holder's
+      // heartbeat flags itself lost; nothing stays silent.
+      val restored = try fs.rename(tomb, lockPath)
+        catch { case _: Throwable => false }
+      if (!restored) { try fs.delete(tomb, false)
+        catch { case _: Throwable => () } }
+      throw new ConcurrentWriterException(
+        s"library at $libRoot is being mutated by a live writer (its " +
+        "lease refreshed between staleness check and break" +
+        (if (restored) "; lease restored" else "") + ") — retry after " +
+        "it finishes")
+    }
+    // genuinely stale: drop the tombstone; the loop retries the create
+    try fs.delete(tomb, false) catch { case _: Throwable => () }
+  }
+
+  /** One heartbeat: verify the lock is still OURS, then advance its
+    * mtime — falling back to a content-timestamp rewrite when setTimes
+    * is unsupported or silently ignored. Failures are never swallowed
+    * into nothing: foreign/missing content flags the lease lost
+    * immediately; `LostAfterMisses` consecutive I/O failures flag it
+    * too, so a holder that looks stale to others is loud about it
+    * instead of colliding with the next writer in silence. */
+  private def beat(): Unit = {
+    val now = System.currentTimeMillis()
+    try {
+      readLock(lockPath) match {
+        case Some((owner, _)) if owner == ownerId =>
+          try fs.setTimes(lockPath, now, -1)
+          catch { case _: Throwable => () }
+          val mtime = try fs.getFileStatus(lockPath).getModificationTime
+            catch { case _: Throwable => 0L }
+          // setTimes unsupported / no-op on this fs: keep the lease
+          // alive through the content channel instead
+          if (mtime + leaseMs / 3 <= now) writeLock(overwrite = true)
+          beatMisses.set(0)
+        case other =>
+          lost = true
+          System.err.println(
+            s"[graft] writer lease on $libRoot LOST: lock file is " +
+            s"${other.map(o => s"owned by ${o._1}").getOrElse("missing")} " +
+            "— a breaker displaced this holder; the current mutation " +
+            "will fail loudly on exit")
+      }
+    } catch { case e: Throwable =>
+      val n = beatMisses.incrementAndGet()
+      System.err.println(
+        s"[graft] writer-lock heartbeat failure $n/$LostAfterMisses on " +
+        s"$libRoot: ${e.getMessage}")
+      if (n >= LostAfterMisses) lost = true
+    }
   }
 
   private def release(): Unit = {
@@ -104,15 +229,17 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
     heartbeat = None
     // only remove our own lease (a breaker may have replaced it)
     try {
-      val in = fs.open(lockPath)
-      val owner = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().nextOption().getOrElse("") finally in.close()
-      if (owner == ownerId) fs.delete(lockPath, false)
+      if (readLock(lockPath).exists(_._1 == ownerId))
+        fs.delete(lockPath, false)
     } catch { case _: Throwable => () }
   }
 }
 
 object WriterLock {
+  /** Consecutive heartbeat failures after which the holder stops
+    * trusting its own lease (≈ one full lease window at beat = lease/3). */
+  val LostAfterMisses = 3
+
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
 }

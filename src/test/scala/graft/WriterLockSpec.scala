@@ -39,13 +39,82 @@ class WriterLockSpec extends AnyFunSuite {
     eventually(fs.exists(new Path(s"$root/_writer.lock")), "lock never appeared")
     // age the lease past expiry (the heartbeat would normally refresh
     // it — here we out-age a 300ms lease faster than its beat by
-    // pinning mtime into the past)
+    // pinning BOTH liveness channels into the past: the mtime and the
+    // content timestamp — staleness evaluates max of the two)
     val successor = new WriterLock(fs, root, leaseMs = 300)
-    fs.setTimes(new Path(s"$root/_writer.lock"),
-      System.currentTimeMillis() - 10000, -1)
+    val lockP = new Path(s"$root/_writer.lock")
+    val past = System.currentTimeMillis() - 10000
+    val rewrite = fs.create(lockP, true)
+    rewrite.write(s"dead-owner\n$past\n".getBytes("UTF-8"))
+    rewrite.close()
+    fs.setTimes(lockP, past, -1)
     @volatile var ran = false
     successor.withLock { ran = true } // breaks the stale lease
     assert(ran, "successor never acquired a stale lease")
+    fs.delete(new Path(root), true)
+  }
+
+  test("two breakers racing one stale lease: never two concurrent holders") {
+    val root = Files.createTempDirectory("graft-wlock4").toString
+    // plant a stale lock: a crashed holder whose last beat is long past
+    fs.mkdirs(new Path(root))
+    val lockP = new Path(s"$root/_writer.lock")
+    val out = fs.create(lockP, false)
+    out.write(s"dead-owner\n${System.currentTimeMillis() - 100000}\n".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(lockP, System.currentTimeMillis() - 100000, -1)
+    // two sessions observe the SAME stale lock and race the break. The
+    // r8 protocol (stat → delete → create) let breaker B delete breaker
+    // A's FRESH lease; the rename-to-tombstone break makes exactly one
+    // rename win, so concurrent holders are impossible.
+    val holders = new java.util.concurrent.atomic.AtomicInteger(0)
+    var maxConcurrent = 0
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        val w = new WriterLock(fs, root, leaseMs = 60000)
+        barrier.await()
+        try w.withLock {
+          val n = holders.incrementAndGet()
+          WriterLockSpec.this.synchronized {
+            maxConcurrent = math.max(maxConcurrent, n) }
+          Thread.sleep(400) // overlap window: a second holder WOULD show
+          holders.decrementAndGet()
+          acquired.incrementAndGet()
+        } catch {
+          case _: WriterLock.ConcurrentWriterException =>
+            refused.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(15000))
+    assert(acquired.get() >= 1, "no breaker ever acquired the stale lease")
+    assert(maxConcurrent == 1,
+      s"$maxConcurrent writers held the lease simultaneously")
+    assert(acquired.get() + refused.get() == 2,
+      "a breaker neither acquired nor failed loudly")
+    fs.delete(new Path(root), true)
+  }
+
+  test("a displaced holder is loud: foreign lock content fails the mutation on exit") {
+    val root = Files.createTempDirectory("graft-wlock5").toString
+    val w = new WriterLock(fs, root, leaseMs = 300) // beat every 100 ms
+    val e = intercept[WriterLock.ConcurrentWriterException] {
+      w.withLock {
+        // simulate a breaker that displaced us and installed its own
+        // lease while our mutation runs
+        val p = new Path(s"$root/_writer.lock")
+        fs.delete(p, false)
+        val out = fs.create(p, false)
+        out.write(s"usurper\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        out.close()
+        Thread.sleep(500) // let at least one heartbeat observe the theft
+        assert(w.leaseLost, "heartbeat never flagged the displaced lease")
+      }
+    }
+    assert(e.getMessage.contains("lost"))
     fs.delete(new Path(root), true)
   }
 
