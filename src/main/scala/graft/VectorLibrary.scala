@@ -1845,19 +1845,51 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // rows would be invisible orphans), and its _spark_metadata log
     // makes even listing reads sink-scoped. Committing through
     // appendCommitted keeps one ingest discipline for batch and
-    // stream; recovery is at-least-once per micro-batch with
-    // deterministic chunk_ids (exact duplicates on replay).
+    // stream. foreachBatch recovery is at-least-once per micro-batch,
+    // but chunk_ids are deterministic (library#doc#idx) and only the
+    // FIRST batch after a (re)start can be a replay of a batch whose
+    // commit already landed — dropReplayedChunks anti-joins exactly
+    // that batch against the store, making the store commit effectively
+    // exactly-once at O(one reconcile scan per restart), never a
+    // per-batch cost.
+    var reconcileFirst = true
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) => withWriterLock {
-        val b = batch.persist()
-        storeTree.appendCommitted(b, 0L)
-        b.unpersist()
-        invalidateIndexes()
+        val raw = batch.persist()
+        val b = if (reconcileFirst) dropReplayedChunks(raw) else raw
+        reconcileFirst = false
+        if (!b.isEmpty) {
+          storeTree.appendCommitted(b, 0L)
+          invalidateIndexes()
+        }
+        if (b ne raw) b.unpersist()
+        raw.unpersist()
+        ()
       } }
       .start()
+  }
+
+  /** Replay idempotence for streaming ingest: drop the micro-batch rows
+    * whose chunk_id is ALREADY in the store. Called only on the first
+    * batch after a stream (re)start — the only batch foreachBatch's
+    * at-least-once recovery can replay — so the cost is one store-side
+    * semi scan per restart, not per batch. The batch's ids broadcast to
+    * the store scan and the (small) intersection broadcasts back to the
+    * batch-side anti join: no shuffle of the store at any size. */
+  private def dropReplayedChunks(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (!hasVisibleData(path)) return batch
+    val ids = batch.select("chunk_id").distinct()
+    val existing = chunks
+      .join(broadcast(ids), Seq("chunk_id"), "left_semi")
+      .select("chunk_id")
+    val fresh = batch
+      .join(broadcast(existing), Seq("chunk_id"), "left_anti").persist()
+    fresh.count() // materialize: ONE reconcile scan, not one per consumer
+    fresh
   }
 
   /**
@@ -1866,10 +1898,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * store and its exploded (tbl, bucket) rows to the index — the
    * streaming form of the reference's background embed-and-index loop
    * (background_tasks.py:15-40), with the index never rebuilt from
-   * scratch. foreachBatch drives the two sinks, so recovery is
-   * at-least-once per batch; chunk_ids are deterministic
-   * (library#doc#idx), making replayed rows exact duplicates that a
-   * downstream distinct-on-chunk_id removes if exactness matters.
+   * scratch. foreachBatch drives the two sinks; the first batch after
+   * a (re)start reconciles against the store (deterministic chunk_ids,
+   * library#doc#idx), so a crash-replayed micro-batch never commits
+   * duplicate rows.
    */
   /**
    * Streaming ingest with index maintenance (reference
@@ -1896,22 +1928,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         (!hasPartitionedIndex || !partitionedIndex.columns.contains("quant")
           || !partitionedIndex.columns.contains("source")))
       buildPartitionedIndex()
+    // replay idempotence mirrors plain ingestStream: only the first
+    // batch after a (re)start can be a replay — anti-join it against
+    // the store. A crash BETWEEN this batch's store commit and one of
+    // its index commits leaves that index short by the batch; that is
+    // exactly the gap repairIndexes() closes from the store.
+    var reconcileFirst = true
     indexColumns(TextAnalysis.chunksUnordered(docsStream, chunkWindow))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) => withWriterLock {
-        val b = batch.persist()
-        storeTree.appendCommitted(b, 0L)
-        lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
-        // mirror appendBatch: every derived index stays current and
-        // session caches drop, so ivf/grid/flat search sees the arrivals
-        if (hasIvfIndex) appendOrRebuildIvf(b)
-        if (hasGridIndex) appendGridRows(b)
-        if (hasPqIndex) appendPqRows(b)
-        if (hasIvfPqIndex) appendIvfPqRows(b)
-        b.unpersist()
-        invalidateIndexes()
+        val raw = batch.persist()
+        val b = if (reconcileFirst) dropReplayedChunks(raw) else raw
+        reconcileFirst = false
+        if (!b.isEmpty) {
+          storeTree.appendCommitted(b, 0L)
+          lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)
+          // mirror appendBatch: every derived index stays current and
+          // session caches drop, so ivf/grid/flat search sees the arrivals
+          if (hasIvfIndex) appendOrRebuildIvf(b)
+          if (hasGridIndex) appendGridRows(b)
+          if (hasPqIndex) appendPqRows(b)
+          if (hasIvfPqIndex) appendIvfPqRows(b)
+          invalidateIndexes()
+        }
+        if (b ne raw) b.unpersist()
+        raw.unpersist()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactPartitionedIndex(maxFilesPerPartition)
         ()

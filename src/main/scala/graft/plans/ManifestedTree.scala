@@ -163,9 +163,16 @@ final class ManifestedTree(
         // source of truth, already including this batch)
         commitFull(listFiles(None), schemaHint)
       case Some(st) =>
-        val rm = removals.toSet
-        val entries =
-          st.entries.filterNot(e => rm(e._1)) ++ additions
+        // same keyed-map discipline as resolveChain (put adds, remove
+        // removals): an addition whose path is already live REPLACES
+        // the old entry instead of duplicating it, so the writer's
+        // cached state can never diverge from what a fresh reader
+        // resolves off disk (a duplicate would double-plan the file)
+        val keyed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        st.entries.foreach { case (p, s) => keyed.put(p, s) }
+        removals.foreach(keyed.remove)
+        additions.foreach { case (p, s) => keyed.put(p, s) }
+        val entries = keyed.toVector
         if (st.deltas + 1 >= RebaseEvery) {
           // periodic rebase bounds the reader's chain length; its
           // O(tree) write amortizes over RebaseEvery O(batch) commits

@@ -175,6 +175,24 @@ class ManifestedTreeSpec extends AnyFunSuite {
     fs.delete(new Path(root), true)
   }
 
+  test("re-adding a live path via a delta replaces the entry, never duplicates it") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 40), 1000000L)
+    val before = tree.open().count()
+    // a swap that re-commits an already-live file under its own path
+    // (an in-place rewrite): the writer's CACHED state must apply the
+    // same keyed-map discipline as a fresh reader's disk resolve — a
+    // plain append would double-plan the file in the writer's own open()
+    val entry = tree.listFiles(None).head
+    tree.commitSwap(Nil, Seq(entry))
+    assert(tree.open().count() == before,
+      "writer cache double-planned a re-added live file")
+    val reader = new ManifestedTree(spark, root, pSchema)
+    assert(reader.open().count() == before,
+      "disk-resolved state diverged from the writer's cache")
+    fs.delete(new Path(root), true)
+  }
+
   test("copy-on-write swap and dir replacement commit as deltas, not full rewrites") {
     val (tree, root) = freshTree()
     tree.appendCommitted(rows(0 until 40), 1000000L)

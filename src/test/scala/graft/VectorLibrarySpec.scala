@@ -1645,4 +1645,33 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.filter(col("doc_id") >= 7000).count() > 0)
     lib.delete()
   }
+
+  test("replayed streaming micro-batch commits no duplicate rows (restart reconcile)") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-lib-stream3").toString
+    val docsDir = Files.createTempDirectory("graft-docs3").toString
+    val lib = new VectorLibrary(spark, root, "stream3-lib")
+    Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q1 = lib.ingestStream(stream, s"$root/ckptA")
+    q1.processAllAvailable(); q1.stop()
+    val after = lib.chunks.count()
+    assert(after > 0)
+    // crash replay in its worst form: a FRESH checkpoint re-delivers
+    // every already-committed source file as batch 0 — the first batch
+    // after (re)start, exactly the one the reconcile anti-joins against
+    // the store. Before the reconcile this doubled every chunk (the
+    // at-least-once regression the r8 foreachBatch migration accepted).
+    val q2 = lib.ingestStream(stream, s"$root/ckptB")
+    q2.processAllAvailable(); q2.stop()
+    assert(lib.chunks.count() == after,
+      "replayed micro-batch committed duplicate rows")
+    assert(lib.chunks.select("chunk_id").distinct().count() == after)
+    lib.delete()
+  }
 }
