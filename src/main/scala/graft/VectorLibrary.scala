@@ -980,6 +980,39 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     } finally store.unpersist()
   }
 
+  /** Retained store generations, oldest first: (generation, isFull) —
+    * the points [[restoreTo]] can target. */
+  def storeGenerations(): Seq[(Long, Boolean)] = storeTree.generations()
+
+  /**
+   * Point-in-time RESTORE of the whole library to store generation
+   * `gen` (see [[storeGenerations]]): the store rolls back with ONE
+   * forward manifest commit and zero data movement
+   * ([[graft.plans.ManifestedTree.rollbackTo]] — history is never
+   * rewritten), then every derived index reconciles against the
+   * restored store through [[repairIndexes]] — rows the restore
+   * brought back re-derive under each index's frozen geometry; rows it
+   * removed turn up as ghosts and trigger that index's rebuild. One
+   * call undoes a bad delete or a bad ingest; without it a user had to
+   * roll six trees back by hand. The reference's recovery contract is
+   * the same store-is-truth shape: indexes re-derive from stored
+   * vectors (services/background_tasks.py re-runs the per-library
+   * rebuild on restart).
+   *
+   * Valid while the target generation is retained AND its files have
+   * not been vacuumed: deleted-row bytes stay on disk (manifest-
+   * invisible) until [[vacuumIndexes]]. Vacuum's retention window is
+   * the restore horizon — run it with `olderThanMs` at least as long
+   * as the history you want restorable (the Delta RESTORE-vs-VACUUM
+   * contract). Returns [[repairIndexes]]' report.
+   */
+  def restoreTo(gen: Long): Map[String, (Long, Long)] = withWriterLock {
+    storeTree.rollbackTo(gen)
+    invalidateIndexes()
+    touchMeta()
+    repairIndexes()
+  }
+
   /**
    * Copy-on-write removal of the victim chunks from the store AND
    * every derived index, at FILE granularity (the Delta/Iceberg
@@ -1248,13 +1281,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                         tmp: String, victimFiles: Seq[String]): Unit =
         step(label) {
           val freshRel = graft.plans.ManifestedTree.listTree(spark, tmp, None)
-          cowTree(tree.root, tmp, victimFiles)
+          cowTree(tree.root, tmp, victimFiles, retainVictims =
+            graft.plans.ManifestedTree.manifestExists(spark, tree.root))
           tree.commitSwap(victimFiles, freshRel)
         }
       swapCommitted("swap-store", storeTree, storeTmp, storeFiles)
       if (lshFiles.nonEmpty) step("swap-lsh") {
         val freshRel = graft.plans.ManifestedTree.listTree(spark, idxTmp, None)
-        cowTree(indexPath, idxTmp, lshFiles)
+        cowTree(indexPath, idxTmp, lshFiles, retainVictims =
+          graft.plans.ManifestedTree.manifestExists(spark, indexPath))
         pruneEmptyParents(indexPath)
         lshTree.commitSwap(lshFiles, freshRel)
       }
@@ -1276,9 +1311,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * directory moves aside, its non-victim files rename back in, the
     * rewritten survivors rename in from the mirrored tmp tree, the
     * aside drops. A directory left with no visible files is deleted —
-    * its partition is now empty. */
+    * its partition is now empty.
+    *
+    * With `retainVictims` (every MANIFESTED tree) the victim files
+    * move back too: the commitSwap drops them from the manifest, so
+    * they are invisible to every reader, but their bytes stay at their
+    * original paths until [[graft.plans.ManifestedTree.vacuum]] — the
+    * Delta/Iceberg DELETE shape, and what keeps pre-delete generations
+    * resolvable for openAt/rollbackTo/restoreTo. A PRE-MANIFEST tree
+    * must NOT retain them (its commit path re-lists the directory as
+    * the source of truth and would re-adopt the deleted rows). */
   private def cowTree(treeRoot: String, tmpRoot: String,
-                      victimFiles: Seq[String]): Unit = {
+                      victimFiles: Seq[String],
+                      retainVictims: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = hadoopFs(treeRoot)
     val rootStr = {
@@ -1300,7 +1345,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         fs.mkdirs(liveDir)
         fs.listStatus(aside).foreach { st =>
           val n = st.getPath.getName
-          if (visible(n) && !victimNames.contains(n))
+          if (visible(n) && (retainVictims || !victimNames.contains(n)))
             fs.rename(st.getPath, new Path(liveDir, n))
         }
         if (fs.exists(fresh))

@@ -19,6 +19,17 @@ import java.nio.file.{Files, Paths}
   * (GRAFT_CORRECTNESS_PROGRESS) stream through to stdout so even a
   * truncated tail carries a partial verdict. */
 object Verify {
+  /** Session confs a pooled verify query must not mutate: anything a
+    * save/restore pattern (deleteDocuments' maxPartitionBytes dance)
+    * or an ad-hoc tuning write would touch. Watched around the dump
+    * pool and per query in VerifyPoolSafetySpec. */
+  val WatchedConfs: Seq[String] = Seq(
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.session.timeZone")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,8 +124,20 @@ object Verify {
     // mutate a shared library (deleteDocuments' session-conf
     // save/restore, VectorLibrary.scala, is NOT safe under this pool —
     // keep mutation out of `queries`, it belongs in specs/ladders).
-    // VerifyPoolSafetySpec enforces this: every query must leave session
-    // confs and library manifest generations untouched.
+    // That single-writer assumption is now CHECKED, not assumed: session
+    // confs and the shared library's manifests are snapshotted around
+    // the dumps below, and any drift prints a loud violation marker
+    // (plus VerifyPoolSafetySpec exercising the same invariant per
+    // query). The shared library warms FIRST so its build is not
+    // mistaken for a query-side mutation.
+    val warmLib = VectorLibrary.forDataset(spark, sfDir)
+    def libState(): Seq[String] =
+      (warmLib.storeGenerations().map(_.toString) ++
+        warmLib.manifestInfo.collect().map(_.toString)).sorted
+    def confState(): Seq[(String, Option[String])] = Verify.WatchedConfs
+      .map(k => k -> (try spark.conf.getOption(k) catch { case _: Throwable => None }))
+    val libBefore = libState()
+    val confBefore = confState()
     val dumpFailed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val dumpedCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -140,6 +163,17 @@ object Verify {
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures), 60.minutes)
     pool.shutdown()
+    // pool-safety audit: queries must be pure readers — a mutator in
+    // `queries` (session-conf save/restore, a library write) is unsafe
+    // under the 4-way pool and invalidates the round's dumps
+    val confDrift = confState().zip(confBefore).collect {
+      case ((k, a), (_, b)) if a != b => s"$k: $b -> $a" }
+    val libDrift = if (libState() == libBefore) Nil
+      else Seq("shared library manifests changed")
+    val poolViolations = confDrift ++ libDrift
+    if (poolViolations.nonEmpty)
+      println("GRAFT_POOL_SAFETY_VIOLATION: " +
+        poolViolations.mkString("[\"", "\",\"", "\"]"))
     // the complete oracle map — dynamic entries are stashed now that
     // every query has run — MUST land before _ALL releases compare.py's
     // re-read
@@ -181,7 +215,9 @@ object Verify {
           if (new java.io.File("tools/compare.py").isFile)
             Files.writeString(Paths.get("VERIFY_LOCAL.json"),
               Files.readString(Paths.get(cmpJson)))
-          s"""{${m.stripPrefix("{").stripSuffix("}")},"dump_failed":${failedDumps.size},"sf":"$sfDir","detail":"$cmpJson"}"""
+          val safety = if (poolViolations.isEmpty) "\"ok\""
+            else s"\"VIOLATED: ${poolViolations.size} mutation(s) — see GRAFT_POOL_SAFETY_VIOLATION\""
+          s"""{${m.stripPrefix("{").stripSuffix("}")},"dump_failed":${failedDumps.size},"pool_safety":$safety,"sf":"$sfDir","detail":"$cmpJson"}"""
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.toString)
             .replace("\\", "\\\\").replace("\"", "'").take(160)

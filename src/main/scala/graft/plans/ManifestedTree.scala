@@ -408,6 +408,13 @@ final class ManifestedTree(
   def vacuum(olderThanMs: Long = 0L): Int = readManifest() match {
     case None => 0
     case Some(entries) =>
+      // Delta's VACUUM model exactly: protect the CURRENT generation's
+      // live set; everything else is collectible once older than the
+      // retention window. The window is therefore also the snapshot/
+      // rollback horizon — openAt/rollbackTo/restoreTo reach only
+      // generations whose files every vacuum so far has retained
+      // (olderThanMs ≥ the generation's age), the same contract as
+      // Delta RESTORE vs VACUUM RETAIN.
       val live = entries.map(_._1).toSet
       val cutoff = System.currentTimeMillis() - olderThanMs
       val dead = listFiles(None).map(_._1).filterNot(live).filter { rel =>

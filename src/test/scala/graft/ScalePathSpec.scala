@@ -12,6 +12,17 @@ class ScalePathSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private def emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
 
+  /** Manifest-planned read of an index tree — what the library's own
+    * probes see. Raw listing reads would also adopt the copy-on-write
+    * victim bytes deletes now RETAIN on disk for restoreTo. */
+  private def manifestRead(dir: String,
+      parts: (String, org.apache.spark.sql.types.DataType)*)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    new graft.plans.ManifestedTree(spark, dir,
+      StructType(parts.map { case (n, t) => StructField(n, t) })).open()
+  }
+
   test("topk rewrite (safe): non-nullable rank-k window becomes a graft_topk aggregate") {
     SparkEntry.configure(spark)
     // hash() is non-nullable (unlike % — modulo is nullable under
@@ -514,11 +525,16 @@ class ScalePathSpec extends AnyFunSuite {
 
     lib.deleteDocuments(col("doc_id") === victimId)
 
-    // victims gone from the store and from every derived index
+    // victims gone from the store and from every derived index (as the
+    // probes see them — through the manifests; the victim BYTES stay on
+    // disk for restoreTo until vacuum)
+    import org.apache.spark.sql.types.IntegerType
     assert(lib.chunks.filter(col("doc_id") === victimId).count() == 0)
-    assert(spark.read.parquet(s"$root/cow-lib/lsh_index")
+    assert(manifestRead(s"$root/cow-lib/lsh_index",
+      "tbl" -> IntegerType, "bucket" -> IntegerType)
       .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
-    assert(spark.read.parquet(s"$root/cow-lib/ivf_index/assigned")
+    assert(manifestRead(s"$root/cow-lib/ivf_index/assigned",
+      "cluster" -> IntegerType)
       .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
 
     // every non-victim directory kept its exact files
@@ -648,9 +664,13 @@ class ScalePathSpec extends AnyFunSuite {
       "pruned resolution opened every cluster — nothing was pruned")
 
     // and the delete was still complete: victims gone from both trees
-    assert(spark.read.parquet(ivfTree)
+    // (manifest view — the retained victim bytes are restoreTo's, not
+    // the probes')
+    assert(manifestRead(ivfTree,
+      "cluster" -> org.apache.spark.sql.types.IntegerType)
       .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
-    assert(spark.read.parquet(ivfpqTree)
+    assert(manifestRead(ivfpqTree,
+      "cluster" -> org.apache.spark.sql.types.IntegerType)
       .filter(col("chunk_id").isin(victimIds.toSeq: _*)).count() == 0)
     // searches keep serving from the surgically-edited indexes
     lib.setAlgorithm("ivf")

@@ -7,6 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorLibrarySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** Read an index/store tree the way the library does: through its
+    * manifest. A raw `spark.read.parquet(dir)` LISTING read would also
+    * adopt manifest-invisible bytes — crash orphans and the retained
+    * copy-on-write victims that deletes keep on disk for restoreTo —
+    * and is exactly what these specs must NOT measure. */
+  private def manifestRead(dir: String,
+      parts: (String, org.apache.spark.sql.types.DataType)*)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    new graft.plans.ManifestedTree(spark, dir,
+      StructType(parts.map { case (n, t) => StructField(n, t) })).open()
+  }
+
   test("library lifecycle: ingest, search, stats, delete") {
     val root = Files.createTempDirectory("graft-lib").toString
     val lib = new VectorLibrary(spark, root, "test-lib")
@@ -275,13 +288,18 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(numFiles <= 8 * 3, s"probe opened $numFiles files — not pruned")
 
     // Incremental append: a later batch extends the index in place.
+    import org.apache.spark.sql.types.{IntegerType, StringType}
     lib.addDocuments(docs.filter(col("doc_id") >= 60))
-    val idx = spark.read.parquet(s"$root/part-lib/lsh_index")
+    val idx = manifestRead(s"$root/part-lib/lsh_index",
+      "tbl" -> IntegerType, "bucket" -> IntegerType)
     assert(idx.count() == 8 * lib.chunks.count(), "index rows != tables * chunks after append")
 
-    // Store rewrites re-derive the index: no ghost candidates.
+    // Store rewrites re-derive the index: no ghost candidates (the
+    // victims' bytes stay on disk for restoreTo, but the manifest —
+    // what the probe plans from — must not hold them).
     lib.deleteDocuments(col("doc_id") < 5)
-    val idx2 = spark.read.parquet(s"$root/part-lib/lsh_index")
+    val idx2 = manifestRead(s"$root/part-lib/lsh_index",
+      "tbl" -> IntegerType, "bucket" -> IntegerType)
     assert(idx2.count() == 8 * lib.chunks.count(), "index stale after delete")
     assert(idx2.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
     lib.delete()
@@ -423,13 +441,16 @@ class VectorLibrarySpec extends AnyFunSuite {
 
     // incremental append under FROZEN bounds: index tracks the store
     lib.addDocuments(docs.filter(col("doc_id") >= 60))
-    val cells = spark.read.parquet(s"$root/grid-lib/grid_index/cells")
+    import org.apache.spark.sql.types.StringType
+    val cells = manifestRead(s"$root/grid-lib/grid_index/cells",
+      "cell" -> StringType)
     assert(cells.count() == lib.chunks.count(), "grid rows != chunks after append")
     assert(cells.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
 
     // copy-on-write delete removes victims from the grid index too
     lib.deleteDocuments(col("doc_id") < 5)
-    val cells2 = spark.read.parquet(s"$root/grid-lib/grid_index/cells")
+    val cells2 = manifestRead(s"$root/grid-lib/grid_index/cells",
+      "cell" -> StringType)
     assert(cells2.count() == lib.chunks.count(), "grid index stale after delete")
     assert(cells2.join(lib.chunks, Seq("chunk_id"), "left_anti").count() == 0)
 
@@ -1062,6 +1083,96 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("store/index skew window: a reader between the two commits sees a bounded, documented lag") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import graft.plans.ManifestedTree
+    // Ingest commits the store manifest, then each index manifest,
+    // SEPARATELY (reference parity: background_tasks.py rebuilds are
+    // async w.r.t. storage writes too). The CONTRACT a reader in that
+    // window gets: (1) `chunks` is always the source of truth and
+    // already shows the batch; (2) an index search still works and lags
+    // by AT MOST the in-flight batch — never stale beyond it, never
+    // wrong rows; (3) once the mutating call returns, search sees
+    // everything. Interleaving is replayed exactly like the repair
+    // spec: the index tree rolled to its pre-append generation is the
+    // on-disk state between the two commits.
+    val root = Files.createTempDirectory("graft-lib-skew").toString
+    val lib = new VectorLibrary(spark, root, "skew-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    lib.buildPartitionedIndex()
+    val lshExt = new ManifestedTree(spark, s"$root/skew-lib/lsh_index",
+      StructType(Seq(StructField("tbl", IntegerType),
+        StructField("bucket", IntegerType))))
+    val preGen = lshExt.generations().last._1
+    val preIds = lib.chunks.select("chunk_id").collect().map(_.getString(0)).toSet
+
+    lib.addDocuments(docs.filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 9000))
+    val allIds = lib.chunks.select("chunk_id").collect().map(_.getString(0)).toSet
+
+    // the between-commits window: store committed, index not yet
+    lshExt.rollbackTo(preGen)
+    lib.invalidateIndexes()
+    // (1) the store is the source of truth — batch already visible
+    assert(lib.chunks.count() == allIds.size)
+    // (2) index search works and lags by at most the in-flight batch
+    val winHits = lib.searchApprox("spark join stream table filter", k = 50)
+      .collect().map(_.getString(0)).toSet
+    assert(winHits.nonEmpty, "search broke inside the skew window")
+    assert(winHits.subsetOf(preIds),
+      "window search returned rows outside the pre-batch corpus")
+    // (3) writer finishes (here: the repair path replays the index
+    // commit); search now covers the batch
+    lib.repairIndexes()
+    val afterHits = lib.searchApprox("spark join stream table filter", k = 200)
+      .collect().map(_.getString(0)).toSet
+    assert(afterHits.exists(id => !preIds.contains(id)),
+      "post-window search still missing the committed batch")
+    assert(afterHits.subsetOf(allIds))
+    lib.delete()
+  }
+
+  test("restoreTo: one call undoes a bad delete AND a bad ingest across store and indexes") {
+    val root = Files.createTempDirectory("graft-lib-restore").toString
+    val lib = new VectorLibrary(spark, root, "restore-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs)
+    lib.buildPartitionedIndex(); lib.buildGridIndex()
+    val before = lib.chunks.count()
+    val preGen = lib.storeGenerations().last._1
+    val q = "spark join stream table filter"
+    def hits(): Set[(String, Double)] = lib.searchApprox(q, k = 15).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val preHits = hits()
+    assert(preHits.nonEmpty)
+
+    // BAD DELETE: a predicate that takes out half the library. The COW
+    // rewrite removes the victims from store + indexes; their bytes
+    // stay on disk (manifest-invisible) so the restore can re-live them.
+    lib.deleteDocuments(col("doc_id") < 20)
+    assert(lib.chunks.count() < before, "delete removed nothing")
+    val rep1 = lib.restoreTo(preGen)
+    assert(lib.chunks.count() == before, "store not restored after delete")
+    assert(rep1("lsh")._1 > 0 || rep1("lsh")._2 > 0,
+      s"indexes were not reconciled after restore: $rep1")
+    assert(hits() == preHits, "search results differ from pre-delete")
+
+    // BAD INGEST: restore must also roll junk arrivals back out
+    // (ghost path — the indexes rebuilt from the restored store).
+    val restoredGen = lib.storeGenerations().last._1
+    lib.addDocuments(docs.withColumn("doc_id", col("doc_id") + 5000))
+    assert(lib.chunks.count() > before)
+    val rep2 = lib.restoreTo(restoredGen)
+    assert(lib.chunks.count() == before, "store not restored after ingest")
+    assert(rep2("lsh")._2 > 0, s"junk-ingest ghosts not detected: $rep2")
+    assert(hits() == preHits, "search results differ from pre-ingest")
+
+    // fixed point: a repaired, restored library is consistent
+    assert(lib.repairIndexes().values.forall(_ == ((0L, 0L))))
+    lib.delete()
+  }
+
   test("derived-tree manifests: ivf/grid/pq/ivfpq plan from committed files; orphans invisible") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-lib-man4").toString
@@ -1397,7 +1508,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     val victimDoc = lib.chunks.select(col("doc_id")).distinct()
       .orderBy(col("doc_id")).collect()(0).getLong(0)
     lib.deleteDocuments(col("doc_id") === victimDoc)
-    assert(spark.read.parquet(s"$root/pq-lib/pq_index/codes").count()
+    assert(manifestRead(s"$root/pq-lib/pq_index/codes",
+      "source" -> org.apache.spark.sql.types.StringType).count()
       == lib.chunks.count(), "pq codes stale after delete")
     assert(lib.search("spark join stream table filter", k = 5).count() == 5)
 
@@ -1466,7 +1578,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     val victimDoc = lib.chunks.select(col("doc_id")).distinct()
       .orderBy(col("doc_id")).collect()(0).getLong(0)
     lib.deleteDocuments(col("doc_id") === victimDoc)
-    assert(spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/encoded").count()
+    assert(manifestRead(s"$root/ivfpq-lib/ivfpq_index/encoded",
+      "cluster" -> org.apache.spark.sql.types.IntegerType).count()
       == lib.chunks.count(), "ivfpq rows stale after delete")
     assert(lib.search("spark join stream table filter", k = 5).count() == 5)
 
