@@ -50,7 +50,21 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     hadoopFs(root), s"$root/$name",
     spark.conf.getOption("spark.graft.writerLockLeaseMs")
       .map(_.toLong).getOrElse(300000L))
-  private def withWriterLock[T](body: => T): T = writerLock.withLock(body)
+  // Consistency epochs ride the same choke point: after the OUTERMOST
+  // mutation frame finishes (every tree it touched has committed) and
+  // while the lease is still held, the per-tree generation tuple is
+  // recorded — see [[recordEpoch]]. A reader resolving an epoch
+  // therefore never observes the store/index commit skew window.
+  private var mutationDepth = 0
+  private def withWriterLock[T](body: => T): T = writerLock.withLock {
+    // guarded by the lock's monitor (withLock is synchronized)
+    mutationDepth += 1
+    try {
+      val r = body
+      if (mutationDepth == 1) recordEpoch()
+      r
+    } finally mutationDepth -= 1
+  }
 
   /** True when `p` exists AND holds at least one visible (non-hidden,
     * non-marker) entry. A directory can exist yet be dataless — e.g.
@@ -1011,6 +1025,125 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     invalidateIndexes()
     touchMeta()
     repairIndexes()
+  }
+
+  // --- consistency epochs ----------------------------------------------
+  // Ingest commits the store manifest, then each index manifest,
+  // SEPARATELY — a head reader between those commits sees an index
+  // lagging the store by the in-flight batch (the documented skew
+  // contract). Epochs close that window for readers who need cross-tree
+  // consistency: after the OUTERMOST mutation frame completes — every
+  // tree it touched committed, the writer lease still held — the
+  // per-tree generation tuple lands in `_epochs/epoch.<n>` (write+
+  // rename, atomic). An epoch therefore NEVER references a half-
+  // committed state: a crash mid-mutation simply leaves the previous
+  // epoch as the latest. This is the library-level analog of a lake
+  // format's single commit log laid over the per-tree manifests.
+
+  private def epochsDir = s"$root/$name/_epochs"
+
+  /** Every persisted tree, by epoch name. A `def`: the tree vals are
+    * declared across the class body and this must not capture them at
+    * construction order. */
+  private def epochTrees: Seq[(String, graft.plans.ManifestedTree)] = Seq(
+    "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
+    "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
+
+  /** Record the current per-tree generation tuple as a new epoch.
+    * Skips when nothing is manifested yet (pre-first-commit, or the
+    * library was just delete()d) and when the tuple equals the latest
+    * epoch (read-only mutators like a no-op vacuum). */
+  private def recordEpoch(): Unit = {
+    val gens = epochTrees.flatMap { case (n, t) =>
+      t.generations().lastOption.map { case (g, _) => s"$n\t$g" } }
+    if (gens.isEmpty) return
+    val body = gens.mkString("\n")
+    val fs = hadoopFs(epochsDir)
+    val dir = new org.apache.hadoop.fs.Path(epochsDir)
+    val latest = epochs.lastOption
+    if (latest.exists(e => readEpochFile(e).contains(body))) return
+    fs.mkdirs(dir)
+    val next = latest.getOrElse(0L) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".epoch.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"epoch.$next%09d")))
+      throw new java.io.IOException(s"epoch $next install failed at $epochsDir")
+    // bounded history: epochs older than the manifest retention window
+    // are unresolvable anyway
+    val all = epochs
+    all.dropRight(EpochKeep).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"epoch.$e%09d"), false) }
+  }
+  private val EpochKeep = 32
+
+  private def readEpochFile(e: Long): Option[String] =
+    try {
+      val in = hadoopFs(epochsDir).open(
+        new org.apache.hadoop.fs.Path(epochsDir, f"epoch.$e%09d"))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Recorded epochs, oldest first. */
+  def epochs: Seq[Long] = {
+    val fs = hadoopFs(epochsDir)
+    val dir = new org.apache.hadoop.fs.Path(epochsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch."))
+      .flatMap(n => n.stripPrefix("epoch.").toLongOption).sorted
+  }
+
+  /** The per-tree generation tuple of epoch `e`. */
+  def epochInfo(e: Long): Map[String, Long] =
+    readEpochFile(e) match {
+      case Some(body) => body.linesIterator.map { l =>
+        val Array(n, g) = l.split('\t'); n -> g.toLong }.toMap
+      case None => throw new IllegalArgumentException(
+        s"epoch $e not recorded at $epochsDir (available: ${epochs.mkString(",")})")
+    }
+
+  /** Every tree of epoch `e` opened AT its recorded generation — a
+    * cross-tree-CONSISTENT view: the store and each index are exactly
+    * the committed state of one completed mutation, never the
+    * in-between of two commits. Valid while the epoch's generations
+    * are retained and their files not vacuumed (same horizon as
+    * [[restoreTo]]). */
+  def consistentAt(e: Long): Map[String, DataFrame] = {
+    val byName = epochTrees.toMap
+    epochInfo(e).map { case (n, g) => n -> byName(n).openAt(g) }
+  }
+
+  /** The chunks store as of epoch `e`. */
+  def chunksAt(e: Long): DataFrame = consistentAt(e)("store")
+
+  /** [[restoreTo]] with an epoch as the restore point: the store rolls
+    * back to the epoch's recorded store generation and every index
+    * reconciles — "put the library back to the state after mutation N"
+    * without the caller translating epochs to tree generations. */
+  def restoreToEpoch(e: Long): Map[String, (Long, Long)] =
+    restoreTo(epochInfo(e)("store"))
+
+  /** Approximate search pinned to epoch `e`: probes the LSH index AT
+    * the epoch's generation (falling back to a bucket probe over the
+    * epoch's store when the index predates the epoch), so the result
+    * can never straddle the store/index commit window — the
+    * consistency-critical twin of [[searchApprox]]. */
+  def searchApproxAt(e: Long, queryText: String, k: Int = 10,
+                     metric: String = "cosine"): DataFrame = {
+    val info = epochInfo(e)
+    info.get("lsh") match {
+      case Some(g) =>
+        VectorSearch.lshKnnPartitioned(lshTree.openAt(g),
+          queryFrame(queryText),
+          "chunk_id", "embedding", clampK(k), metric,
+          numTables, bitsPerTable, seed)
+      case None =>
+        VectorSearch.lshKnnIndexed(chunksAt(e), queryFrame(queryText),
+          "chunk_id", "embedding", "lsh_buckets",
+          clampK(k), metric, numTables, bitsPerTable, seed)
+    }
   }
 
   /**

@@ -1133,6 +1133,69 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("consistency epochs: an epoch reader never sees the skew window; crash leaves the previous epoch") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import graft.plans.ManifestedTree
+    val root = Files.createTempDirectory("graft-lib-epoch").toString
+    val lib = new VectorLibrary(spark, root, "epoch-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 20))
+    lib.buildPartitionedIndex()
+    val eIdx = lib.epochs.last
+    // an epoch tuple is cross-tree consistent: same chunk_id set on
+    // both sides, by construction (recorded after ALL commits)
+    def consistent(e: Long): Unit = {
+      val v = lib.consistentAt(e)
+      val store = v("store").select("chunk_id")
+      val idx = v("lsh").select("chunk_id").distinct()
+      assert(idx.join(store, Seq("chunk_id"), "left_anti").count() == 0,
+        s"epoch $e: index ghosts vs its own store")
+      assert(store.join(idx, Seq("chunk_id"), "left_anti").count() == 0,
+        s"epoch $e: index missing rows vs its own store")
+    }
+    consistent(eIdx)
+    val preIds = lib.chunksAt(eIdx).select("chunk_id").collect()
+      .map(_.getString(0)).toSet
+
+    lib.addDocuments(docs.filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 9000))
+    val eBatch = lib.epochs.last
+    assert(eBatch > eIdx, "mutation did not record a new epoch")
+    consistent(eBatch)
+
+    // CRASH replay: the writer died after the store commit, before the
+    // index commit — so the index generation AND the epoch record never
+    // happened. Roll the index back and drop the post-crash epoch; the
+    // on-disk state is what the crash leaves.
+    val lshExt = new ManifestedTree(spark, s"$root/epoch-lib/lsh_index",
+      StructType(Seq(StructField("tbl", IntegerType),
+        StructField("bucket", IntegerType))))
+    lshExt.rollbackTo(lib.epochInfo(eIdx)("lsh"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lib.epochs.filter(_ > eIdx).foreach { e =>
+      fs.delete(new Path(f"$root/epoch-lib/_epochs/epoch.$e%09d"), false) }
+    lib.invalidateIndexes()
+
+    // the head reader sees the documented (bounded) lag; the EPOCH
+    // reader sees the last completed mutation — fully consistent
+    assert(lib.chunks.count() > preIds.size, "store lost the committed batch")
+    assert(lib.epochs.last == eIdx, "crash left a half-committed epoch")
+    consistent(eIdx)
+    val hits = lib.searchApproxAt(eIdx, "spark join stream table filter", k = 50)
+      .collect().map(_.getString(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(preIds),
+      "epoch-pinned search saw rows from the half-committed mutation")
+
+    // repair (a mutator) heals the head and records a fresh epoch
+    lib.repairIndexes()
+    val eHealed = lib.epochs.last
+    assert(eHealed > eIdx)
+    consistent(eHealed)
+    assert(lib.chunksAt(eHealed).count() == lib.chunks.count())
+    lib.delete()
+  }
+
   test("restoreTo: one call undoes a bad delete AND a bad ingest across store and indexes") {
     val root = Files.createTempDirectory("graft-lib-restore").toString
     val lib = new VectorLibrary(spark, root, "restore-lib")
