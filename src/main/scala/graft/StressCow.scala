@@ -73,9 +73,17 @@ object StressCow {
       }
     println(f"[cow] ratio: full/cow = ${fullRederive / cow}%.1fx")
 
-    // integrity: victims gone everywhere, serving still works
+    // integrity: victims gone everywhere (manifest view — the victim
+    // BYTES stay on disk for restoreTo until vacuum), serving works
     assert(lib.chunks.filter(col("doc_id") === victim).count() == 0)
-    assert(spark.read.parquet(s"$root/cow/lsh_index")
+    val lshManifest = new graft.plans.ManifestedTree(spark,
+      s"$root/cow/lsh_index",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tbl",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType)))).open()
+    assert(lshManifest
       .filter(col("chunk_id").startsWith(s"cow#$victim#")).count() == 0)
     println("[cow] post-delete integrity OK; search: " +
       lib.searchApprox("spark join stream table filter", k = 5).count() + " hits")
