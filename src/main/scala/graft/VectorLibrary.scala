@@ -1058,10 +1058,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       t.generations().lastOption.map { case (g, _) => s"$n\t$g" } }
     if (gens.isEmpty) return
     val body = gens.mkString("\n")
+    // one in-process cache spares the listing + latest-file read on the
+    // hot path (every streaming micro-batch exits through here); the
+    // listing only runs when the cache is cold (fresh facade)
+    if (lastEpochCache.exists(_._2 == body)) return
     val fs = hadoopFs(epochsDir)
     val dir = new org.apache.hadoop.fs.Path(epochsDir)
-    val latest = epochs.lastOption
-    if (latest.exists(e => readEpochFile(e).contains(body))) return
+    val known = epochs // ONE listing serves latest-lookup, dedup and prune
+    val latest = known.lastOption
+    if (lastEpochCache.isEmpty &&
+        latest.exists(e => readEpochFile(e).contains(body))) {
+      lastEpochCache = latest.map(e => (e, body))
+      return
+    }
     fs.mkdirs(dir)
     val next = latest.getOrElse(0L) + 1
     val tmp = new org.apache.hadoop.fs.Path(dir, s".epoch.$next.tmp")
@@ -1069,13 +1078,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"epoch.$next%09d")))
       throw new java.io.IOException(s"epoch $next install failed at $epochsDir")
+    lastEpochCache = Some((next, body))
     // bounded history: epochs older than the manifest retention window
     // are unresolvable anyway
-    val all = epochs
-    all.dropRight(EpochKeep).foreach { e =>
+    known.dropRight(EpochKeep - 1).foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, f"epoch.$e%09d"), false) }
   }
   private val EpochKeep = 32
+  // (epoch number, body) of the last epoch THIS writer recorded or
+  // verified — guarded by the writer lock's monitor like mutationDepth
+  private var lastEpochCache: Option[(Long, String)] = None
 
   private def readEpochFile(e: Long): Option[String] =
     try {
@@ -2119,6 +2131,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .foreachBatch { (batch: DataFrame, batchId: Long) => withWriterLock {
         val raw = batch.persist()
         val b = if (reconcileFirst) dropReplayedChunks(raw) else raw
+        // rows the reconcile dropped ARE in the store but may be
+        // missing from any index whose commit the crash preceded
+        // (Spark replays a batch only if foreachBatch never returned,
+        // i.e. some commit after the store's didn't land) — a dropped
+        // row is therefore EVIDENCE of a possible index gap
+        val replayGap = reconcileFirst && (b ne raw) &&
+          b.count() < raw.count()
         reconcileFirst = false
         if (!b.isEmpty) {
           storeTree.appendCommitted(b, 0L)
@@ -2131,6 +2150,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           if (hasIvfPqIndex) appendIvfPqRows(b)
           invalidateIndexes()
         }
+        // heal the evidenced gap NOW instead of leaving the indexes
+        // silently short until someone runs repairIndexes by hand —
+        // cost: one store/index reconcile, only on a replayed restart
+        if (replayGap) repairIndexes()
         if (b ne raw) b.unpersist()
         raw.unpersist()
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)

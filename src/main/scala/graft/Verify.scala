@@ -49,6 +49,12 @@ object Verify {
     // half-written dumps — clear, then recreate
     Option(doneDir.listFiles()).foreach(_.foreach(_.delete()))
     doneDir.mkdirs()
+    // stale verdicts are worse than stale sentinels: if THIS run's
+    // compare crashes before writing its marker, a leftover marker.json
+    // from a previous run would be republished as this run's verdict —
+    // clear them so a crashed compare reads as "compare failed", loudly
+    new java.io.File(outDir, "marker.json").delete()
+    new java.io.File(outDir, "compare.json").delete()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -82,7 +88,8 @@ object Verify {
       .find(p => new java.io.File(p).isFile)
     val cmpJson = s"$outDir/compare.json"
     val markerJson = s"$outDir/marker.json"
-    val compareProc: Option[(Process, Thread)] = compareScript.map { script =>
+    val compareProc: Option[(Process, Thread)] = compareScript.flatMap { script =>
+      try {
       val logFile = new java.io.File(s"$outDir/compare_log.txt")
       val pb = new ProcessBuilder(
         "python3", script, sfDir, outDir, "--wait", "--jobs", "12",
@@ -108,7 +115,13 @@ object Verify {
       }, "graft-compare-pump")
       pump.setDaemon(true)
       pump.start()
-      (proc, pump)
+      Some((proc, pump))
+      } catch { case e: Throwable =>
+        // no python3 (or exec failure): degrade to dumps-only with a
+        // loud marker, never crash before the dumps run
+        System.err.println(s"[verify] cannot start compare.py: $e")
+        None
+      }
     }
 
     // 126 queries sequentially = ~2.5 min wall at sf0.01; the driver's
@@ -196,7 +209,7 @@ object Verify {
     }
     val marker: String = compareProc match {
       case None =>
-        s"""{"dumped":$dumped,"dump_failed":${failedDumps.size},"compare":"unavailable: tools/compare.py not found"}"""
+        s"""{"dumped":$dumped,"dump_failed":${failedDumps.size},"compare":"unavailable: tools/compare.py missing or python3 failed to start"}"""
       case Some((proc, pump)) =>
         try {
           val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)

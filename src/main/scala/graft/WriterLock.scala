@@ -17,9 +17,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * second concurrent writer into a [[WriterLock.ConcurrentWriterException]]
  * instead of silently interleaved manifest generations.
  *
- * Protocol: `_writer.lock` under the library root, created with
- * overwrite=false (atomic create-if-absent on HDFS and object stores
- * with preconditions; best-effort on raw local fs). The file carries
+ * Protocol: `_writer.lock` under the library root, created atomically
+ * if absent (fs.create(overwrite=false) on HDFS and object stores with
+ * preconditions; POSIX O_EXCL on a local filesystem, where Hadoop's
+ * local create is exists-then-create and NOT atomic), then read back
+ * to confirm our content survived the create. The file carries
  * `ownerId\nlastBeatMs`; the holder heartbeats every `leaseMs / 3` by
  * advancing the mtime, falling back to rewriting the content timestamp
  * on filesystems where setTimes is unsupported (several object-store
@@ -50,6 +52,7 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private var depth = 0
   private var heartbeat: Option[java.util.Timer] = None
   private val beatMisses = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val nonOwnedSeen = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var lost = false
 
   /** True when the holder's lease can no longer be trusted: the
@@ -88,6 +91,13 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   /** Lock-file content: `ownerId\nlastBeatMs`. Returns (owner, beatMs)
     * or None if unreadable/missing. */
   private def readLock(p: Path): Option[(String, Long)] =
+    try readLockStrict(p) catch { case _: Throwable => None }
+
+  /** Like [[readLock]] but only FileNotFound maps to None — an IO
+    * error propagates, so the heartbeat can tell "the lock is GONE"
+    * (displacement — a correctness signal) from "the filesystem
+    * hiccuped" (a transient to retry). */
+  private def readLockStrict(p: Path): Option[(String, Long)] =
     try {
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -97,7 +107,7 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
         case owner :: Nil     => Some((owner, 0L))
         case _                => None
       }
-    } catch { case _: Throwable => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Freshest evidence of life: max(file mtime, content timestamp) —
     * mtime is the cheap heartbeat channel, content the fallback for
@@ -109,15 +119,33 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
     } catch { case _: Throwable => -1L }
 
   private def writeLock(overwrite: Boolean): Unit = {
-    val out = fs.create(lockPath, overwrite)
-    try out.write(
-      s"$ownerId\n${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-    finally out.close()
+    val body = s"$ownerId\n${System.currentTimeMillis()}\n".getBytes("UTF-8")
+    val uri = fs.makeQualified(lockPath).toUri
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    if (!overwrite && local) {
+      // Hadoop's local create(path, overwrite=false) is exists-then-
+      // create — NOT atomic, and two acquirers under load can both pass
+      // the exists check. POSIX O_EXCL (CREATE_NEW) is the atomic
+      // create-if-absent a local fs actually offers; HDFS and
+      // precondition-capable object stores are atomic through fs.create
+      // already. FileAlreadyExistsException is an IOException — the
+      // acquire retry arm handles it like any lost create.
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val ch = java.nio.file.Files.newByteChannel(p,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      try ch.write(java.nio.ByteBuffer.wrap(body)) finally ch.close()
+    } else {
+      val out = fs.create(lockPath, overwrite)
+      try out.write(body) finally out.close()
+    }
   }
 
   private def acquire(): Unit = {
     lost = false
     beatMisses.set(0)
+    nonOwnedSeen.set(0)
     var attempt = 0
     var held = false
     while (!held) {
@@ -127,6 +155,13 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
         // by the first mutation — make sure it is there
         fs.mkdirs(new Path(libRoot))
         writeLock(overwrite = false) // fail if held
+        // belt-and-braces for filesystems whose create-if-absent is
+        // weaker than claimed: the lease is ours only if OUR content
+        // survived the create — a lost race re-enters the retry arm
+        // and reports the winner's fresh lease
+        if (!readLock(lockPath).exists(_._1 == ownerId))
+          throw new java.io.IOException(
+            "lock create race lost: content is not ours")
         held = true
       } catch {
         case _: java.io.IOException if attempt <= 4 =>
@@ -190,14 +225,23 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   /** One heartbeat: verify the lock is still OURS, then advance its
     * mtime — falling back to a content-timestamp rewrite when setTimes
     * is unsupported or silently ignored. Failures are never swallowed
-    * into nothing: foreign/missing content flags the lease lost
-    * immediately; `LostAfterMisses` consecutive I/O failures flag it
-    * too, so a holder that looks stale to others is loud about it
-    * instead of colliding with the next writer in silence. */
+    * into nothing, but neither does one transient trip a false abort:
+    *
+    *  - an I/O ERROR (object-store 503, timeout) counts toward
+    *    `LostAfterMisses` consecutive misses — only a persistent
+    *    failure, i.e. a full lease window without a successful beat,
+    *    flags the lease lost;
+    *  - MISSING or FOREIGN lock content is a displacement signal, but
+    *    a breaker's rename-check-restore window can legitimately make
+    *    the file vanish for one observation — two CONSECUTIVE
+    *    non-owned observations (one beat interval apart, far beyond
+    *    the restore window) flag the lease lost;
+    *  - a successful owned beat resets both counters. Once `lost` is
+    *    set it stays set: the mutation's integrity is unknown. */
   private def beat(): Unit = {
     val now = System.currentTimeMillis()
     try {
-      readLock(lockPath) match {
+      readLockStrict(lockPath) match {
         case Some((owner, _)) if owner == ownerId =>
           try fs.setTimes(lockPath, now, -1)
           catch { case _: Throwable => () }
@@ -207,13 +251,20 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
           // alive through the content channel instead
           if (mtime + leaseMs / 3 <= now) writeLock(overwrite = true)
           beatMisses.set(0)
+          nonOwnedSeen.set(0)
         case other =>
-          lost = true
-          System.err.println(
-            s"[graft] writer lease on $libRoot LOST: lock file is " +
-            s"${other.map(o => s"owned by ${o._1}").getOrElse("missing")} " +
-            "— a breaker displaced this holder; the current mutation " +
-            "will fail loudly on exit")
+          val n = nonOwnedSeen.incrementAndGet()
+          val what = other.map(o => s"owned by ${o._1}").getOrElse("missing")
+          if (n >= 2) {
+            lost = true
+            System.err.println(
+              s"[graft] writer lease on $libRoot LOST: lock file is $what " +
+              "on two consecutive beats — a breaker displaced this " +
+              "holder; the current mutation will fail loudly on exit")
+          } else System.err.println(
+            s"[graft] writer-lock beat on $libRoot saw the lock $what — " +
+            "re-checking next beat (a breaker's check-and-restore can " +
+            "displace it for one observation)")
       }
     } catch { case e: Throwable =>
       val n = beatMisses.incrementAndGet()

@@ -408,21 +408,72 @@ final class ManifestedTree(
   def vacuum(olderThanMs: Long = 0L): Int = readManifest() match {
     case None => 0
     case Some(entries) =>
-      // Delta's VACUUM model exactly: protect the CURRENT generation's
-      // live set; everything else is collectible once older than the
-      // retention window. The window is therefore also the snapshot/
-      // rollback horizon — openAt/rollbackTo/restoreTo reach only
-      // generations whose files every vacuum so far has retained
-      // (olderThanMs ≥ the generation's age), the same contract as
-      // Delta RESTORE vs VACUUM RETAIN.
+      // Delta's VACUUM model: protect the CURRENT generation's live
+      // set; everything else is collectible once DEAD for longer than
+      // the retention window. "Dead since" clocks from the install
+      // time of the retained manifest that DE-REFERENCED the file
+      // (Delta's remove-action timestamp), NOT from the file's own
+      // creation mtime — a two-hour-old file whose delete committed a
+      // minute ago is one minute dead and must survive a one-hour
+      // window (it is exactly what openAt/rollbackTo/restoreTo still
+      // resolve). Files de-referenced before the retained window — and
+      // crash orphans never referenced at all — clock from their own
+      // mtime. The window is therefore the snapshot/rollback horizon:
+      // the Delta RESTORE-vs-VACUUM-RETAIN contract. olderThanMs <= 0
+      // is RETAIN 0: everything dead goes now, restore history with it.
       val live = entries.map(_._1).toSet
       val cutoff = System.currentTimeMillis() - olderThanMs
+      lazy val dereferencedAt = deadSinceMap()
       val dead = listFiles(None).map(_._1).filterNot(live).filter { rel =>
-        olderThanMs <= 0L || fs.getFileStatus(
-          new Path(s"$root/$rel")).getModificationTime <= cutoff
+        olderThanMs <= 0L || dereferencedAt.getOrElse(rel,
+          fs.getFileStatus(new Path(s"$root/$rel")).getModificationTime
+        ) <= cutoff
       }
       dead.foreach(rel => fs.delete(new Path(s"$root/$rel"), false))
       dead.size
+  }
+
+  /** path -> install time (mtime) of the retained manifest generation
+    * that de-referenced it, for every file some retained generation
+    * dropped and no later one re-added. One ascending walk over the
+    * retained chain, applying each generation's effect to a running
+    * entry set: delta removals mark death at that delta's install
+    * time, additions (and a full's carried entries) clear it, and a
+    * full snapshot that DROPS entries (a rollback commit) marks the
+    * dropped set dead at its install time. */
+  private def deadSinceMap(): Map[String, Long] = {
+    val chain = ManifestedTree.globManifests(fs, root).sortBy(_._1)
+    if (chain.isEmpty) return Map.empty
+    // start from the oldest retained FULL — deltas before it are
+    // unresolvable prefixes of a pruned chain
+    val firstFull = chain.collectFirst { case (g, true, _) => g }
+      .getOrElse(return Map.empty)
+    val cur = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val deadSince = scala.collection.mutable.HashMap.empty[String, Long]
+    def parse(lines: Seq[String]): Seq[String] = lines.filterNot(_.startsWith("#"))
+    chain.dropWhile(_._1 < firstFull).foreach { case (_, isFull, p) =>
+      val installedAt = fs.getFileStatus(p).getModificationTime
+      if (isFull) {
+        val next = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        parse(ManifestedTree.readLines(fs, p)).foreach { line =>
+          line.split('\t') match {
+            case Array(f, s) => next(f) = s.toLong
+            case _ => next(line) = -1L
+          }
+        }
+        cur.keysIterator.filterNot(next.contains)
+          .foreach(f => deadSince(f) = installedAt)
+        next.keysIterator.foreach(deadSince.remove)
+        cur.clear(); cur ++= next
+      } else parse(ManifestedTree.readLines(fs, p)).foreach { line =>
+        line.split('\t') match {
+          case Array("+", f, s) => deadSince.remove(f); cur(f) = s.toLong
+          case Array("-", f) => cur.remove(f); deadSince(f) = installedAt
+          case _ => ()
+        }
+      }
+    }
+    deadSince.toMap
   }
 
   /** The tree as a DataFrame, memoized per manifest generation:

@@ -1236,6 +1236,42 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("vacuum clocks retention from de-reference time: a fresh delete survives an aged-file vacuum") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-vacret").toString
+    val lib = new VectorLibrary(spark, root, "vacret-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs)
+    val before = lib.chunks.count()
+    val preGen = lib.storeGenerations().last._1
+    lib.deleteDocuments(col("doc_id") < 20)
+    assert(lib.chunks.count() < before)
+    // age every store file's mtime two hours into the past: a vacuum
+    // clocking retention from file CREATION would now collect the
+    // just-de-referenced victims despite a one-hour window — the
+    // de-reference happened seconds ago (the delete's manifest commit),
+    // so they must survive and the restore point with them
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val past = System.currentTimeMillis() - 7200000L
+    def age(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) age(st.getPath)
+      else if (!st.getPath.getName.startsWith("_manifest"))
+        fs.setTimes(st.getPath, past, -1)
+    }
+    age(new Path(s"$root/vacret-lib/chunks"))
+    assert(lib.vacuumIndexes(olderThanMs = 3600000L)("store") == 0,
+      "vacuum collected files de-referenced seconds ago — retention is " +
+      "clocking from file creation, not from the delete's commit")
+    val rep = lib.restoreTo(preGen)
+    assert(lib.chunks.count() == before,
+      s"restore failed after the windowed vacuum: $rep")
+    // RETAIN 0 semantics unchanged: after the restore re-references the
+    // victims, a full vacuum collects only the delete's rewrites
+    lib.vacuumIndexes()
+    assert(lib.chunks.count() == before)
+    lib.delete()
+  }
+
   test("derived-tree manifests: ivf/grid/pq/ivfpq plan from committed files; orphans invisible") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-lib-man4").toString
@@ -1819,6 +1855,54 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.count() > before,
       "streamed rows invisible on a manifested store")
     assert(lib.chunks.filter(col("doc_id") >= 7000).count() > 0)
+    lib.delete()
+  }
+
+  test("indexed stream restart heals a crash-left index gap, not just the store dup") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.types.{IntegerType => IntT}
+    val root = Files.createTempDirectory("graft-lib-stream4").toString
+    val docsDir = Files.createTempDirectory("graft-docs4").toString
+    val lib = new VectorLibrary(spark, root, "stream4-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30)
+    // seed batch + index: gives the LSH tree a pre-stream generation
+    lib.addDocuments(docs.filter(col("doc_id") < 15))
+    lib.buildPartitionedIndex()
+    val lshExt = new graft.plans.ManifestedTree(spark,
+      s"$root/stream4-lib/lsh_index",
+      StructType(Seq(StructField("tbl", IntT), StructField("bucket", IntT))))
+    val preGen = lshExt.generations().last._1
+    docs.filter(col("doc_id") >= 15).withColumn("doc_id", col("doc_id") + 7000)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q1 = lib.ingestStreamIndexed(stream, s"$root/ckptA")
+    q1.processAllAvailable(); q1.stop()
+    val nChunks = lib.chunks.count()
+    assert(nChunks > 0)
+    // the crash shape: store committed the batch, the LSH index commit
+    // never landed, the checkpoint never committed → the batch replays.
+    // Replay reconcile drops the rows from the STORE append (they are
+    // there), which previously left the index silently short forever —
+    // the dropped rows are the EVIDENCE that triggers the heal.
+    lshExt.rollbackTo(preGen)
+    lib.invalidateIndexes()
+    val q2 = lib.ingestStreamIndexed(stream, s"$root/ckptB")
+    q2.processAllAvailable(); q2.stop()
+    assert(lib.chunks.count() == nChunks,
+      "replayed indexed micro-batch committed store duplicates")
+    // fresh handle: lshExt cached the rolled-back state when it
+    // committed the rollback; the heal appended through the library's
+    val idx = new graft.plans.ManifestedTree(spark,
+      s"$root/stream4-lib/lsh_index",
+      StructType(Seq(StructField("tbl", IntT), StructField("bucket", IntT))))
+      .open()
+    assert(idx.count() == 8 * nChunks,
+      s"index gap not healed on restart: ${idx.count()} != ${8 * nChunks}")
+    assert(idx.select("chunk_id").distinct().count() == nChunks)
     lib.delete()
   }
 

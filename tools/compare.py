@@ -220,7 +220,11 @@ def main():
             # inlines centroids fitted while the query runs, so Verify
             # rewrites the complete oracle_sql.json right before _ALL;
             # re-read it then to pick up entries the startup copy lacked.
-            submitted, deadline, released_all = set(), time.time() + 1800, False
+            # The poll deadline must EXCEED the caller's dump budget
+            # (Verify awaits dumps for 60 min): a shorter deadline would
+            # force-release queries against half-written dumps on a slow
+            # run and record false failures.
+            submitted, deadline, released_all = set(), time.time() + 4200, False
             while True:
                 if not released_all and (
                         os.path.exists(os.path.join(done_dir, "_ALL"))
@@ -256,7 +260,7 @@ def main():
         # last oracle-gated one): _ALL is touched once Verify's dump
         # pool settles.
         if wait:
-            deadline = time.time() + 1800
+            deadline = time.time() + 4200
             while (not os.path.exists(os.path.join(done_dir, "_ALL"))
                    and time.time() < deadline):
                 time.sleep(0.2)
