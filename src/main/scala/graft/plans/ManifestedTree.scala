@@ -149,7 +149,8 @@ final class ManifestedTree(
     val body = files.sortBy(_._1)
       .map { case (p, s) => s"$p\t$s" }.mkString("\n")
     installManifest(f"${ManifestPrefix}$gen%09d.full.txt", header + body)
-    stateCache = Some(Chain(files.toVector, schema, gen, gen, 0))
+    stateCache = Some(Chain(files.toVector, schema, gen, gen, 0,
+      files.iterator.map(_._1).toSet))
     openCache = None
     pruneOldGenerations()
   }
@@ -163,16 +164,24 @@ final class ManifestedTree(
         // source of truth, already including this batch)
         commitFull(listFiles(None), schemaHint)
       case Some(st) =>
-        // same keyed-map discipline as resolveChain (put adds, remove
-        // removals): an addition whose path is already live REPLACES
-        // the old entry instead of duplicating it, so the writer's
-        // cached state can never diverge from what a fresh reader
-        // resolves off disk (a duplicate would double-plan the file)
-        val keyed = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        st.entries.foreach { case (p, s) => keyed.put(p, s) }
-        removals.foreach(keyed.remove)
-        additions.foreach { case (p, s) => keyed.put(p, s) }
-        val entries = keyed.toVector
+        // keyed dedup with resolveChain's MEMBERSHIP semantics: an
+        // addition whose path is already live REPLACES the old entry
+        // instead of duplicating it, so the writer's cached state can
+        // never double-plan a file a fresh reader sees once. The
+        // collision probe is O(batch) against the chain's maintained
+        // path set — probing (or re-keying) all entries per commit is
+        // O(tree) and ManifestLadder rejects it (x8-17 at 1M files).
+        // The pure-append fast path (no removals, no re-adds — every
+        // ingest commit) never touches the existing entries at all.
+        // Entry ORDER may differ from disk resolve for a re-added path
+        // (end vs original position) — order is not semantic: rebases
+        // sort on write and the driver's compare canon-sorts.
+        val rm = removals.toSet
+        val readded = additions.iterator.map(_._1).filter(st.paths).toSet
+        val drop = rm | readded
+        val entries =
+          if (drop.isEmpty) st.entries ++ additions
+          else st.entries.filterNot(e => drop(e._1)) ++ additions
         if (st.deltas + 1 >= RebaseEvery) {
           // periodic rebase bounds the reader's chain length; its
           // O(tree) write amortizes over RebaseEvery O(batch) commits
@@ -185,7 +194,8 @@ final class ManifestedTree(
             additions.map { case (p, s) => s"+\t$p\t$s" }).mkString("\n")
           installManifest(f"${ManifestPrefix}$gen%09d.delta.txt", header + body)
           stateCache = Some(Chain(entries, schema.orElse(st.schema),
-            gen, st.fullGen, st.deltas + 1))
+            gen, st.fullGen, st.deltas + 1,
+            (st.paths diff drop) ++ additions.iterator.map(_._1)))
           openCache = None
           pruneOldGenerations()
         }
@@ -576,7 +586,12 @@ object ManifestedTree {
       schema: Option[StructType],
       gen: Long,
       fullGen: Long,
-      deltas: Int)
+      deltas: Int,
+      // live paths as a set, maintained INCREMENTALLY across delta
+      // commits: the writer's O(batch) collision probe (does an
+      // addition re-add a live path?) must not hash the whole tree per
+      // commit — ManifestLadder holds the delta commit to O(batch)
+      paths: Set[String])
 
   /** All manifest generation files under `root`:
     * (generation, isFull, path). The legacy `_manifest.txt` reports as
@@ -665,7 +680,7 @@ object ManifestedTree {
         }
       }
       Some(Chain(entries.toVector, schema, maxGen, fullGen,
-        (maxGen - fullGen).toInt))
+        (maxGen - fullGen).toInt, entries.keysIterator.toSet))
     }
     try attempt() catch {
       case _: java.io.FileNotFoundException =>
