@@ -1056,21 +1056,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def recordEpoch(): Unit = {
     val gens = epochTrees.flatMap { case (n, t) =>
       t.generations().lastOption.map { case (g, _) => s"$n\t$g" } }
-    if (gens.isEmpty) return
+    if (gens.isEmpty) {
+      // deleted (or never-committed) library: a stale cache here would
+      // suppress the FIRST epoch of a rebuilt library whose generation
+      // numbering restarts and reproduces the cached tuple
+      lastEpochCache = None
+      return
+    }
     val body = gens.mkString("\n")
-    // one in-process cache spares the listing + latest-file read on the
-    // hot path (every streaming micro-batch exits through here); the
-    // listing only runs when the cache is cold (fresh facade)
+    // the cache is authoritative while this writer holds the lease: it
+    // recorded (or verified) the newest epoch, so the hot path — every
+    // streaming micro-batch exits through here — skips both the no-op
+    // write (identical tuple) and the directory listing (cached latest
+    // number); the listing only runs cache-cold and for the periodic
+    // prune below
     if (lastEpochCache.exists(_._2 == body)) return
     val fs = hadoopFs(epochsDir)
     val dir = new org.apache.hadoop.fs.Path(epochsDir)
-    val known = epochs // ONE listing serves latest-lookup, dedup and prune
-    val latest = known.lastOption
-    if (lastEpochCache.isEmpty &&
-        latest.exists(e => readEpochFile(e).contains(body))) {
-      lastEpochCache = latest.map(e => (e, body))
-      return
-    }
+    val latest: Option[Long] = lastEpochCache.map(_._1)
+      .orElse {
+        val disk = epochs.lastOption
+        if (disk.exists(e => readEpochFile(e).contains(body))) {
+          lastEpochCache = disk.map(e => (e, body))
+          return
+        }
+        disk
+      }
     fs.mkdirs(dir)
     val next = latest.getOrElse(0L) + 1
     val tmp = new org.apache.hadoop.fs.Path(dir, s".epoch.$next.tmp")
@@ -1079,9 +1090,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"epoch.$next%09d")))
       throw new java.io.IOException(s"epoch $next install failed at $epochsDir")
     lastEpochCache = Some((next, body))
-    // bounded history: epochs older than the manifest retention window
-    // are unresolvable anyway
-    known.dropRight(EpochKeep - 1).foreach { e =>
+    // bounded history (epochs older than the manifest retention window
+    // are unresolvable anyway); the prune's listing amortizes over 8
+    // writes so the steady-state bound is EpochKeep+8
+    if (next % 8 == 0) epochs.dropRight(EpochKeep).foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, f"epoch.$e%09d"), false) }
   }
   private val EpochKeep = 32

@@ -52,7 +52,6 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private var depth = 0
   private var heartbeat: Option[java.util.Timer] = None
   private val beatMisses = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val nonOwnedSeen = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var lost = false
 
   /** True when the holder's lease can no longer be trusted: the
@@ -145,7 +144,6 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private def acquire(): Unit = {
     lost = false
     beatMisses.set(0)
-    nonOwnedSeen.set(0)
     var attempt = 0
     var held = false
     while (!held) {
@@ -157,11 +155,22 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
         writeLock(overwrite = false) // fail if held
         // belt-and-braces for filesystems whose create-if-absent is
         // weaker than claimed: the lease is ours only if OUR content
-        // survived the create — a lost race re-enters the retry arm
-        // and reports the winner's fresh lease
-        if (!readLock(lockPath).exists(_._1 == ownerId))
-          throw new java.io.IOException(
-            "lock create race lost: content is not ours")
+        // survived the create. Retry transient read errors — throwing
+        // on a read hiccup would abandon our OWN fresh lock and block
+        // every writer for a full lease; if the read stays unreadable,
+        // proceed held and let the heartbeat's ownership verification
+        // flag any real displacement loudly.
+        val readBack = (0 until 3).iterator.map { i =>
+          if (i > 0) Thread.sleep(20)
+          try readLockStrict(lockPath)
+          catch { case _: java.io.IOException => None }
+        }.collectFirst { case Some(o) => o }
+        readBack match {
+          case Some((o, _)) if o != ownerId =>
+            throw new java.io.IOException(
+              s"lock create race lost: content is owned by $o")
+          case _ => () // ours, or unreadable (heartbeat re-verifies)
+        }
         held = true
       } catch {
         case _: java.io.IOException if attempt <= 4 =>
@@ -233,11 +242,11 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
     *    flags the lease lost;
     *  - MISSING or FOREIGN lock content is a displacement signal, but
     *    a breaker's rename-check-restore window can legitimately make
-    *    the file vanish for one observation — two CONSECUTIVE
-    *    non-owned observations (one beat interval apart, far beyond
-    *    the restore window) flag the lease lost;
-    *  - a successful owned beat resets both counters. Once `lost` is
-    *    set it stays set: the mutation's integrity is unknown. */
+    *    the file vanish for a microsecond-scale moment — one short
+    *    (50 ms) same-beat recheck distinguishes the two without
+    *    opening a whole beat interval of unflagged displacement;
+    *  - a successful owned beat resets the miss counter. Once `lost`
+    *    is set it stays set: the mutation's integrity is unknown. */
   private def beat(): Unit = {
     val now = System.currentTimeMillis()
     try {
@@ -251,20 +260,29 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
           // alive through the content channel instead
           if (mtime + leaseMs / 3 <= now) writeLock(overwrite = true)
           beatMisses.set(0)
-          nonOwnedSeen.set(0)
         case other =>
-          val n = nonOwnedSeen.incrementAndGet()
-          val what = other.map(o => s"owned by ${o._1}").getOrElse("missing")
-          if (n >= 2) {
+          // A breaker's rename-check-restore can displace the file for
+          // one MICROSECOND-scale window; waiting a whole beat interval
+          // to re-check would let a genuinely displaced holder finish
+          // its mutation unflagged. Re-read after a short pause in THIS
+          // beat instead: long enough for any restore rename, far
+          // shorter than any mutation.
+          Thread.sleep(50)
+          val recheck = try readLockStrict(lockPath)
+            catch { case _: Throwable => None }
+          if (recheck.exists(_._1 == ownerId)) {
+            System.err.println(
+              s"[graft] writer-lock beat on $libRoot saw the lock " +
+              s"${other.map(o => s"owned by ${o._1}").getOrElse("missing")} " +
+              "transiently — restored on recheck (breaker window)")
+          } else {
             lost = true
             System.err.println(
-              s"[graft] writer lease on $libRoot LOST: lock file is $what " +
-              "on two consecutive beats — a breaker displaced this " +
-              "holder; the current mutation will fail loudly on exit")
-          } else System.err.println(
-            s"[graft] writer-lock beat on $libRoot saw the lock $what — " +
-            "re-checking next beat (a breaker's check-and-restore can " +
-            "displace it for one observation)")
+              s"[graft] writer lease on $libRoot LOST: lock file is " +
+              s"${recheck.map(o => s"owned by ${o._1}").getOrElse("missing")} " +
+              "after recheck — a breaker displaced this holder; the " +
+              "current mutation will fail loudly on exit")
+          }
       }
     } catch { case e: Throwable =>
       val n = beatMisses.incrementAndGet()

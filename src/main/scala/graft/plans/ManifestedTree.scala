@@ -177,11 +177,19 @@ final class ManifestedTree(
         // (end vs original position) — order is not semantic: rebases
         // sort on write and the driver's compare canon-sorts.
         val rm = removals.toSet
-        val readded = additions.iterator.map(_._1).filter(st.paths).toSet
+        // last-wins WITHIN the batch too (resolveChain's keyed apply
+        // collapses an intra-batch duplicate; the cache must match) —
+        // O(batch), and a no-dup batch passes through untouched
+        val additions0 =
+          if (additions.iterator.map(_._1).toSet.size == additions.size) additions
+          else additions.foldLeft(
+            scala.collection.mutable.LinkedHashMap.empty[String, Long]) {
+              (m, a) => m += a }.toVector
+        val readded = additions0.iterator.map(_._1).filter(st.paths).toSet
         val drop = rm | readded
         val entries =
-          if (drop.isEmpty) st.entries ++ additions
-          else st.entries.filterNot(e => drop(e._1)) ++ additions
+          if (drop.isEmpty) st.entries ++ additions0
+          else st.entries.filterNot(e => drop(e._1)) ++ additions0
         if (st.deltas + 1 >= RebaseEvery) {
           // periodic rebase bounds the reader's chain length; its
           // O(tree) write amortizes over RebaseEvery O(batch) commits
@@ -191,11 +199,11 @@ final class ManifestedTree(
           val schema = schemaHint.filterNot(h => st.schema.contains(h))
           val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
           val body = (removals.map(p => s"-\t$p") ++
-            additions.map { case (p, s) => s"+\t$p\t$s" }).mkString("\n")
+            additions0.map { case (p, s) => s"+\t$p\t$s" }).mkString("\n")
           installManifest(f"${ManifestPrefix}$gen%09d.delta.txt", header + body)
           stateCache = Some(Chain(entries, schema.orElse(st.schema),
             gen, st.fullGen, st.deltas + 1,
-            (st.paths diff drop) ++ additions.iterator.map(_._1)))
+            (st.paths diff drop) ++ additions0.iterator.map(_._1)))
           openCache = None
           pruneOldGenerations()
         }

@@ -214,8 +214,8 @@ def main():
             # submit each query the moment its dump-done sentinel lands;
             # _ALL releases stragglers (failed dumps compare as
             # unreadable — loud, never a hang). Verify always touches
-            # _ALL after its dump pool settles, but cap the poll at 30
-            # min so a crashed Verify can't park this process forever.
+            # _ALL after its dump pool settles; the deadline only guards
+            # against a crashed Verify parking this process forever.
             # ~18 oracles (IVF/PQ/PCA/clustering) are DYNAMIC — their SQL
             # inlines centroids fitted while the query runs, so Verify
             # rewrites the complete oracle_sql.json right before _ALL;
@@ -224,11 +224,15 @@ def main():
             # (Verify awaits dumps for 60 min): a shorter deadline would
             # force-release queries against half-written dumps on a slow
             # run and record false failures.
-            submitted, deadline, released_all = set(), time.time() + 4200, False
+            submitted, released_all = set(), False
+            forced_release = False
+            deadline = time.time() + 4200
             while True:
                 if not released_all and (
                         os.path.exists(os.path.join(done_dir, "_ALL"))
                         or time.time() > deadline):
+                    forced_release = not os.path.exists(
+                        os.path.join(done_dir, "_ALL"))
                     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
                     names = sorted(n for n in oracle if not only or n in only)
                     released_all = True
@@ -258,8 +262,10 @@ def main():
         # Before scanning for rows-only dirs, make sure ALL dumps have
         # landed (a dumped-without-oracle query may finish after the
         # last oracle-gated one): _ALL is touched once Verify's dump
-        # pool settles.
-        if wait:
+        # pool settles. Skip entirely when the submit loop already
+        # force-released on deadline — the caller is gone and a second
+        # full wait would just park an orphan for another 70 minutes.
+        if wait and not forced_release:
             deadline = time.time() + 4200
             while (not os.path.exists(os.path.join(done_dir, "_ALL"))
                    and time.time() < deadline):
