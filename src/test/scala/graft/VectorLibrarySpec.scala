@@ -1196,6 +1196,25 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("epochs: a rebuilt library records its first epoch even when generation numbering repeats") {
+    val root = Files.createTempDirectory("graft-lib-epoch2").toString
+    val lib = new VectorLibrary(spark, root, "epoch2-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(10)
+    lib.addDocuments(docs)
+    assert(lib.epochs.nonEmpty)
+    lib.delete()
+    assert(lib.epochs.isEmpty)
+    // the rebuilt library restarts tree generations at 1 — the SAME
+    // tuple the writer's epoch cache last recorded. A stale cache here
+    // suppressed the first epoch entirely (no consistentAt/restoreToEpoch
+    // point for the completed mutation).
+    lib.addDocuments(docs)
+    assert(lib.epochs.nonEmpty,
+      "rebuilt library's first mutation recorded no epoch")
+    assert(lib.chunksAt(lib.epochs.last).count() == lib.chunks.count())
+    lib.delete()
+  }
+
   test("restoreTo: one call undoes a bad delete AND a bad ingest across store and indexes") {
     val root = Files.createTempDirectory("graft-lib-restore").toString
     val lib = new VectorLibrary(spark, root, "restore-lib")
