@@ -32,6 +32,15 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // PROVISIONAL marker, printed before any Spark startup cost: a
+    // driver window that kills this step early still captures a
+    // parseable GRAFT_CORRECTNESS_JSON line (distinguishable from the
+    // final verdict by "status":"running"). CORRECTNESS_r05..r09 all
+    // came back `{}`; the gate itself is fast (≤2 min, judge-timed),
+    // so the residual suspect is the capture channel — make every
+    // prefix of this process's stdout carry a marker.
+    println(s"""GRAFT_CORRECTNESS_JSON: {"status":"running","queries":${SparkEntry.queries.size},"sf":"$sfDir"}""")
+    Console.out.flush()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -224,7 +233,8 @@ object Verify {
           require(m.startsWith("{") && m.endsWith("}"),
             s"marker.json is not a JSON object: ${m.take(80)}")
           // refresh the repo-root record when run from the repo (the
-          // standing VERIFY_LOCAL.json contract, tools/verify_local.sh)
+          // standing VERIFY_LOCAL.json contract, tools/verify_local.sh;
+          // README "Correctness artifacts" names it for the driver)
           if (new java.io.File("tools/compare.py").isFile)
             Files.writeString(Paths.get("VERIFY_LOCAL.json"),
               Files.readString(Paths.get(cmpJson)))
@@ -232,15 +242,30 @@ object Verify {
             else s"\"VIOLATED: ${poolViolations.size} mutation(s) — see GRAFT_POOL_SAFETY_VIOLATION\""
           s"""{${m.stripPrefix("{").stripSuffix("}")},"dump_failed":${failedDumps.size},"pool_safety":$safety,"sf":"$sfDir","detail":"$cmpJson"}"""
         } catch { case e: Throwable =>
+          // even a failed marker handoff refreshes the stable-path
+          // record when the per-query verdicts landed (compare.json is
+          // written before marker.json in tools/compare.py)
+          try if (new java.io.File("tools/compare.py").isFile &&
+                  new java.io.File(cmpJson).isFile)
+            Files.writeString(Paths.get("VERIFY_LOCAL.json"),
+              Files.readString(Paths.get(cmpJson)))
+          catch { case _: Throwable => () }
           val msg = Option(e.getMessage).getOrElse(e.toString)
             .replace("\\", "\\\\").replace("\"", "'").take(160)
           s"""{"dumped":$dumped,"dump_failed":${failedDumps.size},"compare":"failed: $msg"}"""
         }
     }
-    // Marker-prefixed line for harnesses that grep, then the bare JSON
-    // as the final stdout line (StdoutOutput in build.sbt keeps both
-    // verbatim — no "[info] " prefix).
+    // The final verdict goes out on EVERY channel a capture might
+    // record: (1) a flushed stderr copy first (a stderr-only or merged
+    // capture still carries it, and in a merged capture it lands BEFORE
+    // the bare-JSON last line), then (2) the marker-prefixed stdout
+    // line for harnesses that grep, then (3) the bare JSON as the final
+    // stdout line for harnesses that parse the last line (StdoutOutput
+    // in build.sbt keeps all of it verbatim — no "[info] " prefix).
+    System.err.println(s"GRAFT_CORRECTNESS_JSON: $marker")
+    System.err.flush()
     println(s"GRAFT_CORRECTNESS_JSON: $marker")
     println(marker)
+    Console.out.flush()
   }
 }

@@ -140,7 +140,21 @@ def _compare_oracle(args):
 
 def compare_rows_only(args):
     """Worker: dumped dir without an oracle entry → the driver's weaker
-    rows-only check (readable, non-empty, no array-typed columns)."""
+    rows-only check (readable, non-empty, no array-typed columns).
+    Never raises — like compare_oracle, _connect runs INSIDE the guard
+    (a duckdb import/connect failure otherwise escapes the worker, its
+    callback never fires, and the query silently vanishes from the
+    counts)."""
+    name = args[0]
+    try:
+        return _compare_rows_only(args)
+    except Exception as e:
+        return name, {"rows": False, "mode": "rows-only",
+                      "error": f"comparator crash: {e}"}, \
+               f"ROWS-ONLY comparator crash: {e}"
+
+
+def _compare_rows_only(args):
     name, sf_dir, out_dir = args
     con = _connect(sf_dir)
     try:
@@ -208,6 +222,21 @@ def main():
                   f"{json.dumps(progress, separators=(',', ':'))}", flush=True)
 
     pool = Pool(jobs)
+
+    # Belt to the workers' never-raise braces: if anything STILL escapes
+    # a worker (or the result fails to unpickle), the error_callback
+    # records a named FAIL — without it the callback never runs, a.wait()
+    # swallows the error, and the query is counted in neither passes nor
+    # fails (the marker silently undercounts).
+    def submit(fn, wargs):
+        n = wargs[0]
+        return pool.apply_async(
+            fn, (wargs,), callback=lambda r: record(*r),
+            error_callback=lambda e, n=n: record(
+                n, {"rows": False, "schema": False, "hash": False,
+                    "mode": "worker-error", "error": str(e)},
+                f"pool worker error: {e}"))
+
     try:
         pending_async = []
         if wait:
@@ -245,17 +274,15 @@ def main():
                     # the startup snapshot — dynamic ones go at _ALL
                     if released_all or os.path.exists(os.path.join(done_dir, n)):
                         submitted.add(n)
-                        pending_async.append(pool.apply_async(
-                            compare_oracle, ((n, oracle[n], sf_dir, out_dir),),
-                            callback=lambda r: record(*r)))
+                        pending_async.append(submit(
+                            compare_oracle, (n, oracle[n], sf_dir, out_dir)))
                 if released_all and len(submitted) >= len(names):
                     break
                 time.sleep(0.2)
         else:
             for n in names:
-                pending_async.append(pool.apply_async(
-                    compare_oracle, ((n, oracle[n], sf_dir, out_dir),),
-                    callback=lambda r: record(*r)))
+                pending_async.append(submit(
+                    compare_oracle, (n, oracle[n], sf_dir, out_dir)))
         for a in pending_async:
             a.wait()
 
@@ -278,8 +305,7 @@ def main():
                   and not d.startswith("_")}
         ro_names = sorted(n for n in dumped - set(oracle)
                           if not only or n in only)
-        ro_async = [pool.apply_async(compare_rows_only, ((n, sf_dir, out_dir),),
-                                     callback=lambda r: record(*r))
+        ro_async = [submit(compare_rows_only, (n, sf_dir, out_dir))
                     for n in ro_names]
         for a in ro_async:
             a.wait()
