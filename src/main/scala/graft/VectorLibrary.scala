@@ -908,17 +908,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     out
   }
 
-  /** Standalone vacuum: remove files no manifest references — crash
-    * orphans, and fragments a deferred-vacuum compaction left for the
-    * reader grace period — across the store and every persisted
-    * layout. `olderThanMs` removes only files last modified at least
-    * that long ago, so in-flight readers of a previous generation
-    * finish first. Returns (tree -> files removed). */
-  def vacuumIndexes(olderThanMs: Long = 0L): Map[String, Int] = withWriterLock {
+  /** Standalone vacuum: remove files no RESOLVABLE read can reach —
+    * crash orphans, and fragments a deferred-vacuum compaction left
+    * for the reader grace period — across the store and every
+    * persisted layout. Two protections, layered exactly as
+    * [[graft.plans.ManifestedTree.vacuum]]: files referenced by any
+    * RETAINED manifest generation always survive (so a default-arg
+    * vacuum can never truncate the [[restoreTo]]/[[restoreToEpoch]]/
+    * [[consistentAt]] horizon — `retainNone = true` is the explicit
+    * truncate-history switch), and files outside every retained
+    * generation are collected only once dead longer than
+    * `olderThanMs` (default 7 days, Delta's own). Returns
+    * (tree -> files removed). */
+  def vacuumIndexes(
+      olderThanMs: Long = graft.plans.ManifestedTree.DefaultRetentionMs,
+      retainNone: Boolean = false): Map[String, Int] = withWriterLock {
     Map(
       "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
       "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
-      .map { case (n, t) => n -> t.vacuum(olderThanMs) }
+      .map { case (n, t) => n -> t.vacuum(olderThanMs, retainNone) }
   }
 
   /**
@@ -1013,12 +1021,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * vectors (services/background_tasks.py re-runs the per-library
    * rebuild on restart).
    *
-   * Valid while the target generation is retained AND its files have
-   * not been vacuumed: deleted-row bytes stay on disk (manifest-
-   * invisible) until [[vacuumIndexes]]. Vacuum's retention window is
-   * the restore horizon — run it with `olderThanMs` at least as long
-   * as the history you want restorable (the Delta RESTORE-vs-VACUUM
-   * contract). Returns [[repairIndexes]]' report.
+   * Valid while the target generation is retained: deleted-row bytes
+   * stay on disk (manifest-invisible), and by default no maintenance
+   * operation can remove them — [[vacuumIndexes]] and [[compactIndexes]]'
+   * inline cleanup both protect every file a retained generation
+   * references, so the restore horizon is governed by GENERATION
+   * retention alone (one full snapshot back). Only the explicit
+   * `vacuumIndexes(retainNone = true)` truncates it (the Delta
+   * RESTORE-vs-VACUUM contract). Returns [[repairIndexes]]' report.
    */
   def restoreTo(gen: Long): Map[String, (Long, Long)] = withWriterLock {
     storeTree.rollbackTo(gen)

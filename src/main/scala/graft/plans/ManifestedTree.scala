@@ -312,22 +312,44 @@ final class ManifestedTree(
     * victim resolution, maintenance runs under the single-writer
     * discipline, and the on-disk state (orphans included) is exactly
     * what it must measure. */
-  private def fragmentedDirs(maxFiles: Int, smallBytes: Long): Seq[String] = {
-    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    def leaves(d: Path, rel: String, depth: Int): Seq[(String, Path)] =
-      if (!fs.exists(d)) Seq.empty
-      else if (depth == 0) Seq((rel.stripSuffix("/"), d))
-      else fs.listStatus(d).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && visible(n)) leaves(st.getPath, s"$rel$n/", depth - 1)
-        else Seq.empty
-      }
-    leaves(new Path(root), "", partitionSchema.length).collect {
-      case (rel, p) if fs.listStatus(p).count(f =>
-          visible(f.getPath.getName) && !f.isDirectory &&
-            f.getLen < smallBytes) > maxFiles => rel
+  private def fragmentedDirs(maxFiles: Int, smallBytes: Long): Seq[String] =
+    readManifest() match {
+      case Some(entries) =>
+        // Fragmentation is a property of what readers PLAN, so the
+        // census counts the manifest-LIVE small files per directory —
+        // never the listing. Files on disk outside the live set
+        // (history-retained fragments and COW victims, crash orphans)
+        // must not re-qualify a directory that already compacted, or
+        // the maintenance pass would rewrite the same rows on every
+        // invocation until a history-truncating vacuum ran.
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        entries.foreach { case (rel, sz) =>
+          val size = if (sz >= 0) sz // legacy size-less entry: one stat
+            else fs.getFileStatus(new Path(s"$root/$rel")).getLen
+          if (size < smallBytes) {
+            val cut = rel.lastIndexOf('/')
+            val d = if (cut < 0) "" else rel.substring(0, cut)
+            counts(d) = counts.getOrElse(d, 0) + 1
+          }
+        }
+        counts.collect { case (d, c) if c > maxFiles => d }.toSeq
+      case None =>
+        // pre-manifest tree: the listing IS the live set
+        def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+        def leaves(d: Path, rel: String, depth: Int): Seq[(String, Path)] =
+          if (!fs.exists(d)) Seq.empty
+          else if (depth == 0) Seq((rel.stripSuffix("/"), d))
+          else fs.listStatus(d).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && visible(n)) leaves(st.getPath, s"$rel$n/", depth - 1)
+            else Seq.empty
+          }
+        leaves(new Path(root), "", partitionSchema.length).collect {
+          case (rel, p) if fs.listStatus(p).count(f =>
+              visible(f.getPath.getName) && !f.isDirectory &&
+                f.getLen < smallBytes) > maxFiles => rel
+        }
     }
-  }
 
   /**
    * Selective compaction — the OPTIMIZE half of the maintenance loop,
@@ -393,16 +415,24 @@ final class ManifestedTree(
     // COMMIT: manifest entries for the compacted dirs become exactly
     // the moved files (a pre-manifest layout upgrades via full list)
     commitDirReplacement(compacted.map(_ + "/"), moved)
-    // VACUUM: every on-disk file in the compacted dirs the new
-    // manifest does not reference — the replaced fragments and any
-    // crashed-writer orphans (unreferenced by construction, so safe).
-    // `vacuumAfter = false` defers this to a later [[vacuum]] call —
-    // the READER GRACE PERIOD of a shared deployment: a concurrent
-    // reader that planned the PREVIOUS generation keeps collecting
-    // from the intact fragments until maintenance vacuums them past
-    // the grace window; new readers already plan the compacted files.
+    // CLEANUP: on-disk files in the compacted dirs no RESOLVABLE read
+    // can reach — crashed-writer orphans and fragments whose
+    // referencing generations have pruned away. This respects HISTORY
+    // exactly like [[vacuum]]'s structural protection: the fragments
+    // just replaced are still the live set of the pre-compact
+    // generation (openAt/rollbackTo/restoreTo targets), and COW-delete
+    // victims retained for epoch-pinned readers live in these same
+    // dirs — routine compaction must never truncate the restore/epoch
+    // horizon (it once did: zero-retention inline vacuum, r9 ADVICE).
+    // Their bytes reclaim once the generation chain prunes past them
+    // — a later compact or vacuum() pass — or immediately via
+    // vacuum(retainNone = true). `vacuumAfter = false` defers even
+    // this orphan sweep to a later [[vacuum]] call (the reader grace
+    // period of a shared deployment, where an in-flight reader may
+    // still be collecting from files outside every retained
+    // generation).
     if (vacuumAfter) {
-      val keep = moved.map(_._1).toSet
+      val keep = moved.map(_._1).toSet ++ retainedLiveSet()
       compacted.foreach { d =>
         fs.listStatus(new Path(s"$root/$d")).foreach { st =>
           val rel = s"$d/${st.getPath.getName}"
@@ -414,41 +444,80 @@ final class ManifestedTree(
     compacted.size
   }
 
-  /** Delete every visible on-disk file the manifest does not
-    * reference — the standalone VACUUM for crash orphans and for
-    * fragments a `vacuumAfter = false` compaction left behind. No-op
-    * on a pre-manifest tree (its listing IS the live set). Returns
-    * the number of files removed. Safe under the single-writer
-    * discipline: an unreferenced file is unreachable by every
-    * manifest reader; `olderThanMs` adds the reader grace period —
-    * only files last modified at least that long ago are removed, so
-    * an in-flight reader of the previous generation finishes first. */
-  def vacuum(olderThanMs: Long = 0L): Int = readManifest() match {
+  /** Delete visible on-disk files no RESOLVABLE read can reach — the
+    * standalone VACUUM for crash orphans and for fragments a
+    * `vacuumAfter = false` compaction left behind. No-op on a
+    * pre-manifest tree (its listing IS the live set). Returns the
+    * number of files removed. Safe under the single-writer
+    * discipline: a removed file is unreachable by every manifest
+    * reader; `olderThanMs` adds the reader grace period on top.
+    *
+    * TWO protections, deliberately layered (Delta's RESTORE-vs-
+    * VACUUM-RETAIN contract):
+    *
+    *  1. HISTORY (structural, on by default): any file referenced by
+    *     ANY retained manifest generation survives regardless of the
+    *     window — it is exactly what openAt/rollbackTo/restoreTo and
+    *     epoch-pinned readers still resolve. A default-arg vacuum can
+    *     therefore never truncate the restore/epoch horizon; the
+    *     horizon is governed by generation retention (one full
+    *     snapshot back, [[ManifestedTree.RebaseEvery]] commits deep).
+    *     `retainNone = true` drops this protection — the explicit
+    *     "truncate history now" switch (tests, decommission, disk
+    *     pressure) protecting only the CURRENT generation.
+    *  2. TIME (the window): files outside every retained generation
+    *     (crash orphans; fragments whose referencing generations
+    *     pruned away) are collected once DEAD longer than
+    *     `olderThanMs`. "Dead since" clocks from the install time of
+    *     the retained manifest that DE-REFERENCED the file (Delta's
+    *     remove-action timestamp), NOT from the file's own creation
+    *     mtime — a two-hour-old file whose delete committed a minute
+    *     ago is one minute dead and must survive a one-hour window.
+    *     Files de-referenced before the retained window — and crash
+    *     orphans never referenced at all — clock from their own
+    *     mtime. olderThanMs <= 0 collects them immediately. The
+    *     default is [[ManifestedTree.DefaultRetentionMs]] (7 days,
+    *     Delta's own default) so a bare vacuum() is always safe. */
+  def vacuum(olderThanMs: Long = ManifestedTree.DefaultRetentionMs,
+             retainNone: Boolean = false): Int = readManifest() match {
     case None => 0
     case Some(entries) =>
-      // Delta's VACUUM model: protect the CURRENT generation's live
-      // set; everything else is collectible once DEAD for longer than
-      // the retention window. "Dead since" clocks from the install
-      // time of the retained manifest that DE-REFERENCED the file
-      // (Delta's remove-action timestamp), NOT from the file's own
-      // creation mtime — a two-hour-old file whose delete committed a
-      // minute ago is one minute dead and must survive a one-hour
-      // window (it is exactly what openAt/rollbackTo/restoreTo still
-      // resolve). Files de-referenced before the retained window — and
-      // crash orphans never referenced at all — clock from their own
-      // mtime. The window is therefore the snapshot/rollback horizon:
-      // the Delta RESTORE-vs-VACUUM-RETAIN contract. olderThanMs <= 0
-      // is RETAIN 0: everything dead goes now, restore history with it.
       val live = entries.map(_._1).toSet
+      val protectedPaths = if (retainNone) live else live | retainedLiveSet()
       val cutoff = System.currentTimeMillis() - olderThanMs
       lazy val dereferencedAt = deadSinceMap()
-      val dead = listFiles(None).map(_._1).filterNot(live).filter { rel =>
+      val dead = listFiles(None).map(_._1).filterNot(protectedPaths).filter { rel =>
         olderThanMs <= 0L || dereferencedAt.getOrElse(rel,
           fs.getFileStatus(new Path(s"$root/$rel")).getModificationTime
         ) <= cutoff
       }
       dead.foreach(rel => fs.delete(new Path(s"$root/$rel"), false))
       dead.size
+  }
+
+  /** Every path referenced by ANY retained (resolvable) manifest
+    * generation — the structural protection set of [[vacuum]] and of
+    * [[compact]]'s inline cleanup: openAt/rollbackTo and epoch-pinned
+    * readers can resolve exactly these. One ascending walk over the
+    * retained chain from its oldest full; O(entries retained), a
+    * maintenance-time cost only. */
+  def retainedLiveSet(): Set[String] = {
+    val chain = ManifestedTree.globManifests(fs, root).sortBy(_._1)
+    val firstFull = chain.collectFirst { case (g, true, _) => g }
+      .getOrElse(return Set.empty)
+    val refs = scala.collection.mutable.HashSet.empty[String]
+    chain.dropWhile(_._1 < firstFull).foreach { case (_, isFull, p) =>
+      ManifestedTree.readLines(fs, p).iterator
+        .filterNot(_.startsWith("#")).foreach { line =>
+          line.split('\t') match {
+            case Array(f, _) if isFull => refs += f
+            case Array("+", f, _) => refs += f
+            case _ if isFull && line.nonEmpty => refs += line // legacy size-less
+            case _ => () // delta removal lines reference nothing new
+          }
+        }
+    }
+    refs.toSet
   }
 
   /** path -> install time (mtime) of the retained manifest generation
@@ -588,6 +657,12 @@ object ManifestedTree {
     * steady append stream pays O(batch) per commit instead of
     * rewriting an O(tree) manifest every batch. */
   val RebaseEvery = 16
+
+  /** Default [[ManifestedTree.vacuum]] retention window: 7 days,
+    * Delta Lake's own default for exactly the same reason — a vacuum
+    * scheduled by habit must not strand an in-flight reader or eat
+    * the snapshot horizon an operator assumed was still there. */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
   private[plans] case class Chain(
       entries: Vector[(String, Long)],

@@ -212,4 +212,48 @@ class ManifestedTreeSpec extends AnyFunSuite {
     assert(deltaLen < 200, s"swap delta unexpectedly large: $deltaLen bytes")
     fs.delete(new Path(root), true)
   }
+
+  test("vacuum history protection: retained-generation files survive any default vacuum; retainNone truncates") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 40), 1000000L)
+    val gen0 = tree.generations().last._1
+    val rows0 = tree.open().count()
+    // de-reference files (a COW-delete shape): gen0 still references
+    // them — it is exactly what openAt(gen0)/rollbackTo resolve
+    val victims = tree.readManifest().get.take(2).map(_._1)
+    tree.commitSwap(victims.map(v => s"$root/$v"), Seq.empty)
+    assert(tree.open().count() < rows0)
+
+    // neither the DEFAULT window nor RETAIN-0 may touch a file a
+    // retained generation references — the restore horizon is
+    // structural, not a race against the clock
+    assert(tree.vacuum() == 0, "default vacuum deleted retained-generation files")
+    assert(tree.vacuum(0L) == 0, "window-0 vacuum pierced the history protection")
+    assert(tree.openAt(gen0).count() == rows0,
+      "snapshot read broken after default vacuums")
+
+    // compact's inline cleanup follows the same rule: the replaced
+    // fragments stay (pre-compact generation), orphans-only removal
+    val preCompactGen = tree.generations().last._1
+    val preCompactLive = tree.readManifest().get.map(_._1).toSet
+    tree.compact(maxFilesPerPartition = 0, maxRecordsPerFile = 1000000L,
+      sortCols = Seq("id"))
+    preCompactLive.foreach { f =>
+      assert(fs.exists(new Path(s"$root/$f")),
+        s"compact's inline cleanup deleted $f — referenced by retained gen $preCompactGen")
+    }
+    assert(tree.openAt(gen0).count() == rows0,
+      "snapshot read broken after compaction")
+
+    // the explicit switch truncates: victims and fragments reclaim,
+    // the current generation stays intact
+    val liveRows = tree.open().count()
+    assert(tree.vacuum(0L, retainNone = true) > 0, "retainNone reclaimed nothing")
+    victims.foreach(v => assert(!fs.exists(new Path(s"$root/$v")),
+      s"retainNone vacuum left victim $v"))
+    tree.invalidate()
+    assert(tree.open().count() == liveRows,
+      "current generation damaged by retainNone vacuum")
+    fs.delete(new Path(root), true)
+  }
 }

@@ -926,18 +926,26 @@ class VectorLibrarySpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= i * 20 - 20 && col("doc_id") < i * 20)
         .withColumn("doc_id", col("doc_id") + i * 1000)))
 
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idxRoot = new Path(s"$root/compact-lib/lsh_index")
-    def fileCounts(): Map[String, Int] = (for {
-      t <- fs.listStatus(idxRoot).toSeq if t.isDirectory
-      b <- fs.listStatus(t.getPath).toSeq if b.isDirectory
-    } yield s"${t.getPath.getName}/${b.getPath.getName}" ->
-        fs.listStatus(b.getPath).count(f => !f.getPath.getName.startsWith("."))).toMap
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tbl",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    // fragmentation is what readers PLAN: census the manifest-live
+    // files per dir (a fresh handle per call — external handles cache
+    // their own state). The on-disk listing also holds the retained
+    // pre-compact fragments (restore horizon) — never count those.
+    def freshTree() =
+      new graft.plans.ManifestedTree(spark, idxRoot.toString, idxSchema)
+    def fileCounts(): Map[String, Int] = freshTree().readManifest().get
+      .groupBy(e => e._1.substring(0, e._1.lastIndexOf('/')))
+      .map { case (d, fls) => d -> fls.size }
 
     val before = fileCounts()
     assert(before.values.max > 1, "appends did not produce multi-file dirs")
     val hitsBefore = lib.searchApprox("spark join stream table filter", k = 10).collect()
-    val rowsBefore = spark.read.parquet(idxRoot.toString).count()
+    val rowsBefore = freshTree().open().count()
 
     val n = lib.compactPartitionedIndex(maxFilesPerPartition = 1)
     assert(n == before.count(_._2 > 1), "compacted dir count != oversized dir count")
@@ -946,7 +954,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     // Untouched (already-single-file) dirs kept their file unmodified.
     assert(after.keySet == before.keySet, "compaction changed the directory set")
 
-    assert(spark.read.parquet(idxRoot.toString).count() == rowsBefore,
+    assert(freshTree().open().count() == rowsBefore,
       "compaction changed index row count")
     val hitsAfter = lib.searchApprox("spark join stream table filter", k = 10).collect()
     assert(hitsAfter.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
@@ -1284,9 +1292,10 @@ class VectorLibrarySpec extends AnyFunSuite {
     val rep = lib.restoreTo(preGen)
     assert(lib.chunks.count() == before,
       s"restore failed after the windowed vacuum: $rep")
-    // RETAIN 0 semantics unchanged: after the restore re-references the
-    // victims, a full vacuum collects only the delete's rewrites
-    lib.vacuumIndexes()
+    // explicit truncate-history semantics: after the restore
+    // re-references the victims, a retainNone vacuum collects only the
+    // delete's rewrites — the current generation is always protected
+    lib.vacuumIndexes(0L, retainNone = true)
     assert(lib.chunks.count() == before)
     lib.delete()
   }
@@ -1396,14 +1405,30 @@ class VectorLibrarySpec extends AnyFunSuite {
     val compacted = lib.compactIndexes(maxFilesPerPartition = 0)
     assert(compacted.keySet == trees.map(_._1).toSet,
       s"maintenance skipped a tree: $compacted")
+    // compaction flips manifests: readers PLAN fewer files, but the
+    // replaced fragments stay ON DISK — still the live set of the
+    // retained pre-compact generation, i.e. the restore/epoch horizon
+    val liveAfter = lib.manifestInfo.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
     for ((n, rel) <- trees) {
       assert(compacted(n) > 0, s"$n: nothing compacted after 3 fragmenting appends")
-      assert(dataFiles(rel).size < filesBefore(n),
-        s"$n: compaction did not reduce the file count " +
-          s"(${filesBefore(n)} -> ${dataFiles(rel).size})")
+      assert(liveAfter(n) < filesBefore(n),
+        s"$n: compaction did not reduce the planned file count " +
+          s"(${filesBefore(n)} -> ${liveAfter(n)})")
+      assert(dataFiles(rel).size > filesBefore(n),
+        s"$n: compaction deleted files of the retained pre-compact " +
+          "generation — the restore horizon is not surviving OPTIMIZE")
     }
     for (a <- algos)
       assert(results(a) == before(a), s"$a results changed across compaction")
+
+    // reclaim the fragment bytes: the EXPLICIT truncate-history switch
+    val reclaimed = lib.vacuumIndexes(0L, retainNone = true)
+    for ((n, rel) <- trees) {
+      assert(reclaimed(n) > 0, s"$n: retainNone vacuum reclaimed nothing")
+      assert(dataFiles(rel).size < filesBefore(n),
+        s"$n: fragments not reclaimed (${filesBefore(n)} -> ${dataFiles(rel).size})")
+    }
 
     // vacuum: a crash orphan in a HEALTHY (not-being-compacted) dir of
     // each tree is unreferenced by the manifest and gets removed
@@ -1424,7 +1449,9 @@ class VectorLibrarySpec extends AnyFunSuite {
         spark.sparkContext.hadoopConfiguration)
       n -> orphan
     }.toMap
-    val vacuumed = lib.vacuumIndexes()
+    // a window-0 DEFAULT vacuum removes them (an orphan was never
+    // referenced by any generation — history protection doesn't apply)
+    val vacuumed = lib.vacuumIndexes(0L)
     for ((n, orphan) <- orphans) {
       assert(vacuumed(n) >= 1, s"$n: vacuum removed nothing")
       assert(!fs.exists(orphan), s"$n: vacuum left the orphan")
@@ -1438,7 +1465,8 @@ class VectorLibrarySpec extends AnyFunSuite {
     // would re-qualify any dir with one small file, by definition)
     assert(lib.compactIndexes(maxFilesPerPartition = 1).values.sum == 0,
       "second compaction pass was not a no-op")
-    assert(lib.vacuumIndexes().values.sum == 0, "second vacuum was not a no-op")
+    assert(lib.vacuumIndexes(0L, retainNone = true).values.sum == 0,
+      "second vacuum was not a no-op")
 
     // the census reads only the manifests and agrees with the disk
     val info = lib.manifestInfo.collect()
@@ -1480,9 +1508,57 @@ class VectorLibrarySpec extends AnyFunSuite {
       "vacuum removed files younger than the grace period")
     assert(oldReader.count() == nRows)
 
-    // grace over: the fragments go, the live generation is unaffected
-    assert(lib.vacuumIndexes().values.sum > 0, "deferred fragments were not vacuumed")
+    // even a window-0 DEFAULT vacuum keeps them: the fragments are the
+    // live set of the retained pre-compact generation — the structural
+    // history protection a default-arg vacuum must never pierce
+    assert(lib.vacuumIndexes(0L).values.sum == 0,
+      "a default vacuum deleted files of a retained generation")
+    assert(oldReader.count() == nRows)
+
+    // explicit truncate: the fragments go, the live generation is unaffected
+    assert(lib.vacuumIndexes(0L, retainNone = true).values.sum > 0,
+      "deferred fragments were not vacuumed")
     assert(lib.chunks.count() == nRows)
+    lib.delete()
+  }
+
+  test("restore/epoch horizon survives default maintenance: compact + default vacuum never eat a retained epoch") {
+    val root = Files.createTempDirectory("graft-lib-horizon").toString
+    val lib = new VectorLibrary(spark, root, "horizon-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs)
+    lib.buildPartitionedIndex()
+    val full = lib.chunks.count()
+    val q = "spark join stream table filter"
+    val pinnedResults = lib.searchApprox(q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val e = lib.epochs.last // the full-corpus epoch a reader pins
+
+    // COW delete (victims retained on disk, manifest-invisible), an
+    // append (fragments the trees), then the routine maintenance pass
+    // a deployment schedules with DEFAULT arguments — exactly the
+    // sequence that once silently destroyed the restore horizon
+    // (compact's inline cleanup had zero retention)
+    lib.deleteDocuments(col("doc_id") < 20)
+    assert(lib.chunks.count() < full)
+    lib.addDocuments(docs.filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    lib.compactIndexes(maxFilesPerPartition = 0) // inline cleanup path
+    lib.vacuumIndexes()                          // default window
+    lib.vacuumIndexes(0L)                        // even RETAIN-0: history protected
+
+    // the epoch-pinned reads still resolve, bit-exact
+    assert(lib.chunksAt(e).count() == full,
+      "epoch-pinned store read lost rows after default maintenance")
+    val pinnedNow = lib.searchApproxAt(e, q, k = 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(pinnedNow == pinnedResults,
+      "epoch-pinned search changed after default maintenance")
+
+    // and the restore itself still succeeds
+    lib.restoreToEpoch(e)
+    assert(lib.chunks.count() == full,
+      "restoreToEpoch failed after default maintenance")
     lib.delete()
   }
 
@@ -1764,15 +1840,20 @@ class VectorLibrarySpec extends AnyFunSuite {
       s"$root/ckpt", compactEvery = 2, maxFilesPerPartition = 1)
     q.processAllAvailable(); q.stop()
 
-    // the periodic compaction kept fragmentation bounded: no dir holds
-    // more than (batches since last tick) + already-compacted 1 file
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxFiles = (for {
-      t <- fs.listStatus(new Path(s"$root/mtick-lib/lsh_index")).toSeq if t.isDirectory
-      b <- fs.listStatus(t.getPath).toSeq if b.isDirectory
-    } yield fs.listStatus(b.getPath).count(f => !f.getPath.getName.startsWith("."))).max
-    assert(maxFiles <= 2, s"index fragmented: $maxFiles files in one dir")
-    assert(spark.read.parquet(s"$root/mtick-lib/lsh_index").count() == 8 * lib.chunks.count())
+    // the periodic compaction kept PLANNED fragmentation bounded: no
+    // dir's manifest-live set holds more than (batches since last
+    // tick) + already-compacted 1 file. The disk also holds the
+    // history-retained pre-compact fragments — the restore horizon,
+    // not fragmentation: readers never plan them, and the census that
+    // schedules compaction doesn't count them either.
+    val idxTree = new graft.plans.ManifestedTree(spark,
+      s"$root/mtick-lib/lsh_index", StructType(Seq(
+        StructField("tbl", IntegerType), StructField("bucket", IntegerType))))
+    val maxFiles = idxTree.readManifest().get
+      .groupBy(e => e._1.substring(0, e._1.lastIndexOf('/')))
+      .values.map(_.size).max
+    assert(maxFiles <= 2, s"index fragmented: $maxFiles live files in one dir")
+    assert(idxTree.open().count() == 8 * lib.chunks.count())
     assert(lib.searchApprox("spark join stream", k = 3).collect().nonEmpty)
     lib.delete()
   }
