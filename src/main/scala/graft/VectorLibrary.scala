@@ -1093,12 +1093,40 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         disk
       }
     fs.mkdirs(dir)
-    val next = latest.getOrElse(0L) + 1
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".epoch.$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"epoch.$next%09d")))
-      throw new java.io.IOException(s"epoch $next install failed at $epochsDir")
+    // The cache is a HINT, not the authority: two writer instances
+    // correctly ALTERNATING under the file lease each keep their own
+    // lastEpochCache, so instance A (cache at N) can compute N+1 after
+    // instance B already installed epoch N+1 — and a local-fs rename
+    // onto an existing target silently OVERWRITES it (mutating an
+    // epoch a reader may be pinned to), while HDFS fails the rename
+    // and would fail a mutation that already committed. Install with
+    // rename-if-absent semantics: probe the target, and on collision
+    // (or rename failure) re-list the on-disk epochs once and retry
+    // with the true successor.
+    def tryInstall(n: Long): Boolean = {
+      val target = new org.apache.hadoop.fs.Path(dir, f"epoch.$n%09d")
+      if (fs.exists(target)) return false
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".epoch.$n.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, target)) true
+      else { fs.delete(tmp, false); false }
+    }
+    var next = latest.getOrElse(0L) + 1
+    if (!tryInstall(next)) {
+      val disk = epochs.lastOption
+      // the displaced latest may already record exactly this tuple
+      // (the other instance committed the same state): adopt it
+      if (disk.exists(e => readEpochFile(e).contains(body))) {
+        lastEpochCache = disk.map(e => (e, body))
+        return
+      }
+      next = disk.getOrElse(0L) + 1
+      if (!tryInstall(next))
+        throw new java.io.IOException(
+          s"epoch $next install failed at $epochsDir even after a " +
+          "re-list — a concurrent writer is racing this lease holder")
+    }
     lastEpochCache = Some((next, body))
     // bounded history (epochs older than the manifest retention window
     // are unresolvable anyway); the prune's listing amortizes over 8

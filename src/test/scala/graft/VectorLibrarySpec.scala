@@ -1223,6 +1223,43 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("epochs: two writer instances alternating under the lease never overwrite an installed epoch") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-epoch3").toString
+    // two instances of the SAME library, correctly taking turns under
+    // the file lease — each carries its own epoch cache, so the second
+    // writer's cache goes stale the moment the first commits. A stale
+    // cache must be treated as a hint: the install re-lists on
+    // collision instead of renaming onto (and silently overwriting,
+    // on a local fs) an epoch a reader may be pinned to.
+    val a = new VectorLibrary(spark, root, "epoch3-lib")
+    val b = new VectorLibrary(spark, root, "epoch3-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(30)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochBody(e: Long): String = {
+      val in = fs.open(new Path(f"$root/epoch3-lib/_epochs/epoch.$e%09d"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+
+    a.addDocuments(docs.filter(col("doc_id") < 10))          // epoch 1 (a caches 1)
+    b.addDocuments(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)) // epoch 2 (b lists, caches 2)
+    val e2Body = epochBody(b.epochs.last)
+    val countAtE2 = b.chunks.count()
+    a.addDocuments(docs.filter(col("doc_id") >= 20))         // a's stale cache says next=2 — must re-list to 3
+
+    val all = a.epochs
+    assert(all.size >= 3, s"an epoch was overwritten instead of appended: $all")
+    assert(all == all.sorted && all.distinct == all, s"epoch numbering broken: $all")
+    assert(epochBody(all(1)) == e2Body,
+      "a stale-cached writer overwrote an installed epoch in place")
+    // every epoch still resolves, and the middle one still reads the
+    // state it recorded
+    assert(a.chunksAt(all(1)).count() == countAtE2,
+      "epoch-pinned read changed after a later writer's install")
+    assert(a.chunksAt(all.last).count() == a.chunks.count())
+    a.delete()
+  }
+
   test("restoreTo: one call undoes a bad delete AND a bad ingest across store and indexes") {
     val root = Files.createTempDirectory("graft-lib-restore").toString
     val lib = new VectorLibrary(spark, root, "restore-lib")
