@@ -117,21 +117,59 @@ final class ManifestedTree(
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val dest = new Path(s"$root/$name")
-    // dest is a FRESH generation file — rename-to-nonexistent is the
-    // atomic install; a pre-existing dest means a second writer raced
-    // this commit (the single-writer contract was violated): fail loud.
+    // dest must be a FRESH generation file. NOTE a local-fs rename onto
+    // an existing dest silently OVERWRITES (POSIX rename(2)) — it does
+    // NOT fail — so the existence probe is explicit. Under the writer
+    // lease the only way dest can exist is a stale cached head (an
+    // alternating writer instance or a second handle of this tree
+    // advanced the chain); [[commitDelta]]/[[commitFull]] catch this,
+    // refresh from disk, and re-derive the commit.
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new ManifestedTree.StaleHeadException(
+        s"manifest: $root/$name already exists — cached head is stale")
+    }
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(
-        s"manifest: cannot install $root/$name (generation already " +
-        "exists — concurrent writer?)")
+        s"manifest: cannot install $root/$name")
     val seal = new Path(s"$root/$SealName")
     if (!fs.exists(seal)) fs.create(seal, true).close()
   }
 
+  /** Throw when the cached chain head is no longer the on-disk head —
+    * another writer instance (correctly alternating under the lease)
+    * or another handle of this tree advanced the chain since this
+    * handle last resolved. Installing generation `gen` then would
+    * either collide with an existing file (silently overwritten by a
+    * local-fs rename) or, worse, land BELOW the current head and be
+    * silently ignored by every resolve. One glob per commit — the same
+    * bounded listing [[pruneOldGenerations]] already pays. */
+  private def assertHeadFresh(gen: Long): Unit = {
+    val diskMax = ManifestedTree.globManifests(fs, root)
+      .map(_._1).maxOption.getOrElse(-1L)
+    if (diskMax >= gen)
+      throw new ManifestedTree.StaleHeadException(
+        s"manifest: $root head advanced to $diskMax while this handle " +
+        s"cached ${gen - 1} — refresh and re-derive")
+  }
+
+  /** Commit `files` as a full snapshot, refreshing once if the cached
+    * head went stale (lease-alternating writers, external handles). A
+    * full snapshot's content is caller-determined, so the retry only
+    * needs a fresh generation number. */
   private def commitFull(files: Seq[(String, Long)],
-                         schemaHint: Option[StructType]): Unit = {
+                         schemaHint: Option[StructType]): Unit =
+    try commitFullOnce(files, schemaHint)
+    catch { case _: ManifestedTree.StaleHeadException =>
+      invalidate()
+      commitFullOnce(files, schemaHint)
+    }
+
+  private def commitFullOnce(files: Seq[(String, Long)],
+                             schemaHint: Option[StructType]): Unit = {
     val prev = resolveState()
     val gen = prev.map(_.gen).getOrElse(0L) + 1
+    assertHeadFresh(gen)
     // Persist a read-schema record with every full snapshot so an
     // empty generation (delete-everything) still opens as a typed
     // empty frame. Derived from (in order): the caller's hint, the
@@ -155,14 +193,29 @@ final class ManifestedTree(
     pruneOldGenerations()
   }
 
+  /** Commit a delta, refreshing once if the cached head went stale. A
+    * delta references immutable FILES (appends add fresh files, swaps
+    * remove specific victims), so re-deriving the merge against the
+    * refreshed head is exact: the other writer's files stay live, this
+    * batch's additions/removals apply on top. */
   private def commitDelta(removals: Seq[String],
                           additions: Seq[(String, Long)],
                           schemaHint: Option[StructType]): Unit =
+    try commitDeltaOnce(removals, additions, schemaHint)
+    catch { case _: ManifestedTree.StaleHeadException =>
+      invalidate()
+      commitDeltaOnce(removals, additions, schemaHint)
+    }
+
+  private def commitDeltaOnce(removals: Seq[String],
+                              additions: Seq[(String, Long)],
+                              schemaHint: Option[StructType]): Unit =
     resolveState() match {
       case None =>
         // pre-manifest tree: upgrade to a snapshot (its listing is the
-        // source of truth, already including this batch)
-        commitFull(listFiles(None), schemaHint)
+        // source of truth, already including this batch). commitFullOnce,
+        // not commitFull: a stale head must re-derive THIS merge.
+        commitFullOnce(listFiles(None), schemaHint)
       case Some(st) =>
         // keyed dedup with resolveChain's MEMBERSHIP semantics: an
         // addition whose path is already live REPLACES the old entry
@@ -192,10 +245,13 @@ final class ManifestedTree(
           else st.entries.filterNot(e => drop(e._1)) ++ additions0
         if (st.deltas + 1 >= RebaseEvery) {
           // periodic rebase bounds the reader's chain length; its
-          // O(tree) write amortizes over RebaseEvery O(batch) commits
-          commitFull(entries, schemaHint.orElse(st.schema))
+          // O(tree) write amortizes over RebaseEvery O(batch) commits.
+          // commitFullOnce: `entries` is a stale-state merge, so a
+          // stale head must propagate to commitDelta's re-derive.
+          commitFullOnce(entries, schemaHint.orElse(st.schema))
         } else {
           val gen = st.gen + 1
+          assertHeadFresh(gen)
           val schema = schemaHint.filterNot(h => st.schema.contains(h))
           val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
           val body = (removals.map(p => s"-\t$p") ++
@@ -649,6 +705,12 @@ final class ManifestedTree(
 }
 
 object ManifestedTree {
+  /** The cached chain head is no longer the on-disk head — a
+    * lease-alternating writer instance or a second handle advanced the
+    * chain. Caught internally: commits refresh and re-derive once. */
+  final class StaleHeadException(msg: String)
+    extends java.io.IOException(msg)
+
   private val ManifestPrefix = "_manifest."
   private val LegacyName = "_manifest.txt"
   private[plans] val SealName = "_manifest.seal"

@@ -213,6 +213,30 @@ class ManifestedTreeSpec extends AnyFunSuite {
     fs.delete(new Path(root), true)
   }
 
+  test("two handles alternating commits: a stale cached head refreshes and re-derives, never overwrites") {
+    val (a, root) = freshTree()
+    val b = new ManifestedTree(spark, root, pSchema)
+    // alternate appends through two handles of the same tree — the
+    // lease-holder-alternation shape. Each handle's cached head goes
+    // stale the moment the other commits; a blind st.gen+1 install
+    // would silently OVERWRITE the other's generation file on a local
+    // fs (POSIX rename) and de-reference its rows.
+    a.appendCommitted(rows(0 until 10), 1000000L)
+    b.appendCommitted(rows(10 until 20), 1000000L)
+    a.appendCommitted(rows(20 until 30), 1000000L) // a's cache is 1 behind
+    b.appendCommitted(rows(30 until 40), 1000000L) // b's cache is 1 behind
+
+    // every batch from BOTH writers is visible to a fresh reader
+    val reader = new ManifestedTree(spark, root, pSchema)
+    assert(reader.open().count() == 40,
+      "a stale-cached writer de-referenced another writer's commit")
+    // and the generation chain has no duplicate numbers (a full and a
+    // delta sharing a number would shadow the delta silently)
+    val gens = reader.generations().map(_._1)
+    assert(gens.distinct == gens, s"duplicate generation numbers: $gens")
+    fs.delete(new Path(root), true)
+  }
+
   test("vacuum history protection: retained-generation files survive any default vacuum; retainNone truncates") {
     val (tree, root) = freshTree()
     tree.appendCommitted(rows(0 until 40), 1000000L)

@@ -1252,6 +1252,13 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(all == all.sorted && all.distinct == all, s"epoch numbering broken: $all")
     assert(epochBody(all(1)) == e2Body,
       "a stale-cached writer overwrote an installed epoch in place")
+    // CONTENT visibility, not just counts: all three batches' documents
+    // are live to a fresh reader (a stale-cached store commit would
+    // have silently de-referenced b's files — and equal row counts
+    // could mask that)
+    val freshReader = new VectorLibrary(spark, root, "epoch3-lib")
+    assert(freshReader.chunks.select("doc_id").distinct().count() == 30,
+      "an alternating writer's documents were de-referenced")
     // every epoch still resolves, and the middle one still reads the
     // state it recorded
     assert(a.chunksAt(all(1)).count() == countAtE2,
