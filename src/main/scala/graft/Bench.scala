@@ -43,6 +43,11 @@ object Bench {
       val lib = VectorLibrary.forDataset(spark, sfDir)
       lib.searchApprox("spark join stream table filter", 5).count()
       lib.search("warm the flat store scan", 5).count()
+      // the quantized two-phase probe has first-use cost of its own
+      // (codes-presence resolution + the lazy re-rank semi-join shape)
+      // that the plain searchApprox warm does not absorb — r9's driver
+      // record charged 13 s of it to library_lsh_quantized's timed run
+      lib.searchApproxQuantized("spark join stream table filter", 5).count()
     } catch { case t: Throwable =>
       System.err.println(s"BENCH PREAMBLE FAILURE: $t")
     }

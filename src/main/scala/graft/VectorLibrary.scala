@@ -295,11 +295,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
 
   /** Embedding + index columns for a chunk batch (shared by the batch
-    * and streaming ingest paths). */
+    * and streaming ingest paths). Embedding goes through the seam's
+    * BULK hook: expression-backed embedders project a column (plan
+    * unchanged, codegen intact); service-backed ones batch per
+    * partition (reference generate_embeddings_batch). */
   private def indexColumns(chunked: DataFrame): DataFrame = {
-    chunked
-      .withColumn("embedding",
-        embed.embed(col("chunk_text"), "search_document"))
+    embed.embedFrame(chunked, "chunk_text", "search_document", "embedding")
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("bits", bitPack(col("embedding")))
