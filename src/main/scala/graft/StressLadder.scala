@@ -647,6 +647,10 @@ object EventsLadder {
       operators.Events.windowAgg(w).count()
       operators.Events.asofJoin(w).count()
       operators.Events.rolling(w).count()
+      operators.Events.valuePercentiles(w).count()
+      spark.conf.set("spark.graft.percentiles", "approx")
+      operators.Events.valuePercentiles(w).count()
+      spark.conf.set("spark.graft.percentiles", "exact")
       ()
     }
     val measured = copiesSeq.map(c => rung(spark, c))
@@ -655,7 +659,8 @@ object EventsLadder {
       val lo = measured.head; val hi = measured.last
       val growth = hi.n.toDouble / lo.n
       for (name <- Seq("sessionize", "funnel", "retention", "window_agg",
-                       "asof", "rolling")) {
+                       "asof", "rolling", "percentiles_exact",
+                       "percentiles_approx")) {
         val ratio = hi.results(name) / math.max(lo.results(name), 1e-9)
         println(f"[events-ladder] WALL $name: ${lo.results(name)}%.1fs -> " +
           f"${hi.results(name)}%.1fs (x$ratio%.2f over x$growth%.1f corpus)")
@@ -670,10 +675,17 @@ object EventsLadder {
         assert(math.abs(r - growth) < growth * 0.2,
           s"$name output rows x$r across x$growth users — not linear")
       }
-      for (name <- Seq("retention", "window_agg", "rolling"))
+      for (name <- Seq("retention", "window_agg", "rolling",
+                       "percentiles_exact", "percentiles_approx"))
         assert(hi.outRows(name) == lo.outRows(name),
           s"$name output grew ${lo.outRows(name)} -> ${hi.outRows(name)} — " +
             "a fixed-span aggregate must stay bounded")
+      // the sketch must stay accurate as the per-type volume grows —
+      // this is the number behind the documented exact->approx switch
+      for (r <- measured)
+        assert(r.results("pctl_max_rel_err") <= 0.01,
+          f"approx percentiles drifted ${r.results("pctl_max_rel_err")}%.4f " +
+            f"rel err at ${r.n} events — the 100 TB switch is not safe")
     }
     spark.stop()
   }
@@ -711,6 +723,37 @@ object EventsLadder {
     measure("window_agg")(Events.windowAgg(events))
     measure("asof")(Events.asofJoin(events))
     measure("rolling")(Events.rolling(events))
+
+    // percentiles: exact (sorted per-type buffers — the oracle-parity
+    // default) vs approx (bounded-memory sketch — the documented
+    // 100 TB switch, spark.graft.percentiles=approx). Both walls are
+    // on the record, and the sketch's error is MEASURED per rung, so
+    // the documented trade carries numbers, not adjectives.
+    def measureCollect(name: String)(df: => DataFrame): Array[org.apache.spark.sql.Row] = {
+      val t0 = System.nanoTime()
+      val rows = df.collect()
+      results(name) = (System.nanoTime() - t0) / 1e9
+      outRows(name) = rows.length.toLong
+      println(f"[events-ladder] $name: ${results(name)}%.1fs, ${rows.length} rows out")
+      rows
+    }
+    val exact = measureCollect("percentiles_exact")(Events.valuePercentiles(events))
+    spark.conf.set("spark.graft.percentiles", "approx")
+    val approx =
+      try measureCollect("percentiles_approx")(Events.valuePercentiles(events))
+      finally spark.conf.set("spark.graft.percentiles", "exact")
+    val exactByType = exact.map(r => r.getString(0) -> r).toMap
+    val relErr = approx.flatMap { a =>
+      val e = exactByType(a.getString(0))
+      Seq("p50_value", "p90_value", "p99_value").map { c =>
+        val ev = e.getAs[Double](c); val av = a.getAs[Double](c)
+        math.abs(av - ev) / math.max(math.abs(ev), 1e-9)
+      }
+    }.max
+    results("pctl_max_rel_err") = relErr
+    println(f"[events-ladder] percentile sketch max rel err: $relErr%.5f " +
+      f"(approx ${results("percentiles_approx")}%.1fs vs exact " +
+      f"${results("percentiles_exact")}%.1fs)")
 
     spark.sharedState.cacheManager.clearCache()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -840,10 +840,43 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * their own rows to the affected partitions — incremental, never a
     * full rewrite. */
   def buildPartitionedIndex(): Unit = withWriterLock {
-    indexRows(chunks).write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("tbl", "bucket").parquet(indexPath)
-    lshTree.commitSnapshot()
+    installRebuild(lshTree) { tmp =>
+      indexRows(chunks).write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+        .partitionBy("tbl", "bucket").parquet(tmp)
+    }
+  }
+
+  /** Install a rebuild history-preservingly: the fresh tree writes to
+    * a tmp sibling, its files rename INTO the live root beside the
+    * previous generation's files (fresh UUID part-names — no clashes,
+    * no directory swap, no vanished paths for a concurrent reader
+    * mid-plan or pinned to an epoch), and the manifest commits a FULL
+    * generation referencing exactly the fresh set
+    * ([[graft.plans.ManifestedTree.commitReplaceAll]]). The displaced
+    * files stay on disk, manifest-invisible, until vacuum — the
+    * Delta REPLACE shape, same as delete's [[cowTree]] install. A
+    * crash before the commit leaves only invisible orphans. Geometry
+    * SIDECARS (centroids/books/bounds/stats) are not manifested and
+    * still overwrite in place: an epoch pin covers the ROW trees;
+    * rebuild replaces the geometry by definition. */
+  private def installRebuild(tree: graft.plans.ManifestedTree)
+                            (write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val treeRoot = tree.root.stripSuffix("/")
+    val tmp = treeRoot + ".rebuild_tmp"
+    val fs = hadoopFs(treeRoot)
+    fs.delete(new Path(tmp), true)
+    write(tmp)
+    val fresh = graft.plans.ManifestedTree.listTree(spark, tmp, None)
+    fresh.foreach { case (rel, _) =>
+      val dst = new Path(s"$treeRoot/$rel")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(s"$tmp/$rel"), dst))
+        throw new java.io.IOException(s"rebuild: cannot install $treeRoot/$rel")
+    }
+    fs.delete(new Path(tmp), true)
+    tree.commitReplaceAll(fresh)
   }
 
   /** Drop the partitioned index (search falls back to the column probe). */
@@ -1027,7 +1060,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * operation can remove them — [[vacuumIndexes]] and [[compactIndexes]]'
    * inline cleanup both protect every file a retained generation
    * references, so the restore horizon is governed by GENERATION
-   * retention alone (one full snapshot back). Only the explicit
+   * retention alone ([[graft.plans.ManifestedTree.KeepFulls]] full
+   * snapshots back). Only the explicit
    * `vacuumIndexes(retainNone = true)` truncates it (the Delta
    * RESTORE-vs-VACUUM contract). Returns [[repairIndexes]]' report.
    */
@@ -1214,8 +1248,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * every derived index, at FILE granularity (the Delta/Iceberg
    * shape): only the parquet files actually CONTAINING a victim row
    * rewrite; every other file — including the rest of the files in an
-   * affected partition directory — carries over by rename, a
-   * filesystem metadata operation that moves no bytes. Store files
+   * affected partition directory — never moves at all. Store files
    * are clustered by (source, doc_id) at write, so a targeted
    * delete's victim file set stays a handful of files no matter how
    * large the library grows; a mass delete degrades gracefully toward
@@ -1223,9 +1256,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    *
    * Every survivor rewrite lands in a tmp tree BEFORE any live
    * directory is touched (the reads all see intact live data; a crash
-   * in phase 1 changes nothing); the phase-2 swap is per-directory
-   * aside-rename (crash mid-swap leaves the old directory recoverable
-   * at its .cowold aside). Returns the number of chunks removed.
+   * in phase 1 changes nothing); phase 2 is purely ADDITIVE on a
+   * manifested tree — fresh files rename in beside the untouched
+   * originals and the manifest commitSwap flips visibility, so a
+   * concurrent reader mid-plan on the previous generation (or pinned
+   * to an epoch) never sees a path vanish (see [[cowTree]]). Returns
+   * the number of chunks removed.
    */
   private def deleteVictims(victims0: DataFrame): Long = {
     // dev probe (StressCow): per-step wall times on stderr
@@ -1264,6 +1300,31 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .join(victimIds, Seq("chunk_id"), "left_semi")
           .select(col("f")).distinct().collect().map(_.getString(0)).toSeq
 
+      /** The manifest-LIVE files of a tree under the given absolute
+        * partition directories — the resolution scan's input. NEVER
+        * the directory listing: live dirs also hold manifest-DEAD
+        * bytes at their original paths (COW victims retained for the
+        * restore/epoch horizon, fragments a compaction displaced,
+        * rebuild-replaced generations, crash orphans), and a listing
+        * scan would find victim ids in those dead files too — the
+        * rewrite would then resurrect previously deleted rows and
+        * duplicate survivors into the fresh commit. A pre-manifest
+        * tree has no dead-byte concept; its listing IS the live set. */
+      def liveUnder(tree: graft.plans.ManifestedTree,
+                    dirs: Seq[String]): Seq[String] = {
+        val treeRoot = tree.root.stripSuffix("/")
+        tree.readManifest() match {
+          case Some(entries) =>
+            val prefixes = dirs.map(d => d.stripSuffix("/")
+              .stripPrefix(treeRoot + "/") + "/")
+            entries.map(_._1).filter(rel => prefixes.exists(rel.startsWith))
+              .map(rel => s"$treeRoot/$rel")
+          case None =>
+            val fs = hadoopFs(treeRoot)
+            dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        }
+      }
+
       /** victimFilesOf over ONLY the given partition directories of a
         * tree — for indexes whose victim DIRECTORIES are derivable
         * from the victims themselves, the id scan prunes to those
@@ -1275,14 +1336,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         * can degenerate to rewriting a fifth of the index, while the
         * victim FILES stay bounded by indexMaxRecordsPerFile each. */
       val audit = new scala.collection.concurrent.TrieMap[String, Seq[String]]()
-      def victimFilesUnder(label: String, treeRoot: String,
+      def victimFilesUnder(label: String, tree: graft.plans.ManifestedTree,
                            dirs: Seq[String]): Seq[String] = {
+        val treeRoot = tree.root.stripSuffix("/")
         val fs = hadoopFs(treeRoot)
         val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
         audit.put(label, existing)
-        if (existing.isEmpty) Seq.empty
+        val live = liveUnder(tree, existing)
+        if (live.isEmpty) Seq.empty
         else victimFilesOf(
-          spark.read.option("basePath", treeRoot).parquet(existing: _*))
+          spark.read.option("basePath", treeRoot).parquet(live: _*))
       }
 
       /** Pruned resolution for the cluster-partitioned trees (IVF /
@@ -1296,17 +1359,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         * against the exact argmin) falls back loudly to the full-tree
         * scan, so pruning is an optimization, never a correctness
         * trade. */
-      def victimFilesByCluster(label: String, treeRoot: String,
+      def victimFilesByCluster(label: String, tree: graft.plans.ManifestedTree,
                                withCluster: DataFrame): Seq[String] = {
+        val treeRoot = tree.root.stripSuffix("/")
         val dirs = withCluster.select(col("cluster")).distinct().collect()
           .filter(!_.isNullAt(0))
           .map(r => s"$treeRoot/cluster=${r.getInt(0)}").toSeq
         val fs = hadoopFs(treeRoot)
         val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        val live = liveUnder(tree, existing)
         val (files, covered) =
-          if (existing.isEmpty) (Seq.empty[String], 0L)
+          if (live.isEmpty) (Seq.empty[String], 0L)
           else {
-            val row = spark.read.option("basePath", treeRoot).parquet(existing: _*)
+            val row = spark.read.option("basePath", treeRoot).parquet(live: _*)
               .select(col("chunk_id"), col("_metadata.file_path").as("f"))
               .join(victimIds, Seq("chunk_id"), "left_semi")
               .agg(collect_set(col("f")).as("files"),
@@ -1319,7 +1384,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           System.err.println(s"[cow] $label: pruned resolution covered " +
             s"$covered/$nVictims victims — falling back to full-tree scan")
           audit.put(label, Seq(treeRoot))
-          victimFilesOf(spark.read.parquet(treeRoot))
+          // full-tree fallback stays manifest-planned for the same
+          // dead-byte reason as the pruned path
+          victimFilesOf(tree.open())
         }
       }
       def escape(v: String): String =
@@ -1343,12 +1410,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       def awaitAll[A](fs: Seq[Future[A]]): Seq[A] =
         fs.map(Await.result(_, Duration.Inf))
       val storeFilesF = Future(step("resolve-store-files") {
-        victimFilesUnder("store", path, victims.select(col("source")).distinct()
+        victimFilesUnder("store", storeTree, victims.select(col("source")).distinct()
           .collect().map(r => s"$path/source=${escape(r.getString(0))}").toSeq)
       })
       val lshFilesF = Future(step("resolve-lsh-files") {
         if (hasPartitionedIndex)
-          victimFilesUnder("lsh", indexPath, victims
+          victimFilesUnder("lsh", lshTree, victims
             .select(posexplode(col("lsh_buckets")).as(Seq("tbl", "bucket")))
             .distinct().collect()
             .map(r => s"$indexPath/tbl=${r.getInt(0)}/bucket=${r.getInt(1)}").toSeq)
@@ -1360,7 +1427,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // placement agrees except on FP near-ties, which the coverage
         // fallback absorbs
         if (hasIvfIndex)
-          victimFilesByCluster("ivf", s"$ivfPath/assigned",
+          victimFilesByCluster("ivf", ivfTree,
             IvfIndex.assignExact(victims, "embedding",
               IvfPq.readCenters(spark, ivfPath)))
         else Seq.empty[String]
@@ -1368,7 +1435,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val gridFilesF = Future(step("resolve-grid-files") {
         if (hasGridIndex) {
           val (lo, hi, _, cpd) = gridBoundsStored()
-          victimFilesUnder("grid", s"$gridPath/cells", victims
+          victimFilesUnder("grid", gridTree, victims
             .select(VectorSearch.cellKeyCol(col("embedding"), lo, hi, cpd).as("cell"))
             .distinct().collect().filter(!_.isNullAt(0))
             .map(r => s"$gridPath/cells/cell=${escape(r.getString(0))}").toSeq)
@@ -1376,7 +1443,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       })
       val pqFilesF = Future(step("resolve-pq-files") {
         if (hasPqIndex)
-          victimFilesUnder("pq", s"$pqPath/codes", victims.select(col("source")).distinct()
+          victimFilesUnder("pq", pqTree, victims.select(col("source")).distinct()
             .collect().map(r => s"$pqPath/codes/source=${escape(r.getString(0))}").toSeq)
         else Seq.empty[String]
       })
@@ -1386,7 +1453,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // centroids IS how every encoded row was placed, so the
         // pruned dirs are the victim cells bit-for-bit
         if (hasIvfPqIndex)
-          victimFilesByCluster("ivfpq", s"$ivfpqPath/encoded",
+          victimFilesByCluster("ivfpq", ivfpqTree,
             IvfIndex.assignExact(
               victims.withColumn("__nvec", l2Normalize(col("embedding"))),
               "__nvec", ivfpqSideStored()._1))
@@ -1503,20 +1570,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
   }
 
-  /** File-level swap of every directory holding a victim file: the
-    * directory moves aside, its non-victim files rename back in, the
-    * rewritten survivors rename in from the mirrored tmp tree, the
-    * aside drops. A directory left with no visible files is deleted —
-    * its partition is now empty.
+  /** File-level install of a delete's rewrite output.
     *
-    * With `retainVictims` (every MANIFESTED tree) the victim files
-    * move back too: the commitSwap drops them from the manifest, so
-    * they are invisible to every reader, but their bytes stay at their
-    * original paths until [[graft.plans.ManifestedTree.vacuum]] — the
-    * Delta/Iceberg DELETE shape, and what keeps pre-delete generations
-    * resolvable for openAt/rollbackTo/restoreTo. A PRE-MANIFEST tree
-    * must NOT retain them (its commit path re-lists the directory as
-    * the source of truth and would re-adopt the deleted rows). */
+    * With `retainVictims` (every MANIFESTED tree) NOTHING in the live
+    * directory moves: the rewritten survivors rename in from the
+    * mirrored tmp tree under their fresh UUID part-names (no clashes),
+    * while victims AND untouched survivors stay at their original
+    * paths — the commitSwap that follows drops the victims from the
+    * manifest, so they are invisible to every new reader, but their
+    * bytes remain until [[graft.plans.ManifestedTree.vacuum]]. This is
+    * the Delta/Iceberg DELETE shape, and it is what makes CONCURRENT
+    * readers safe with zero coordination: a head reader that already
+    * planned the pre-delete generation, or an epoch-pinned reader, is
+    * mid-flight on exactly those original paths — the first cut of
+    * this install moved the whole directory aside and renamed files
+    * back one by one, and EpochLadder's pinned reader caught the
+    * transient FILE_NOT_EXIST window that opens. A crash before the
+    * commit leaves only invisible fresh-file orphans (vacuum food),
+    * never a half-moved directory.
+    *
+    * A PRE-MANIFEST tree must NOT retain victims (its commit path
+    * re-lists the directory as the source of truth and would re-adopt
+    * the deleted rows), so there the directory moves aside, survivors
+    * rename back, and the aside drops — the crash-recoverable form for
+    * a tree that has no manifest to make orphans invisible. Such trees
+    * have no manifest readers, so no pinned-read guarantee is broken.
+    * A directory left with no visible files is deleted — its partition
+    * is now empty. */
   private def cowTree(treeRoot: String, tmpRoot: String,
                       victimFiles: Seq[String],
                       retainVictims: Boolean): Unit = {
@@ -1534,24 +1614,35 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         require(dirStr.startsWith(rootStr),
           s"victim file directory $dirStr outside $rootStr")
         val fresh = new Path(s"$tmpRoot/${dirStr.stripPrefix(rootStr)}")
-        val aside = new Path(liveDir.getParent, s".${liveDir.getName}.cowold")
-        fs.delete(aside, true)
-        if (!fs.rename(liveDir, aside))
-          throw new java.io.IOException(s"cow: cannot move $liveDir aside")
-        fs.mkdirs(liveDir)
-        fs.listStatus(aside).foreach { st =>
-          val n = st.getPath.getName
-          if (visible(n) && (retainVictims || !victimNames.contains(n)))
-            fs.rename(st.getPath, new Path(liveDir, n))
-        }
-        if (fs.exists(fresh))
-          fs.listStatus(fresh).foreach { st =>
+        if (retainVictims) {
+          // manifested tree: additive install only — no live path ever
+          // vanishes, so concurrent readers never race a rename
+          if (fs.exists(fresh))
+            fs.listStatus(fresh).foreach { st =>
+              val n = st.getPath.getName
+              if (visible(n) && !fs.rename(st.getPath, new Path(liveDir, n)))
+                throw new java.io.IOException(s"cow: cannot install $liveDir/$n")
+            }
+        } else {
+          val aside = new Path(liveDir.getParent, s".${liveDir.getName}.cowold")
+          fs.delete(aside, true)
+          if (!fs.rename(liveDir, aside))
+            throw new java.io.IOException(s"cow: cannot move $liveDir aside")
+          fs.mkdirs(liveDir)
+          fs.listStatus(aside).foreach { st =>
             val n = st.getPath.getName
-            if (visible(n)) fs.rename(st.getPath, new Path(liveDir, n))
+            if (visible(n) && !victimNames.contains(n))
+              fs.rename(st.getPath, new Path(liveDir, n))
           }
-        fs.delete(aside, true)
-        if (!fs.listStatus(liveDir).exists(st => visible(st.getPath.getName)))
-          fs.delete(liveDir, true)
+          if (fs.exists(fresh))
+            fs.listStatus(fresh).foreach { st =>
+              val n = st.getPath.getName
+              if (visible(n)) fs.rename(st.getPath, new Path(liveDir, n))
+            }
+          fs.delete(aside, true)
+          if (!fs.listStatus(liveDir).exists(st => visible(st.getPath.getName)))
+            fs.delete(liveDir, true)
+        }
     }
     fs.delete(new Path(tmpRoot), true)
   }
@@ -1620,11 +1711,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val (lo, hi) = VectorSearch.gridBounds(chunks, "embedding", gridDims)
     lo.indices.map(d => (d, lo(d), hi(d))).toDF("d", "lo", "hi")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gridPath/bounds")
-    gridRows(chunks, lo, hi, cellsPerDim)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("cell").parquet(s"$gridPath/cells")
-    gridTree.commitSnapshot()
+    installRebuild(gridTree) { tmp =>
+      gridRows(chunks, lo, hi, cellsPerDim)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+        .partitionBy("cell").parquet(tmp)
+    }
     gridMetaCache = None
     gridCountsCache = None
     touchMeta("grid_dims" -> gridDims.toString,
@@ -1686,8 +1778,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val (model, assigned) = IvfIndex.build(
       chunks.select(col("chunk_id"), col("embedding"),
         col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
-    IvfIndex.writeIndex(assigned, model, ivfPath)
-    ivfTree.commitSnapshot()
+    installRebuild(ivfTree) { tmp =>
+      IvfIndex.writeIndex(assigned, model, ivfPath, assignedPath = Some(tmp))
+    }
     // Persist the centroid count: store rewrites and drift refits must
     // rebuild at the SAME granularity, not a hardcoded default.
     touchMeta("ivf_centroids" -> nCentroids.toString)
@@ -1800,11 +1893,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
       .toDF("s", "j", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$pqPath/books")
-    pqCodeRows(base, books)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("source").parquet(s"$pqPath/codes")
-    pqTree.commitSnapshot()
+    installRebuild(pqTree) { tmp =>
+      pqCodeRows(base, books)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+        .partitionBy("source").parquet(tmp)
+    }
     pqBooksCache = None
     touchMeta("pq_m" -> m.toString, "pq_k" -> kk.toString)
   }
@@ -1863,11 +1957,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
       .toDF("s", "j", "codeword")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/books")
-    ivfpqRowsClustered(idx.encoded.drop("__nvec"))
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-      .partitionBy("cluster").parquet(s"$ivfpqPath/encoded")
-    ivfpqTree.commitSnapshot()
+    installRebuild(ivfpqTree) { tmp =>
+      ivfpqRowsClustered(idx.encoded.drop("__nvec"))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+        .partitionBy("cluster").parquet(tmp)
+    }
     ivfpqSideCache = None
     // Build-time coarse-assignment quality: the drift baseline
     // (appends assign to the FROZEN geometry; this number rising is

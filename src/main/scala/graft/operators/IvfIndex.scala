@@ -113,18 +113,23 @@ object IvfIndex {
    * time); the non-probed corpus is never opened.
    */
   def writeIndex(assigned: DataFrame, model: KMeansModel, path: String,
-                 vecCol: String = "embedding"): Unit = {
+                 vecCol: String = "embedding",
+                 assignedPath: Option[String] = None): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     // Sorting each cell by id + bounding file sizes keeps one
     // document's rows in few files of even a dense cell, so a
     // copy-on-write delete rewrites files, not whole cells.
+    // `assignedPath` lets the caller redirect the row tree to a tmp
+    // sibling for a history-preserving manifest install (the sidecars
+    // below always land at `path` — geometry replaces on rebuild).
+    val rowsDir = assignedPath.getOrElse(s"$path/assigned")
     val idCol = assigned.columns.find(c => c != "cluster" && c != vecCol).get
     assigned.repartition(col("cluster"))
       .sortWithinPartitions(col("cluster"), col(idCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cluster").parquet(s"$path/assigned")
+      .partitionBy("cluster").parquet(rowsDir)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cluster", "centroid")
@@ -133,7 +138,7 @@ object IvfIndex {
     // assign to FROZEN centroids, so the current mean distance rising
     // against this number is the re-fit signal (the reference's
     // background reindex trigger, lake-style).
-    meanSqDist(spark.read.parquet(s"$path/assigned"), centroids, vecCol)
+    meanSqDist(spark.read.parquet(rowsDir), centroids, vecCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 

@@ -49,8 +49,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *    double-count mid-compaction trees).
  * A reader resolves max(gen), loads the greatest full <= it and
  * applies the deltas after it, in order. Old generations are pruned at
- * commit time back to the PREVIOUS full snapshot — one full chain of
- * grace for in-flight readers.
+ * commit time back to the oldest of the newest
+ * [[ManifestedTree.KeepFulls]] full snapshots — the previous full is
+ * the in-flight readers' grace chain, the deeper ones are the
+ * restore/epoch horizon (`spark.graft.manifestKeepFulls` overrides).
  *
  * Lifecycle contract (single mutating writer, many readers — the COW
  * discipline the library already assumes; see [[graft.WriterLock]]):
@@ -193,6 +195,17 @@ final class ManifestedTree(
     pruneOldGenerations()
   }
 
+  /** Commit a FULL generation referencing exactly `fresh` — the
+    * REBUILD / REPLACE-TABLE commit. The previous generation's files
+    * never move or delete here: new readers plan only the fresh set,
+    * while in-flight and epoch-pinned readers keep resolving the
+    * displaced files until [[vacuum]] collects them past retention
+    * (Delta's REPLACE shape). An Overwrite write into the live root
+    * would instead DELETE the old files — truncating the
+    * restore/epoch horizon and tearing concurrent reads mid-plan. */
+  def commitReplaceAll(fresh: Seq[(String, Long)]): Unit =
+    commitFull(fresh, None)
+
   /** Commit a delta, refreshing once if the cached head went stale. A
     * delta references immutable FILES (appends add fresh files, swaps
     * remove specific victims), so re-deriving the merge against the
@@ -265,18 +278,30 @@ final class ManifestedTree(
         }
     }
 
-  /** Remove manifest generations older than the PREVIOUS full snapshot
-    * — everything a reader holding a pre-commit glob could still need
-    * stays; anything older is unreachable by any live resolve. */
+  /** Remove manifest generations older than the oldest RETAINED full
+    * snapshot. Retention is structural and bounded: the newest
+    * [[ManifestedTree.KeepFulls]] fulls (configurable via
+    * `spark.graft.manifestKeepFulls`, floor 2 — the previous full is
+    * always the in-flight readers' grace chain) plus every delta
+    * after the oldest kept full stay on disk; anything older is
+    * unreachable by any live resolve. This window IS the
+    * restore/epoch horizon: KeepFulls×[[ManifestedTree.RebaseEvery]]
+    * commits deep in the steady state, but full-commit operations
+    * (compact, rollback/restore, rebuild) each consume a full slot —
+    * sized so one compact + one restore + continued ingest still
+    * leaves an epoch pinned before all of them resolvable
+    * (EpochLadder asserts exactly that mix). Disk cost is ~KeepFulls
+    * small manifest files per tree plus the COW victims those
+    * generations reference — victims the time-window vacuum default
+    * (7 days) would retain anyway. */
   private def pruneOldGenerations(): Unit = {
     val files = globManifests(fs, root)
-    val fulls = files.collect { case (g, true, _) => g }
+    val fulls = files.collect { case (g, true, _) => g }.sorted
     if (fulls.isEmpty) return
-    val currentFull = fulls.max
-    val keepFrom = fulls.filter(_ < currentFull) match {
-      case older if older.nonEmpty => older.max
-      case _ => currentFull
-    }
+    val keepFulls = math.max(2,
+      spark.conf.get("spark.graft.manifestKeepFulls",
+        ManifestedTree.KeepFulls.toString).toInt)
+    val keepFrom = fulls.takeRight(keepFulls).head
     files.foreach { case (g, _, p) => if (g < keepFrom) fs.delete(p, false) }
   }
 
@@ -516,8 +541,10 @@ final class ManifestedTree(
     *     window — it is exactly what openAt/rollbackTo/restoreTo and
     *     epoch-pinned readers still resolve. A default-arg vacuum can
     *     therefore never truncate the restore/epoch horizon; the
-    *     horizon is governed by generation retention (one full
-    *     snapshot back, [[ManifestedTree.RebaseEvery]] commits deep).
+    *     horizon is governed by generation retention
+    *     ([[ManifestedTree.KeepFulls]] full snapshots back —
+    *     KeepFulls×[[ManifestedTree.RebaseEvery]] commits deep in
+    *     the steady state).
     *     `retainNone = true` drops this protection — the explicit
     *     "truncate history now" switch (tests, decommission, disk
     *     pressure) protecting only the CURRENT generation.
@@ -659,8 +686,9 @@ final class ManifestedTree(
   // --- snapshot reads + rollback (the lake RESTORE shape) -------------
 
   /** Resolvable generations, oldest first: (gen, isFull). Spans the
-    * RETAINED window — the current chain plus the previous full chain
-    * (the pruner's reader grace copy); older generations are gone. */
+    * RETAINED window — the chains of the newest
+    * [[ManifestedTree.KeepFulls]] full snapshots (reader grace +
+    * restore/epoch horizon); older generations are gone. */
   def generations(): Seq[(Long, Boolean)] =
     ManifestedTree.listGenerations(fs, root)
 
@@ -719,6 +747,16 @@ object ManifestedTree {
     * steady append stream pays O(batch) per commit instead of
     * rewriting an O(tree) manifest every batch. */
   val RebaseEvery = 16
+
+  /** Full snapshots retained at prune time (override with
+    * `spark.graft.manifestKeepFulls`, floor 2): the structural
+    * restore/epoch horizon. 4 fulls ≈ 48–64 steady-state commits
+    * deep, and survives the routine maintenance mix (compact +
+    * restore are full commits that each consume a slot) with room
+    * for a reader pinned before all of it. The cost is a handful of
+    * small manifest files per tree — the referenced data files are
+    * already pinned by the 7-day vacuum window. */
+  val KeepFulls = 4
 
   /** Default [[ManifestedTree.vacuum]] retention window: 7 days,
     * Delta Lake's own default for exactly the same reason — a vacuum

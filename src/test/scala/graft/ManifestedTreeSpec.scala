@@ -29,7 +29,8 @@ class ManifestedTreeSpec extends AnyFunSuite {
 
   test("delta commits: N appends resolve to the full row set; chain stays bounded; rebase prunes") {
     val (tree, root) = freshTree()
-    val batches = ManifestedTree.RebaseEvery * 2 + 3 // forces 2 rebases
+    // enough rebases to overflow the KeepFulls retention window
+    val batches = ManifestedTree.RebaseEvery * (ManifestedTree.KeepFulls + 1) + 3
     (0 until batches).foreach { b =>
       tree.appendCommitted(rows(b * 10 until (b + 1) * 10), 1000000L)
     }
@@ -39,12 +40,13 @@ class ManifestedTreeSpec extends AnyFunSuite {
       (0 until batches * 10).count(_ % 4 == 1),
       "partition pruning over a delta chain returned wrong rows")
     // chain bound: at most 1 full + RebaseEvery deltas live per chain,
-    // and at most two chains (current + grace) on disk
+    // and at most KeepFulls chains (current + grace + restore/epoch
+    // horizon) on disk
     val manifests = fs.globStatus(new Path(s"$root/_manifest.*")).toSeq
       .map(_.getPath.getName).filterNot(_ == "_manifest.seal")
-    assert(manifests.count(_.endsWith(".full.txt")) <= 2,
+    assert(manifests.count(_.endsWith(".full.txt")) <= ManifestedTree.KeepFulls,
       s"rebase did not prune old fulls: $manifests")
-    assert(manifests.size <= 2 * (ManifestedTree.RebaseEvery + 1),
+    assert(manifests.size <= ManifestedTree.KeepFulls * (ManifestedTree.RebaseEvery + 1),
       s"manifest files unbounded: ${manifests.size}")
     // a fresh reader (no writer state) resolves the same set
     val reader = new ManifestedTree(spark, root, pSchema)
@@ -138,13 +140,15 @@ class ManifestedTreeSpec extends AnyFunSuite {
     assert(v1.open().count() == 26)
     assert(fs.exists(new Path(s"$root/_manifest.txt")),
       "legacy base deleted while still the chain's only full snapshot")
-    // enough commits to rebase twice: the legacy file is pruned
-    (0 until ManifestedTree.RebaseEvery * 2).foreach { b =>
+    // enough rebases to roll the legacy base out of the KeepFulls
+    // retention window: the legacy file is pruned
+    val nCommits = ManifestedTree.RebaseEvery * ManifestedTree.KeepFulls
+    (0 until nCommits).foreach { b =>
       v1.appendCommitted(rows(200 + b * 2 until 202 + b * 2), 1000000L)
     }
     assert(!fs.exists(new Path(s"$root/_manifest.txt")),
-      "legacy manifest survived two rebases")
-    assert(v1.open().count() == 26 + ManifestedTree.RebaseEvery * 2 * 2)
+      s"legacy manifest survived ${ManifestedTree.KeepFulls} rebases")
+    assert(v1.open().count() == 26 + nCommits * 2)
     fs.delete(new Path(root), true)
   }
 

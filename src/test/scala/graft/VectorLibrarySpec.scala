@@ -621,9 +621,13 @@ class VectorLibrarySpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("cluster").parquet(aPath)
     lib.invalidateIndexes()
 
-    // append: the guard must REBUILD (with metadata) rather than mix
+    // append: the guard must REBUILD (with metadata) rather than mix.
+    // Read the result through the manifest: the rebuild installs
+    // beside the displaced files (history-preserving), so a raw
+    // listing read would count dead bytes too.
     lib.addDocuments(docs.filter(col("doc_id") >= 60))
-    val assigned = spark.read.parquet(aPath)
+    val assigned = manifestRead(aPath,
+      "cluster" -> org.apache.spark.sql.types.IntegerType)
     assert(Seq("doc_id", "source", "n_tokens").forall(assigned.columns.contains),
       "IVF append onto a pre-metadata layout did not rebuild")
     assert(assigned.count() == lib.chunks.count(),
@@ -1265,6 +1269,85 @@ class VectorLibrarySpec extends AnyFunSuite {
       "epoch-pinned read changed after a later writer's install")
     assert(a.chunksAt(all.last).count() == a.chunks.count())
     a.delete()
+  }
+
+  test("sequential deletes in one partition: retained victim bytes are never re-adopted") {
+    // After delete #1, the pre-delete file F stays on disk (manifest-
+    // dead, kept for the restore/epoch horizon) in the SAME directory
+    // as its live rewrite F'. Delete #2's victim resolution must scan
+    // the manifest-LIVE set only: a directory-listing scan would find
+    // the victim id in dead F too, and the survivor rewrite would then
+    // resurrect delete #1's rows and duplicate every row F and F'
+    // share into the fresh commit.
+    val root = Files.createTempDirectory("graft-lib-redelete").toString
+    val lib = new VectorLibrary(spark, root, "redelete-lib")
+    val docs = spark.range(0, 30).select(
+      col("id").as("doc_id"),
+      concat(lit("one short sentence about topic "),
+        col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("s0").as("source"), lit(40L).as("n_chars"))
+    lib.addDocuments(docs)
+    lib.buildPartitionedIndex()
+    val n0 = lib.chunks.count()
+
+    lib.deleteDocuments(col("doc_id") === 3)
+    val n1 = lib.chunks.count()
+    assert(n1 < n0)
+    lib.deleteDocuments(col("doc_id") === 7)
+    val n2 = lib.chunks.count()
+
+    assert(lib.chunks.filter(col("doc_id") === 3).count() == 0,
+      "delete #2 resurrected delete #1's rows from retained dead bytes")
+    assert(lib.chunks.filter(col("doc_id") === 7).count() == 0)
+    assert(lib.chunks.select("chunk_id").distinct().count() == n2,
+      "delete #2 duplicated surviving rows from dead + live file copies")
+    // the index tracks: 8 signature rows per surviving chunk, unique
+    val idx = manifestRead(s"$root/redelete-lib/lsh_index",
+      "tbl" -> org.apache.spark.sql.types.IntegerType,
+      "bucket" -> org.apache.spark.sql.types.IntegerType)
+    assert(idx.count() == 8L * n2, "index rows diverged from the store after re-delete")
+    assert(idx.select("chunk_id", "tbl").distinct().count() == 8L * n2)
+    lib.delete()
+  }
+
+  test("conflict scope: every epoch of an interleaved mutation mix is a complete cross-tree state") {
+    // The invariant a per-tree-lease relaxation (PLANS.md: multi-writer
+    // conflict scope, r10 design note) must preserve. Today the library
+    // lease serializes ALL of these; a relaxed scheme may run the
+    // disjoint-tree pairs concurrently, but every recorded epoch must
+    // still resolve to a COMPLETE state — the maintained indexes track
+    // the store exactly at every epoch, never a half-committed tuple
+    // (which is why the design validates the assembled tuple against
+    // the re-read heads before install).
+    val root = Files.createTempDirectory("graft-lib-conflict").toString
+    val lib = new VectorLibrary(spark, root, "conflict-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 10))   // store only
+    lib.buildPartitionedIndex()                          // lsh tree born
+    lib.addDocuments(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)) // store+lsh
+    lib.buildPqIndex()                                   // pq tree born
+    lib.compactIndexes()                                 // per-tree deltas
+    lib.addDocuments(docs.filter(col("doc_id") >= 20))   // store+lsh+pq
+    lib.deleteDocuments(col("doc_id") === 3)             // all-tree COW
+    lib.vacuumIndexes()                                  // read-mostly
+    val es = lib.epochs
+    assert(es.size >= 5, s"mutation mix recorded too few epochs: $es")
+    val oldestStore = lib.chunksAt(es.head).count()
+    for (e <- es) {
+      val trees = lib.consistentAt(e)
+      val n = trees("store").count()
+      // the maintained index tracks the store EXACTLY at every epoch
+      for (df <- trees.get("lsh"))
+        assert(df.count() == 8L * n,
+          s"epoch $e: lsh rows != 8x store ($n) — a torn cross-tree state")
+      // every tree the epoch references resolves (no pruned/vacuumed gap)
+      trees.foreach { case (name, df) =>
+        assert(df.count() >= 0L, s"epoch $e: $name failed to resolve") }
+    }
+    // pinned content held still through the whole mix
+    assert(lib.chunksAt(es.head).count() == oldestStore,
+      "oldest epoch drifted across the mutation mix")
+    lib.delete()
   }
 
   test("restoreTo: one call undoes a bad delete AND a bad ingest across store and indexes") {
