@@ -461,6 +461,9 @@ object EpochLadder {
     step("compact")(lib.compactIndexes())
     step("vacuum default")(lib.vacuumIndexes())
     step("vacuum window-0")(lib.vacuumIndexes(olderThanMs = 0L))
+    // whole-store rewrite (the heaviest mutation short of restore):
+    // must also install beside the pinned generation, never over it
+    step("whole-store compact(4)")(lib.compact(4))
     // 4. restore to a mid-mix epoch, then keep ingesting
     val mid = lib.epochs.last
     step("ingest 10k more")(lib.addDocuments(docs(n + 40000, n + 50000)))

@@ -2322,33 +2322,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ()
   }
 
-  /** Rewrite the store to `newData` via rename-aside swap: a crash
-    * mid-sequence leaves the old data recoverable at `.chunks_old`
-    * instead of losing the store entirely. `reindex = false` skips the
-    * derived-index rebuild for rewrites that provably keep every
-    * (chunk_id, embedding, quant, lsh_buckets) row intact — compaction
-    * moves rows between files but changes none of them. */
+  /** Rewrite the store to `newData`, committed like every other
+    * rebuild ([[installRebuild]]): the rewrite lands in a tmp tree
+    * (reads see intact live data throughout), its files rename in
+    * beside the previous generation, and the manifest commits a full
+    * generation referencing exactly the fresh set. The pre-rewrite
+    * store stays resolvable for epoch-pinned readers and restoreTo
+    * until vacuum — this path used to rename the whole chunks
+    * directory aside (tearing any concurrent reader mid-plan) and
+    * took the manifest chain with it, silently demoting the store to
+    * a listing tree and dangling every recorded epoch.
+    * `reindex = false` skips the derived-index rebuild for rewrites
+    * that provably keep every (chunk_id, embedding, quant,
+    * lsh_buckets) row intact — compaction moves rows between files
+    * but changes none of them. */
   private def swapStore(newData: DataFrame, reindex: Boolean = true): Unit = {
-    val tmpPath = s"$root/$name/.chunks_rewrite"
-    newData.sortWithinPartitions(col("source"), col("doc_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmpPath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    val aside = new org.apache.hadoop.fs.Path(s"$root/$name/.chunks_old")
-    fs.delete(aside, true)
-    // A failed aside-rename with `live` still present would make the
-    // next rename nest tmp INSIDE live (Hadoop rename-into-existing
-    // semantics) and silently no-op the rewrite; a missing `live`
-    // (empty library) is fine.
-    if (!fs.rename(live, aside) && fs.exists(live))
-      throw new java.io.IOException(s"swapStore: cannot move $path aside")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(aside, live) // roll back
-      throw new java.io.IOException(s"swapStore: swap failed for $path")
+    installRebuild(storeTree) { tmp =>
+      newData.sortWithinPartitions(col("source"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmp)
     }
-    fs.delete(aside, true)
     invalidateIndexes()
     // The partitioned index is derived data: when the rewrite can
     // change row content (rebuildIndex re-embeds), re-derive it from
@@ -2414,22 +2406,41 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def storeFileStats(smallFileBytes: Long = 4L * 1024 * 1024): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows =
-      if (!fs.exists(root)) Seq.empty[(String, Long, Long, Long, Long)]
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
-        .map { dir =>
-          val files = fs.listStatus(dir.getPath).toSeq
-            .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
-              && !f.getPath.getName.startsWith("_"))
-          val sizes = files.map(_.getLen)
-          (dir.getPath.getName.stripPrefix("source="),
-            files.size.toLong, sizes.sum,
-            if (sizes.isEmpty) 0L else sizes.max,
-            sizes.count(_ < smallFileBytes).toLong)
-        }
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Layout health is a property of what readers PLAN — the
+    // manifest-LIVE set. The directories also hold history-retained
+    // bytes (COW victims, displaced compaction/rebuild generations)
+    // that no read plans and vacuum reclaims on schedule; counting
+    // those would re-flag a directory that just compacted, and the
+    // maintenance loop this report drives would rewrite the same rows
+    // forever. A pre-manifest tree's listing IS its live set.
+    val liveFiles: Seq[(String, Long)] = storeTree.readManifest() match {
+      case Some(entries) => entries.map { case (rel, sz) =>
+        (rel, if (sz >= 0) sz
+              else fs.getFileStatus(new Path(s"$path/$rel")).getLen)
+      }
+      case None =>
+        if (!fs.exists(rootP)) Seq.empty
+        else fs.listStatus(rootP).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+          .flatMap { dir =>
+            fs.listStatus(dir.getPath).toSeq
+              .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
+                && !f.getPath.getName.startsWith("_"))
+              .map(f => (s"${dir.getPath.getName}/${f.getPath.getName}", f.getLen))
+          }
+    }
+    val rows = liveFiles
+      .filter(_._1.startsWith("source="))
+      .groupBy(_._1.takeWhile(_ != '/'))
+      .map { case (dirName, entries) =>
+        val sizes = entries.map(_._2)
+        (dirName.stripPrefix("source="),
+          entries.size.toLong, sizes.sum,
+          if (sizes.isEmpty) 0L else sizes.max,
+          sizes.count(_ < smallFileBytes).toLong)
+      }.toSeq
     rows.toDF("source", "n_files", "total_bytes", "max_file_bytes", "small_files")
       .withColumn("needs_compaction", col("small_files") > 1)
       .orderBy(col("source").asc)
