@@ -334,8 +334,11 @@ object RepairLadder {
  *  - every pinned read through the whole mix returns EXACTLY the
  *    fingerprint captured at pin time (row count, content hash, the
  *    search top-k) — never an error, never a torn or drifted frame;
- *  - the reader genuinely overlapped the writer (a minimum pinned-read
- *    count and at least one read inside every writer step);
+ *  - the reader genuinely overlapped the writer: a minimum total
+ *    pinned-read count AND at least one read inside each HEAVY step
+ *    (streaming ingest, restore) — short steps (a 0.2 s vacuum) may
+ *    legitimately see none, but a total-only floor could be satisfied
+ *    entirely by the cheap steps;
  *  - the HEAD kept moving underneath (final head differs from the
  *    pinned store), so the stability is pinning, not stagnation.
  *
@@ -464,6 +467,10 @@ object EpochLadder {
     // whole-store rewrite (the heaviest mutation short of restore):
     // must also install beside the pinned generation, never over it
     step("whole-store compact(4)")(lib.compact(4))
+    // index rebuild: installs beside the pinned lsh generation (a
+    // rebuild once Overwrite-deleted the live dir — the pinned
+    // searchApproxAt would have lost its files mid-read)
+    step("rebuild lsh")(lib.buildPartitionedIndex())
     // 4. restore to a mid-mix epoch, then keep ingesting
     val mid = lib.epochs.last
     step("ingest 10k more")(lib.addDocuments(docs(n + 40000, n + 50000)))
@@ -489,6 +496,13 @@ object EpochLadder {
     assert(fin == base, s"post-mix pinned read drifted: $fin != $base")
     assert(reads.get() >= 8,
       s"only ${reads.get()} pinned reads completed — no real overlap with the writer")
+    // the heavy steps must each be overlapped — a regression that
+    // breaks pinned reads only under the heavy mutations would
+    // otherwise green on reads completed during the cheap steps
+    for (prefix <- Seq("stream 6 micro-batches", "restore to epoch"))
+      assert(byStep.exists { case (s, c) => s.startsWith(prefix) && c > 0 },
+        s"no pinned read completed during '$prefix' — the rung never " +
+          "overlapped the heavy writer step")
     // the head genuinely moved while the pin held still
     val headCount = lib.chunks.count()
     val pinnedCount = base.split("[=/]")(1).toLong

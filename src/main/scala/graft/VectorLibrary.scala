@@ -949,10 +949,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * [[graft.plans.ManifestedTree.vacuum]]: files referenced by any
     * RETAINED manifest generation always survive (so a default-arg
     * vacuum can never truncate the [[restoreTo]]/[[restoreToEpoch]]/
-    * [[consistentAt]] horizon — `retainNone = true` is the explicit
-    * truncate-history switch), and files outside every retained
+    * [[consistentAt]] horizon), and files outside every retained
     * generation are collected only once dead longer than
-    * `olderThanMs` (default 7 days, Delta's own). Returns
+    * `olderThanMs` (default 7 days, Delta's own). `retainNone = true`
+    * is the explicit truncate-history switch and drops BOTH
+    * protections: only the current generation survives, collected
+    * immediately regardless of the window. Returns
     * (tree -> files removed). */
   def vacuumIndexes(
       olderThanMs: Long = graft.plans.ManifestedTree.DefaultRetentionMs,
@@ -1300,8 +1302,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           .join(victimIds, Seq("chunk_id"), "left_semi")
           .select(col("f")).distinct().collect().map(_.getString(0)).toSeq
 
-      /** The manifest-LIVE files of a tree under the given absolute
-        * partition directories — the resolution scan's input. NEVER
+      /** (manifest-LIVE files, directories that actually hold any) of
+        * a tree under the given absolute partition directories — the
+        * resolution scan's input and its audit record. NEVER
         * the directory listing: live dirs also hold manifest-DEAD
         * bytes at their original paths (COW victims retained for the
         * restore/epoch horizon, fragments a compaction displaced,
@@ -1311,17 +1314,27 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         * duplicate survivors into the fresh commit. A pre-manifest
         * tree has no dead-byte concept; its listing IS the live set. */
       def liveUnder(tree: graft.plans.ManifestedTree,
-                    dirs: Seq[String]): Seq[String] = {
+                    dirs: Seq[String]): (Seq[String], Seq[String]) = {
         val treeRoot = tree.root.stripSuffix("/")
         tree.readManifest() match {
           case Some(entries) =>
-            val prefixes = dirs.map(d => d.stripSuffix("/")
-              .stripPrefix(treeRoot + "/") + "/")
-            entries.map(_._1).filter(rel => prefixes.exists(rel.startsWith))
+            // the manifest answers BOTH questions — no per-directory
+            // fs.exists round-trips (hundreds of HEADs on an object
+            // store for a delete fanning out over LSH buckets)
+            val prefixed = dirs.map(d =>
+              (d, d.stripSuffix("/").stripPrefix(treeRoot + "/") + "/"))
+            val rels = entries.map(_._1)
+            val present = prefixed.collect {
+              case (d, p) if rels.exists(_.startsWith(p)) => d }
+            val files = rels
+              .filter(rel => prefixed.exists(t => rel.startsWith(t._2)))
               .map(rel => s"$treeRoot/$rel")
+            (files, present)
           case None =>
             val fs = hadoopFs(treeRoot)
-            dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+            val present = dirs.filter(d =>
+              fs.exists(new org.apache.hadoop.fs.Path(d)))
+            (present, present)
         }
       }
 
@@ -1338,14 +1351,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val audit = new scala.collection.concurrent.TrieMap[String, Seq[String]]()
       def victimFilesUnder(label: String, tree: graft.plans.ManifestedTree,
                            dirs: Seq[String]): Seq[String] = {
-        val treeRoot = tree.root.stripSuffix("/")
-        val fs = hadoopFs(treeRoot)
-        val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-        audit.put(label, existing)
-        val live = liveUnder(tree, existing)
+        val (live, present) = liveUnder(tree, dirs)
+        audit.put(label, present)
         if (live.isEmpty) Seq.empty
         else victimFilesOf(
-          spark.read.option("basePath", treeRoot).parquet(live: _*))
+          spark.read.option("basePath", tree.root.stripSuffix("/"))
+            .parquet(live: _*))
       }
 
       /** Pruned resolution for the cluster-partitioned trees (IVF /
@@ -1365,9 +1376,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         val dirs = withCluster.select(col("cluster")).distinct().collect()
           .filter(!_.isNullAt(0))
           .map(r => s"$treeRoot/cluster=${r.getInt(0)}").toSeq
-        val fs = hadoopFs(treeRoot)
-        val existing = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-        val live = liveUnder(tree, existing)
+        val (live, present) = liveUnder(tree, dirs)
         val (files, covered) =
           if (live.isEmpty) (Seq.empty[String], 0L)
           else {
@@ -1379,7 +1388,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
               .head
             (row.getSeq[String](0).toSeq, row.getLong(1))
           }
-        if (covered == nVictims) { audit.put(label, existing); files }
+        if (covered == nVictims) { audit.put(label, present); files }
         else {
           System.err.println(s"[cow] $label: pruned resolution covered " +
             s"$covered/$nVictims victims — falling back to full-tree scan")

@@ -32,14 +32,15 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // PROVISIONAL marker, printed before any Spark startup cost: a
-    // driver window that kills this step early still captures a
-    // parseable GRAFT_CORRECTNESS_JSON line (distinguishable from the
-    // final verdict by "status":"running"). CORRECTNESS_r05..r09 all
-    // came back `{}`; the gate itself is fast (≤2 min, judge-timed),
-    // so the residual suspect is the capture channel — make every
-    // prefix of this process's stdout carry a marker.
-    println(s"""GRAFT_CORRECTNESS_JSON: {"status":"running","queries":${SparkEntry.queries.size},"sf":"$sfDir"}""")
+    // PROVISIONAL status line, printed before any Spark startup cost:
+    // a driver window that kills this step early still captures a
+    // parseable line. Deliberately a DIFFERENT prefix than the final
+    // GRAFT_CORRECTNESS_JSON verdict (and not a substring-match of it):
+    // a harness that takes the FIRST marker match must never read this
+    // non-verdict as the result. CORRECTNESS_r05..r09 all came back
+    // `{}`; the gate itself is fast (≤2 min, judge-timed), so the
+    // residual suspect is the capture channel.
+    println(s"""GRAFT_VERIFY_STATUS: {"status":"running","queries":${SparkEntry.queries.size},"sf":"$sfDir"}""")
     Console.out.flush()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

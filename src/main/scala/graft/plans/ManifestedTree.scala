@@ -56,7 +56,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *
  * Lifecycle contract (single mutating writer, many readers — the COW
  * discipline the library already assumes; see [[graft.WriterLock]]):
- *  - a full rebuild (Overwrite write) commits via [[commitSnapshot]];
+ *  - a full rebuild writes to a tmp sibling, renames in BESIDE the
+ *    previous generation, and commits via [[commitReplaceAll]] (an
+ *    Overwrite into the live root would delete the old files —
+ *    truncating the restore/epoch horizon and tearing concurrent
+ *    readers mid-plan);
  *  - an incremental append goes through [[appendCommitted]], which
  *    commits exactly the batch's own files via a touched-directory
  *    listing diff around the write;
@@ -144,15 +148,17 @@ final class ManifestedTree(
     * handle last resolved. Installing generation `gen` then would
     * either collide with an existing file (silently overwritten by a
     * local-fs rename) or, worse, land BELOW the current head and be
-    * silently ignored by every resolve. One glob per commit — the same
-    * bounded listing [[pruneOldGenerations]] already pays. */
-  private def assertHeadFresh(gen: Long): Unit = {
-    val diskMax = ManifestedTree.globManifests(fs, root)
-      .map(_._1).maxOption.getOrElse(-1L)
+    * silently ignored by every resolve. Returns the listing so the
+    * commit's [[pruneOldGenerations]] can reuse it — ONE glob per
+    * commit (each was paying its own). */
+  private def assertHeadFresh(gen: Long): Seq[(Long, Boolean, Path)] = {
+    val disk = ManifestedTree.globManifests(fs, root)
+    val diskMax = disk.map(_._1).maxOption.getOrElse(-1L)
     if (diskMax >= gen)
       throw new ManifestedTree.StaleHeadException(
         s"manifest: $root head advanced to $diskMax while this handle " +
         s"cached ${gen - 1} — refresh and re-derive")
+    disk
   }
 
   /** Commit `files` as a full snapshot, refreshing once if the cached
@@ -171,7 +177,7 @@ final class ManifestedTree(
                              schemaHint: Option[StructType]): Unit = {
     val prev = resolveState()
     val gen = prev.map(_.gen).getOrElse(0L) + 1
-    assertHeadFresh(gen)
+    val disk = assertHeadFresh(gen)
     // Persist a read-schema record with every full snapshot so an
     // empty generation (delete-everything) still opens as a typed
     // empty frame. Derived from (in order): the caller's hint, the
@@ -188,11 +194,12 @@ final class ManifestedTree(
     val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
     val body = files.sortBy(_._1)
       .map { case (p, s) => s"$p\t$s" }.mkString("\n")
-    installManifest(f"${ManifestPrefix}$gen%09d.full.txt", header + body)
+    val name = f"${ManifestPrefix}$gen%09d.full.txt"
+    installManifest(name, header + body)
     stateCache = Some(Chain(files.toVector, schema, gen, gen, 0,
       files.iterator.map(_._1).toSet))
     openCache = None
-    pruneOldGenerations()
+    pruneOldGenerations(disk :+ ((gen, true, new Path(s"$root/$name"))))
   }
 
   /** Commit a FULL generation referencing exactly `fresh` — the
@@ -264,17 +271,18 @@ final class ManifestedTree(
           commitFullOnce(entries, schemaHint.orElse(st.schema))
         } else {
           val gen = st.gen + 1
-          assertHeadFresh(gen)
+          val disk = assertHeadFresh(gen)
           val schema = schemaHint.filterNot(h => st.schema.contains(h))
           val header = schema.map(s => s"#schema\t${s.json}\n").getOrElse("")
           val body = (removals.map(p => s"-\t$p") ++
             additions0.map { case (p, s) => s"+\t$p\t$s" }).mkString("\n")
-          installManifest(f"${ManifestPrefix}$gen%09d.delta.txt", header + body)
+          val name = f"${ManifestPrefix}$gen%09d.delta.txt"
+          installManifest(name, header + body)
           stateCache = Some(Chain(entries, schema.orElse(st.schema),
             gen, st.fullGen, st.deltas + 1,
             (st.paths diff drop) ++ additions0.iterator.map(_._1)))
           openCache = None
-          pruneOldGenerations()
+          pruneOldGenerations(disk :+ ((gen, false, new Path(s"$root/$name"))))
         }
     }
 
@@ -293,9 +301,10 @@ final class ManifestedTree(
     * (EpochLadder asserts exactly that mix). Disk cost is ~KeepFulls
     * small manifest files per tree plus the COW victims those
     * generations reference — victims the time-window vacuum default
-    * (7 days) would retain anyway. */
-  private def pruneOldGenerations(): Unit = {
-    val files = globManifests(fs, root)
+    * (7 days) would retain anyway. `files` is the commit's own glob
+    * (pre-install) plus the just-installed generation — prune shares
+    * the one listing the freshness check already paid. */
+  private def pruneOldGenerations(files: Seq[(Long, Boolean, Path)]): Unit = {
     val fulls = files.collect { case (g, true, _) => g }.sorted
     if (fulls.isEmpty) return
     val keepFulls = math.max(2,
@@ -349,8 +358,11 @@ final class ManifestedTree(
     else commitFull(listFiles(None), Some(schemaHint))
   }
 
-  /** Publish the full on-disk tree — the commit of an Overwrite
-    * rebuild (the writer's own output is the complete live set). */
+  /** Adopt the current on-disk listing as a full generation — the
+    * MIGRATION commit for a pre-existing parquet layout entering the
+    * manifest discipline (a tree with retained history must never use
+    * this: the listing includes manifest-dead bytes; rebuilds commit
+    * their exact output via [[commitReplaceAll]] instead). */
   def commitSnapshot(): Unit = commitFull(listFiles(None), None)
 
   /** Commit a copy-on-write file swap as a delta: the victim files
@@ -560,17 +572,27 @@ final class ManifestedTree(
     *     orphans never referenced at all — clock from their own
     *     mtime. olderThanMs <= 0 collects them immediately. The
     *     default is [[ManifestedTree.DefaultRetentionMs]] (7 days,
-    *     Delta's own default) so a bare vacuum() is always safe. */
+    *     Delta's own default) so a bare vacuum() is always safe.
+    *
+    * `retainNone = true` drops BOTH protections at once: only the
+    * CURRENT generation survives and everything else is collected
+    * immediately, regardless of the window — the one explicit
+    * "truncate history now" switch (Delta's VACUUM RETAIN 0 HOURS).
+    * A retainNone call that still honored the 7-day window would
+    * silently reclaim nothing on freshly displaced bytes, which is
+    * exactly when an operator under disk pressure reaches for it. */
   def vacuum(olderThanMs: Long = ManifestedTree.DefaultRetentionMs,
              retainNone: Boolean = false): Int = readManifest() match {
     case None => 0
     case Some(entries) =>
       val live = entries.map(_._1).toSet
-      val protectedPaths = if (retainNone) live else live | retainedLiveSet()
+      // one retained-chain walk serves both needs: the referenced set
+      // (structural protection) and the de-reference clock
+      lazy val chain = chainState()
+      val protectedPaths = if (retainNone) live else live | chain._2
       val cutoff = System.currentTimeMillis() - olderThanMs
-      lazy val dereferencedAt = deadSinceMap()
       val dead = listFiles(None).map(_._1).filterNot(protectedPaths).filter { rel =>
-        olderThanMs <= 0L || dereferencedAt.getOrElse(rel,
+        retainNone || olderThanMs <= 0L || chain._1.getOrElse(rel,
           fs.getFileStatus(new Path(s"$root/$rel")).getModificationTime
         ) <= cutoff
       }
@@ -581,43 +603,31 @@ final class ManifestedTree(
   /** Every path referenced by ANY retained (resolvable) manifest
     * generation — the structural protection set of [[vacuum]] and of
     * [[compact]]'s inline cleanup: openAt/rollbackTo and epoch-pinned
-    * readers can resolve exactly these. One ascending walk over the
-    * retained chain from its oldest full; O(entries retained), a
-    * maintenance-time cost only. */
-  def retainedLiveSet(): Set[String] = {
-    val chain = ManifestedTree.globManifests(fs, root).sortBy(_._1)
-    val firstFull = chain.collectFirst { case (g, true, _) => g }
-      .getOrElse(return Set.empty)
-    val refs = scala.collection.mutable.HashSet.empty[String]
-    chain.dropWhile(_._1 < firstFull).foreach { case (_, isFull, p) =>
-      ManifestedTree.readLines(fs, p).iterator
-        .filterNot(_.startsWith("#")).foreach { line =>
-          line.split('\t') match {
-            case Array(f, _) if isFull => refs += f
-            case Array("+", f, _) => refs += f
-            case _ if isFull && line.nonEmpty => refs += line // legacy size-less
-            case _ => () // delta removal lines reference nothing new
-          }
-        }
-    }
-    refs.toSet
-  }
+    * readers can resolve exactly these. One walk ([[chainState]]);
+    * O(entries retained), a maintenance-time cost only. */
+  def retainedLiveSet(): Set[String] = chainState()._2
 
-  /** path -> install time (mtime) of the retained manifest generation
-    * that de-referenced it, for every file some retained generation
-    * dropped and no later one re-added. One ascending walk over the
-    * retained chain, applying each generation's effect to a running
-    * entry set: delta removals mark death at that delta's install
-    * time, additions (and a full's carried entries) clear it, and a
-    * full snapshot that DROPS entries (a rollback commit) marks the
-    * dropped set dead at its install time. */
-  private def deadSinceMap(): Map[String, Long] = {
+  /** One ascending walk over the retained chain, applying each
+    * generation's effect to a running entry set. Returns BOTH facts
+    * [[vacuum]] needs (each walked the chain separately before):
+    *
+    *  1. path -> install time (mtime) of the retained manifest
+    *     generation that DE-REFERENCED it, for every file some
+    *     retained generation dropped and no later one re-added: delta
+    *     removals mark death at that delta's install time, additions
+    *     (and a full's carried entries) clear it, and a full snapshot
+    *     that DROPS entries (a rollback commit) marks the dropped set
+    *     dead at its install time;
+    *  2. every path REFERENCED by any retained generation (= the
+    *     final live set ∪ the de-referenced set — every file a walked
+    *     manifest mentions lands in one of the two). */
+  private def chainState(): (Map[String, Long], Set[String]) = {
     val chain = ManifestedTree.globManifests(fs, root).sortBy(_._1)
-    if (chain.isEmpty) return Map.empty
+    if (chain.isEmpty) return (Map.empty, Set.empty)
     // start from the oldest retained FULL — deltas before it are
     // unresolvable prefixes of a pruned chain
     val firstFull = chain.collectFirst { case (g, true, _) => g }
-      .getOrElse(return Map.empty)
+      .getOrElse(return (Map.empty, Set.empty))
     val cur = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val deadSince = scala.collection.mutable.HashMap.empty[String, Long]
     def parse(lines: Seq[String]): Seq[String] = lines.filterNot(_.startsWith("#"))
@@ -643,7 +653,7 @@ final class ManifestedTree(
         }
       }
     }
-    deadSince.toMap
+    (deadSince.toMap, cur.keySet.toSet | deadSince.keySet.toSet)
   }
 
   /** The tree as a DataFrame, memoized per manifest generation:

@@ -194,9 +194,10 @@ class VectorLibrarySpec extends AnyFunSuite {
     val filesBefore = parquetFiles()
     lib.compact(numPartitions = 1)
     // the rewrite is history-preserving: displaced files stay on disk
-    // for the restore/epoch horizon until an explicit history-
-    // truncating vacuum reclaims them — then the merge is physical
-    lib.vacuumIndexes(olderThanMs = 0L, retainNone = true)
+    // for the restore/epoch horizon until the explicit truncate-
+    // history switch reclaims them (immediately — retainNone must not
+    // defer to the 7-day window) — then the merge is physical
+    lib.vacuumIndexes(retainNone = true)
     assert(parquetFiles() < filesBefore, s"compaction did not merge files ($filesBefore)")
     assert(lib.chunks.count() == before)
 
