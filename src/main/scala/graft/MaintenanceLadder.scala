@@ -424,6 +424,11 @@ object EpochLadder {
         reads.incrementAndGet()
       }
     }, "pinned-epoch-reader")
+    // daemon + stop-in-finally: a writer-step failure must never leave
+    // this thread spinning in a live JVM (one escaped once — a
+    // non-daemon reader looping against a dead tmp dir burned a core
+    // for three hours and skewed every measurement on the machine)
+    readerThread.setDaemon(true)
     readerThread.start()
 
     def step[T](label: String)(body: => T): T = {
@@ -431,6 +436,7 @@ object EpochLadder {
       val r = time(label)(body)
       r
     }
+    try {
     // 1. streaming micro-batches (one file per trigger) with periodic
     //    self-compaction — the always-on ingest shape
     step("stream 6 micro-batches") {
@@ -476,11 +482,11 @@ object EpochLadder {
     step("ingest 10k more")(lib.addDocuments(docs(n + 40000, n + 50000)))
     step(s"restore to epoch $mid")(lib.restoreToEpoch(mid))
     step("post-restore ingest")(lib.addDocuments(docs(n + 50000, n + 60000)))
+    } finally stop.set(true)
 
     currentStep = "post"
-    // one guaranteed post-mix read before stopping the reader
+    // one guaranteed post-mix read from the main thread
     val fin = fingerprint()
-    stop.set(true)
     readerThread.join(120000)
     assert(!readerThread.isAlive, "pinned reader wedged — never exited")
 
