@@ -1208,7 +1208,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * the committed state of one completed mutation, never the
     * in-between of two commits. Valid while the epoch's generations
     * are retained and their files not vacuumed (same horizon as
-    * [[restoreTo]]). */
+    * [[restoreTo]]). Caveat: geometry SIDECARS (IVF/PQ centroids,
+    * codebooks, grid bounds) are not manifested — a pinned PQ/IVF-PQ
+    * code frame decodes against the CURRENT geometry, which only an
+    * index REBUILD replaces. Epoch-pinned search goes through
+    * [[searchApproxAt]] (LSH planes derive from the seed — no sidecar
+    * dependency at all). */
   def consistentAt(e: Long): Map[String, DataFrame] = {
     val byName = epochTrees.toMap
     epochInfo(e).map { case (n, g) => n -> byName(n).openAt(g) }
