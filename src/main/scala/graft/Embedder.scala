@@ -102,23 +102,28 @@ final class ServiceEmbedder(
       "cannot embed empty or whitespace-only texts")
     var attempt = 1
     while (true) {
-      val out =
-        try call(texts, inputType)
-        catch {
-          // TRANSPORT errors retry (the reference's tenacity wraps the
-          // HTTP call, :104-107: wait_exponential(multiplier=1, min=4,
-          // max=10)); the validation below stays OUTSIDE this recovery
-          // — a wrong arity or dim is a deterministic deployment
-          // misconfiguration, and retrying it would only mute the
-          // documented loud check into backoff sleeps (8 s per batch
-          // at the defaults) before the same failure surfaces.
-          case e: Throwable if attempt < maxRetries =>
-            Thread.sleep(math.min(backoffMaxMs,
-              math.max(backoffMinMs, 1000L << attempt)))
-            attempt += 1
-            null
-        }
-      if (out != null) {
+      var out: Seq[Array[Float]] = null
+      var retried = false
+      try out = call(texts, inputType)
+      catch {
+        // TRANSPORT errors retry (the reference's tenacity wraps the
+        // HTTP call, :104-107: wait_exponential(multiplier=1, min=4,
+        // max=10)); the validation below stays OUTSIDE this recovery
+        // — a wrong arity or dim is a deterministic deployment
+        // misconfiguration, and retrying it would only mute the
+        // documented loud check into backoff sleeps (8 s per batch
+        // at the defaults) before the same failure surfaces.
+        case e: Throwable if attempt < maxRetries =>
+          Thread.sleep(math.min(backoffMaxMs,
+            math.max(backoffMinMs, 1000L << attempt)))
+          attempt += 1
+          retried = true
+      }
+      if (!retried) {
+        // the explicit `retried` flag (not an out-null probe) keeps a
+        // misbehaving transport that RETURNS null from spinning this
+        // loop hot forever — it lands here and fails the validation
+        require(out != null, "embedding service returned null")
         require(out.size == texts.size,
           s"expected ${texts.size} embeddings, got ${out.size}")
         out.foreach(v => require(v.length == dim,

@@ -1328,13 +1328,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
             // store for a delete fanning out over LSH buckets)
             val prefixed = dirs.map(d =>
               (d, d.stripSuffix("/").stripPrefix(treeRoot + "/") + "/"))
-            val rels = entries.map(_._1)
-            val present = prefixed.collect {
-              case (d, p) if rels.exists(_.startsWith(p)) => d }
-            val files = rels
-              .filter(rel => prefixed.exists(t => rel.startsWith(t._2)))
-              .map(rel => s"$treeRoot/$rel")
-            (files, present)
+            // one pass over the entries yields both the matched files
+            // and which candidate dirs hold any
+            val matched = scala.collection.mutable.LinkedHashSet.empty[String]
+            val files = entries.flatMap { case (rel, _) =>
+              prefixed.find(t => rel.startsWith(t._2)).map { case (d, _) =>
+                matched += d
+                s"$treeRoot/$rel"
+              }
+            }
+            (files, dirs.filter(matched))
           case None =>
             val fs = hadoopFs(treeRoot)
             val present = dirs.filter(d =>

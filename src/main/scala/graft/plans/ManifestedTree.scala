@@ -632,7 +632,11 @@ final class ManifestedTree(
     val deadSince = scala.collection.mutable.HashMap.empty[String, Long]
     def parse(lines: Seq[String]): Seq[String] = lines.filterNot(_.startsWith("#"))
     chain.dropWhile(_._1 < firstFull).foreach { case (_, isFull, p) =>
-      val installedAt = fs.getFileStatus(p).getModificationTime
+      // lazy: stat only when this manifest actually de-references
+      // something — retainedLiveSet() callers (compact's cleanup)
+      // discard the clock, and most deltas are pure appends, so the
+      // common walk pays zero per-file stats
+      lazy val installedAt = fs.getFileStatus(p).getModificationTime
       if (isFull) {
         val next = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         parse(ManifestedTree.readLines(fs, p)).foreach { line =>

@@ -102,18 +102,22 @@ class EmbedderSpec extends AnyFunSuite {
     // dimension mismatches are loud AND immediate: a deterministic
     // validation failure (deployment misconfiguration) must never
     // enter the transport retry loop — at default retries/backoff
-    // that would burn 8 s of sleeps per batch before the same error
-    val wrongDim: ServiceEmbedder.BatchCall =
-      (texts, _) => texts.map(_ => Array.fill(3)(0.1f))
+    // that would burn 8 s of sleeps per batch before the same error.
+    // Asserted by CALL COUNT (load-independent), never wall time.
+    EmbedderSpecState.batches.clear()
+    val wrongDim: ServiceEmbedder.BatchCall = (texts, _) => {
+      EmbedderSpecState.batches.add(texts.size)
+      texts.map(_ => Array.fill(3)(0.1f))
+    }
     val svcWrong = new ServiceEmbedder(64, wrongDim, batchSize = 7)
-    val t0 = System.nanoTime()
     intercept[Exception] {
       svcWrong.embedFrame(
         spark.createDataFrame(Seq(Tuple1("hello world"))).toDF("chunk_text"),
         "chunk_text", "search_document", "embedding").collect()
     }
-    assert((System.nanoTime() - t0) / 1e6 < 3500,
-      "validation failure slept through transport backoff before surfacing")
+    assert(EmbedderSpecState.batches.size == 1,
+      s"validation failure entered the transport retry loop " +
+        s"(${EmbedderSpecState.batches.size} calls, expected 1)")
 
     libA.delete(); libB.delete()
   }
