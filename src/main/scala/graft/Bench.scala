@@ -7,7 +7,19 @@ import org.apache.spark.sql.SparkSession
   * engine benchmarks its own query latency (in-process, warm caches:
   * /root/reference/tests/test_integration_performance.py). */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 when unreadable).
+    * Stamped into the bench JSON so an inflated record carries its own
+    * environmental evidence: the r9→r10 "+37%" driver delta took three
+    * rounds of binary bisection to adjudicate as machine load — one
+    * field read would have answered it. */
+  private def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .trim.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1m()
+    val cores = Runtime.getRuntime.availableProcessors()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the stated contract for this main (the machine has
     // 32 cores / 128 GiB); the old default of 4 was a v0 leftover that
@@ -85,8 +97,16 @@ object Bench {
     val total =
       if (failed.nonEmpty) "null" else results.values.sum.toString
     val errs = failed.mkString("[", ",", "]")
+    val loadEnd = loadAvg1m()
+    // Environmental self-adjudication: load at start (what the machine
+    // was ALREADY doing — a contaminated record shows it here) and at
+    // end (this run's own steady-state), plus the core count the JVM
+    // actually saw. Rides in BOTH the file of record and the compact
+    // marker so the parsed driver artifact carries it.
+    val env =
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cores":$cores"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"preamble_sec":$preambleSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"preamble_sec":$preambleSec,$env,"sf":"$sfDir"}"""
     // The full per-query map (~6 KB at 126 queries) has overflowed the
     // driver's tail window three rounds running (BENCH parsed:null), so
     // it rides ONLY in the file of record; stdout gets a compact
@@ -102,7 +122,7 @@ object Bench {
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"slowest":$slow,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"slowest":$slow,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},$env,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
     // Marker-prefixed line for harnesses that grep; then the bare JSON
     // as the FINAL stdout line for harnesses that parse the last line

@@ -399,7 +399,14 @@ object EpochLadder {
       val hits = reader.searchApproxAt(pinned, queryText, k = 8)
         .select(col("chunk_id")).collect().map(_.getString(0)).sorted
         .mkString(",")
-      s"store=$cnt/$hash lsh=$idx hits=[$hits]"
+      // encoded-tree pinned read: decodes under the epoch's GEOMETRY
+      // generation (r11) — drifts here catch a rebuild overwriting
+      // centroids in place under a pinned reader
+      val ivfHits = reader.searchAt(pinned, queryText, k = 8,
+          algorithm = Some("ivf"))
+        .select(col("chunk_id")).collect().map(_.getString(0)).sorted
+        .mkString(",")
+      s"store=$cnt/$hash lsh=$idx hits=[$hits] ivf=[$ivfHits]"
     }
     val base = fingerprint()
     println(s"[epoch-ladder] pinned fingerprint: ${base.take(120)}")
@@ -482,11 +489,22 @@ object EpochLadder {
     // rebuild once Overwrite-deleted the live dir — the pinned
     // searchApproxAt would have lost its files mid-read)
     step("rebuild lsh")(lib.buildPartitionedIndex())
+    // GEOMETRY rebuild: new centroid count = entirely new geometry.
+    // The pinned ivf reads must keep decoding under the epoch's OWN
+    // centroids (generation-numbered sidecars) — before r11 this step
+    // overwrote the centroid table in place and every pinned encoded
+    // read silently drifted.
+    step("rebuild ivf (new geometry)")(lib.buildIvfIndex(nCentroids = 32))
     // 4. restore to a mid-mix epoch, then keep ingesting
     val mid = lib.epochs.last
     step("ingest 10k more")(lib.addDocuments(docs(n + 40000, n + 50000)))
     step(s"restore to epoch $mid")(lib.restoreToEpoch(mid))
     step("post-restore ingest")(lib.addDocuments(docs(n + 50000, n + 60000)))
+    // the restore-then-vacuum edge: the reader is pinned to an epoch
+    // OLDER than the restore target while a default-window vacuum
+    // runs — retained-generation protection (not the time window)
+    // must be what keeps the pinned files alive
+    step("post-restore vacuum default")(lib.vacuumIndexes())
     } finally stop.set(true)
 
     currentStep = "post"

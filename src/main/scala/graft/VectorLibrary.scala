@@ -46,25 +46,84 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // live writer gets a loud ConcurrentWriterException instead of
   // silently interleaved manifest generations. Reentrant, so composed
   // mutations (updateDocument = delete + add) take one lease.
-  private lazy val writerLock = new WriterLock(
-    hadoopFs(root), s"$root/$name",
+  private lazy val leaseMsConf: Long =
     spark.conf.getOption("spark.graft.writerLockLeaseMs")
-      .map(_.toLong).getOrElse(300000L))
-  // Consistency epochs ride the same choke point: after the OUTERMOST
-  // mutation frame finishes (every tree it touched has committed) and
-  // while the lease is still held, the per-tree generation tuple is
-  // recorded — see [[recordEpoch]]. A reader resolving an epoch
-  // therefore never observes the store/index commit skew window.
+      .map(_.toLong).getOrElse(300000L)
+  private lazy val writerLock = new WriterLock(
+    hadoopFs(root), s"$root/$name", leaseMsConf)
+
+  // --- per-tree leases (the PLANS.md multi-writer relaxation, r11) ----
+  // Through r10 ONE library-wide lease serialized every mutation (the
+  // Delta-v1 position). Now each tree carries its own lease file
+  // (`<treeRoot>/_writer.lock`), a mutation acquires exactly its WRITE
+  // footprint in canonical order (store < grid < ivf < ivfpq < lsh <
+  // pq — deadlock-free by global ordering), and the all-tree
+  // transactions (ingest, delete, restore, repair, rebuild, vacuum)
+  // take the library lease PLUS all six — equivalent to the old global
+  // lock, and still loud against a pre-r11 peer that only knows the
+  // library lease. Disjoint single-tree maintenance (compact `pq`
+  // while another instance builds `grid`) now commits concurrently;
+  // intersecting footprints fail loudly at acquire with
+  // [[WriterLock.ConcurrentWriterException]].
+  //
+  // Documented skew under disjointness: an index BUILD holds only its
+  // own tree's lease (the store is read lock-free from a committed
+  // manifest snapshot), so an all-tree ingest on a library where that
+  // index does not exist yet can interleave — the fresh index then
+  // lags the store by the interleaved batch, exactly the store/index
+  // skew contract [[repairIndexes]] already heals.
+  private val TreeOrder = Seq("store", "grid", "ivf", "ivfpq", "lsh", "pq")
+  // Lease files live under `_locks/<tree>/`, NOT inside the tree
+  // roots: WriterLock's acquire mkdirs its root, and a bare-existence
+  // probe like appendBatch's indexDirExists would read a lock-created
+  // lsh_index/ as "the user built an index here".
+  private lazy val treeLocks: Map[String, WriterLock] =
+    epochTrees.map { case (n, _) =>
+      n -> new WriterLock(hadoopFs(root), s"$root/$name/_locks/$n", leaseMsConf)
+    }.toMap
+
+  /** Acquire the leases of `names` in canonical order, then run body. */
+  private def withLeases[T](names: Seq[String])(body: => T): T = {
+    val unknown = names.toSet -- TreeOrder.toSet
+    require(unknown.isEmpty, s"unknown lease footprint trees: $unknown")
+    def loop(rem: Seq[String]): T = rem match {
+      case Seq() => body
+      case h +: t => treeLocks(h).withLock(loop(t))
+    }
+    loop(TreeOrder.filter(names.contains))
+  }
+
+  // Consistency epochs ride the mutation frame: after the OUTERMOST
+  // frame finishes (every tree it touched has committed) and while its
+  // leases are still held, the per-tree generation tuple is recorded —
+  // see [[recordEpoch]]. A reader resolving an epoch therefore never
+  // observes the store/index commit skew window. Frames from
+  // concurrent disjoint footprints share the depth counter: the LAST
+  // frame out records (covering every commit of the overlap), and
+  // recordEpoch validates its assembly optimistically when recorded
+  // without the full lease set.
+  private val frameLock = new Object
   private var mutationDepth = 0
-  private def withWriterLock[T](body: => T): T = writerLock.withLock {
-    // guarded by the lock's monitor (withLock is synchronized)
-    mutationDepth += 1
+  private def enterFrame[T](body: => T): T = {
+    frameLock.synchronized { mutationDepth += 1 }
     try {
       val r = body
-      if (mutationDepth == 1) recordEpoch()
+      frameLock.synchronized { if (mutationDepth == 1) recordEpoch() }
       r
-    } finally mutationDepth -= 1
+    } finally frameLock.synchronized { mutationDepth -= 1 }
   }
+
+  /** The all-tree mutation frame: library lease + every tree lease. */
+  private def withWriterLock[T](body: => T): T = writerLock.withLock {
+    withLeases(TreeOrder)(enterFrame(body))
+  }
+
+  /** Footprint-scoped mutation frame: only the named trees' leases —
+    * single-tree maintenance (build/drop/compact/refit of ONE index)
+    * runs concurrently with disjoint maintenance from other writer
+    * instances; intersecting footprints fail loudly at acquire. */
+  private def withTreeLocks[T](footprint: Seq[String])(body: => T): T =
+    withLeases(footprint)(enterFrame(body))
 
   /** True when `p` exists AND holds at least one visible (non-hidden,
     * non-marker) entry. A directory can exist yet be dataless — e.g.
@@ -110,14 +169,44 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  // _library.json is a read-modify-write shared by every mutation;
+  // under the library lease that is serialized for free, but two
+  // footprint-scoped writers (disjoint index builds from different
+  // instances) would clobber each other's keys — their meta writes
+  // serialize under this tiny dedicated lease instead. Lazy + only on
+  // the footprint path, so the all-tree hot path (every streaming
+  // micro-batch exits through touchMeta) pays nothing.
+  private lazy val metaLock = new WriterLock(
+    hadoopFs(root), s"$root/$name/_locks/meta", leaseMsConf)
+
   private def touchMeta(updates: (String, String)*): Unit = {
-    val now = java.time.Instant.now().toString
-    val base = readMeta()
-    writeMeta(base
-      ++ Map("name" -> name,
-        "created_at" -> base.getOrElse("created_at", now),
-        "updated_at" -> now)
-      ++ updates)
+    def write(): Unit = {
+      val now = java.time.Instant.now().toString
+      val base = readMeta()
+      writeMeta(base
+        ++ Map("name" -> name,
+          "created_at" -> base.getOrElse("created_at", now),
+          "updated_at" -> now)
+        ++ updates)
+    }
+    if (writerLock.held) write()
+    else {
+      // WriterLock THROWS on a live holder (mutations must be loud) —
+      // but a meta write is milliseconds, and two disjoint builds
+      // finishing together should not fail one of them over a
+      // timestamp update. Briefly retry the tiny lease before
+      // surfacing the conflict.
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { metaLock.withLock(write()); done = true }
+        catch {
+          case _: WriterLock.ConcurrentWriterException if attempt < 50 =>
+            attempt += 1
+            Thread.sleep(20L + scala.util.Random.nextInt(30))
+        }
+      }
+    }
   }
 
   /** Library metadata as last persisted (reference GET /libraries/{id}). */
@@ -283,15 +372,42 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * (doc_id, chunk_idx, chunk_text, source) — token counts, embedding
    * and index columns are derived exactly as for auto-chunked ingest,
    * so both paths produce interchangeable store rows.
+   *
+   * `deferEmbedding = true` stores the chunks PENDING — typed-null
+   * embedding/index columns, visible via [[unindexed]] — the
+   * reference's unindexed-chunk state (chunks created while the
+   * embedding service is down or rate-limited; the background batch
+   * re-index, background_tasks.py:260, embeds them later =
+   * [[rebuildIndex]] here). Pending rows join no index until then, so
+   * only the store tree appends.
    */
-  def addChunkedDocuments(chunked: DataFrame): Unit = {
+  def addChunkedDocuments(chunked: DataFrame,
+                          deferEmbedding: Boolean = false): Unit = {
     val required = Set("doc_id", "chunk_idx", "chunk_text", "source")
     val missing = required -- chunked.columns.toSet
     require(missing.isEmpty, s"addChunkedDocuments: missing columns $missing")
-    appendBatch(indexColumns(chunked
+    val base = chunked
       .select(col("doc_id"), col("source"), col("chunk_idx").cast("int").as("chunk_idx"),
         col("chunk_text"),
-        textStats(col("chunk_text")).getField("n_tokens").as("n_tokens"))))
+        textStats(col("chunk_text")).getField("n_tokens").as("n_tokens"))
+    if (!deferEmbedding) appendBatch(indexColumns(base))
+    else withWriterLock {
+      // identical store schema, with every embedding-derived column a
+      // TYPED null (types taken from the store's own schema so the
+      // two ingest paths can never drift)
+      val schema = chunks.schema
+      val deferred = base.select(chunks.columns.map {
+        case c @ ("embedding" | "lsh_buckets" | "quant" | "bits") =>
+          lit(null).cast(schema(c).dataType).as(c)
+        case "chunk_id" =>
+          concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")).as("chunk_id")
+        case c => col(c)
+      }.toSeq: _*)
+      storeTree.appendCommitted(
+        deferred.sortWithinPartitions(col("source"), col("doc_id")), 0L)
+      invalidateIndexes()
+      touchMeta()
+    }
   }
 
   /** Embedding + index columns for a chunk batch (shared by the batch
@@ -839,8 +955,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * Later `addDocuments` / `ingestStreamIndexed` batches append only
     * their own rows to the affected partitions — incremental, never a
     * full rewrite. */
-  def buildPartitionedIndex(): Unit = withWriterLock {
-    installRebuild(lshTree) { tmp =>
+  def buildPartitionedIndex(): Unit = withTreeLocks(Seq("lsh")) {
+    installRebuild(lshTree) { (tmp, _) =>
       indexRows(chunks).write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
         .partitionBy("tbl", "bucket").parquet(tmp)
@@ -856,18 +972,38 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * ([[graft.plans.ManifestedTree.commitReplaceAll]]). The displaced
     * files stay on disk, manifest-invisible, until vacuum — the
     * Delta REPLACE shape, same as delete's [[cowTree]] install. A
-    * crash before the commit leaves only invisible orphans. Geometry
-    * SIDECARS (centroids/books/bounds/stats) are not manifested and
-    * still overwrite in place: an epoch pin covers the ROW trees;
-    * rebuild replaces the geometry by definition. */
+    * crash before the commit leaves only invisible orphans (the
+    * dot-prefixed tmp sibling — swept by [[vacuumIndexes]]).
+    *
+    * `write(tmp, gen)` receives the GENERATION this rebuild will
+    * commit (head+1 — exact while this writer holds the lease) so
+    * geometry sidecars (centroids/books/bounds/stats) land
+    * generation-numbered (`<base>.g<gen>`, [[geomSuffix]]) BEFORE any
+    * visibility flip: head readers keep resolving the previous
+    * geometry (newest sidecar <= old head), and the new geometry
+    * becomes resolvable atomically WITH the manifest commit. A crash
+    * after the sidecar write but before the commit leaves the sidecar
+    * numbered ABOVE the head — invisible to resolution, overwritten
+    * by the next rebuild's identical prediction. This closes the two
+    * r10 holes at once: no crash window pairs new geometry with old
+    * manifested rows, and [[consistentAt]]/[[searchAt]] readers of
+    * encoded trees decode old codes under the OLD geometry across a
+    * rebuild. */
   private def installRebuild(tree: graft.plans.ManifestedTree)
-                            (write: String => Unit): Unit = {
+                            (write: (String, Long) => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val treeRoot = tree.root.stripSuffix("/")
-    val tmp = treeRoot + ".rebuild_tmp"
+    val rootP = new Path(treeRoot)
+    // dot-prefixed (consistent with .chunks_cow): invisible to any
+    // listing-based reader, and vacuumIndexes sweeps crash leftovers
+    val tmp = new Path(rootP.getParent, s".${rootP.getName}.rebuild_tmp").toString
     val fs = hadoopFs(treeRoot)
     fs.delete(new Path(tmp), true)
-    write(tmp)
+    // pre-r11 rebuilds used a non-dotted sibling; clear a crash
+    // leftover from that era too
+    fs.delete(new Path(treeRoot + ".rebuild_tmp"), true)
+    val gen = tree.generations().lastOption.map(_._1).getOrElse(0L) + 1
+    write(tmp, gen)
     val fresh = graft.plans.ManifestedTree.listTree(spark, tmp, None)
     fresh.foreach { case (rel, _) =>
       val dst = new Path(s"$treeRoot/$rel")
@@ -879,8 +1015,51 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     tree.commitReplaceAll(fresh)
   }
 
+  // --- generation-numbered geometry sidecars ---------------------------
+  // IVF/PQ/IVF-PQ centroids+codebooks+stats and grid bounds are tiny
+  // driver-side tables, but they are GEOMETRY: encoded rows only decode
+  // correctly under the geometry they were written with. Each rebuild
+  // writes its sidecars at `<base>.g<gen>` where `gen` is the row
+  // tree's committed manifest generation; a reader of tree generation g
+  // resolves the NEWEST sidecar generation <= g (falling back to the
+  // plain pre-versioning path). Head reads resolve at the head
+  // generation; consistentAt/searchAt resolve at the epoch's recorded
+  // generation — so a pinned reader straddling a rebuild decodes old
+  // codes under old geometry. Sidecar reads COLLECT at call time
+  // (never lazily planned), so vacuum's structural rule — keep exactly
+  // the resolvers of retained generations — needs no time window.
+
+  private def geomSuffix(gen: Long): String = f".g$gen%09d"
+
+  /** Sidecar generations recorded beside `base`, ascending. */
+  private def geomGens(base: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = hadoopFs(base)
+    val prefix = p.getName + ".g"
+    if (!fs.exists(p.getParent)) Seq.empty
+    else fs.listStatus(p.getParent).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption).sorted
+  }
+
+  /** Suffix of the sidecar serving tree generation `gen`: the newest
+    * recorded geometry <= gen, or "" (the plain pre-versioning path)
+    * when none is recorded. */
+  private def geomSuffixAt(base: String, gen: Long): String =
+    geomGens(base).filter(_ <= gen).lastOption.map(geomSuffix).getOrElse("")
+
+  /** The tree's head generation (MaxValue for a legacy pre-manifest
+    * tree, whose geometry is only ever at the plain path). */
+  private def headGenOf(tree: graft.plans.ManifestedTree): Long =
+    tree.generations().lastOption.map(_._1).getOrElse(Long.MaxValue)
+
+  /** True when any geometry (versioned or plain) exists for `base`. */
+  private def hasGeom(base: String): Boolean =
+    geomGens(base).nonEmpty ||
+      hadoopFs(base).exists(new org.apache.hadoop.fs.Path(base))
+
   /** Drop the partitioned index (search falls back to the column probe). */
-  def dropPartitionedIndex(): Unit = withWriterLock {
+  def dropPartitionedIndex(): Unit = withTreeLocks(Seq("lsh")) {
     hadoopFs(indexPath).delete(new org.apache.hadoop.fs.Path(indexPath), true)
     lshTree.invalidate()
   }
@@ -897,7 +1076,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * Returns the number of directories compacted.
    */
   def compactPartitionedIndex(maxFilesPerPartition: Int = 4,
-                              vacuumAfter: Boolean = true): Int = withWriterLock {
+                              vacuumAfter: Boolean = true): Int = withTreeLocks(Seq("lsh")) {
     if (!hasPartitionedIndex) return 0
     lshTree.compact(maxFilesPerPartition, indexMaxRecordsPerFile,
       Seq("chunk_id"), vacuumAfter = vacuumAfter)
@@ -959,10 +1138,93 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def vacuumIndexes(
       olderThanMs: Long = graft.plans.ManifestedTree.DefaultRetentionMs,
       retainNone: Boolean = false): Map[String, Int] = withWriterLock {
-    Map(
+    val removed = Map(
       "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
       "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
       .map { case (n, t) => n -> t.vacuum(olderThanMs, retainNone) }
+    // crash-stranded rebuild tmp siblings: no manifest references them
+    // and (dot-prefixed) no listing scans them, so only this sweep —
+    // or the same index rebuilding again — ever reclaims one
+    sweepRebuildTmp()
+    // geometry sidecars: keep exactly the resolvers of the retained
+    // row-tree generations (sidecar reads collect at call time, never
+    // lazily planned, so the structural rule needs no time window)
+    vacuumGeometry()
+    // truncated history must be structurally invisible: an epoch whose
+    // recorded generations just lost their manifests (retainNone
+    // pruned them) would otherwise resolve to a raw read failure later
+    if (retainNone) pruneUnresolvableEpochs()
+    removed
+  }
+
+  /** Delete crash-stranded `.{tree}.rebuild_tmp` siblings (and the
+    * pre-r11 non-dotted form) of every manifested tree. Runs under the
+    * writer lock, so no in-flight rebuild's tmp can be swept. */
+  private def sweepRebuildTmp(): Unit = {
+    import org.apache.hadoop.fs.Path
+    epochTrees.foreach { case (_, t) =>
+      val rootP = new Path(t.root.stripSuffix("/"))
+      val fs = hadoopFs(t.root)
+      fs.delete(new Path(rootP.getParent, s".${rootP.getName}.rebuild_tmp"), true)
+      fs.delete(new Path(rootP.getParent, s"${rootP.getName}.rebuild_tmp"), true)
+    }
+  }
+
+  /** The geometry-sidecar bases of every encoded tree. */
+  private def geomBases: Seq[(graft.plans.ManifestedTree, Seq[String])] = Seq(
+    gridTree -> Seq(s"$gridPath/bounds"),
+    ivfTree -> Seq(s"$ivfPath/centroids", s"$ivfPath/stats"),
+    pqTree -> Seq(s"$pqPath/books"),
+    ivfpqTree -> Seq(s"$ivfpqPath/centroids", s"$ivfpqPath/books",
+      s"$ivfpqPath/stats"))
+
+  /** Remove geometry sidecar generations no retained row-tree
+    * generation resolves to — including crash orphans numbered above
+    * the head (a prediction whose commit never happened). The plain
+    * pre-versioning path is never removed: it is the fallback resolver
+    * for generations older than the first versioned sidecar. Returns
+    * the number of sidecar directories removed. */
+  private def vacuumGeometry(): Int = {
+    var removed = 0
+    geomBases.foreach { case (tree, bases) =>
+      val retained = tree.generations().map(_._1)
+      if (retained.nonEmpty) bases.foreach { base =>
+        val gens = geomGens(base)
+        val needed: Set[Long] =
+          retained.flatMap(g => gens.filter(_ <= g).maxOption).toSet
+        gens.filterNot(needed).foreach { g =>
+          if (hadoopFs(base).delete(
+              new org.apache.hadoop.fs.Path(base + geomSuffix(g)), true))
+            removed += 1
+        }
+      }
+    }
+    removed
+  }
+
+  /** Drop epoch records whose per-tree generation tuple no longer
+    * resolves (a tree's retained window moved past it, or the tree was
+    * dropped entirely) — called after a retainNone vacuum so truncated
+    * history reads as "epoch not recorded", not a mid-scan IO error. */
+  private def pruneUnresolvableEpochs(): Int = {
+    val minGen: Map[String, Long] = epochTrees.map { case (n, t) =>
+      n -> t.generations().headOption.map(_._1).getOrElse(Long.MaxValue) }.toMap
+    val fs = hadoopFs(epochsDir)
+    var removed = 0
+    epochs.foreach { e =>
+      val resolvable = readEpochFile(e).exists(_.linesIterator.forall { l =>
+        l.split('\t') match {
+          case Array(n, g) => g.toLong >= minGen.getOrElse(n, Long.MaxValue)
+          case _ => false
+        }
+      })
+      if (!resolvable) {
+        if (fs.delete(new org.apache.hadoop.fs.Path(
+            epochsDir, f"epoch.$e%09d"), false))
+          removed += 1
+      }
+    }
+    removed
   }
 
   /**
@@ -1101,8 +1363,33 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * library was just delete()d) and when the tuple equals the latest
     * epoch (read-only mutators like a no-op vacuum). */
   private def recordEpoch(): Unit = {
-    val gens = epochTrees.flatMap { case (n, t) =>
+    def assemble(): Seq[String] = epochTrees.flatMap { case (n, t) =>
       t.generations().lastOption.map { case (g, _) => s"$n\t$g" } }
+    val first = assemble()
+    // Optimistic validation (the PLANS.md multi-writer commit step):
+    // recorded WITHOUT the full lease set (a footprint-scoped frame),
+    // another instance's disjoint single-tree commit can land between
+    // these listings — re-read until the tuple is stable (bounded;
+    // sustained churn past the bound records the final assembly, which
+    // is still committed-state-per-tree: concurrent mutations are
+    // footprint-disjoint by the lease rules, so no cross-tree
+    // invariant links the trees they touch). Under the full lease set
+    // (writerLock held) no other writer can commit — one assembly, the
+    // unchanged hot path.
+    val gens =
+      if (writerLock.held) first
+      else {
+        var cur = first
+        var round = 0
+        var stable = false
+        while (!stable && round < 5) {
+          val again = assemble()
+          stable = again == cur
+          cur = again
+          round += 1
+        }
+        cur
+      }
     if (gens.isEmpty) {
       // deleted (or never-committed) library: a stale cache here would
       // suppress the FIRST epoch of a rebuilt library whose generation
@@ -1173,7 +1460,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   }
   private val EpochKeep = 32
   // (epoch number, body) of the last epoch THIS writer recorded or
-  // verified — guarded by the writer lock's monitor like mutationDepth
+  // verified — guarded by frameLock (recordEpoch only runs inside an
+  // enterFrame synchronized block)
   private var lastEpochCache: Option[(Long, String)] = None
 
   private def readEpochFile(e: Long): Option[String] =
@@ -1208,12 +1496,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * the committed state of one completed mutation, never the
     * in-between of two commits. Valid while the epoch's generations
     * are retained and their files not vacuumed (same horizon as
-    * [[restoreTo]]). Caveat: geometry SIDECARS (IVF/PQ centroids,
-    * codebooks, grid bounds) are not manifested — a pinned PQ/IVF-PQ
-    * code frame decodes against the CURRENT geometry, which only an
-    * index REBUILD replaces. Epoch-pinned search goes through
-    * [[searchApproxAt]] (LSH planes derive from the seed — no sidecar
-    * dependency at all). */
+    * [[restoreTo]]). Geometry sidecars (IVF/PQ centroids, codebooks,
+    * grid bounds) are generation-numbered beside each row tree
+    * ([[installRebuild]]), so a pinned reader of an encoded tree
+    * decodes under the geometry its codes were written with even
+    * across a rebuild — [[searchAt]] is the search entry point that
+    * resolves both together. Note the returned FRAMES are code rows;
+    * decoding them by hand against the head geometry would reopen the
+    * hole searchAt closes. */
   def consistentAt(e: Long): Map[String, DataFrame] = {
     val byName = epochTrees.toMap
     epochInfo(e).map { case (n, g) => n -> byName(n).openAt(g) }
@@ -1247,6 +1537,80 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         VectorSearch.lshKnnIndexed(chunksAt(e), queryFrame(queryText),
           "chunk_id", "embedding", "lsh_buckets",
           clampK(k), metric, numTables, bitsPerTable, seed)
+    }
+  }
+
+  /**
+   * Epoch-pinned search routed through any index algorithm — the
+   * fully consistent twin of [[search]]: every tree opens AT the
+   * epoch's recorded generation, and the encoded algorithms (grid/
+   * ivf/pq/ivfpq) decode under the GEOMETRY GENERATION serving that
+   * tree generation ([[geomSuffixAt]]) — so the result for epoch `e`
+   * is stable across later ingests, deletes, AND index rebuilds (the
+   * r10 caveat this closes: pinned code frames used to decode against
+   * the current centroids/codebooks/bounds). An algorithm whose index
+   * tree predates the epoch falls back to the exact scan over the
+   * epoch's store. Valid on the same retention horizon as
+   * [[consistentAt]].
+   */
+  def searchAt(e: Long, queryText: String, k: Int = 10,
+               metric: String = "cosine",
+               algorithm: Option[String] = None): DataFrame = {
+    val info = epochInfo(e)
+    val kk = clampK(k)
+    val q = queryFrame(queryText)
+    def store = chunksAt(e)
+    def flatAt: DataFrame =
+      VectorSearch.knnFlat(store.select(col("chunk_id"), col("embedding")),
+        q, "chunk_id", "embedding", kk, metric)
+    algorithm.getOrElse(algo) match {
+      case "flat" => flatAt
+      case "lsh" => searchApproxAt(e, queryText, k, metric)
+      case "quantized" =>
+        VectorSearch.knnQuantizedIndexed(store, q,
+          "chunk_id", "embedding", "quant", kk, metric)
+      case "binary" =>
+        if (store.columns.contains("bits"))
+          VectorSearch.knnBinaryIndexed(store, q,
+            "chunk_id", "embedding", "bits", kk, metric)
+        else VectorSearch.knnBinary(
+          store.select(col("chunk_id"), col("embedding")),
+          q, "chunk_id", "embedding", kk, metric)
+      case "grid" => info.get("grid") match {
+        case Some(g) =>
+          val (lo, hi, gd, cpd) = gridBoundsAt(g)
+          val cells = gridTree.openAt(g)
+          VectorSearch.gridKnnIndexed(cells, lo, hi, q,
+            "chunk_id", "embedding", kk, metric, gd, cpd,
+            countsOpt = Some(VectorSearch.gridCellCounts(cells)))
+        case None =>
+          VectorSearch.gridKnnExpanding(
+            store.select(col("chunk_id"), col("embedding")),
+            q, "chunk_id", "embedding", kk, metric)
+      }
+      case "ivf" => info.get("ivf") match {
+        case Some(g) =>
+          IvfIndex.searchAssigned(ivfTree.openAt(g), ivfCentersAt(g),
+            q, "chunk_id", "embedding", kk, metric = metric)
+        case None => flatAt
+      }
+      case "pq" => info.get("pq") match {
+        case Some(g) =>
+          PqIndex.search(pqTree.openAt(g), pqBooksAt(g), q,
+            "chunk_id", "embedding", kk, metric, normalized = true)
+        case None => flatAt
+      }
+      case "ivfpq" => info.get("ivfpq") match {
+        case Some(g) =>
+          val (centers, books) = ivfpqSideAt(g)
+          IvfPq.search(IvfPq.Index(centers, books, ivfpqTree.openAt(g)),
+            q, "chunk_id", "embedding", kk, metric = metric,
+            normalized = true)
+        case None => flatAt
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown index algorithm '$other' (expected one of " +
+        s"${VectorLibrary.algorithms.mkString(", ")})")
     }
   }
 
@@ -1446,7 +1810,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (hasIvfIndex)
           victimFilesByCluster("ivf", ivfTree,
             IvfIndex.assignExact(victims, "embedding",
-              IvfPq.readCenters(spark, ivfPath)))
+              ivfCentersStored()))
         else Seq.empty[String]
       })
       val gridFilesF = Future(step("resolve-grid-files") {
@@ -1703,13 +2067,25 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * cached per store generation. */
   private def gridBoundsStored(): (Array[Double], Array[Double], Int, Int) =
     gridMetaCache.getOrElse {
-      val rows = spark.read.parquet(s"$gridPath/bounds").collect().sortBy(_.getInt(0))
-      val m = readMeta()
-      val meta = (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
-        m.getOrElse("grid_dims", "4").toInt, m.getOrElse("grid_cells_per_dim", "4").toInt)
+      val meta = gridBoundsAt(headGenOf(gridTree))
       gridMetaCache = Some(meta)
       meta
     }
+
+  /** Fitted grid geometry serving tree generation `gen` — uncached
+    * (pinned reads; the head path memoizes via gridMetaCache). A
+    * legacy plain sidecar predates the cells_per_dim column and falls
+    * back to the meta file. */
+  private def gridBoundsAt(gen: Long): (Array[Double], Array[Double], Int, Int) = {
+    val base = s"$gridPath/bounds"
+    val rows = spark.read.parquet(base + geomSuffixAt(base, gen))
+      .collect().sortBy(_.getInt(0))
+    val cpd =
+      if (rows.nonEmpty && rows.head.schema.fieldNames.contains("cells_per_dim"))
+        rows.head.getAs[Int]("cells_per_dim")
+      else readMeta().getOrElse("grid_cells_per_dim", "4").toInt
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)), rows.length, cpd)
+  }
 
   /** Per-cell occupancy of the grid index, cached per store generation. */
   private def gridCounts(): Seq[(String, Long)] = gridCountsCache.getOrElse {
@@ -1722,13 +2098,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * over the store, one cell-clustered write. Search under algorithm
     * "grid" then probes the cell directories instead of scanning the
     * store and re-deriving bounds per query. */
-  def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = withWriterLock {
+  def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = withTreeLocks(Seq("grid")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit a grid to")
     import spark.implicits._
     val (lo, hi) = VectorSearch.gridBounds(chunks, "embedding", gridDims)
-    lo.indices.map(d => (d, lo(d), hi(d))).toDF("d", "lo", "hi")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$gridPath/bounds")
-    installRebuild(gridTree) { tmp =>
+    installRebuild(gridTree) { (tmp, gen) =>
+      // cells_per_dim rides IN the versioned sidecar so an
+      // epoch-pinned read decodes under its own geometry without
+      // consulting the (unversioned, current-state) meta file
+      lo.indices.map(d => (d, lo(d), hi(d), cellsPerDim))
+        .toDF("d", "lo", "hi", "cells_per_dim")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$gridPath/bounds${geomSuffix(gen)}")
       gridRows(chunks, lo, hi, cellsPerDim)
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
@@ -1742,7 +2123,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted grid index (search falls back to the ad-hoc
     * expanding probe over the store). */
-  def dropGridIndex(): Unit = withWriterLock {
+  def dropGridIndex(): Unit = withTreeLocks(Seq("grid")) {
     hadoopFs(gridPath).delete(new org.apache.hadoop.fs.Path(gridPath), true)
     gridTree.invalidate()
     gridMetaCache = None
@@ -1783,20 +2164,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private val ivfTree = intTree(s"$ivfPath/assigned", "cluster")
 
   /** True when the on-disk IVF index has been built. */
-  def hasIvfIndex: Boolean = hadoopFs(ivfPath)
-    .exists(new org.apache.hadoop.fs.Path(s"$ivfPath/centroids"))
+  def hasIvfIndex: Boolean = hasGeom(s"$ivfPath/centroids")
 
   /** Build (or rebuild) the on-disk IVF index: one distributed k-means
     * fit + a cluster-partitioned write. `search` under algorithm "ivf"
     * then probes nProbe directories instead of scanning the store. */
-  def buildIvfIndex(nCentroids: Int = 16): Unit = withWriterLock {
+  def buildIvfIndex(nCentroids: Int = 16): Unit = withTreeLocks(Seq("ivf")) {
     // Metadata columns ride in the assigned rows so a filtered search
     // can apply its predicate inside the cluster-pruned scan.
     val (model, assigned) = IvfIndex.build(
       chunks.select(col("chunk_id"), col("embedding"),
         col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
-    installRebuild(ivfTree) { tmp =>
-      IvfIndex.writeIndex(assigned, model, ivfPath, assignedPath = Some(tmp))
+    installRebuild(ivfTree) { (tmp, gen) =>
+      IvfIndex.writeIndex(assigned, model, ivfPath, assignedPath = Some(tmp),
+        sidecarSuffix = geomSuffix(gen))
     }
     // Persist the centroid count: store rewrites and drift refits must
     // rebuild at the SAME granularity, not a hardcoded default.
@@ -1810,8 +2191,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** The stored IVF centroid table (tiny single-file parquet, read per
     * probe — the same cost the path-based probe paid). */
   private def ivfCentersStored(): Seq[(Int, Array[Double])] =
-    spark.read.parquet(s"$ivfPath/centroids").collect()
+    ivfCentersAt(headGenOf(ivfTree))
+
+  /** IVF centroids serving tree generation `gen` (pinned reads).
+    * Sorted by cluster id — assignExact's lowest-cluster tie-break
+    * must see a deterministic order regardless of parquet row order. */
+  private def ivfCentersAt(gen: Long): Seq[(Int, Array[Double])] = {
+    val base = s"$ivfPath/centroids"
+    spark.read.parquet(base + geomSuffixAt(base, gen)).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+  }
 
   /** Append a batch to the IVF index — unless the existing assigned
     * rows predate the metadata columns, in which case rebuild from the
@@ -1836,14 +2226,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the on-disk IVF index (search falls back to the lazy
     * in-memory build). */
-  def dropIvfIndex(): Unit = withWriterLock {
+  def dropIvfIndex(): Unit = withTreeLocks(Seq("ivf")) {
     hadoopFs(ivfPath).delete(new org.apache.hadoop.fs.Path(ivfPath), true)
     ivfTree.invalidate()
   }
 
   /** Current IVF drift ratio (1.0 = as healthy as at build). */
   def ivfDrift: Double =
-    IvfIndex.assignmentDrift(spark, ivfPath, assignedOpt = Some(ivfTree.open()))
+    IvfIndex.assignmentDrift(spark, ivfPath, assignedOpt = Some(ivfTree.open()),
+      sidecarSuffix = geomSuffixAt(s"$ivfPath/centroids", headGenOf(ivfTree)))
 
   /**
    * Re-fit the IVF centroids when appended data has drifted away from
@@ -1853,7 +2244,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * mean, one distributed re-fit restores probe selectivity). Returns
    * true when a re-fit ran.
    */
-  def refitIvfIfDrifted(threshold: Double = 1.5): Boolean = withWriterLock {
+  def refitIvfIfDrifted(threshold: Double = 1.5): Boolean = withTreeLocks(Seq("ivf")) {
     if (!hasIvfIndex) return false
     if (ivfDrift <= threshold) return false
     buildIvfIndex(ivfCentroids)
@@ -1877,13 +2268,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Stored codebooks, cached per store generation (tiny parquet). */
   private def pqBooksStored(): PqIndex.Codebooks = pqBooksCache.getOrElse {
-    val books = spark.read.parquet(s"$pqPath/books").collect()
+    val books = pqBooksAt(headGenOf(pqTree))
+    pqBooksCache = Some(books)
+    books
+  }
+
+  /** PQ codebooks serving tree generation `gen` (pinned reads). */
+  private def pqBooksAt(gen: Long): PqIndex.Codebooks = {
+    val base = s"$pqPath/books"
+    spark.read.parquet(base + geomSuffixAt(base, gen)).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, ws) =>
         (s, ws.sortBy(_._2).map(w => (w._2, w._3)).toSeq) }
-    pqBooksCache = Some(books)
-    books
   }
 
   /** Normalized-vector projection of a chunk batch for PQ encoding.
@@ -1902,15 +2299,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Build (or rebuild) the persisted PQ index: m tiny subspace
     * k-means fits + one encoded write. Search under algorithm "pq"
     * then scans 8-byte codes instead of float vectors for phase 1. */
-  def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = withWriterLock {
+  def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("pq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit codebooks to")
     val base = pqBase(chunks)
     val books = PqIndex.train(base, "__nvec", m, kk)
     import spark.implicits._
-    books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
-      .toDF("s", "j", "c")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$pqPath/books")
-    installRebuild(pqTree) { tmp =>
+    installRebuild(pqTree) { (tmp, gen) =>
+      books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
+        .toDF("s", "j", "c")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$pqPath/books${geomSuffix(gen)}")
       pqCodeRows(base, books)
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
@@ -1927,7 +2325,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted PQ index (search falls back to the lazy
     * in-memory fit). */
-  def dropPqIndex(): Unit = withWriterLock {
+  def dropPqIndex(): Unit = withTreeLocks(Seq("pq")) {
     hadoopFs(pqPath).delete(new org.apache.hadoop.fs.Path(pqPath), true)
     pqTree.invalidate()
     pqBooksCache = None
@@ -1951,11 +2349,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Stored centroids + codebooks, cached per store generation. */
   private def ivfpqSideStored(): (Seq[(Int, Array[Double])], PqIndex.Codebooks) =
     ivfpqSideCache.getOrElse {
-      val side = (IvfPq.readCenters(spark, ivfpqPath),
-        IvfPq.readBooks(spark, ivfpqPath))
+      val side = ivfpqSideAt(headGenOf(ivfpqTree))
       ivfpqSideCache = Some(side)
       side
     }
+
+  /** IVF-PQ geometry serving tree generation `gen` (pinned reads). */
+  private def ivfpqSideAt(gen: Long): (Seq[(Int, Array[Double])], PqIndex.Codebooks) =
+    (IvfPq.readCenters(spark, ivfpqPath,
+       geomSuffixAt(s"$ivfpqPath/centroids", gen)),
+     IvfPq.readBooks(spark, ivfpqPath,
+       geomSuffixAt(s"$ivfpqPath/books", gen)))
 
   /** Encoded rows clustered per coarse-cluster directory. */
   private def ivfpqRowsClustered(encoded: DataFrame): DataFrame =
@@ -1965,27 +2369,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * k-means + m residual-subspace fits + one partitioned write.
     * Search under algorithm "ivfpq" then opens nProbe cluster
     * directories and reads codes-only in phase 1. */
-  def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = withWriterLock {
+  def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("ivfpq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit IVF-PQ to")
     val idx = IvfPq.train(pqBase(chunks), "__nvec", nCentroids, m, kk)
     import spark.implicits._
-    idx.centers.map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/centroids")
-    idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
-      .toDF("s", "j", "codeword")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ivfpqPath/books")
-    installRebuild(ivfpqTree) { tmp =>
+    installRebuild(ivfpqTree) { (tmp, gen) =>
+      idx.centers.map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$ivfpqPath/centroids${geomSuffix(gen)}")
+      idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
+        .toDF("s", "j", "codeword")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$ivfpqPath/books${geomSuffix(gen)}")
+      // Build-time coarse-assignment quality: the drift baseline
+      // (appends assign to the FROZEN geometry; this number rising is
+      // the refit signal). Computed from the in-hand encoded frame —
+      // pre-commit, so the whole sidecar set lands atomically with
+      // the row-tree flip.
+      ivfpqMeanSqDistOf(idx.encoded, idx.centers)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$ivfpqPath/stats${geomSuffix(gen)}")
       ivfpqRowsClustered(idx.encoded.drop("__nvec"))
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
         .partitionBy("cluster").parquet(tmp)
     }
     ivfpqSideCache = None
-    // Build-time coarse-assignment quality: the drift baseline
-    // (appends assign to the FROZEN geometry; this number rising is
-    // the refit signal).
-    ivfpqMeanSqDist().coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$ivfpqPath/stats")
     touchMeta("ivfpq_ncentroids" -> nCentroids.toString,
       "ivfpq_m" -> m.toString, "ivfpq_k" -> kk.toString)
   }
@@ -2002,7 +2411,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Drop the persisted IVF-PQ index (search falls back to the lazy
     * in-memory fit). */
-  def dropIvfPqIndex(): Unit = withWriterLock {
+  def dropIvfPqIndex(): Unit = withTreeLocks(Seq("ivfpq")) {
     hadoopFs(ivfpqPath).delete(new org.apache.hadoop.fs.Path(ivfpqPath), true)
     ivfpqTree.invalidate()
     ivfpqSideCache = None
@@ -2013,11 +2422,18 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * the composed index (the PQ codes quantize residuals; when rows
     * drift from the cells, residuals grow and ADC fidelity decays, so
     * coarse drift is the refit signal for BOTH quantizers). */
-  private def ivfpqMeanSqDist(): DataFrame = {
+  private def ivfpqMeanSqDist(): DataFrame =
+    ivfpqMeanSqDistOf(ivfpqTree.open(), ivfpqSideStored()._1)
+
+  /** [[ivfpqMeanSqDist]] over an explicit (encoded, centers) pair —
+    * the build path computes the baseline from its in-hand frames
+    * before the tree commits. */
+  private def ivfpqMeanSqDistOf(encoded: DataFrame,
+                                centers: Seq[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
-    val cents = ivfpqSideStored()._1
+    val cents = centers
       .map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
-    ivfpqTree.open()
+    encoded
       .join(broadcast(cents), "cluster")
       .select(aggregate(
         zip_with(l2Normalize(col("embedding")).cast("array<double>"), col("centroid"),
@@ -2031,7 +2447,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * rising = appended data no longer matches the frozen geometry. */
   def ivfpqDrift: Double = {
     require(hasIvfPqIndex, s"library $name has no IVF-PQ index (buildIvfPqIndex first)")
-    val base = spark.read.parquet(s"$ivfpqPath/stats")
+    val statsBase = s"$ivfpqPath/stats"
+    val base = spark.read
+      .parquet(statsBase + geomSuffixAt(statsBase, headGenOf(ivfpqTree)))
       .head.getAs[Double]("mean_sq_dist")
     val cur = ivfpqMeanSqDist().head.getAs[Double]("mean_sq_dist")
     if (base > 0.0) cur / base else 1.0
@@ -2040,7 +2458,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   /** Re-fit the full IVF-PQ geometry (coarse centroids AND residual
     * codebooks) when drift exceeds `threshold` — the composed analog
     * of refitIvfIfDrifted. Returns true when a re-fit ran. */
-  def refitIvfPqIfDrifted(threshold: Double = 1.5): Boolean = withWriterLock {
+  def refitIvfPqIfDrifted(threshold: Double = 1.5): Boolean = withTreeLocks(Seq("ivfpq")) {
     if (!hasIvfPqIndex) return false
     if (ivfpqDrift <= threshold) return false
     val m = readMeta()
@@ -2354,7 +2772,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * lsh_buckets) row intact — compaction moves rows between files
     * but changes none of them. */
   private def swapStore(newData: DataFrame, reindex: Boolean = true): Unit = {
-    installRebuild(storeTree) { tmp =>
+    installRebuild(storeTree) { (tmp, _) =>
       newData.sortWithinPartitions(col("source"), col("doc_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmp)
     }
@@ -2391,9 +2809,19 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    * re-derived for every row; the store swaps atomically.
    */
   def rebuildIndex(): Unit = withWriterLock {
-    swapStore(chunks
-      .withColumn("embedding", coalesce(col("embedding"),
-        embed.embed(col("chunk_text"), "search_document")))
+    // The unindexed subset re-embeds through the BULK seam
+    // (embedFrame: per-partition batched service calls — the
+    // reference's batch_process_unindexed_chunks batches exactly this,
+    // background_tasks.py:260-281). Routing it through the per-row
+    // embed() expression would cost one service round-trip + retry
+    // loop PER CHUNK under a ServiceEmbedder.
+    val base = chunks
+    val order = base.columns.map(col).toSeq
+    val reembedded = embed.embedFrame(
+      base.filter(col("embedding").isNull).drop("embedding"),
+      "chunk_text", "search_document", "embedding").select(order: _*)
+    swapStore(base.filter(col("embedding").isNotNull)
+      .unionByName(reembedded)
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("bits", bitPack(col("embedding"))))

@@ -101,9 +101,19 @@ object Verify {
     val compareProc: Option[(Process, Thread)] = compareScript.flatMap { script =>
       try {
       val logFile = new java.io.File(s"$outDir/compare_log.txt")
+      // The driver-schema artifact (per-query rows_match/schema_match/
+      // hash_match/spark_rows/oracle_rows/err — the exact keys of
+      // CORRECTNESS_r01..r04) lands at the REPO ROOT when this main
+      // runs from the repo (same condition as the VERIFY_LOCAL.json
+      // refresh below), so a round whose driver-side compare dies is
+      // adjudicated by reading this file with zero translation.
+      val driverJson =
+        if (new java.io.File("tools/compare.py").isFile) "CORRECTNESS_LOCAL.json"
+        else s"$outDir/correctness_local.json"
       val pb = new ProcessBuilder(
         "python3", script, sfDir, outDir, "--wait", "--jobs", "12",
-        "--json", cmpJson, "--marker", markerJson)
+        "--json", cmpJson, "--marker", markerJson,
+        "--driver-json", driverJson)
       pb.redirectErrorStream(true)
       val proc = pb.start()
       // pump the child's stdout: everything → compare_log.txt, and the

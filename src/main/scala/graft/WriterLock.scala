@@ -54,6 +54,9 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private val beatMisses = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var lost = false
 
+  /** True while THIS instance holds the lease (any frame depth). */
+  def held: Boolean = synchronized { depth > 0 }
+
   /** True when the holder's lease can no longer be trusted: the
     * heartbeat found foreign/missing lock content (a breaker displaced
     * us) or failed `LostAfterMisses` consecutive beats. The in-flight

@@ -114,7 +114,8 @@ object IvfIndex {
    */
   def writeIndex(assigned: DataFrame, model: KMeansModel, path: String,
                  vecCol: String = "embedding",
-                 assignedPath: Option[String] = None): Unit = {
+                 assignedPath: Option[String] = None,
+                 sidecarSuffix: String = ""): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     // Sorting each cell by id + bounding file sizes keeps one
@@ -133,13 +134,19 @@ object IvfIndex {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cluster", "centroid")
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // `sidecarSuffix` generation-numbers the geometry (centroids +
+    // stats baseline) so a caller installing the row tree through a
+    // manifest can pin epoch readers to the geometry their codes were
+    // written under (VectorLibrary's `.g<gen>` scheme); "" keeps the
+    // plain standalone-operator layout.
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids$sidecarSuffix")
     // Build-time assignment quality: the drift baseline. Appends
     // assign to FROZEN centroids, so the current mean distance rising
     // against this number is the re-fit signal (the reference's
     // background reindex trigger, lake-style).
     meanSqDist(spark.read.parquet(rowsDir), centroids, vecCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats$sidecarSuffix")
   }
 
   /** (n, mean_sq_dist) of rows against their assigned centroid. */
@@ -179,11 +186,13 @@ object IvfIndex {
    */
   def assignmentDrift(spark: org.apache.spark.sql.SparkSession, path: String,
                       vecCol: String = "embedding",
-                      assignedOpt: Option[DataFrame] = None): Double = {
-    val base = spark.read.parquet(s"$path/stats").head.getAs[Double]("mean_sq_dist")
+                      assignedOpt: Option[DataFrame] = None,
+                      sidecarSuffix: String = ""): Double = {
+    val base = spark.read.parquet(s"$path/stats$sidecarSuffix")
+      .head.getAs[Double]("mean_sq_dist")
     val cur = meanSqDist(
       assignedOpt.getOrElse(spark.read.parquet(s"$path/assigned")),
-      spark.read.parquet(s"$path/centroids"), vecCol)
+      spark.read.parquet(s"$path/centroids$sidecarSuffix"), vecCol)
       .head.getAs[Double]("mean_sq_dist")
     if (base > 0.0) cur / base else 1.0
   }

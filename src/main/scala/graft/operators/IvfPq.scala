@@ -327,12 +327,14 @@ object IvfPq {
       query, idCol, vecCol, k, nProbe, metric, rerankFactor, normalized)
 
   /** The tiny side tables of a written index. */
-  def readCenters(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
-    spark.read.parquet(s"$path/centroids").collect()
+  def readCenters(spark: SparkSession, path: String,
+                  sidecarSuffix: String = ""): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids$sidecarSuffix").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
-  def readBooks(spark: SparkSession, path: String): PqIndex.Codebooks =
-    spark.read.parquet(s"$path/books").collect()
+  def readBooks(spark: SparkSession, path: String,
+                sidecarSuffix: String = ""): PqIndex.Codebooks =
+    spark.read.parquet(s"$path/books$sidecarSuffix").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, ws) => (s, ws.sortBy(_._2).map(w => (w._2, w._3)).toSeq) }

@@ -307,9 +307,16 @@ final class ManifestedTree(
   private def pruneOldGenerations(files: Seq[(Long, Boolean, Path)]): Unit = {
     val fulls = files.collect { case (g, true, _) => g }.sorted
     if (fulls.isEmpty) return
+    // defensive parse: a malformed conf value must degrade to the
+    // default (loudly), not turn every subsequent commit on every tree
+    // into a NumberFormatException write outage
     val keepFulls = math.max(2,
-      spark.conf.get("spark.graft.manifestKeepFulls",
-        ManifestedTree.KeepFulls.toString).toInt)
+      scala.util.Try(spark.conf.get("spark.graft.manifestKeepFulls",
+        ManifestedTree.KeepFulls.toString).toInt).getOrElse {
+        System.err.println("[manifest] spark.graft.manifestKeepFulls is " +
+          "not an int — using default " + ManifestedTree.KeepFulls)
+        ManifestedTree.KeepFulls
+      })
     val keepFrom = fulls.takeRight(keepFulls).head
     files.foreach { case (g, _, p) => if (g < keepFrom) fs.delete(p, false) }
   }
@@ -597,6 +604,20 @@ final class ManifestedTree(
         ) <= cutoff
       }
       dead.foreach(rel => fs.delete(new Path(s"$root/$rel"), false))
+      if (retainNone) {
+        // History is now physically gone — make it STRUCTURALLY gone
+        // too: prune every manifest generation older than the chain
+        // that resolves the current head (the newest full + its
+        // deltas). Leaving them would keep generations()/openAt
+        // advertising snapshots whose data files were just deleted,
+        // failing later with a raw FileNotFoundException mid-scan
+        // instead of the clean "no generation <= g is retained".
+        val disk = ManifestedTree.globManifests(fs, root)
+        val headFull = disk.collect { case (g, true, _) => g }
+          .maxOption.getOrElse(-1L)
+        disk.foreach { case (g, _, p) => if (g < headFull) fs.delete(p, false) }
+        invalidate()
+      }
       dead.size
   }
 

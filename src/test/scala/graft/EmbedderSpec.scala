@@ -121,4 +121,57 @@ class EmbedderSpec extends AnyFunSuite {
 
     libA.delete(); libB.delete()
   }
+
+  test("rebuildIndex batches the unindexed re-embed through the bulk seam (ceil(n/batch) calls, not n)") {
+    // chunks arrive PENDING — the reference's unindexed-chunk state
+    // (created while the embedding service is down); the background
+    // batch re-index (rebuildIndex here = background_tasks.py:260)
+    // must embed them through the BATCHED seam, not one service
+    // round-trip per chunk.
+    EmbedderSpecState.reset()
+    EmbedderSpecState.failOnce.set(false)
+    val call: ServiceEmbedder.BatchCall = (texts, inputType) => {
+      if (inputType == "search_document")
+        EmbedderSpecState.batches.add(texts.size)
+      texts.map { t =>
+        val rnd = new scala.util.Random(t.hashCode.toLong)
+        val v = Array.fill(64)(rnd.nextFloat() - 0.5f)
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / n)
+      }
+    }
+    val svc = new ServiceEmbedder(64, call, batchSize = 5,
+      backoffMinMs = 1L, backoffMaxMs = 2L)
+    val root = Files.createTempDirectory("graft-emb-c").toString
+    val lib = new VectorLibrary(spark, root, "emb-c", embedder = svc)
+    import spark.implicits._
+    val n = 23
+    // one input partition -> one pending store file -> one scan
+    // partition, so the per-partition batch grouping is exactly
+    // ceil(n/batchSize) (embedFrame batches WITHIN partitions — the
+    // coordinator-free shape; a fragmented layout legitimately pays
+    // one partial batch per fragment)
+    val chunked = (0 until n).map(i =>
+      (i.toLong, 0, s"pending chunk text number $i about spark joins", "s0"))
+      .toDF("doc_id", "chunk_idx", "chunk_text", "source").coalesce(1)
+    lib.addChunkedDocuments(chunked, deferEmbedding = true)
+    assert(lib.unindexed.count() == n,
+      "deferred ingest did not store pending chunks")
+    assert(EmbedderSpecState.batches.isEmpty,
+      "deferred ingest called the embedding service")
+
+    lib.rebuildIndex()
+    assert(lib.unindexed.count() == 0, "rebuildIndex left pending chunks")
+    import scala.jdk.CollectionConverters._
+    val sizes = EmbedderSpecState.batches.asScala.map(_.toInt).toSeq
+    assert(sizes.sum == n, s"re-embedded ${sizes.sum} of $n pending chunks")
+    // ceil(23/5) = 5 calls: the pending subset is one store file ->
+    // one scan partition, so per-partition grouping fills batches. A
+    // per-row embed() routing would show 23 single-text calls here.
+    assert(sizes.size == math.ceil(n.toDouble / 5).toInt,
+      s"unindexed re-embed did not batch: $sizes")
+    // the re-embedded rows serve search like any others
+    assert(lib.search("spark joins", k = 5).count() == 5)
+    lib.delete()
+  }
 }

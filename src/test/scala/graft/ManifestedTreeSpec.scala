@@ -284,4 +284,35 @@ class ManifestedTreeSpec extends AnyFunSuite {
       "current generation damaged by retainNone vacuum")
     fs.delete(new Path(root), true)
   }
+
+  test("retainNone truncation is structural: pruned history reads as a clean error, not a dangling generation") {
+    val (tree, root) = freshTree()
+    tree.appendCommitted(rows(0 until 20), 1000000L)
+    val gen0 = tree.generations().last._1
+    // a rebuild-shaped REPLACE: gen0's files become history-retained
+    val fresh = rows(100 until 130)
+    fresh.write.partitionBy("bucket").parquet(s"$root/.fresh_tmp")
+    val freshFiles = ManifestedTree.listTree(spark, s"$root/.fresh_tmp", None)
+    freshFiles.foreach { case (rel, _) =>
+      val dst = new Path(s"$root/$rel")
+      fs.mkdirs(dst.getParent)
+      fs.rename(new Path(s"$root/.fresh_tmp/$rel"), dst) }
+    tree.commitReplaceAll(freshFiles)
+    assert(tree.openAt(gen0).count() == 20, "retained snapshot unreadable")
+
+    tree.vacuum(retainNone = true)
+    tree.invalidate()
+    // the old generation's data files are gone — its MANIFESTS must be
+    // gone too, so a historical read fails with the clean
+    // "no generation <= g is retained" instead of a raw
+    // FileNotFoundException mid-scan, and generations() stops
+    // advertising it
+    assert(tree.generations().map(_._1) == Seq(tree.generations().last._1),
+      s"retainNone left dangling generations: ${tree.generations()}")
+    val e = intercept[IllegalArgumentException](tree.openAt(gen0))
+    assert(e.getMessage.contains("retained"),
+      s"historical read after truncation did not fail cleanly: ${e.getMessage}")
+    assert(tree.open().count() == 30, "current generation damaged")
+    fs.delete(new Path(root), true)
+  }
 }

@@ -20,6 +20,19 @@ class VectorLibrarySpec extends AnyFunSuite {
       StructType(parts.map { case (n, t) => StructField(n, t) })).open()
   }
 
+  /** Read a geometry sidecar the way the library does: the NEWEST
+    * generation-numbered `<base>.g<gen>` directory, falling back to
+    * the plain pre-versioning path (rebuilds write geometry
+    * generation-numbered since r11, so a raw plain-path read no
+    * longer exists after a build). */
+  private def geomRead(base: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(p.getParent).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(p.getName + ".g")).sorted.lastOption
+    spark.read.parquet(newest.fold(base)(n => s"${p.getParent}/$n"))
+  }
+
   test("library lifecycle: ingest, search, stats, delete") {
     val root = Files.createTempDirectory("graft-lib").toString
     val lib = new VectorLibrary(spark, root, "test-lib")
@@ -565,7 +578,7 @@ class VectorLibrarySpec extends AnyFunSuite {
     // bounds over the filtered subset, derived from the STORE (catches
     // a stale or mixed-schema index)
     val (lo, hi, gd, cpd) = {
-      val m = spark.read.parquet(s"$root/gridf-lib/grid_index/bounds")
+      val m = geomRead(s"$root/gridf-lib/grid_index/bounds")
         .collect().sortBy(_.getInt(0))
       (m.map(_.getDouble(1)), m.map(_.getDouble(2)), m.length, 4)
     }
@@ -1820,10 +1833,10 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(batch == singles)
 
     // append encodes under the FROZEN codebooks
-    val booksBefore = spark.read.parquet(s"$root/pq-lib/pq_index/books").collect()
+    val booksBefore = geomRead(s"$root/pq-lib/pq_index/books").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
     lib.addDocuments(docs.filter(col("doc_id") >= 60))
-    val booksAfter = spark.read.parquet(s"$root/pq-lib/pq_index/books").collect()
+    val booksAfter = geomRead(s"$root/pq-lib/pq_index/books").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
     assert(booksAfter == booksBefore, "append refit the codebooks")
     val codes = spark.read.parquet(s"$root/pq-lib/pq_index/codes")
@@ -1885,15 +1898,15 @@ class VectorLibrarySpec extends AnyFunSuite {
 
     // append assigns + encodes under the FROZEN centroids and books
     val sideBefore =
-      (spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
+      (geomRead(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
-       spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/books").collect()
+       geomRead(s"$root/ivfpq-lib/ivfpq_index/books").collect()
          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet)
     lib.addDocuments(docs.filter(col("doc_id") >= 60))
     val sideAfter =
-      (spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
+      (geomRead(s"$root/ivfpq-lib/ivfpq_index/centroids").collect()
          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet,
-       spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/books").collect()
+       geomRead(s"$root/ivfpq-lib/ivfpq_index/books").collect()
          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet)
     assert(sideAfter == sideBefore, "append refit the frozen geometry")
     val enc = spark.read.parquet(s"$root/ivfpq-lib/ivfpq_index/encoded")
@@ -2164,6 +2177,101 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(lib.chunks.count() == after,
       "replayed micro-batch committed duplicate rows")
     assert(lib.chunks.select("chunk_id").distinct().count() == after)
+    lib.delete()
+  }
+
+  test("geometry epochs: pinned encoded-tree search is identical across a rebuild that replaces geometry") {
+    val root = Files.createTempDirectory("graft-lib-geom").toString
+    val lib = new VectorLibrary(spark, root, "geom-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 25))
+    lib.buildIvfPqIndex(nCentroids = 4, m = 4, kk = 8)
+    lib.buildPqIndex(m = 4, kk = 8)
+    lib.buildGridIndex(gridDims = 3, cellsPerDim = 3)
+    lib.buildIvfIndex(nCentroids = 4)
+    val e = lib.epochs.last
+    val q = "spark join stream table filter"
+    def pinned(alg: String): Seq[String] =
+      lib.searchAt(e, q, k = 10, algorithm = Some(alg))
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val before = Seq("ivfpq", "pq", "grid", "ivf").map(a => a -> pinned(a)).toMap
+    assert(before.values.forall(_.nonEmpty))
+
+    // ingest new rows, then rebuild EVERY index with different
+    // parameters — new centroids, codebooks, and bounds. Before r11
+    // these sidecars overwrote in place, so the pinned code frames of
+    // epoch `e` decoded under the NEW geometry: silently wrong reads.
+    lib.addDocuments(docs.filter(col("doc_id") >= 25)
+      .withColumn("doc_id", col("doc_id") + 9000))
+    lib.buildIvfPqIndex(nCentroids = 8, m = 8, kk = 16)
+    lib.buildPqIndex(m = 8, kk = 16)
+    lib.buildGridIndex(gridDims = 4, cellsPerDim = 4)
+    lib.buildIvfIndex(nCentroids = 8)
+
+    Seq("ivfpq", "pq", "grid", "ivf").foreach { alg =>
+      assert(pinned(alg) == before(alg),
+        s"epoch-pinned $alg search changed across a geometry rebuild")
+    }
+    // the head, meanwhile, serves the NEW corpus under the new geometry
+    val headIds = lib.search(q, k = 100).collect().map(_.getString(0)).toSet
+    assert(headIds.exists(_.nonEmpty))
+    lib.delete()
+  }
+
+  test("geometry vacuum: sidecar generations prune to the retained resolvers; crash orphans sweep") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-geomvac").toString
+    val lib = new VectorLibrary(spark, root, "geomvac-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    lib.addDocuments(docs)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecars(prefix: String): Seq[String] = {
+      val dir = new Path(s"$root/geomvac-lib/ivfpq_index")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).sorted
+    }
+    lib.buildIvfPqIndex(nCentroids = 4, m = 4, kk = 8)
+    lib.buildIvfPqIndex(nCentroids = 8, m = 4, kk = 8)
+    assert(sidecars("centroids.g").size == 2,
+      "each rebuild must record its own geometry generation")
+    // a crash orphan: geometry numbered above the head (prediction
+    // whose commit never happened) — plus a stranded rebuild tmp tree
+    fs.mkdirs(new Path(s"$root/geomvac-lib/ivfpq_index/centroids.g000009999"))
+    fs.mkdirs(new Path(s"$root/geomvac-lib/ivfpq_index/.encoded.rebuild_tmp/x"))
+    // default-window vacuum: both rebuild generations are retained, so
+    // BOTH geometry generations survive (each is a retained resolver);
+    // the orphan and the tmp tree go
+    lib.vacuumIndexes()
+    assert(sidecars("centroids.g").size == 2,
+      "vacuum removed a geometry generation a retained snapshot resolves to")
+    assert(!fs.exists(new Path(s"$root/geomvac-lib/ivfpq_index/centroids.g000009999")),
+      "crash-orphan geometry survived vacuum")
+    assert(!fs.exists(new Path(s"$root/geomvac-lib/ivfpq_index/.encoded.rebuild_tmp")),
+      "stranded rebuild tmp tree survived vacuum")
+
+    // truncate-history: only the head generation survives -> only ONE
+    // geometry generation remains, and epochs that no longer resolve
+    // are dropped instead of dangling into raw read failures. Epoch 1
+    // (store-only, store gen 1 still the head) stays resolvable and
+    // must SURVIVE; epoch 2 (ivfpq gen 1, whose manifest just pruned)
+    // must go.
+    val epochsBefore = lib.epochs
+    val eIvfPq1 = epochsBefore.find(e =>
+      lib.epochInfo(e).get("ivfpq").contains(1L)).get
+    lib.vacuumIndexes(retainNone = true)
+    assert(sidecars("centroids.g").size == 1,
+      "retainNone vacuum kept geometry with no retained resolver")
+    assert(!lib.epochs.contains(eIvfPq1),
+      "retainNone vacuum left an unresolvable epoch dangling")
+    assert(lib.epochs.nonEmpty && lib.epochs.size < epochsBefore.size)
+    // every SURVIVING epoch still resolves end-to-end
+    lib.epochs.foreach(e => lib.consistentAt(e).foreach(_._2.count()))
+    // the surviving epoch still serves a pinned read end-to-end
+    lib.epochs.lastOption.foreach { e =>
+      assert(lib.searchAt(e, "spark join stream", k = 5,
+        algorithm = Some("ivfpq")).collect().nonEmpty)
+    }
     lib.delete()
   }
 }

@@ -148,6 +148,62 @@ class WriterLockSpec extends AnyFunSuite {
     fs.delete(new Path(root), true)
   }
 
+  test("per-tree leases: disjoint maintenance commits concurrently, conflicting footprints and all-tree writers fail loudly") {
+    val root = Files.createTempDirectory("graft-wlock4").toString
+    val lib1 = new VectorLibrary(spark, root, "trees-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    lib1.addDocuments(docs)
+    lib1.buildPqIndex(m = 4, kk = 8)
+    val lib2 = new VectorLibrary(spark, root, "trees-lib")
+
+    // instance 1 holds ONLY the pq tree lease mid-"maintenance"
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      val m = lib1.getClass.getDeclaredMethods
+        .find(_.getName == "withTreeLocks").get
+      m.setAccessible(true)
+      m.invoke(lib1, Seq("pq"), () => { gate.countDown(); done.await(); null })
+    })
+    holder.start()
+    gate.await()
+
+    // DISJOINT footprint: grid maintenance from the second instance
+    // commits concurrently — this was impossible under the r10
+    // library-wide lease
+    lib2.buildGridIndex(gridDims = 3, cellsPerDim = 3)
+    assert(lib2.hasGridIndex)
+    val eGrid = lib2.epochs.last
+    // the concurrent writer's epoch is complete and resolvable
+    lib2.consistentAt(eGrid).foreach(_._2.count())
+    assert(lib2.epochInfo(eGrid).contains("grid"))
+
+    // CONFLICTING footprint: pq-on-pq fails loudly at acquire
+    intercept[WriterLock.ConcurrentWriterException] {
+      lib2.buildPqIndex(m = 4, kk = 8)
+    }
+    // ALL-TREE transaction: needs every lease, including the held pq
+    intercept[WriterLock.ConcurrentWriterException] {
+      lib2.addDocuments(docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 5000))
+    }
+
+    done.countDown(); holder.join(10000)
+    // after release: both conflicting mutations proceed, and every
+    // epoch of the interleaved history resolves end-to-end
+    lib2.buildPqIndex(m = 4, kk = 8)
+    lib2.addDocuments(docs.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") + 5000))
+    lib2.epochs.foreach(e => lib2.consistentAt(e).foreach(_._2.count()))
+    // the store and its maintained indexes agree at the final epoch
+    val v = lib2.consistentAt(lib2.epochs.last)
+    assert(v("pq").select("chunk_id").distinct().count()
+      == v("store").select("chunk_id").count(),
+      "pq index out of step with the store at the final epoch")
+    lib1.delete()
+    fs.delete(new Path(root), true)
+  }
+
   private def eventually(cond: => Boolean, msg: String, ms: Long = 5000): Unit = {
     val deadline = System.currentTimeMillis() + ms
     while (!cond) {

@@ -118,7 +118,8 @@ def _compare_oracle(args):
         oc, orc = canon(orows, ocols)
         sc, src = canon(srows, scols)
         verdict = {"rows": len(orc) == len(src), "schema": oc == sc,
-                   "hash": oc == sc and orc == src, "mode": "oracle"}
+                   "hash": oc == sc and orc == src, "mode": "oracle",
+                   "spark_rows": len(src), "oracle_rows": len(orc)}
         if oc != sc:
             return name, verdict, f"schema mismatch spark={sc} oracle={oc}"
         if len(orc) != len(src):
@@ -199,6 +200,7 @@ def main():
 
     json_out = take_opt("--json")
     marker_out = take_opt("--marker")
+    driver_json_out = take_opt("--driver-json")
     jobs = int(take_opt("--jobs") or "12")
     wait = bool(take_opt("--wait", needs_value=False))
     sf_dir, out_dir = argv[0], argv[1]
@@ -212,6 +214,10 @@ def main():
     progress = {"done": 0, "fails": 0}
 
     def record(name, verdict, fail_msg):
+        if fail_msg is not None:
+            # carried into the per-query verdict so the driver-schema
+            # artifact (--driver-json) has an `err` without re-deriving
+            verdict = dict(verdict, fail=fail_msg)
         verdicts[name] = verdict
         if fail_msg is not None:
             fails.append((name, fail_msg))
@@ -331,6 +337,32 @@ def main():
         with open(json_out, "w") as f:
             json.dump(summary, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
+    if driver_json_out:
+        # The driver's OWN per-query artifact schema, verbatim — the six
+        # keys of CORRECTNESS_r01..r04 — so a round whose driver-side
+        # compare dies can be adjudicated by diffing this file with zero
+        # translation (CORRECTNESS_r05..r10 all came back `{}`).
+        driver = {}
+        for name, v in verdicts.items():
+            if v.get("mode") == "rows-only":
+                driver[name] = {
+                    "rows_match": bool(v.get("rows")),
+                    "schema_match": False, "hash_match": False,
+                    "spark_rows": v.get("nrows"), "oracle_rows": None,
+                    "err": v.get("fail") or "rows-only: no oracle entry"}
+            else:
+                driver[name] = {
+                    "rows_match": bool(v.get("rows")),
+                    "schema_match": bool(v.get("schema")),
+                    "hash_match": bool(v.get("hash")),
+                    "spark_rows": v.get("spark_rows"),
+                    "oracle_rows": v.get("oracle_rows"),
+                    "err": v.get("error") or v.get("fail")}
+        tmp = driver_json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(driver, f, indent=1, sort_keys=True)
+        os.replace(tmp, driver_json_out)
+        print(f"wrote {driver_json_out}")
     if marker_out:
         marker = {"passes": passes, "fails": len(fails),
                   "rows_only": rows_only,
