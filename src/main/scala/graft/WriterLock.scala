@@ -54,8 +54,16 @@ final class WriterLock(fs: FileSystem, libRoot: String, leaseMs: Long) {
   private val beatMisses = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var lost = false
 
-  /** True while THIS instance holds the lease (any frame depth). */
-  def held: Boolean = synchronized { depth > 0 }
+  /** True while the CURRENT THREAD is inside a [[withLock]] frame of
+    * this instance. Deliberately NOT `synchronized{depth > 0}`:
+    * withLock holds this monitor for the whole mutation, so a blocking
+    * probe from another thread would wait out the entire mutation —
+    * and deadlock outright when that prober already holds a tree lease
+    * the mutation is acquiring. Thread.holdsLock never blocks, and
+    * when it is true we own the monitor, making the depth read safe;
+    * when false the answer is false regardless of depth (callers ask
+    * "am I inside the all-tree frame", a per-thread question). */
+  def held: Boolean = Thread.holdsLock(this) && depth > 0
 
   /** True when the holder's lease can no longer be trusted: the
     * heartbeat found foreign/missing lock content (a breaker displaced
