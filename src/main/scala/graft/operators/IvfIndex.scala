@@ -144,8 +144,13 @@ object IvfIndex {
     // Build-time assignment quality: the drift baseline. Appends
     // assign to FROZEN centroids, so the current mean distance rising
     // against this number is the re-fit signal (the reference's
-    // background reindex trigger, lake-style).
-    meanSqDist(spark.read.parquet(rowsDir), centroids, vecCol)
+    // background reindex trigger, lake-style). Computed from the
+    // in-hand frame, NOT a re-read of rowsDir: when the caller
+    // redirects rows to a DOT-PREFIXED tmp sibling, Spark's
+    // DataSource silently ignores the hidden root ("All paths were
+    // ignored") and the baseline would aggregate zero rows — a null
+    // mean that pins the drift ratio at 1.0 forever.
+    meanSqDist(assigned, centroids, vecCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats$sidecarSuffix")
   }
 

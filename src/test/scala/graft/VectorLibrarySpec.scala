@@ -1774,6 +1774,15 @@ class VectorLibrarySpec extends AnyFunSuite {
     // fresh index is healthy; the drift-gated refit declines to run
     assert(lib.ivfDrift > 0.95 && lib.ivfDrift < 1.05)
     assert(!lib.refitIvfIfDrifted())
+    // the drift BASELINE itself must be real — a degenerate (zero-row,
+    // null-mean) stats sidecar also yields drift == 1.0 and would mute
+    // the refit trigger forever (regression: writeIndex once re-read
+    // its rows from the dot-prefixed rebuild tmp, which Spark's
+    // DataSource silently ignores as a hidden path)
+    val baseStats = geomRead(s"$root/ivf-lib/ivf_index/stats").head
+    assert(baseStats.getLong(0) > 0 && !baseStats.isNullAt(1)
+        && baseStats.getDouble(1) > 0.0,
+      s"IVF drift baseline is degenerate: $baseStats")
 
     // the probe must scan only the probed cluster directories
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
