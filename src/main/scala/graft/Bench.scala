@@ -13,9 +13,10 @@ object Bench {
     * rounds of binary bisection to adjudicate as machine load — one
     * field read would have answered it. */
   private def loadAvg1m(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .trim.split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg1m()

@@ -104,13 +104,38 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // without the full lease set.
   private val frameLock = new Object
   private var mutationDepth = 0
+  // true once any frame of the current overlap completed successfully;
+  // consumed (and reset) by the frame that brings the depth back to 0
+  private var epochPending = false
   private def enterFrame[T](body: => T): T = {
     frameLock.synchronized { mutationDepth += 1 }
-    try {
-      val r = body
-      frameLock.synchronized { if (mutationDepth == 1) recordEpoch() }
-      r
-    } finally frameLock.synchronized { mutationDepth -= 1 }
+    var ok = false
+    try { val r = body; ok = true; r }
+    finally frameLock.synchronized {
+      // Record on the 1 -> 0 TRANSITION, inside the same synchronized
+      // block as the decrement: a successful-body check at depth N
+      // followed by a separate decrement let two concurrent disjoint
+      // frames BOTH observe depth 2 and both skip — neither commit got
+      // an epoch. The last frame out records iff any frame of the
+      // overlap succeeded; an all-failed nest records nothing (crash
+      // semantics: the previous epoch stays latest — failed all-tree
+      // mutations are always alone in their nest since they hold every
+      // lease).
+      mutationDepth -= 1
+      if (ok) epochPending = true
+      if (mutationDepth == 0 && epochPending) {
+        epochPending = false
+        if (ok) recordEpoch()
+        else
+          // recording a SIBLING's success from a failed frame's exit:
+          // an epoch-record failure here must not mask the body's
+          // exception already propagating
+          try recordEpoch()
+          catch { case t: Throwable =>
+            System.err.println(s"[graft] epoch record after a failed " +
+              s"sibling frame threw: ${t.getMessage}") }
+      }
+    }
   }
 
   /** The all-tree mutation frame: library lease + every tree lease. */
@@ -289,20 +314,20 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     ivfpqTree.invalidate()
   }
   private def ivfIndex: (KMeansModel, DataFrame) = ivfState.getOrElse {
-    val (model, assigned) = IvfIndex.build(chunks, "embedding")
+    val (model, assigned) = IvfIndex.build(searchable, "embedding")
     val cached = assigned.persist()
     ivfState = Some((model, cached))
     (model, cached)
   }
   private def pqInMemory: (PqIndex.Codebooks, DataFrame) = pqState.getOrElse {
-    val base = pqBase(chunks)
+    val base = pqBase(searchable)
     val books = PqIndex.train(base, "__nvec")
     val enc = PqIndex.encodeExact(base, "__nvec", books).drop("__nvec").persist()
     pqState = Some((books, enc))
     (books, enc)
   }
   private def ivfpqInMemory: IvfPq.Index = ivfpqState.getOrElse {
-    val idx0 = IvfPq.train(pqBase(chunks), "__nvec")
+    val idx0 = IvfPq.train(pqBase(searchable), "__nvec")
     val idx = idx0.copy(encoded = idx0.encoded.drop("__nvec").persist())
     ivfpqState = Some(idx)
     idx
@@ -447,6 +472,16 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
   }
 
+  /** The store restricted to SEARCHABLE rows: chunks whose embedding
+    * is PENDING (deferred-embedding ingest — the reference's
+    * unindexed-chunk state) are invisible to every search scan and
+    * index fit until [[rebuildIndex]] embeds them. Without this the
+    * flat/quantized/binary store scans admit null-score rows into the
+    * tail of a top-k, and a k-means/bounds fit over null vectors
+    * breaks outright. The IsNotNull predicate pushes down to the
+    * parquet scan (row-group stats skip it when no nulls exist). */
+  private def searchable: DataFrame = chunks.where(col("embedding").isNotNull)
+
   /** Embed query text with the library's doc/query-symmetric embedder. */
   private[graft] def queryFrame(queryText: String): DataFrame =
     spark.range(1).select(
@@ -486,7 +521,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * a rebuild restores the pruned path). */
   private def flatFiltered(q: DataFrame, f: Column, kk: Int,
                            metric: String): DataFrame =
-    VectorSearch.knnFlat(chunks.where(f).select(col("chunk_id"), col("embedding")),
+    VectorSearch.knnFlat(searchable.where(f).select(col("chunk_id"), col("embedding")),
       q, "chunk_id", "embedding", kk, metric)
 
   /**
@@ -511,11 +546,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       return emptyHits
     algo match {
       case "flat" =>
-        VectorSearch.knnFlat(applyF(chunks, filter)
+        VectorSearch.knnFlat(applyF(searchable, filter)
           .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "lsh" =>
-        VectorSearch.lshKnnIndexed(applyF(chunks, filter), q,
+        VectorSearch.lshKnnIndexed(applyF(searchable, filter), q,
           "chunk_id", "embedding", "lsh_buckets",
           kk, metric, numTables, bitsPerTable, seed)
       case "grid" if hasGridIndex && filter.isEmpty =>
@@ -546,7 +581,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // expanding-radius probe — the reference's GridIndex.search
         // semantics (widen until >= 2k candidates), so sparse
         // neighborhoods still fill k
-        VectorSearch.gridKnnExpanding(applyF(chunks, filter)
+        VectorSearch.gridKnnExpanding(applyF(searchable, filter)
           .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
@@ -562,17 +597,17 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         IvfIndex.search(applyF(assigned, filter), model, q,
           "chunk_id", "embedding", kk, metric = metric)
       case "quantized" =>
-        VectorSearch.knnQuantizedIndexed(applyF(chunks, filter), q,
+        VectorSearch.knnQuantizedIndexed(applyF(searchable, filter), q,
           "chunk_id", "embedding", "quant", kk, metric)
       case "binary" if chunks.columns.contains("bits") =>
         // 1-bit rung: Hamming phase 1 over the stored packed-sign
         // column (8 bytes/row at 64 dims), exact re-rank
-        VectorSearch.knnBinaryIndexed(applyF(chunks, filter), q,
+        VectorSearch.knnBinaryIndexed(applyF(searchable, filter), q,
           "chunk_id", "embedding", "bits", kk, metric)
       case "binary" =>
         // store predates the bits column (schema-evolution guard, same
         // contract as the quant-column index rebuild): pack on the fly
-        VectorSearch.knnBinary(applyF(chunks, filter)
+        VectorSearch.knnBinary(applyF(searchable, filter)
           .select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "pq" if hasPqIndex =>
@@ -666,7 +701,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         queryFrame(queryText),
         "chunk_id", "embedding", clampK(k), metric, numTables, bitsPerTable, seed)
     else
-      VectorSearch.lshKnnIndexed(applyF(chunks, filter), queryFrame(queryText),
+      VectorSearch.lshKnnIndexed(applyF(searchable, filter), queryFrame(queryText),
         "chunk_id", "embedding", "lsh_buckets",
         clampK(k), metric, numTables, bitsPerTable, seed)
   }
@@ -725,11 +760,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // metadata columns: one exact pass over the filtered store.
     def flatBatchFiltered(f: Column): DataFrame =
       VectorSearch.knnBatchGeneric(
-        chunks.where(f).select(col("chunk_id"), col("embedding")),
+        searchable.where(f).select(col("chunk_id"), col("embedding")),
         queries, "chunk_id", "embedding", kk, metric)
     algo match {
       case "flat" =>
-        VectorSearch.knnBatchGeneric(applyF(chunks, filter)
+        VectorSearch.knnBatchGeneric(applyF(searchable, filter)
           .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "lsh" => approxBatch(queries, kk, metric, filter)
@@ -752,7 +787,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // no fitted index, or a pre-metadata cell layout that cannot
         // resolve the predicate: expanding probe over the filtered
         // store (rebuild upgrades the layout)
-        VectorSearch.gridKnnExpandingBatch(applyF(chunks, filter)
+        VectorSearch.gridKnnExpandingBatch(applyF(searchable, filter)
           .select(col("chunk_id"), col("embedding")),
           queries, "chunk_id", "embedding", kk, metric)
       case "ivf" if hasIvfIndex =>
@@ -770,14 +805,14 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         IvfIndex.searchBatch(applyF(assigned, filter), model, queries,
           "chunk_id", "embedding", kk, metric = metric)
       case "quantized" =>
-        VectorSearch.knnQuantizedBatch(applyF(chunks, filter), queries,
+        VectorSearch.knnQuantizedBatch(applyF(searchable, filter), queries,
           "chunk_id", "embedding", "quant", kk, metric)
       case "binary" if chunks.columns.contains("bits") =>
-        VectorSearch.knnBinaryBatch(applyF(chunks, filter), queries,
+        VectorSearch.knnBinaryBatch(applyF(searchable, filter), queries,
           "chunk_id", "embedding", "bits", kk, metric)
       case "binary" =>
         VectorSearch.knnBinaryBatch(
-          applyF(chunks, filter).select(col("chunk_id"), col("embedding"))
+          applyF(searchable, filter).select(col("chunk_id"), col("embedding"))
             .withColumn("bits", bitPack(col("embedding"))),
           queries, "chunk_id", "embedding", "bits", kk, metric)
       case "pq" if hasPqIndex =>
@@ -832,7 +867,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                     lambda: Double = 0.7,
                     filter: Option[Column] = None): DataFrame =
     operators.VectorSearch.mmrRerank(
-      applyF(chunks, filter).select(col("chunk_id"), col("embedding")),
+      applyF(searchable, filter).select(col("chunk_id"), col("embedding")),
       queryFrame(queryText), "chunk_id", "embedding", clampK(k), lambda)
       .withColumnRenamed("rel", "score")
 
@@ -845,7 +880,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
                          lambda: Double = 0.7,
                          filter: Option[Column] = None): DataFrame =
     operators.VectorSearch.mmrRerankBatch(
-      applyF(chunks, filter).select(col("chunk_id"), col("embedding")),
+      applyF(searchable, filter).select(col("chunk_id"), col("embedding")),
       queriesFrame(queryTexts), "chunk_id", "embedding", clampK(k), lambda)
       .withColumnRenamed("rel", "score")
 
@@ -869,7 +904,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       VectorSearch.lshKnnPartitionedBatch(applyF(partitionedIndex, filter), queries,
         "chunk_id", "embedding", kk, metric, numTables, bitsPerTable, seed)
     else
-      VectorSearch.lshKnnBatchIndexed(applyF(chunks, filter), queries,
+      VectorSearch.lshKnnBatchIndexed(applyF(searchable, filter), queries,
         "chunk_id", "embedding", "lsh_buckets", kk, metric,
         numTables, bitsPerTable, seed)
   }
@@ -1011,9 +1046,51 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (!fs.rename(new Path(s"$tmp/$rel"), dst))
         throw new java.io.IOException(s"rebuild: cannot install $treeRoot/$rel")
     }
+    // Geometry sidecars were STAGED by the callback under `$tmp/_geom`
+    // (invisible to listTree — underscore) and install here, AFTER the
+    // row job and immediately BEFORE the manifest commit: a crash
+    // anywhere in the long row job leaves the sidecars inside the tmp
+    // tree (cleared by the next rebuild, swept by vacuum), so the
+    // window in which an orphan `<base>.g<head+1>` exists without its
+    // commit is a few driver-side renames — and even that residue is
+    // swept by every append/compact/delete/vacuum path before a later
+    // commit could land on (and silently adopt) the orphan's
+    // generation ([[sweepOrphanGeom]]).
+    val geomStage = new Path(s"$tmp/${VectorLibrary.GeomStageDir}")
+    if (fs.exists(geomStage)) fs.listStatus(geomStage).foreach { st =>
+      val dst = new Path(rootP.getParent, st.getPath.getName)
+      fs.delete(dst, true)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"rebuild: cannot install sidecar $dst")
+    }
     fs.delete(new Path(tmp), true)
     tree.commitReplaceAll(fresh)
   }
+
+  /** Delete geometry sidecars numbered ABOVE the tree's head — a
+    * failed rebuild's prediction whose commit never happened (the
+    * staging above makes this a crash-between-renames residue only).
+    * MUST run, under the tree's held lease, before any NON-REBUILD
+    * commit that advances this tree's generation (append, compact
+    * swap, COW delete): that commit would otherwise land ON the
+    * orphan's generation and every reader would adopt the failed
+    * build's geometry for rows it never encoded. A tree with no
+    * committed generations sweeps every suffixed sidecar (nothing can
+    * resolve them, and the next commit is generation 1). */
+  private def sweepOrphanGeom(tree: graft.plans.ManifestedTree): Unit =
+    geomBases.collectFirst { case (t, bases) if t eq tree => bases }
+      .foreach { bases =>
+        // headGenOf: a legacy data-bearing manifest-less tree reads as
+        // MaxValue (sweep nothing); a never-committed empty tree as -1
+        // (every suffixed sidecar is an orphan)
+        val head = headGenOf(tree)
+        bases.foreach { base =>
+          geomGens(base).filter(g => head < 0 || g > head).foreach { g =>
+            hadoopFs(base).delete(
+              new org.apache.hadoop.fs.Path(base + geomSuffix(g)), true)
+          }
+        }
+      }
 
   // --- generation-numbered geometry sidecars ---------------------------
   // IVF/PQ/IVF-PQ centroids+codebooks+stats and grid bounds are tiny
@@ -1048,14 +1125,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private def geomSuffixAt(base: String, gen: Long): String =
     geomGens(base).filter(_ <= gen).lastOption.map(geomSuffix).getOrElse("")
 
-  /** The tree's head generation (MaxValue for a legacy pre-manifest
-    * tree, whose geometry is only ever at the plain path). */
+  /** The tree's head generation for geometry resolution. Two
+    * manifest-less cases must read differently: a LEGACY pre-manifest
+    * tree (visible data, geometry wherever its era wrote it) resolves
+    * the newest geometry (MaxValue — the listing IS its head), while
+    * a never-committed EMPTY tree resolves nothing (-1): a
+    * first-build crash orphan sidecar must not read as a live index —
+    * it would route search to a zero-row tree. */
   private def headGenOf(tree: graft.plans.ManifestedTree): Long =
-    tree.generations().lastOption.map(_._1).getOrElse(Long.MaxValue)
+    tree.generations().lastOption.map(_._1).getOrElse {
+      if (hasVisibleData(tree.root.stripSuffix("/"))) Long.MaxValue else -1L
+    }
 
-  /** True when any geometry (versioned or plain) exists for `base`. */
-  private def hasGeom(base: String): Boolean =
-    geomGens(base).nonEmpty ||
+  /** True when geometry RESOLVABLE AT THE TREE HEAD exists for `base`:
+    * a suffixed sidecar the head resolves, or the plain pre-versioning
+    * path. A crash orphan beside a never-committed empty tree does
+    * not count as an index. */
+  private def hasGeom(base: String, tree: graft.plans.ManifestedTree): Boolean =
+    geomGens(base).exists(_ <= headGenOf(tree)) ||
       hadoopFs(base).exists(new org.apache.hadoop.fs.Path(base))
 
   /** Drop the partitioned index (search falls back to the column probe). */
@@ -1096,6 +1183,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def compactIndexes(maxFilesPerPartition: Int = 4,
                      vacuumAfter: Boolean = true): Map[String, Int] = withWriterLock {
+    // compaction swaps advance tree generations — sweep crash-orphan
+    // geometry first so no swap commit lands on an orphan's number
+    geomBases.foreach { case (t, _) => sweepOrphanGeom(t) }
     val passes = Seq(
       // the store compacts to training-shard-sized files (1M chunk
       // rows), not the index trees' delete-granularity bound
@@ -1214,7 +1304,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     epochs.foreach { e =>
       val resolvable = readEpochFile(e).exists(_.linesIterator.forall { l =>
         l.split('\t') match {
-          case Array(n, g) => g.toLong >= minGen.getOrElse(n, Long.MaxValue)
+          // toLongOption, not toLong: one malformed line (torn write,
+          // future format) must read as UNRESOLVABLE, not abort the
+          // whole vacuum mid-truncation with a NumberFormatException
+          case Array(n, g) =>
+            g.toLongOption.exists(_ >= minGen.getOrElse(n, Long.MaxValue))
           case _ => false
         }
       })
@@ -1436,21 +1530,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       if (fs.rename(tmp, target)) true
       else { fs.delete(tmp, false); false }
     }
+    // Bounded re-list-and-retry: pre-r11 a single retry sufficed (the
+    // global lease meant at most one displaced writer), but concurrent
+    // DISJOINT footprint writers are now legal and several can race
+    // this directory at once — a fully COMMITTED mutation must not
+    // read as failed because its epoch number was taken twice in a
+    // row. Each round re-lists, adopts an identical tuple if another
+    // instance already recorded this exact state, else tries the true
+    // successor.
     var next = latest.getOrElse(0L) + 1
-    if (!tryInstall(next)) {
+    var installed = tryInstall(next)
+    var round = 0
+    while (!installed && round < 8) {
       val disk = epochs.lastOption
-      // the displaced latest may already record exactly this tuple
-      // (the other instance committed the same state): adopt it
       if (disk.exists(e => readEpochFile(e).contains(body))) {
         lastEpochCache = disk.map(e => (e, body))
         return
       }
-      next = disk.getOrElse(0L) + 1
-      if (!tryInstall(next))
-        throw new java.io.IOException(
-          s"epoch $next install failed at $epochsDir even after a " +
-          "re-list — a concurrent writer is racing this lease holder")
+      next = math.max(next + 1, disk.getOrElse(0L) + 1)
+      installed = tryInstall(next)
+      round += 1
     }
+    if (!installed)
+      throw new java.io.IOException(
+        s"epoch $next install failed at $epochsDir after $round " +
+        "re-lists — concurrent writers are racing this directory " +
+        "faster than this holder can re-list")
     lastEpochCache = Some((next, body))
     // bounded history (epochs older than the manifest retention window
     // are unresolvable anyway); the prune's listing amortizes over 8
@@ -1559,7 +1664,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     val info = epochInfo(e)
     val kk = clampK(k)
     val q = queryFrame(queryText)
-    def store = chunksAt(e)
+    // searchable twin of the head dispatch: pending (null-embedding)
+    // rows of the pinned store are invisible here too
+    def store = chunksAt(e).where(col("embedding").isNotNull)
     def flatAt: DataFrame =
       VectorSearch.knnFlat(store.select(col("chunk_id"), col("embedding")),
         q, "chunk_id", "embedding", kk, metric)
@@ -1650,6 +1757,9 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     try {
       val nVictims = step("count-victims")(victims.count())
       if (nVictims == 0L) return 0L
+      // COW swap commits advance the geometry trees' generations —
+      // sweep crash-orphan sidecars so no commit lands on one
+      geomBases.foreach { case (t, _) => sweepOrphanGeom(t) }
       // Targeted deletes have a tiny id set: ship it as a broadcast
       // LOCAL relation so the file-resolution and rewrite joins stay
       // map-side (joining against the persisted distributed frame
@@ -1808,9 +1918,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         // placement agrees except on FP near-ties, which the coverage
         // fallback absorbs
         if (hasIvfIndex)
+          // pending (null-embedding) victims are in NO index — they
+          // cannot be assigned to a cell and have no files to resolve
           victimFilesByCluster("ivf", ivfTree,
-            IvfIndex.assignExact(victims, "embedding",
-              ivfCentersStored()))
+            IvfIndex.assignExact(victims.where(col("embedding").isNotNull),
+              "embedding", ivfCentersStored()))
         else Seq.empty[String]
       })
       val gridFilesF = Future(step("resolve-grid-files") {
@@ -1836,7 +1948,8 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         if (hasIvfPqIndex)
           victimFilesByCluster("ivfpq", ivfpqTree,
             IvfIndex.assignExact(
-              victims.withColumn("__nvec", l2Normalize(col("embedding"))),
+              victims.where(col("embedding").isNotNull)
+                .withColumn("__nvec", l2Normalize(col("embedding"))),
               "__nvec", ivfpqSideStored()._1))
         else Seq.empty[String]
       })
@@ -2101,19 +2214,24 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = withTreeLocks(Seq("grid")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit a grid to")
     import spark.implicits._
-    val (lo, hi) = VectorSearch.gridBounds(chunks, "embedding", gridDims)
+    val (lo, hi) = VectorSearch.gridBounds(searchable, "embedding", gridDims)
     installRebuild(gridTree) { (tmp, gen) =>
-      // cells_per_dim rides IN the versioned sidecar so an
-      // epoch-pinned read decodes under its own geometry without
-      // consulting the (unversioned, current-state) meta file
-      lo.indices.map(d => (d, lo(d), hi(d), cellsPerDim))
-        .toDF("d", "lo", "hi", "cells_per_dim")
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$gridPath/bounds${geomSuffix(gen)}")
-      gridRows(chunks, lo, hi, cellsPerDim)
+      // ROWS FIRST: the Overwrite write nukes the whole tmp dir,
+      // including anything staged under it. Then the geometry sidecar
+      // (cells_per_dim rides IN it so an epoch-pinned read decodes
+      // under its own geometry without consulting the unversioned
+      // meta file), STAGED under the tmp tree: installRebuild renames
+      // it beside gridPath right before the manifest commit, so a
+      // crashed row job leaves no orphan sidecar for a later commit
+      // to adopt.
+      gridRows(searchable, lo, hi, cellsPerDim)
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
         .partitionBy("cell").parquet(tmp)
+      lo.indices.map(d => (d, lo(d), hi(d), cellsPerDim))
+        .toDF("d", "lo", "hi", "cells_per_dim")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$tmp/${VectorLibrary.GeomStageDir}/bounds${geomSuffix(gen)}")
     }
     gridMetaCache = None
     gridCountsCache = None
@@ -2150,6 +2268,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Append a batch to the grid index under the frozen fitted bounds. */
   private def appendGridRows(batch: DataFrame): Unit = {
+    sweepOrphanGeom(gridTree)
     val (lo, hi, _, cellsPerDim) = gridBoundsStored()
     gridTree.appendCommitted(gridRows(batch, lo, hi, cellsPerDim),
       indexMaxRecordsPerFile)
@@ -2164,7 +2283,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private val ivfTree = intTree(s"$ivfPath/assigned", "cluster")
 
   /** True when the on-disk IVF index has been built. */
-  def hasIvfIndex: Boolean = hasGeom(s"$ivfPath/centroids")
+  def hasIvfIndex: Boolean = hasGeom(s"$ivfPath/centroids", ivfTree)
 
   /** Build (or rebuild) the on-disk IVF index: one distributed k-means
     * fit + a cluster-partitioned write. `search` under algorithm "ivf"
@@ -2173,11 +2292,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // Metadata columns ride in the assigned rows so a filtered search
     // can apply its predicate inside the cluster-pruned scan.
     val (model, assigned) = IvfIndex.build(
-      chunks.select(col("chunk_id"), col("embedding"),
+      searchable.select(col("chunk_id"), col("embedding"),
         col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
     installRebuild(ivfTree) { (tmp, gen) =>
       IvfIndex.writeIndex(assigned, model, ivfPath, assignedPath = Some(tmp),
-        sidecarSuffix = geomSuffix(gen))
+        sidecarSuffix = geomSuffix(gen),
+        sidecarDir = Some(s"$tmp/${VectorLibrary.GeomStageDir}"))
     }
     // Persist the centroid count: store rewrites and drift refits must
     // rebuild at the SAME granularity, not a hardcoded default.
@@ -2211,6 +2331,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * rows with null metadata, and a filtered search would then
     * silently drop every old row inside the cluster-pruned scan. */
   private def appendOrRebuildIvf(b: DataFrame): Unit = {
+    sweepOrphanGeom(ivfTree)
     val assignedCurrent =
       scala.util.Try(ivfTree.open().columns).toOption
         .exists(cs => Seq("doc_id", "source", "n_tokens").forall(cs.contains))
@@ -2301,27 +2422,31 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * then scans 8-byte codes instead of float vectors for phase 1. */
   def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("pq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit codebooks to")
-    val base = pqBase(chunks)
+    val base = pqBase(searchable)
     val books = PqIndex.train(base, "__nvec", m, kk)
     import spark.implicits._
     installRebuild(pqTree) { (tmp, gen) =>
-      books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
-        .toDF("s", "j", "c")
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$pqPath/books${geomSuffix(gen)}")
+      // rows FIRST (the Overwrite write nukes tmp, including staged
+      // sidecars), then the codebooks into the staging dir
       pqCodeRows(base, books)
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
         .partitionBy("source").parquet(tmp)
+      books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
+        .toDF("s", "j", "c")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$tmp/${VectorLibrary.GeomStageDir}/books${geomSuffix(gen)}")
     }
     pqBooksCache = None
     touchMeta("pq_m" -> m.toString, "pq_k" -> kk.toString)
   }
 
   /** Append a batch's codes under the frozen stored codebooks. */
-  private def appendPqRows(batch: DataFrame): Unit =
+  private def appendPqRows(batch: DataFrame): Unit = {
+    sweepOrphanGeom(pqTree)
     pqTree.appendCommitted(pqCodeRows(pqBase(batch), pqBooksStored()),
       indexMaxRecordsPerFile)
+  }
 
   /** Drop the persisted PQ index (search falls back to the lazy
     * in-memory fit). */
@@ -2371,16 +2496,23 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * directories and reads codes-only in phase 1. */
   def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("ivfpq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit IVF-PQ to")
-    val idx = IvfPq.train(pqBase(chunks), "__nvec", nCentroids, m, kk)
+    val idx = IvfPq.train(pqBase(searchable), "__nvec", nCentroids, m, kk)
     import spark.implicits._
     installRebuild(ivfpqTree) { (tmp, gen) =>
+      // rows FIRST (the Overwrite write nukes tmp, including staged
+      // sidecars), then the geometry set into the staging dir
+      ivfpqRowsClustered(idx.encoded.drop("__nvec"))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
+        .partitionBy("cluster").parquet(tmp)
+      val stage = s"$tmp/${VectorLibrary.GeomStageDir}"
       idx.centers.map { case (i, c) => (i, c.toSeq) }.toDF("cluster", "centroid")
         .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$ivfpqPath/centroids${geomSuffix(gen)}")
+        .parquet(s"$stage/centroids${geomSuffix(gen)}")
       idx.books.flatMap { case (s, ws) => ws.map { case (j, c) => (s, j, c.toSeq) } }
         .toDF("s", "j", "codeword")
         .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$ivfpqPath/books${geomSuffix(gen)}")
+        .parquet(s"$stage/books${geomSuffix(gen)}")
       // Build-time coarse-assignment quality: the drift baseline
       // (appends assign to the FROZEN geometry; this number rising is
       // the refit signal). Computed from the in-hand encoded frame —
@@ -2388,11 +2520,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       // the row-tree flip.
       ivfpqMeanSqDistOf(idx.encoded, idx.centers)
         .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$ivfpqPath/stats${geomSuffix(gen)}")
-      ivfpqRowsClustered(idx.encoded.drop("__nvec"))
-        .write.mode(SaveMode.Overwrite)
-        .option("maxRecordsPerFile", indexMaxRecordsPerFile)
-        .partitionBy("cluster").parquet(tmp)
+        .parquet(s"$stage/stats${geomSuffix(gen)}")
     }
     ivfpqSideCache = None
     touchMeta("ivfpq_ncentroids" -> nCentroids.toString,
@@ -2401,6 +2529,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   /** Append a batch under the frozen stored centroids + codebooks. */
   private def appendIvfPqRows(batch: DataFrame): Unit = {
+    sweepOrphanGeom(ivfpqTree)
     val (centers, books) = ivfpqSideStored()
     ivfpqTree.appendCommitted(
       ivfpqRowsClustered(
@@ -2981,6 +3110,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 }
 
 object VectorLibrary {
+  /** Staging subdirectory inside a rebuild's tmp tree where the build
+    * callback writes its geometry sidecars; installRebuild renames
+    * them beside the tree root immediately before the manifest commit.
+    * Underscore-prefixed: invisible to listTree's fresh-file census. */
+  val GeomStageDir = "_geom"
+
   /** Index algorithms a library can route search through (reference
     * IndexAlgorithm enum + the quantized two-phase extension). */
   val algorithms: Set[String] =

@@ -115,7 +115,8 @@ object IvfIndex {
   def writeIndex(assigned: DataFrame, model: KMeansModel, path: String,
                  vecCol: String = "embedding",
                  assignedPath: Option[String] = None,
-                 sidecarSuffix: String = ""): Unit = {
+                 sidecarSuffix: String = "",
+                 sidecarDir: Option[String] = None): Unit = {
     val spark = assigned.sparkSession
     import spark.implicits._
     // Sorting each cell by id + bounding file sizes keeps one
@@ -126,11 +127,20 @@ object IvfIndex {
     // below always land at `path` — geometry replaces on rebuild).
     val rowsDir = assignedPath.getOrElse(s"$path/assigned")
     val idCol = assigned.columns.find(c => c != "cluster" && c != vecCol).get
-    assigned.repartition(col("cluster"))
-      .sortWithinPartitions(col("cluster"), col(idCol))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cluster").parquet(rowsDir)
+    // persisted across the TWO actions below (row write + stats
+    // baseline aggregate) — without it the stats pass re-executes the
+    // whole upstream (store scan + assignment) a second time per
+    // build. Reading the just-written rowsDir back is not an option:
+    // a dot-prefixed staging rowsDir is hidden from Spark's DataSource
+    // and would aggregate zero rows (a null baseline that pins the
+    // drift ratio at 1.0).
+    val a = assigned.persist()
+    try {
+      a.repartition(col("cluster"))
+        .sortWithinPartitions(col("cluster"), col(idCol))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("cluster").parquet(rowsDir)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cluster", "centroid")
@@ -138,20 +148,20 @@ object IvfIndex {
     // stats baseline) so a caller installing the row tree through a
     // manifest can pin epoch readers to the geometry their codes were
     // written under (VectorLibrary's `.g<gen>` scheme); "" keeps the
-    // plain standalone-operator layout.
+    // plain standalone-operator layout. `sidecarDir` redirects the
+    // sidecars to a STAGING directory (the caller renames them into
+    // place atomically with its commit) instead of the live `path`.
+    val scDir = sidecarDir.getOrElse(path)
     centroids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/centroids$sidecarSuffix")
+      .parquet(s"$scDir/centroids$sidecarSuffix")
     // Build-time assignment quality: the drift baseline. Appends
     // assign to FROZEN centroids, so the current mean distance rising
     // against this number is the re-fit signal (the reference's
-    // background reindex trigger, lake-style). Computed from the
-    // in-hand frame, NOT a re-read of rowsDir: when the caller
-    // redirects rows to a DOT-PREFIXED tmp sibling, Spark's
-    // DataSource silently ignores the hidden root ("All paths were
-    // ignored") and the baseline would aggregate zero rows — a null
-    // mean that pins the drift ratio at 1.0 forever.
-    meanSqDist(assigned, centroids, vecCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats$sidecarSuffix")
+    // background reindex trigger, lake-style).
+    meanSqDist(a, centroids, vecCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$scDir/stats$sidecarSuffix")
+    } finally a.unpersist()
   }
 
   /** (n, mean_sq_dist) of rows against their assigned centroid. */

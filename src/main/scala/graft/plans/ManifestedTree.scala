@@ -606,17 +606,25 @@ final class ManifestedTree(
       dead.foreach(rel => fs.delete(new Path(s"$root/$rel"), false))
       if (retainNone) {
         // History is now physically gone — make it STRUCTURALLY gone
-        // too: prune every manifest generation older than the chain
-        // that resolves the current head (the newest full + its
-        // deltas). Leaving them would keep generations()/openAt
-        // advertising snapshots whose data files were just deleted,
-        // failing later with a raw FileNotFoundException mid-scan
-        // instead of the clean "no generation <= g is retained".
-        val disk = ManifestedTree.globManifests(fs, root)
-        val headFull = disk.collect { case (g, true, _) => g }
-          .maxOption.getOrElse(-1L)
-        disk.foreach { case (g, _, p) => if (g < headFull) fs.delete(p, false) }
-        invalidate()
+        // too. Pruning "manifests below the newest full" is NOT
+        // enough: the head may be a DELTA generation (a COW delete)
+        // whose chain reaches back through generations that reference
+        // the just-deleted victims — those would stay advertised by
+        // generations()/openAt and raw-fail mid-scan. Instead REBASE:
+        // commit the head's live set as a fresh FULL snapshot, then
+        // delete every older manifest — the one retained generation
+        // references exactly the files this vacuum preserved, and any
+        // historical read fails with the clean "no generation <= g is
+        // retained". Skipped when the chain is already a lone full
+        // (nothing to truncate structurally).
+        val disk0 = ManifestedTree.globManifests(fs, root)
+        if (!(disk0.size == 1 && disk0.head._2)) {
+          commitFull(entries, None)
+          val disk = ManifestedTree.globManifests(fs, root)
+          val newGen = disk.map(_._1).maxOption.getOrElse(-1L)
+          disk.foreach { case (g, _, p) => if (g < newGen) fs.delete(p, false) }
+          invalidate()
+        }
       }
       dead.size
   }

@@ -159,6 +159,11 @@ class EmbedderSpec extends AnyFunSuite {
       "deferred ingest did not store pending chunks")
     assert(EmbedderSpecState.batches.isEmpty,
       "deferred ingest called the embedding service")
+    // pending chunks are UNSEARCHABLE (the reference's unindexed
+    // state): a store scan must not admit null-score rows into a
+    // top-k tail
+    assert(lib.search("spark joins", k = 10).count() == 0,
+      "search returned pending (unembedded) chunks")
 
     lib.rebuildIndex()
     assert(lib.unindexed.count() == 0, "rebuildIndex left pending chunks")

@@ -313,6 +313,27 @@ class ManifestedTreeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retained"),
       s"historical read after truncation did not fail cleanly: ${e.getMessage}")
     assert(tree.open().count() == 30, "current generation damaged")
+
+    // the DELTA-head shape: a COW swap (gen N+1, delta) removes a
+    // file, then retainNone — pruning "below the newest full" alone
+    // would keep the pre-swap generation advertised while its victim
+    // bytes are gone. The structural truncation must REBASE the head
+    // live set as a fresh full and drop everything older.
+    val preSwapGen = tree.generations().last._1
+    val victim = tree.readManifest().get.head._1
+    tree.commitSwap(Seq(s"$root/$victim"), Seq.empty)
+    val liveAfterSwap = tree.open().count()
+    assert(liveAfterSwap < 30)
+    tree.vacuum(retainNone = true)
+    tree.invalidate()
+    assert(!fs.exists(new Path(s"$root/$victim")),
+      "retainNone left the swap victim's bytes")
+    assert(tree.generations().size == 1,
+      s"delta-head truncation left dangling generations: ${tree.generations()}")
+    val e2 = intercept[IllegalArgumentException](tree.openAt(preSwapGen))
+    assert(e2.getMessage.contains("retained"),
+      s"pre-swap read after truncation did not fail cleanly: ${e2.getMessage}")
+    assert(tree.open().count() == liveAfterSwap, "head damaged by delta-head truncation")
     fs.delete(new Path(root), true)
   }
 }

@@ -2281,6 +2281,38 @@ class VectorLibrarySpec extends AnyFunSuite {
       assert(lib.searchAt(e, "spark join stream", k = 5,
         algorithm = Some("ivfpq")).collect().nonEmpty)
     }
+
+    // crash-orphan ADOPTION guard: a failed rebuild's sidecar at
+    // head+1 must be swept BEFORE the next append commits onto that
+    // generation — otherwise every reader silently decodes existing
+    // codes under the failed build's geometry
+    val head = lib.epochInfo(lib.epochs.last)("ivfpq")
+    val orphan = new Path(
+      f"$root/geomvac-lib/ivfpq_index/centroids.g${head + 1}%09d")
+    fs.mkdirs(orphan)
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .limit(25).filter(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + 7000))
+    assert(!fs.exists(orphan),
+      "append adopted (did not sweep) a crash-orphan geometry sidecar")
+    assert(lib.search("spark join stream", k = 5).count() > 0)
+    lib.delete()
+  }
+
+  test("a first-build crash orphan sidecar does not read as a live index") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-lib-orphan1").toString
+    val lib = new VectorLibrary(spark, root, "orphan1-lib")
+    lib.addDocuments(Tables.load(spark, SparkTestSession.sfDir, "documents").limit(10))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate buildIvfIndex crashing after the sidecar write, before
+    // any ivf tree commit: a suffixed sidecar exists, the tree has no
+    // generations
+    fs.mkdirs(new Path(s"$root/orphan1-lib/ivf_index/centroids.g000000001"))
+    assert(!lib.hasIvfIndex,
+      "a crash-orphan sidecar beside a never-committed tree read as a live IVF index")
+    // search still routes through the configured algorithm unharmed
+    assert(lib.search("spark join stream", k = 3).count() == 3)
     lib.delete()
   }
 }

@@ -204,6 +204,51 @@ class WriterLockSpec extends AnyFunSuite {
     fs.delete(new Path(root), true)
   }
 
+  test("overlapping disjoint frames in one instance: the last frame out records the epoch") {
+    val root = Files.createTempDirectory("graft-wlock5").toString
+    val lib = new VectorLibrary(spark, root, "frames-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(10)
+    lib.addDocuments(docs)
+    val before = lib.epochs.last
+    // Force the exact interleave that used to skip BOTH records:
+    // A enter (depth 1), B enter (depth 2), A exit (sees depth 2 —
+    // skips), B exit (pre-fix: separate check-then-decrement also saw
+    // depth 2 and skipped; post-fix: records on the 1 -> 0 transition).
+    val m = lib.getClass.getDeclaredMethods.find(_.getName == "withTreeLocks").get
+    m.setAccessible(true)
+    val aIn = new java.util.concurrent.CountDownLatch(1)
+    val aMayExit = new java.util.concurrent.CountDownLatch(1)
+    // a real single-tree mutation first so the baseline epoch exists
+    lib.buildPqIndex(m = 4, kk = 8)
+    val afterPq = lib.epochs.last
+    assert(afterPq > before)
+    // frame A: holds the pq lease, parked inside its body
+    val ta = new Thread(() => {
+      m.invoke(lib, Seq("pq"), () => { aIn.countDown(); aMayExit.await(); null })
+    })
+    ta.start()
+    aIn.await()
+    // B is a REAL mutation overlapping A: it commits the grid tree
+    // while A is still inside its pq frame
+    val tb = new Thread(() => lib.buildGridIndex(gridDims = 3, cellsPerDim = 3))
+    tb.start()
+    // wait until B has entered its frame (depth 2) — poll the field
+    val depthF = lib.getClass.getDeclaredField("mutationDepth")
+    depthF.setAccessible(true)
+    eventually(depthF.getInt(lib) >= 2, "second frame never entered")
+    // A exits FIRST at depth 2 (the pre-fix skip), then B finishes
+    aMayExit.countDown()
+    ta.join(10000); tb.join(60000)
+    assert(!ta.isAlive && !tb.isAlive)
+    val afterGrid = lib.epochs.last
+    assert(afterGrid > afterPq,
+      "no epoch recorded for the grid build — both overlapping frames skipped")
+    assert(lib.epochInfo(afterGrid).contains("grid"),
+      s"final epoch missing the grid tree: ${lib.epochInfo(afterGrid)}")
+    lib.delete()
+    fs.delete(new Path(root), true)
+  }
+
   private def eventually(cond: => Boolean, msg: String, ms: Long = 5000): Unit = {
     val deadline = System.currentTimeMillis() + ms
     while (!cond) {
