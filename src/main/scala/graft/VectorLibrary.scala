@@ -104,36 +104,48 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // without the full lease set.
   private val frameLock = new Object
   private var mutationDepth = 0
-  // true once any frame of the current overlap completed successfully;
-  // consumed (and reset) by the frame that brings the depth back to 0
+  // true once some thread's OUTERMOST frame completed successfully in
+  // the current overlap; consumed by the frame that brings the shared
+  // depth back to 0
   private var epochPending = false
+  // this thread's own nesting depth: only a thread's outermost frame
+  // may mark the epoch pending — a nested inner frame's success (e.g.
+  // buildIvfIndex inside a failing appendBatch) is PART of its outer
+  // mutation, and recording it would publish exactly the
+  // half-committed cross-tree state epochs exist to hide
+  private val threadFrameDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
   private def enterFrame[T](body: => T): T = {
     frameLock.synchronized { mutationDepth += 1 }
+    threadFrameDepth.set(threadFrameDepth.get + 1)
     var ok = false
     try { val r = body; ok = true; r }
-    finally frameLock.synchronized {
-      // Record on the 1 -> 0 TRANSITION, inside the same synchronized
-      // block as the decrement: a successful-body check at depth N
-      // followed by a separate decrement let two concurrent disjoint
-      // frames BOTH observe depth 2 and both skip — neither commit got
-      // an epoch. The last frame out records iff any frame of the
-      // overlap succeeded; an all-failed nest records nothing (crash
-      // semantics: the previous epoch stays latest — failed all-tree
-      // mutations are always alone in their nest since they hold every
-      // lease).
-      mutationDepth -= 1
-      if (ok) epochPending = true
-      if (mutationDepth == 0 && epochPending) {
-        epochPending = false
-        if (ok) recordEpoch()
-        else
-          // recording a SIBLING's success from a failed frame's exit:
-          // an epoch-record failure here must not mask the body's
-          // exception already propagating
-          try recordEpoch()
-          catch { case t: Throwable =>
-            System.err.println(s"[graft] epoch record after a failed " +
-              s"sibling frame threw: ${t.getMessage}") }
+    finally {
+      val outermostOfThread = threadFrameDepth.get == 1
+      threadFrameDepth.set(threadFrameDepth.get - 1)
+      frameLock.synchronized {
+        // Record on the 1 -> 0 TRANSITION of the SHARED depth, inside
+        // the same synchronized block as the decrement: a
+        // check-then-separately-decrement let two concurrent disjoint
+        // frames BOTH observe depth 2 and both skip — neither commit
+        // got an epoch. The last frame out records iff some thread's
+        // outermost frame succeeded; an all-failed overlap records
+        // nothing (crash semantics: the previous epoch stays latest).
+        mutationDepth -= 1
+        if (ok && outermostOfThread) epochPending = true
+        if (mutationDepth == 0 && epochPending) {
+          epochPending = false
+          if (ok) recordEpoch()
+          else
+            // recording a SIBLING's success from a failed frame's
+            // exit: an epoch-record failure here must not mask the
+            // body's exception already propagating
+            try recordEpoch()
+            catch { case t: Throwable =>
+              System.err.println(s"[graft] epoch record after a failed " +
+                s"sibling frame threw: ${t.getMessage}") }
+        }
       }
     }
   }
@@ -267,10 +279,15 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   private var ivfState: Option[(KMeansModel, DataFrame)] = None
   // Emptiness is re-checked at most once per store generation: the
   // grid/ivf dispatch guard would otherwise run a full isEmpty job on
-  // every search call even for a populated library.
+  // every search call even for a populated library. "Empty" means no
+  // SEARCHABLE rows: a store holding only pending (null-embedding)
+  // chunks has nothing to fit a k-means/grid to and nothing a search
+  // could return — the empty-library contract applies to it verbatim
+  // (the fits would otherwise crash on a zero-row frame AFTER passing
+  // a chunks-based guard).
   private var emptyCache: Option[Boolean] = None
   private def storeIsEmpty: Boolean = emptyCache.getOrElse {
-    val e = chunks.isEmpty; emptyCache = Some(e); e
+    val e = searchable.isEmpty; emptyCache = Some(e); e
   }
   // Grid serving state, cached per store generation: the fitted bounds
   // (tiny parquet) and the per-cell occupancy histogram — re-reading
@@ -1228,6 +1245,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def vacuumIndexes(
       olderThanMs: Long = graft.plans.ManifestedTree.DefaultRetentionMs,
       retainNone: Boolean = false): Map[String, Int] = withWriterLock {
+    // BEFORE the per-tree vacuums: a retainNone vacuum REBASES each
+    // tree (a generation-advancing commit), which could land exactly
+    // on a crash-orphan sidecar's number — vacuumGeometry would then
+    // keep the failed build's geometry and delete the legitimate one.
+    // Same sweep-before-commit rule as every other non-rebuild commit.
+    geomBases.foreach { case (t, _) => sweepOrphanGeom(t) }
     val removed = Map(
       "store" -> storeTree, "lsh" -> lshTree, "ivf" -> ivfTree,
       "grid" -> gridTree, "pq" -> pqTree, "ivfpq" -> ivfpqTree)
@@ -1346,7 +1369,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def repairIndexes(): Map[String, (Long, Long)] = withWriterLock {
     if (storeIsEmpty) return Map.empty
-    val store = chunks.persist()
+    // the SEARCHABLE store: pending (null-embedding) chunks are in no
+    // index BY DESIGN (deferred-embedding ingest) — counting them as
+    // "missing" would append null vectors into every index (null ADC
+    // codes, a permanently-missing lsh report) on every repair run
+    val store = searchable.persist()
     try {
       val storeIds = store.select(col("chunk_id"))
       val m = readMeta()
@@ -1587,11 +1614,21 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .flatMap(n => n.stripPrefix("epoch.").toLongOption).sorted
   }
 
-  /** The per-tree generation tuple of epoch `e`. */
+  /** The per-tree generation tuple of epoch `e`. A malformed line
+    * (torn write, future format) fails with a CLEAN error naming the
+    * epoch — not a raw MatchError/NumberFormatException deep inside a
+    * pinned read (consistentAt/searchAt/restoreToEpoch all route
+    * through here). */
   def epochInfo(e: Long): Map[String, Long] =
     readEpochFile(e) match {
       case Some(body) => body.linesIterator.map { l =>
-        val Array(n, g) = l.split('\t'); n -> g.toLong }.toMap
+        l.split('\t') match {
+          case Array(n, g) if g.toLongOption.isDefined => n -> g.toLong
+          case _ => throw new IllegalStateException(
+            s"epoch $e at $epochsDir is malformed (line '${l.take(60)}') — " +
+            "likely a torn write; pick another epoch or vacuum(retainNone)")
+        }
+      }.toMap
       case None => throw new IllegalArgumentException(
         s"epoch $e not recorded at $epochsDir (available: ${epochs.mkString(",")})")
     }

@@ -2299,6 +2299,43 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("pending chunks stay out of every index through repair; a pending-only store reads as empty") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-lib-pending").toString
+    val lib = new VectorLibrary(spark, root, "pending-lib")
+    val pending = (0 until 8).map(i =>
+      (90000L + i, 0, s"pending chunk text number $i", "s0"))
+      .toDF("doc_id", "chunk_idx", "chunk_text", "source")
+    lib.addChunkedDocuments(pending, deferEmbedding = true)
+    // a pending-ONLY store is EMPTY for search/fit purposes: the
+    // index-requiring algorithms answer [] (the empty-library
+    // contract) instead of crashing a k-means fit on a zero-row frame
+    for (alg <- Seq("ivf", "pq", "ivfpq", "grid", "flat")) {
+      lib.setAlgorithm(alg)
+      assert(lib.search("anything at all", k = 3).count() == 0,
+        s"pending-only store returned rows under '$alg'")
+    }
+    lib.setAlgorithm("flat")
+
+    // real rows + indexes + the pending rows: repair must NOT read
+    // pending as "missing" — pre-fix it appended null vectors into
+    // every index (null ADC codes; and a permanently-missing lsh
+    // report on every run)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(15)
+    lib.addDocuments(docs)
+    lib.buildIvfIndex(nCentroids = 4)
+    lib.buildPqIndex(m = 4, kk = 8)
+    val rep = lib.repairIndexes()
+    assert(rep.values.forall { case (miss, gh) => miss == 0L && gh == 0L },
+      s"repair treated pending chunks as index gaps: $rep")
+    assert(lib.unindexed.count() == 8, "repair consumed the pending rows")
+    // and the indexes hold exactly the searchable rows
+    val searchableCount = lib.chunks.filter(col("embedding").isNotNull).count()
+    assert(manifestRead(s"$root/pending-lib/pq_index/codes",
+      "source" -> org.apache.spark.sql.types.StringType).count() == searchableCount)
+    lib.delete()
+  }
+
   test("a first-build crash orphan sidecar does not read as a live index") {
     import org.apache.hadoop.fs.Path
     val root = Files.createTempDirectory("graft-lib-orphan1").toString
