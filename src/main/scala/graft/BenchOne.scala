@@ -2,12 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time + explain a single named query. */
+/** Dev tool: time + explain a single named query, printing JVM
+  * process-CPU beside wall for every run (the same (wall, cpu) pair
+  * graft.Bench records per query).
+  *
+  * `--load N` spawns N EXTERNAL busy-loop processes (`sh -c 'while :;
+  * do :; done'`) for the second half of the runs — a contention demo:
+  * the loaded runs show wall inflating while cpu stays flat, which is
+  * exactly how a contaminated driver bench record adjudicates itself
+  * (external load steals wall, never JVM CPU). Killed on exit.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val explain = args.contains("--explain")
+    var loadN = 0
+    var sfDir = "/root/testdata/sf0.1"
+    var ai = 1
+    while (ai < args.length) {
+      args(ai) match {
+        case "--load" => loadN = args(ai + 1).toInt; ai += 2
+        case "--explain" => ai += 1
+        case p => sfDir = p; ai += 1
+      }
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,11 +34,26 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[bench-one] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
-    }
+    val runs = if (loadN > 0) 6 else 3
+    var loaders: Seq[Process] = Seq.empty
+    try {
+      (1 to runs).foreach { i =>
+        if (loadN > 0 && i == runs / 2 + 1) {
+          loaders = (1 to loadN).map { _ =>
+            new ProcessBuilder("sh", "-c", "while :; do :; done").start()
+          }
+          println(s"[bench-one] spawned $loadN external busy-loop processes")
+        }
+        val c0 = Bench.processCpuSec()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = Bench.processCpuSec() - c0
+        println(f"[bench-one] $name run$i: wall=$wall%.2fs cpu=$cpu%.2fs " +
+          f"(cpu/wall=${cpu / wall}%.1f) rows=$n" +
+          (if (loaders.nonEmpty) " [loaded]" else ""))
+      }
+    } finally loaders.foreach(_.destroyForcibly())
     if (explain) fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
