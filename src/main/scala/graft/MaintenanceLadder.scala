@@ -548,3 +548,119 @@ object EpochLadder {
     spark.stop()
   }
 }
+
+/**
+ * Multi-writer concurrency ladder (r12): measures the per-tree-lease
+ * relaxation's claim — DISJOINT single-tree maintenance from two
+ * writer instances commits concurrently and beats the serialized
+ * schedule — and audits the epoch contract under that churn: every
+ * epoch the interleaved frames record must be COMPLETE (all present
+ * trees in the tuple; recordEpoch assembles the foreign-tree
+ * generations optimistically with a bounded re-validation loop) and
+ * the recent ones fully resolvable by a pinned reader.
+ *
+ * Two instances over one root model the two-process shape: leases are
+ * the on-disk `_locks/<tree>` files, not JVM monitors, so `rebuild pq
+ * || rebuild ivf` exercises exactly the cross-process disjoint-footprint
+ * path. Run: `sbt "runMain graft.MultiWriterLadder [nDocs]"` (~5 min).
+ */
+object MultiWriterLadder {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi, 1, 32).select(
+      col("id").as("doc_id"),
+      concat(lit("synthetic sentence about topic "),
+        (col("id") % 9973).cast("string"),
+        lit(" and spark joins at scale.")).as("text"),
+      lit("en").as("lang"),
+      concat(lit("src"), (col("id") % 8).cast("string")).as("source"),
+      lit(64L).as("n_chars"))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-mwl").toString
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[mw-ladder] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    def wall(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // the two writer instances — separate objects, so their leases are
+    // the on-disk files, exactly the two-process contract
+    val a = new VectorLibrary(spark, root, "mw-ladder")
+    val b = new VectorLibrary(spark, root, "mw-ladder")
+    time(s"ingest $n docs")(a.addDocuments(docs(0, n)))
+    time("build pq")(a.buildPqIndex())
+    time("build ivf")(b.buildIvfIndex(nCentroids = 32))
+    // one warm rebuild each: codegen/JIT out of the timed rounds
+    time("warm pq rebuild")(a.buildPqIndex())
+    time("warm ivf rebuild")(b.buildIvfIndex(nCentroids = 32))
+    val epochFloor = a.epochs.size
+
+    def concurrent(bodyA: => Unit, bodyB: => Unit): Unit = {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ta = new Thread(() => try bodyA catch { case t: Throwable => errs.add(t) }, "mw-a")
+      val tb = new Thread(() => try bodyB catch { case t: Throwable => errs.add(t) }, "mw-b")
+      ta.start(); tb.start(); ta.join(); tb.join()
+      if (!errs.isEmpty) throw new RuntimeException(
+        s"concurrent maintenance failed: ${errs.peek()}", errs.peek())
+    }
+
+    val rounds = 3
+    var serTotal = 0.0
+    var conTotal = 0.0
+    (1 to rounds).foreach { r =>
+      val ser = wall { a.buildPqIndex(); b.buildIvfIndex(nCentroids = 32) }
+      val con = wall { concurrent(a.buildPqIndex(), b.buildIvfIndex(nCentroids = 32)) }
+      println(f"[mw-ladder] round $r: serialized $ser%.1fs vs concurrent " +
+        f"$con%.1fs (x${ser / con}%.2f)")
+      serTotal += ser; conTotal += con
+    }
+
+    // --- epoch completeness under the interleaved frames --------------
+    // Every epoch recorded during the churn must carry the FULL tree
+    // tuple (store + both maintained indexes at minimum): a torn or
+    // partial record here is exactly the optimistic-assembly failure
+    // recordEpoch's bounded validation exists to prevent.
+    val eps = a.epochs
+    assert(eps.size > epochFloor,
+      s"churn recorded no epochs (still $epochFloor)")
+    val incomplete = eps.drop(epochFloor).filter { e =>
+      val info = scala.util.Try(a.epochInfo(e)).getOrElse(Map.empty[String, Long])
+      !(Set("store", "pq", "ivf") subsetOf info.keySet)
+    }
+    assert(incomplete.isEmpty,
+      s"incomplete epochs under multi-writer churn: $incomplete")
+    // ...and the newest epochs resolve end-to-end for a pinned reader
+    eps.takeRight(3).foreach { e =>
+      val m = a.consistentAt(e)
+      assert(m("store").count() > 0, s"epoch $e store unresolvable")
+      assert(a.searchAt(e, "synthetic sentence about topic 4242",
+        k = 5, algorithm = Some("pq")).count() == 5,
+        s"epoch $e pinned pq search failed")
+    }
+
+    val speedup = serTotal / conTotal
+    println(f"[mw-ladder] total serialized $serTotal%.1fs vs concurrent " +
+      f"$conTotal%.1fs — speedup x$speedup%.2f; ${eps.size} epochs, " +
+      "0 incomplete")
+    if (conTotal >= serTotal) {
+      println("[mw-ladder] VIOLATION: concurrent disjoint maintenance " +
+        "was not faster than serialized")
+      spark.stop(); sys.exit(1)
+    }
+    println("[mw-ladder] OK: disjoint per-tree maintenance overlaps " +
+      "across writer instances; every churn epoch complete")
+    a.delete()
+    spark.stop()
+  }
+}

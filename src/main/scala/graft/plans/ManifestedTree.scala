@@ -91,7 +91,25 @@ final class ManifestedTree(
   // cached state and drops the cached frame.
   @volatile private var openCache: Option[DataFrame] = None
   @volatile private var stateCache: Option[Chain] = None
-  def invalidate(): Unit = { openCache = None; stateCache = None }
+  // The retained-generation listing, memoized with the same life as
+  // the chain state: geometry resolution consults the head generation
+  // per search ([[graft.VectorLibrary]] headGenOf) and must not pay a
+  // manifest-directory LIST per call. Cleared by invalidate() and by
+  // every commit's pruneOldGenerations (the two places the on-disk
+  // generation set changes under this writer).
+  @volatile private var gensCache: Option[Seq[(Long, Boolean)]] = None
+  // Pinned frames per generation, small LRU: a resolved chain's entry
+  // set is immutable once written, so the frame only needs dropping
+  // when retention could have pruned it — any mutation (invalidate).
+  private val openAtCache =
+    scala.collection.mutable.LinkedHashMap.empty[Long, DataFrame]
+  /** Test probe: manifest-directory LISTs issued by [[generations]] /
+    * [[openAt]] resolution. */
+  private[graft] var genListCount: Long = 0L
+  def invalidate(): Unit = {
+    openCache = None; stateCache = None; gensCache = None
+    openAtCache.clear()
+  }
 
   private def resolveState(): Option[Chain] = stateCache.orElse {
     val c = resolveChain(fs, root)
@@ -305,6 +323,9 @@ final class ManifestedTree(
     * (pre-install) plus the just-installed generation — prune shares
     * the one listing the freshness check already paid. */
   private def pruneOldGenerations(files: Seq[(Long, Boolean, Path)]): Unit = {
+    // every caller just committed a generation: the listing changed
+    // even when nothing below prunes
+    gensCache = None
     val fulls = files.collect { case (g, true, _) => g }.sorted
     if (fulls.isEmpty) return
     // defensive parse: a malformed conf value must degrade to the
@@ -732,8 +753,28 @@ final class ManifestedTree(
     * RETAINED window — the chains of the newest
     * [[ManifestedTree.KeepFulls]] full snapshots (reader grace +
     * restore/epoch horizon); older generations are gone. */
-  def generations(): Seq[(Long, Boolean)] =
-    ManifestedTree.listGenerations(fs, root)
+  /** Generation of the currently cached chain — the snapshot the last
+    * open()/readManifest on this instance resolved — falling back to
+    * the disk head when nothing is cached. This is "the store as this
+    * writer's in-flight frames see it": an index build compares it
+    * against [[freshHeadGen]] at commit to detect a concurrent
+    * writer's interleaved batch. -1 on a manifest-less tree. */
+  private[graft] def snapshotGen(): Long =
+    stateCache.map(_.gen).getOrElse(freshHeadGen())
+
+  /** The head generation as the FILESYSTEM currently records it —
+    * deliberately bypassing every cache (skew detection must see
+    * another writer instance's commit, which no cache on this
+    * instance reflects). -1 on a manifest-less tree. */
+  private[graft] def freshHeadGen(): Long =
+    ManifestedTree.listGenerations(fs, root).lastOption.map(_._1).getOrElse(-1L)
+
+  def generations(): Seq[(Long, Boolean)] = gensCache.getOrElse {
+    genListCount += 1
+    val g = ManifestedTree.listGenerations(fs, root)
+    gensCache = Some(g)
+    g
+  }
 
   /** The tree AS OF `gen` — planned from that generation's resolved
     * chain, uncached. Valid while the snapshot's files are still on
@@ -741,7 +782,20 @@ final class ManifestedTree(
     * them past the grace window, which is exactly the deferred-vacuum
     * workflow this read serves (debugging a mutation, replaying a
     * reader that planned the previous generation). */
-  def openAt(gen: Long): DataFrame =
+  def openAt(gen: Long): DataFrame = openAtCache.get(gen) match {
+    case Some(df) => df
+    case None =>
+      val df = openAtUncached(gen)
+      // small LRU: an epoch-pinned reader typically revisits one or
+      // two generations; unbounded growth across a long-lived writer
+      // would pin every historical plan
+      if (openAtCache.size >= 4) openAtCache -= openAtCache.head._1
+      openAtCache(gen) = df
+      df
+  }
+
+  private def openAtUncached(gen: Long): DataFrame = {
+    genListCount += 1 // resolveChain lists the manifest directory
     ManifestedTree.resolveChain(fs, root, Some(gen)) match {
       case Some(c) if c.entries.nonEmpty && c.entries.forall(_._2 >= 0) =>
         ManifestFileIndex.read(spark, root, c.entries, partitionSchema)
@@ -759,6 +813,7 @@ final class ManifestedTree(
         s"manifested tree $root: no generation <= $gen is retained " +
         s"(available: ${generations().map(_._1).mkString(",")})")
     }
+  }
 
   /** Restore the live set of generation `gen` by committing it FORWARD
     * as a new full snapshot (history is never rewritten — the Delta

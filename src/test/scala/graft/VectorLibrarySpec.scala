@@ -4,6 +4,20 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Shared flag + deterministic service call for the embedder-outage
+  * streaming spec: throws while `down` is set (same JVM in local mode,
+  * so the executor-side lambda sees the flag). */
+object StreamOutageState {
+  val down = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val call: ServiceEmbedder.BatchCall = (texts, _) => {
+    if (down.get) throw new RuntimeException("embedding service down (injected)")
+    texts.map { t =>
+      val h = t.hashCode
+      Array.tabulate(64)(i => ((math.abs(h * 31 + i * 7) % 97) + 1) / 97.0f)
+    }
+  }
+}
+
 class VectorLibrarySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -1974,6 +1988,82 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("streaming ingest rides out an embedder outage: down batches store pending, rebuildIndex heals") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-lib-outage").toString
+    val rootTwin = Files.createTempDirectory("graft-lib-outage-twin").toString
+    val docsDir = Files.createTempDirectory("graft-docs-outage").toString
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(48)
+    (0 until 4).foreach(i => docs.filter(col("doc_id") % 4 === i)
+      .coalesce(1).write.mode("append").parquet(docsDir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(docsDir)
+    // deterministic service call, shared by both libraries, that
+    // throws while the outage flag is up (maxRetries=1: fail fast)
+    def svc = new ServiceEmbedder(64, StreamOutageState.call,
+      batchSize = 96, maxRetries = 1)
+    val lib = new VectorLibrary(spark, root, "outage-lib", embedder = svc)
+    StreamOutageState.down.set(false)
+
+    // batch 0 embeds normally...
+    val dirFs = new java.io.File(docsDir)
+    val allFiles = dirFs.listFiles().filter(_.getName.endsWith(".parquet")).sorted
+    // stage an empty dir and feed files in one at a time so WE control
+    // which batches run during the outage
+    val feedDir = Files.createTempDirectory("graft-docs-feed").toString
+    def feed(i: Int): Unit = {
+      java.nio.file.Files.copy(allFiles(i).toPath,
+        java.nio.file.Paths.get(feedDir, allFiles(i).getName))
+    }
+    def streamFeed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    feed(0)
+    val q = lib.ingestStreamIndexed(streamFeed, s"$root/ckpt")
+    q.processAllAvailable()
+    val afterB0 = lib.chunks.count()
+    assert(afterB0 > 0)
+    assert(lib.unindexed.count() == 0)
+
+    // ...the embedding service goes DOWN for batches 1-2: the stream
+    // must stay up, the batches land PENDING (invisible to search)
+    StreamOutageState.down.set(true)
+    feed(1); feed(2)
+    q.processAllAvailable()
+    assert(q.isActive, "stream died during the embedder outage")
+    val pending = lib.unindexed.count()
+    assert(pending > 0, "outage batches did not land pending")
+    val searchableCount = lib.chunks.where(col("embedding").isNotNull).count()
+    assert(searchableCount == afterB0,
+      "pending rows leaked into the searchable store")
+
+    // service back up: batch 3 embeds normally, pending rows stay put
+    StreamOutageState.down.set(false)
+    feed(3)
+    q.processAllAvailable(); q.stop()
+    assert(lib.unindexed.count() == pending)
+
+    // rebuildIndex() is the catch-up: embeds every pending row in bulk
+    lib.rebuildIndex()
+    assert(lib.unindexed.count() == 0)
+
+    // final state ≡ the all-up run: a twin library ingesting the same
+    // stream with the service up throughout holds identical rows
+    val twin = new VectorLibrary(spark, rootTwin, "outage-lib", embedder = svc)
+    val q2 = twin.ingestStreamIndexed(stream, s"$rootTwin/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    def state(l: VectorLibrary): Set[String] =
+      l.chunks.select(col("chunk_id"), col("embedding"))
+        .collect().map(r => r.getString(0) + ":" +
+          r.getSeq[Float](1).map(f => f"$f%.5f").mkString(",")).toSet
+    assert(state(lib) == state(twin),
+      "healed outage run diverged from the all-up run")
+    lib.delete(); twin.delete()
+  }
+
   test("streaming ingest self-compacts the partitioned index on schedule") {
     import org.apache.spark.sql.types._
     import org.apache.hadoop.fs.Path
@@ -2224,6 +2314,111 @@ class VectorLibrarySpec extends AnyFunSuite {
     // the head, meanwhile, serves the NEW corpus under the new geometry
     val headIds = lib.search(q, k = 100).collect().map(_.getString(0)).toSet
     assert(headIds.exists(_.nonEmpty))
+    lib.delete()
+  }
+
+  test("commit-time skew heal: an ingest landing mid-build is folded into the committed index, no manual repair") {
+    val root = Files.createTempDirectory("graft-lib-skew").toString
+    val lib = new VectorLibrary(spark, root, "skew-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs.filter(col("doc_id") < 30))
+
+    def indexIds(): Set[String] =
+      manifestRead(s"$root/skew-lib/ivf_index/assigned",
+        "cluster" -> org.apache.spark.sql.types.IntegerType)
+        .select("chunk_id").distinct().collect().map(_.getString(0)).toSet
+
+    // FIRST BUILD racing an ingest: the hook fires between the build's
+    // row job (which read the pre-ingest store snapshot) and its
+    // manifest commit — the interleave the per-tree leases permit when
+    // the reentrant/all-tree frames compose. Without the commit-time
+    // heal the fresh index silently lacks the batch until someone runs
+    // repairIndexes.
+    var fired = 0
+    lib.onRebuildBeforeCommit = () => if (fired == 0) {
+      fired += 1
+      lib.addDocuments(docs.filter(col("doc_id") >= 30)
+        .withColumn("doc_id", col("doc_id") + 5000))
+    }
+    lib.buildIvfIndex(nCentroids = 4)
+    lib.onRebuildBeforeCommit = () => ()
+    assert(fired == 1)
+    val storeIds = lib.chunks.where(col("embedding").isNotNull)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    val ivfIds = indexIds()
+    assert(ivfIds == storeIds,
+      s"ivf index misses ${(storeIds -- ivfIds).size} interleaved rows " +
+      "(commit-time skew heal did not run)")
+    // and the healed rows are SERVED: a searchAt at the latest epoch
+    // (recorded by the build frame, after the heal) sees them
+    lib.setAlgorithm("ivf")
+    assert(lib.search("spark join stream table filter", k = 5).collect().length == 5)
+
+    // REBUILD of an existing index racing an ingest: the interleaved
+    // append advances the ivf tree itself, so the build's predicted
+    // generation goes stale and its sidecars re-number at commit.
+    lib.onRebuildBeforeCommit = () => if (fired == 1) {
+      fired += 1
+      lib.addDocuments(docs.filter(col("doc_id") >= 30)
+        .withColumn("doc_id", col("doc_id") + 7000))
+    }
+    lib.buildIvfIndex(nCentroids = 8)
+    lib.onRebuildBeforeCommit = () => ()
+    assert(fired == 2)
+    val storeIds2 = lib.chunks.where(col("embedding").isNotNull)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    val ivfIds2 = indexIds()
+    assert(ivfIds2 == storeIds2,
+      s"rebuild skew heal missed ${(storeIds2 -- ivfIds2).size} rows")
+    assert(lib.search("spark join stream table filter", k = 5).collect().length == 5)
+    lib.delete()
+  }
+
+  test("serving-resolution memo: repeated search/searchAt issues zero resolution listings after the first") {
+    val root = Files.createTempDirectory("graft-lib-memo").toString
+    val lib = new VectorLibrary(spark, root, "memo-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 25))
+    lib.buildIvfIndex(nCentroids = 4)
+    lib.buildGridIndex(gridDims = 3, cellsPerDim = 3)
+    lib.buildPqIndex(m = 4, kk = 8)
+    lib.buildIvfPqIndex(nCentroids = 4, m = 4, kk = 8)
+    val e = lib.epochs.last
+    val q = "spark join stream table filter"
+
+    // HEAD reads: per algorithm, the second identical search must
+    // re-list nothing — sidecar generations, tree emptiness, manifest
+    // generations, and the geometry parquets all resolve from the memo
+    Seq("ivf", "grid", "pq", "ivfpq", "flat").foreach { alg =>
+      lib.setAlgorithm(alg)
+      val first = lib.search(q, k = 8).collect().map(_.toSeq.mkString("|")).toSeq
+      val c0 = lib.servingListCount
+      val again = lib.search(q, k = 8).collect().map(_.toSeq.mkString("|")).toSeq
+      assert(lib.servingListCount == c0,
+        s"repeated head $alg search issued ${lib.servingListCount - c0} " +
+        "resolution listings (expected 0)")
+      assert(again == first, s"memoized head $alg search changed results")
+    }
+
+    // PINNED reads across a geometry rebuild: the epoch-pinned search
+    // must stay list-free on repeat too (the memo keys on the RESOLVED
+    // generation, so the pinned entries coexist with the head's)
+    lib.addDocuments(docs.filter(col("doc_id") >= 25)
+      .withColumn("doc_id", col("doc_id") + 9000))
+    lib.buildIvfIndex(nCentroids = 8)
+    lib.buildPqIndex(m = 8, kk = 16)
+    lib.buildIvfPqIndex(nCentroids = 8, m = 8, kk = 16)
+    Seq("ivf", "pq", "ivfpq").foreach { alg =>
+      val first = lib.searchAt(e, q, k = 8, algorithm = Some(alg))
+        .collect().map(_.toSeq.mkString("|")).toSeq
+      val c0 = lib.servingListCount
+      val again = lib.searchAt(e, q, k = 8, algorithm = Some(alg))
+        .collect().map(_.toSeq.mkString("|")).toSeq
+      assert(lib.servingListCount == c0,
+        s"repeated pinned $alg search issued ${lib.servingListCount - c0} " +
+        "resolution listings (expected 0)")
+      assert(again == first, s"memoized pinned $alg search changed results")
+    }
     lib.delete()
   }
 
