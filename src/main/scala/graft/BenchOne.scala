@@ -21,7 +21,10 @@ object BenchOne {
     var ai = 1
     while (ai < args.length) {
       args(ai) match {
-        case "--load" => loadN = args(ai + 1).toInt; ai += 2
+        case "--load" =>
+          require(ai + 1 < args.length && args(ai + 1).forall(_.isDigit),
+            "usage: BenchOne <query> [sfDir] [--explain] [--load N]")
+          loadN = args(ai + 1).toInt; ai += 2
         case "--explain" => ai += 1
         case p => sfDir = p; ai += 1
       }

@@ -40,6 +40,8 @@ object FsCapabilities {
   private val verified =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  private val ProbeErrorPrefix = "capability probe could not run: "
+
   /** Probe `fs` (once per scheme+authority per JVM) and throw
     * [[UnsupportedFilesystemException]] on a contract violation unless
     * `unsafeOverride` (spark.graft.unsafeFs=true) is set. */
@@ -47,10 +49,23 @@ object FsCapabilities {
     val u = fs.getUri
     val key = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}"
     if (verified.contains(key)) return
-    val failures = probe(fs, libRoot)
+    var failures = probe(fs, libRoot)
+    // one retry when the probe itself could not run (transient IO on
+    // an object store): a hiccup must not read as a contract verdict
+    if (failures.exists(_.startsWith(ProbeErrorPrefix)))
+      failures = probe(fs, libRoot)
     if (failures.nonEmpty) {
-      val msg = s"filesystem $key violates the commit-semantics " +
-        s"contract graft's storage layer requires:\n  - " +
+      val verdict =
+        if (failures.forall(_.startsWith(ProbeErrorPrefix)))
+          // accurate wording: UNVERIFIABLE, not "violates" — the
+          // probe never observed the semantics
+          s"filesystem $key could not be VERIFIED against the " +
+          "commit-semantics contract graft's storage layer requires " +
+          "(the probe itself failed — possibly transient)"
+        else
+          s"filesystem $key VIOLATES the commit-semantics contract " +
+          "graft's storage layer requires"
+      val msg = s"$verdict:\n  - " +
         failures.mkString("\n  - ") +
         "\nSingle-writer discipline cannot be enforced on this " +
         "filesystem; use HDFS / a POSIX mount / a hierarchical-" +
@@ -107,8 +122,10 @@ object FsCapabilities {
     } catch {
       case t: Throwable =>
         // a probe that cannot even run (permissions, exotic fs) is a
-        // loud failure too: the contract is unverifiable
-        out += s"capability probe could not run: ${t.getMessage}"
+        // loud failure too — but tagged so verify() words it as
+        // UNVERIFIABLE rather than a contract violation, and retries
+        // once for transients
+        out += s"$ProbeErrorPrefix${t.getMessage}"
     } finally {
       try fs.delete(dir, true) catch { case _: Throwable => () }
     }

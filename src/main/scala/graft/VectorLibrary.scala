@@ -96,7 +96,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // per JVM. Read-only sessions never reach it.
   private lazy val fsContractVerified: Unit =
     FsCapabilities.verify(hadoopFs(root), s"$root/$name",
-      spark.conf.getOption("spark.graft.unsafeFs").exists(_.toBoolean))
+      // tolerant parse: "1"/"yes" mis-sets must not turn the override
+      // into an IllegalArgumentException inside lazy-val init
+      spark.conf.getOption("spark.graft.unsafeFs").exists(v =>
+        v.equalsIgnoreCase("true") || v == "1" || v.equalsIgnoreCase("yes")))
 
   /** Acquire the leases of `names` in canonical order, then run body. */
   private def withLeases[T](names: Seq[String])(body: => T): T = {
@@ -200,7 +203,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       val vis = fs.exists(hp) && fs.listStatus(hp).exists { st =>
         val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
       }
-      if (vis) visibleCache += p
+      if (vis) visibleCache.put(p, ())
       vis
     }
 
@@ -358,16 +361,29 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // caches (gridMetaCache etc.): another writer's commit is seen at
   // this instance's next own mutation, the documented multi-writer
   // read contract.
-  private val geomGensCache = scala.collection.mutable.HashMap.empty[String, Seq[Long]]
-  private val geomLoadCache = scala.collection.mutable.HashMap.empty[String, AnyRef]
-  private val visibleCache = scala.collection.mutable.HashSet.empty[String]
+  // TrieMaps, not mutable.HashMap: a reader thread may be serving
+  // search() while a writer thread's mutation clears these (the
+  // streaming foreachBatch + concurrent-reader shape) — concurrent
+  // clear+getOrElseUpdate on a plain HashMap can corrupt bucket state.
+  // TrieMap makes every race benign (worst case: one duplicated load).
+  private val geomGensCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+  private val geomLoadCache = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private val visibleCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
   /** Test probe: filesystem LISTs issued by serving resolution (cache
     * misses in [[geomGens]]/[[hasVisibleData]]). A repeated search
-    * must not advance it. */
+    * must not advance it. Plain var: the specs that read it are
+    * single-threaded; a torn count under races costs nothing. */
   private[graft] var resolveListCount: Long = 0L
   private def dropResolveCaches(): Unit = {
     geomGensCache.clear(); geomLoadCache.clear(); visibleCache.clear()
     epochInfoCache.clear()
+    // tree-level memos (generation listings, head + pinned frames)
+    // drop for ALL trees, not just the mutation's footprint: a
+    // footprint-scoped maintenance loop (only ever rebuilding pq)
+    // must still adopt another instance's commits to the OTHER trees
+    // at its next own mutation — the documented multi-writer read
+    // contract ("stale until this instance next mutates").
+    epochTrees.foreach(_._2.invalidate())
   }
   /** Test probe: TOTAL filesystem LISTs serving resolution has issued
     * for this library — sidecar-generation listings, tree-emptiness
@@ -528,14 +544,21 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * BULK hook: expression-backed embedders project a column (plan
     * unchanged, codegen intact); service-backed ones batch per
     * partition (reference generate_embeddings_batch). */
-  private def indexColumns(chunked: DataFrame): DataFrame = {
-    embed.embedFrame(chunked, "chunk_text", "search_document", "embedding")
+  private def indexColumns(chunked: DataFrame): DataFrame =
+    derivedIndexColumns(
+      embed.embedFrame(chunked, "chunk_text", "search_document", "embedding"))
+
+  /** The non-embed index columns over an already-embedded batch —
+    * graft's own deterministic expressions, split out so the
+    * streaming outage fallback can classify embed-step failures
+    * separately ([[embedOrPending]]). */
+  private def derivedIndexColumns(embedded: DataFrame): DataFrame =
+    embedded
       .withColumn("lsh_buckets", lshBuckets(col("embedding"), numTables, bitsPerTable, seed))
       .withColumn("quant", quantizeVec(l2Normalize(col("embedding"))))
       .withColumn("bits", bitPack(col("embedding")))
       .withColumn("chunk_id",
         concat_ws("#", lit(name), col("doc_id"), col("chunk_idx")))
-  }
 
   /** All chunks of this library. A library that has never ingested
     * returns an EMPTY frame with the full store schema (reference:
@@ -1824,9 +1847,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
 
   // epoch files are write-once, so a recorded tuple is immutable; the
   // cache only needs dropping when pruneUnresolvableEpochs deletes
-  // records (and, conservatively, with the other resolve caches)
+  // records (and, conservatively, with the other resolve caches).
+  // TrieMap: read concurrently with a mutating writer's clear.
   private val epochInfoCache =
-    scala.collection.mutable.HashMap.empty[Long, Map[String, Long]]
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, Long]]
 
   private def epochInfoUncached(e: Long): Map[String, Long] =
     readEpochFile(e) match {
@@ -3040,22 +3064,34 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
       .start()
   }
 
-  /** Embed + index-column a micro-batch, MATERIALIZED so an embedding
-    * service failure surfaces here (the seam's bulk hook is lazy):
-    * Some(persisted embedded batch) on success, None — loudly — when
-    * the embedder is down and the caller should store the batch
-    * pending instead of failing the stream. */
+  /** Embed + index-column a micro-batch, with ONLY the embed step
+    * fallback-eligible: the seam's bulk hook materializes first (its
+    * failure = service outage → None, loudly — the caller stores the
+    * batch pending instead of failing the stream), and the derived
+    * index columns (lsh/quant/bits — graft's own deterministic
+    * expressions) compute AFTER, outside the catch: their failures
+    * are bugs that must fail the stream, not masquerade as an outage
+    * and strand rows pending forever (rebuildIndex would hit the
+    * same bug). NonFatal only — an OOM or the stop() interrupt
+    * propagates. */
   private def embedOrPending(b: DataFrame, batchId: Long): Option[DataFrame] = {
-    val eb = indexColumns(b.drop("chunk_id")).persist()
-    try { eb.count(); Some(eb) }
-    catch { case t: Throwable =>
-      eb.unpersist()
-      System.err.println(s"[graft] stream batch $batchId: embedding " +
-        s"failed (${Option(t.getMessage).getOrElse(t).toString.take(120)}) — " +
-        "storing the batch PENDING; run rebuildIndex() once the " +
-        "embedding service is back")
-      None
-    }
+    val embedded = embed.embedFrame(b.drop("chunk_id"),
+      "chunk_text", "search_document", "embedding").persist()
+    val up =
+      try { embedded.count(); true }
+      catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[graft] stream batch $batchId: embedding " +
+          s"failed (${Option(t.getMessage).getOrElse(t).toString.take(120)}) — " +
+          "storing the batch PENDING; run rebuildIndex() once the " +
+          "embedding service is back")
+        false
+      }
+    if (!up) { embedded.unpersist(); None }
+    else try {
+      val full = derivedIndexColumns(embedded).persist()
+      full.count()
+      Some(full)
+    } finally embedded.unpersist()
   }
 
   /** Replay idempotence for streaming ingest: drop the micro-batch rows

@@ -101,6 +101,9 @@ final class ManifestedTree(
   // Pinned frames per generation, small LRU: a resolved chain's entry
   // set is immutable once written, so the frame only needs dropping
   // when retention could have pruned it — any mutation (invalidate).
+  // Access is synchronized on the map: a pinned reader thread and a
+  // mutating writer's invalidate() may race, and LinkedHashMap is not
+  // concurrency-safe.
   private val openAtCache =
     scala.collection.mutable.LinkedHashMap.empty[Long, DataFrame]
   /** Test probe: manifest-directory LISTs issued by [[generations]] /
@@ -108,7 +111,7 @@ final class ManifestedTree(
   private[graft] var genListCount: Long = 0L
   def invalidate(): Unit = {
     openCache = None; stateCache = None; gensCache = None
-    openAtCache.clear()
+    openAtCache.synchronized(openAtCache.clear())
   }
 
   private def resolveState(): Option[Chain] = stateCache.orElse {
@@ -782,16 +785,24 @@ final class ManifestedTree(
     * them past the grace window, which is exactly the deferred-vacuum
     * workflow this read serves (debugging a mutation, replaying a
     * reader that planned the previous generation). */
-  def openAt(gen: Long): DataFrame = openAtCache.get(gen) match {
-    case Some(df) => df
-    case None =>
+  def openAt(gen: Long): DataFrame = {
+    val hit = openAtCache.synchronized {
+      // re-insert on hit: LinkedHashMap keeps insertion order, so the
+      // remove+put makes eviction genuinely least-recently-USED (a
+      // reader alternating over a few generations stays cached)
+      openAtCache.remove(gen).map { df => openAtCache(gen) = df; df }
+    }
+    hit.getOrElse {
       val df = openAtUncached(gen)
-      // small LRU: an epoch-pinned reader typically revisits one or
-      // two generations; unbounded growth across a long-lived writer
-      // would pin every historical plan
-      if (openAtCache.size >= 4) openAtCache -= openAtCache.head._1
-      openAtCache(gen) = df
+      openAtCache.synchronized {
+        // small LRU: an epoch-pinned reader typically revisits one or
+        // two generations; unbounded growth across a long-lived writer
+        // would pin every historical plan
+        if (openAtCache.size >= 4) openAtCache -= openAtCache.head._1
+        openAtCache(gen) = df
+      }
       df
+    }
   }
 
   private def openAtUncached(gen: Long): DataFrame = {
