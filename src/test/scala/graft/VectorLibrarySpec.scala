@@ -2374,6 +2374,65 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("serving caches survive a reader thread racing a mutating writer") {
+    // The r12 resolve caches are cleared by every mutation while a
+    // concurrent reader thread may be mid-getOrElseUpdate — TrieMaps
+    // make that race benign (worst case a duplicated load). This spec
+    // drives the exact shape: one thread searches in a loop across
+    // algorithms while the writer ingests, rebuilds geometry, and
+    // deletes. Any cache-corruption exception fails the run.
+    val root = Files.createTempDirectory("graft-lib-race").toString
+    val lib = new VectorLibrary(spark, root, "race-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(60)
+    lib.addDocuments(docs.filter(col("doc_id") < 30))
+    lib.buildIvfIndex(nCentroids = 4)
+    lib.buildPqIndex(m = 4, kk = 8)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      val algos = Seq("flat", "lsh", "ivf", "pq")
+      var i = 0
+      while (!stop.get()) {
+        val alg = algos(i % algos.size)
+        try {
+          // a reader mid-mutation may catch a transiently absent index
+          // (drop/rebuild window) — ONLY cache-corruption classes fail
+          lib.searchAt(lib.epochs.last, "spark join stream table", k = 3,
+            algorithm = Some(alg)).count()
+          reads.incrementAndGet()
+        } catch {
+          case _: IllegalArgumentException => () // pruned epoch mid-read
+          case t: Throwable =>
+            val root = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+              .toSeq.last
+            root match {
+              case _: NullPointerException | _: ArrayIndexOutOfBoundsException
+                   | _: ClassCastException => readerErrors.add(t)
+              case _ => () // IO races on moving files are the ladder's domain
+            }
+        }
+        i += 1
+      }
+    }, "race-reader")
+    reader.setDaemon(true)
+    reader.start()
+    (0 until 3).foreach { r =>
+      lib.addDocuments(docs.filter(col("doc_id") >= 30)
+        .withColumn("doc_id", col("doc_id") + 1000 * (r + 1)))
+      lib.buildIvfIndex(nCentroids = 4 + r)
+      lib.deleteDocuments(col("doc_id") === lit(1000L * (r + 1) + 35))
+    }
+    Thread.sleep(500)
+    stop.set(true)
+    reader.join(10000)
+    assert(readerErrors.isEmpty,
+      s"cache-corruption exceptions under reader/writer race: ${readerErrors.peek()}")
+    assert(reads.get() > 0, "reader never completed a search")
+    assert(lib.search("spark join stream table", k = 5).collect().length == 5)
+    lib.delete()
+  }
+
   test("serving-resolution memo: repeated search/searchAt issues zero resolution listings after the first") {
     val root = Files.createTempDirectory("graft-lib-memo").toString
     val lib = new VectorLibrary(spark, root, "memo-lib")
