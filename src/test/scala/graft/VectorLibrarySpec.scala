@@ -2371,6 +2371,31 @@ class VectorLibrarySpec extends AnyFunSuite {
     assert(ivfIds2 == storeIds2,
       s"rebuild skew heal missed ${(storeIds2 -- ivfIds2).size} rows")
     assert(lib.search("spark join stream table filter", k = 5).collect().length == 5)
+
+    // PENDING interleave: a deferred-embedding ingest mid-build must
+    // NOT be healed into the index — pending rows are invisible to
+    // every index until rebuildIndex embeds them (searchable-store
+    // discipline inside healRebuildSkew too)
+    lib.onRebuildBeforeCommit = () => if (fired == 2) {
+      fired += 1
+      lib.addChunkedDocuments(
+        docs.filter(col("doc_id") < 5).select(
+          (col("doc_id") + 8000).as("doc_id"), lit("srcp").as("source"),
+          lit(0).as("chunk_idx"), col("text").as("chunk_text")),
+        deferEmbedding = true)
+    }
+    lib.buildIvfIndex(nCentroids = 8)
+    lib.onRebuildBeforeCommit = () => ()
+    assert(fired == 3)
+    val pendingN = lib.unindexed.count()
+    assert(pendingN > 0, "deferred interleave stored no pending rows")
+    val ivfIds3 = indexIds()
+    val searchable3 = lib.chunks.where(col("embedding").isNotNull)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(ivfIds3 == searchable3,
+      "pending rows leaked into (or searchable rows missed from) the healed index")
+    assert(!ivfIds3.exists(_.contains("#80")),
+      "a pending chunk_id reached the index before embedding")
     lib.delete()
   }
 
