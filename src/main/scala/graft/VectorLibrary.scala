@@ -1930,19 +1930,32 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
    */
   def searchAt(e: Long, queryText: String, k: Int = 10,
                metric: String = "cosine",
-               algorithm: Option[String] = None): DataFrame = {
+               algorithm: Option[String] = None,
+               filter: Option[Column] = None): DataFrame = {
     val info = epochInfo(e)
     val kk = clampK(k)
     val q = queryFrame(queryText)
     // searchable twin of the head dispatch: pending (null-embedding)
     // rows of the pinned store are invisible here too
-    def store = chunksAt(e).where(col("embedding").isNotNull)
+    def store = applyF(chunksAt(e).where(col("embedding").isNotNull), filter)
     def flatAt: DataFrame =
       VectorSearch.knnFlat(store.select(col("chunk_id"), col("embedding")),
         q, "chunk_id", "embedding", kk, metric)
+    // `filter` mirrors the head dispatch's scoping contract against
+    // the PINNED frames: applied scan-side (inside the pinned pruned
+    // layouts when their rows carry the predicate columns, pushed to
+    // the pinned store scan for flat/lsh/quantized/binary), with the
+    // same exact-over-filtered-store fallback for pre-metadata
+    // layouts — never post-hoc on a shortlist.
     algorithm.getOrElse(algo) match {
       case "flat" => flatAt
-      case "lsh" => searchApproxAt(e, queryText, k, metric)
+      case "lsh" if filter.isEmpty => searchApproxAt(e, queryText, k, metric)
+      case "lsh" =>
+        // the head's filtered-lsh shape over the pinned store rows
+        // (bucket columns ride in the store, so no index tree needed)
+        VectorSearch.lshKnnIndexed(store, q,
+          "chunk_id", "embedding", "lsh_buckets",
+          kk, metric, numTables, bitsPerTable, seed)
       case "quantized" =>
         VectorSearch.knnQuantizedIndexed(store, q,
           "chunk_id", "embedding", "quant", kk, metric)
@@ -1954,36 +1967,39 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
           store.select(col("chunk_id"), col("embedding")),
           q, "chunk_id", "embedding", kk, metric)
       case "grid" => info.get("grid") match {
-        case Some(g) =>
+        case Some(g) if filter.forall(covers(gridTree.openAt(g), _)) =>
           val (lo, hi, gd, cpd) = gridBoundsAt(g)
-          val cells = gridTree.openAt(g)
+          val cells = applyF(gridTree.openAt(g), filter)
           VectorSearch.gridKnnIndexed(cells, lo, hi, q,
             "chunk_id", "embedding", kk, metric, gd, cpd,
             countsOpt = Some(VectorSearch.gridCellCounts(cells)))
+        case Some(_) => flatAt // pre-metadata pinned cells: exact fallback
         case None =>
           VectorSearch.gridKnnExpanding(
             store.select(col("chunk_id"), col("embedding")),
             q, "chunk_id", "embedding", kk, metric)
       }
       case "ivf" => info.get("ivf") match {
-        case Some(g) =>
-          IvfIndex.searchAssigned(ivfTree.openAt(g), ivfCentersAt(g),
+        case Some(g) if filter.forall(covers(ivfTree.openAt(g), _)) =>
+          IvfIndex.searchAssigned(applyF(ivfTree.openAt(g), filter),
+            ivfCentersAt(g),
             q, "chunk_id", "embedding", kk, metric = metric)
-        case None => flatAt
+        case _ => flatAt
       }
       case "pq" => info.get("pq") match {
-        case Some(g) =>
-          PqIndex.search(pqTree.openAt(g), pqBooksAt(g), q,
+        case Some(g) if filter.forall(covers(pqTree.openAt(g), _)) =>
+          PqIndex.search(applyF(pqTree.openAt(g), filter), pqBooksAt(g), q,
             "chunk_id", "embedding", kk, metric, normalized = true)
-        case None => flatAt
+        case _ => flatAt
       }
       case "ivfpq" => info.get("ivfpq") match {
-        case Some(g) =>
+        case Some(g) if filter.forall(covers(ivfpqTree.openAt(g), _)) =>
           val (centers, books) = ivfpqSideAt(g)
-          IvfPq.search(IvfPq.Index(centers, books, ivfpqTree.openAt(g)),
+          IvfPq.search(
+            IvfPq.Index(centers, books, applyF(ivfpqTree.openAt(g), filter)),
             q, "chunk_id", "embedding", kk, metric = metric,
             normalized = true)
-        case None => flatAt
+        case _ => flatAt
       }
       case other => throw new IllegalArgumentException(
         s"unknown index algorithm '$other' (expected one of " +

@@ -2399,6 +2399,62 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("epoch-pinned filtered search: head parity when static, stable across mutation, all hits in scope") {
+    val root = Files.createTempDirectory("graft-lib-pinf").toString
+    val lib = new VectorLibrary(spark, root, "pinf-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(50)
+    lib.addDocuments(docs.filter(col("doc_id") < 30))
+    lib.buildPartitionedIndex()
+    lib.buildGridIndex(gridDims = 3, cellsPerDim = 3)
+    lib.buildIvfIndex(nCentroids = 4)
+    lib.buildPqIndex(m = 4, kk = 8)
+    lib.buildIvfPqIndex(nCentroids = 4, m = 4, kk = 8)
+    val e = lib.epochs.last
+    val q = "spark join stream table filter"
+    // a predicate that keeps a strict, non-empty subset
+    val src = lib.chunks.groupBy("source").count()
+      .orderBy(col("count").desc).head.getString(0)
+    val f = col("source") === src
+    val inScope = lib.chunks.where(f)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(inScope.nonEmpty && inScope.size < lib.chunks.count())
+
+    val algos = Seq("flat", "lsh", "quantized", "binary",
+      "grid", "ivf", "pq", "ivfpq")
+    def pinned(alg: String): Seq[String] =
+      lib.searchAt(e, q, k = 8, algorithm = Some(alg), filter = Some(f))
+        .collect().map(_.toSeq.mkString("|")).toSeq
+    val before = algos.map { alg =>
+      lib.setAlgorithm(alg)
+      val head = lib.search(q, k = 8, filter = Some(f))
+        .collect().map(_.toSeq.mkString("|")).toSeq
+      val pin = pinned(alg)
+      // nothing has mutated since the epoch: pinned == head
+      assert(pin == head, s"pinned filtered $alg diverged from head on a static library")
+      // scoping contract: every hit satisfies the predicate
+      assert(pin.forall(h => inScope.contains(h.split('|').head)),
+        s"pinned filtered $alg returned an out-of-scope hit")
+      // approx probes (lsh buckets, pruned cells) may legitimately
+      // find nothing inside a narrow subset — head parity above is
+      // the correctness check; only the exact scans must fill k
+      if (Seq("flat", "quantized", "binary").contains(alg))
+        assert(pin.nonEmpty, s"pinned filtered $alg returned nothing")
+      alg -> pin
+    }.toMap
+
+    // mutate (same source keeps the filter live) + rebuild geometry:
+    // the pinned filtered results must not move
+    lib.addDocuments(docs.filter(col("doc_id") >= 30)
+      .withColumn("doc_id", col("doc_id") + 4000))
+    lib.buildIvfIndex(nCentroids = 8)
+    lib.buildPqIndex(m = 8, kk = 16)
+    algos.foreach { alg =>
+      assert(pinned(alg) == before(alg),
+        s"pinned filtered $alg search changed across a mutation")
+    }
+    lib.delete()
+  }
+
   test("serving caches survive a reader thread racing a mutating writer") {
     // The r12 resolve caches are cleared by every mutation while a
     // concurrent reader thread may be mid-getOrElseUpdate — TrieMaps
