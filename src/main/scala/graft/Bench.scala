@@ -5,7 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one warmup run per query (codegen/JIT), then
   * two timed runs — steady-state throughput, matching how the reference
   * engine benchmarks its own query latency (in-process, warm caches:
-  * /root/reference/tests/test_integration_performance.py). */
+  * /root/reference/tests/test_integration_performance.py).
+  *
+  * Contamination self-adjudication (r13). Three signals ride with every
+  * per-query wall time, and a bounded retime loop corrects entries any
+  * of them flags:
+  *  1. `cpu_sec` — the JVM process-CPU delta of the same run. External
+  *     load steals wall while cpu USUALLY stays flat — but under heavy
+  *     core oversubscription the JVM's own consumed CPU inflates too
+  *     (GC/safepoint/scheduler churn: the r12 driver record grew
+  *     q7_rollup's cpu 70× alongside its wall), so cpu<wall is a
+  *     sufficient contamination signal, never a necessary one.
+  *  2. `sys_busy_cores` — machine-wide busy cores sampled from
+  *     /proc/stat around the same run: distinguishes "this JVM was
+  *     slow" from "the box was full" with no inference at all.
+  *  3. A committed quiet-machine per-query baseline
+  *     (BENCH_BASELINE.json, refreshed at each round-close gate run):
+  *     wall > ~3× its quiet baseline retimes REGARDLESS of cpu/wall —
+  *     the trigger r12's cpu-only heuristic lacked, which let eight
+  *     contaminated entries through.
+  * The retime loop runs AFTER the full pass (transient load has had
+  * the whole run to clear), keeps the faster observation, iterates
+  * while entries stay flagged (bounded), and lists every corrected
+  * query under "retimed" so the record says which entries
+  * self-corrected.
+  *
+  * `--load N` spawns N external busy-loop processes for the main timed
+  * pass and kills them before the retime loop — the end-to-end demo
+  * that a contaminated record self-corrects to the quiet numbers. */
 object Bench {
   /** 1-minute load average from /proc/loadavg (-1.0 when unreadable).
     * Stamped into the bench JSON so an inflated record carries its own
@@ -21,12 +48,13 @@ object Bench {
   /** JVM-wide process CPU seconds (-1.0 when the platform bean is
     * unavailable). Under local[*] every executor thread lives in THIS
     * JVM, so a per-query delta of this clock is the query's own
-    * compute — external contention steals wall time but never CPU
-    * time. The per-query record of (wall, cpu) is therefore
-    * self-adjudicating: a starved run shows wall inflating while cpu
-    * stays flat against the previous round (two consecutive driver
-    * records — r10 +37%, r11 ~3× — needed worktree bisection to call
-    * environmental; this field answers it in one read). */
+    * compute. cpu ≈ wall on a slow query is NOT proof of a real
+    * regression though: heavy oversubscription inflates consumed JVM
+    * CPU too (GC/safepoint/scheduler churn) — which is why the retime
+    * triggers below also compare against the committed quiet baseline
+    * and the machine-wide /proc/stat view instead of trusting
+    * cpu<wall alone (that blind spot passed eight contaminated
+    * entries into the r12 record). */
   def processCpuSec(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
@@ -35,10 +63,63 @@ object Bench {
       case _ => -1.0
     }
 
+  /** (busy, total) jiffies from /proc/stat's aggregate cpu line —
+    * busy = everything but idle+iowait. (-1,-1) when unreadable
+    * (non-Linux): every derived busy-cores field degrades to -1. */
+  def sysJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val total = f.sum
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      (total - idle, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Machine-wide busy cores over a (start, end) jiffy interval — the
+    * direct "was the box full" evidence beside each wall time. */
+  def busyCores(s: (Long, Long), e: (Long, Long), cores: Int): Double =
+    if (s._1 < 0 || e._1 < 0 || e._2 <= s._2) -1.0
+    else (e._1 - s._1).toDouble / (e._2 - s._2) * cores
+
+  /** One timed observation: wall + the same run's JVM cpu delta and
+    * machine-wide busy cores — one coherent (wall, cpu, sys) triple,
+    * never a min-of-each mixture. */
+  final case class Obs(wall: Double, cpu: Double, sysBusy: Double)
+
+  /** Per-query quiet-machine baseline walls from a committed
+    * BENCH_BASELINE.json (same flat `"queries":{"name":sec,…}` shape
+    * this main writes). Missing/unreadable → empty: triggers 1 and 2
+    * still adjudicate. */
+  private[graft] def readBaseline(path: String): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val i = s.indexOf("\"queries\"")
+      if (i < 0) Map.empty
+      else {
+        val start = s.indexOf('{', i)
+        val end = s.indexOf('}', start)
+        if (start < 0 || end < 0) Map.empty
+        else "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+          .findAllMatchIn(s.substring(start + 1, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
+    var loadN = 0
+    args.sliding(2).foreach {
+      case Array("--load", n) if n.forall(_.isDigit) => loadN = n.toInt
+      case _ => ()
+    }
+    require(loadN <= 256, "--load: at most 256 busy loops")
     val loadStart = loadAvg1m()
     val cores = Runtime.getRuntime.availableProcessors()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    val baseline = readBaseline(baselinePath)
     // local[32] is the stated contract for this main (the machine has
     // 32 cores / 128 GiB); the old default of 4 was a v0 leftover that
     // made the official record measure a quarter of the machine.
@@ -55,6 +136,18 @@ object Bench {
     // (CacheManager re-cache notices, registry replacements) into the
     // tail window the driver greps for the marker line.
     spark.sparkContext.setLogLevel("ERROR")
+    // Contamination demo: external busy loops run through the preamble
+    // and the whole main timed pass, and die before the retime loop —
+    // the FINAL record must then land back at the quiet numbers.
+    var loaders: Seq[Process] = Seq.empty
+    if (loadN > 0) {
+      loaders = (1 to loadN).map { _ =>
+        new ProcessBuilder("sh", "-c", "while :; do :; done").start()
+      }
+      System.err.println(s"[bench] --load: spawned $loadN external " +
+        "busy-loop processes (killed before the retime loop)")
+    }
+    try {
     // PREAMBLE (untimed): absorb the session's one-time costs before
     // ANY query is on the clock — base-table footer reads, the
     // build-once per-dataset library (store + partitioned LSH trees,
@@ -82,71 +175,110 @@ object Bench {
       System.err.println(s"BENCH PREAMBLE FAILURE: $t")
     }
     val preambleSec = (System.nanoTime() - pre0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    /** One measured run of a named query; None when it failed. */
+    def measure(name: String): Option[Obs] = {
+      val fn = SparkEntry.queries(name)
+      val s0 = sysJiffies()
+      val c0 = processCpuSec()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val c1 = processCpuSec()
+      val s1 = sysJiffies()
+      // drop this query's pinned frames before the next run (pin()
+      // caches survive their operator call by design)
+      graft.GraftFunctions.releasePins()
+      if (ok) Some(Obs(wall,
+        if (c0 < 0 || c1 < 0) -1.0 else c1 - c0,
+        busyCores(s0, s1, cores)))
+      else None
+    }
+
+    val results: Map[String, Obs] = SparkEntry.queries.map { case (name, _) =>
       // warmup run (codegen/JIT + per-query build-once index memos);
       // its wall joins the min below — after the preamble it is as
       // steady-state as the timed runs, and under one-sided GC noise
-      // min-of-3 beats min-of-2. Every run also records its JVM
-      // process-CPU delta; the reported cpu_sec is the CPU of the
-      // SAME run whose wall was the minimum, so the (wall, cpu) pair
-      // is one coherent observation, never a min-of-each mixture.
-      val runs = (0 to 2).map { i =>
-        val c0 = processCpuSec()
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case t: Throwable =>
-            if (i > 0) System.err.println(s"BENCH FAILURE $name: $t")
-            false }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val c1 = processCpuSec()
-        (wall, if (c0 < 0 || c1 < 0) -1.0 else c1 - c0, ok, i == 0)
+      // min-of-3 beats min-of-2.
+      val runs = (0 to 2).map(i => (measure(name), i == 0))
+      runs.collectFirst { case (None, false) => () }.foreach { _ =>
+        System.err.println(s"BENCH FAILURE $name")
       }
+      val okRuns = runs.collect { case (Some(o), _) => o }
       // A failed query must not masquerade as a fast one: report -1
       // and list it under "errors" instead of feeding min()/total.
       // (A warmup-only failure with both timed runs green still
       // reports the timed minimum, as before.)
-      val okRuns = runs.collect { case (w, c, true, _) => (w, c) }
-      // drop this query's pinned frames before the next query runs
-      // (pin() caches survive their operator call by design)
-      graft.GraftFunctions.releasePins()
-      val timedOk = runs.exists { case (_, _, ok, warm) => ok && !warm }
-      name -> (if (timedOk) okRuns.minBy(_._1) else (-1.0, -1.0))
+      val timedOk = runs.exists { case (o, warm) => o.isDefined && !warm }
+      name -> (if (timedOk) okRuns.minBy(_.wall) else Obs(-1.0, -1.0, -1.0))
     }
-    // End-of-run self-correction (the other half of the cpu_sec
-    // adjudicator): a query whose best run still looks STARVED —
-    // wall > 1 s with cpu < wall, when a healthy local[32] query burns
-    // more CPU than wall unless it is IO/latency-bound — re-times ONCE
-    // now, after any transient contention has had the whole run to
-    // pass; the faster observation wins and the query is listed under
-    // "retimed" so the record says which entries self-corrected.
-    // Bounded at 8 re-runs.
-    val retimed = results.toSeq
-      .filter { case (_, (w, c)) => w > 1.0 && c >= 0 && c < w }
-      .sortBy(-_._2._1).take(8).flatMap { case (name, (w, c)) =>
-        val c0 = processCpuSec()
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val w2 = (System.nanoTime() - t0) / 1e9
-        val c2 = if (c0 < 0) -1.0 else processCpuSec() - c0
-        graft.GraftFunctions.releasePins()
-        if (ok && w2 < w) Some(name -> (w2, c2)) else None
-      }.toMap
-    val finalResults = results.map { case (k, v) => k -> retimed.getOrElse(k, v) }
-    val retimedJson = retimed.keys.toSeq.sorted
+
+    if (loaders.nonEmpty) {
+      loaders.foreach(_.destroyForcibly())
+      loaders = Seq.empty
+      System.err.println("[bench] --load: busy loops killed; retime " +
+        "loop adjudicates on a quiet machine")
+    }
+
+    // End-of-run self-correction: retime entries any trigger flags,
+    // AFTER the full pass (transient contention has had the whole run
+    // to clear); the faster observation wins. ITERATED (the r12
+    // single-pass retimed exactly one of eight contaminated entries —
+    // the rest stayed hidden behind the cpu<wall blind spot): up to 3
+    // passes / 32 re-runs total, re-flagging after each pass, so a
+    // record contaminated end-to-end still walks back to quiet numbers
+    // as long as the machine frees up before the loop's budget ends.
+    def flagged(name: String, o: Obs): Boolean = o.wall >= 0 && (
+      // trigger 3 (committed quiet baseline): wall ≫ quiet wall, no
+      // cpu condition AT ALL — oversubscription inflates JVM cpu too.
+      // The floor terms keep sub-second noise from churning re-runs.
+      baseline.get(name).exists(b =>
+        b >= 0 && o.wall > math.max(3 * b, b + 0.75)) ||
+      // trigger 1 (classic starvation): slow with cpu under wall
+      (o.wall > 1.0 && o.cpu >= 0 && o.cpu < o.wall) ||
+      // trigger 2 (direct machine evidence, covers baseline-less new
+      // queries): slow while the box ran >1.5× this JVM's own burn
+      (o.wall > 1.0 && o.sysBusy > 0 && o.cpu >= 0 &&
+        o.sysBusy > 1.5 * (o.cpu / o.wall) && o.sysBusy > cores / 2.0))
+    var current = results
+    val retimedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    var budget = 32
+    var pass = 0
+    while (pass < 3 && budget > 0 &&
+           current.exists { case (n, o) => flagged(n, o) }) {
+      pass += 1
+      val victims = current.toSeq.filter { case (n, o) => flagged(n, o) }
+        .sortBy(-_._2.wall).take(budget)
+      victims.foreach { case (name, best) =>
+        budget -= 1
+        measure(name).foreach { o =>
+          if (o.wall < best.wall) {
+            current = current.updated(name, o)
+            retimedNames += name
+          }
+        }
+      }
+    }
+    val finalResults = current
+
+    val retimedJson = retimedNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failed = finalResults.collect { case (k, (v, _)) if v < 0 => s"\"$k\"" }
-    val qs = finalResults.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val failed = finalResults.collect { case (k, o) if o.wall < 0 => s"\"$k\"" }
+    val qs = finalResults.map { case (k, o) => s"\"" + k + "\":" + o.wall }
       .mkString("{", ",", "}")
     // per-query process-CPU seconds of the min-wall run, keyed exactly
-    // like "queries": the starvation adjudicator (wall ≫ cpu with cpu
-    // flat round-over-round = external contention, not a regression)
-    val cpus_ = finalResults.map { case (k, (_, c)) => s"\"" + k + "\":" + f"$c%.3f" }
+    // like "queries" — one leg of the contamination adjudicator
+    val cpus_ = finalResults.map { case (k, o) => s"\"" + k + "\":" + f"${o.cpu}%.3f" }
+      .mkString("{", ",", "}")
+    // machine-wide busy cores during the same run: the direct
+    // "this JVM was slow" vs "the box was full" discriminator
+    val sysb = finalResults.map { case (k, o) => s"\"" + k + "\":" + f"${o.sysBusy}%.2f" }
       .mkString("{", ",", "}")
     // A run with failures must not report a (smaller) total that ranks
     // it above clean runs: value is only comparable when errors == [].
     val total =
-      if (failed.nonEmpty) "null" else finalResults.values.map(_._1).sum.toString
+      if (failed.nonEmpty) "null" else finalResults.values.map(_.wall).sum.toString
     val errs = failed.mkString("[", ",", "]")
     val loadEnd = loadAvg1m()
     // Environmental self-adjudication: load at start (what the machine
@@ -155,30 +287,42 @@ object Bench {
     // actually saw. Rides in BOTH the file of record and the compact
     // marker so the parsed driver artifact carries it.
     val env =
-      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cores":$cores"""
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cores":$cores,"baseline_queries":${baseline.size},"load_demo":$loadN"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"retimed":$retimedJson,"errors":$errs,"preamble_sec":$preambleSec,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpus_,"sys_busy_cores":$sysb,"retimed":$retimedJson,"errors":$errs,"preamble_sec":$preambleSec,$env,"sf":"$sfDir"}"""
     // The full per-query map (~6 KB at 126 queries) has overflowed the
     // driver's tail window three rounds running (BENCH parsed:null), so
     // it rides ONLY in the file of record; stdout gets a compact
     // summary that fits any tail window.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // Quiet-machine baseline refresh (gate-run only, via env): the next
+    // round's Bench compares against THESE walls. Refuses to refresh
+    // from a run that itself retimed or failed — a contaminated
+    // baseline would blind trigger 3 exactly when it matters.
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE_OUT").foreach { p =>
+      if (failed.isEmpty && retimedNames.isEmpty && loadN == 0)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      else System.err.println("[bench] baseline NOT refreshed: run had " +
+        s"errors=${failed.size} retimed=${retimedNames.size} load=$loadN")
+    }
     // Compact marker payload: total + the 8 slowest queries (the ones a
     // grader actually inspects) + a pointer to the full map. ~500 bytes.
     // The truncated map rides under its OWN key ("slowest") so a parser
     // that sums/counts a "queries" map can never mistake the subset for
     // the full map (r6/r7 ADVICE); the complete map lives only in
     // `detail` (bench_out.json), under "queries" as always.
-    val slowPairs = finalResults.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(8)
+    val slowPairs = finalResults.toSeq.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(8)
     val slow = slowPairs
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, o) => s"\"" + k + "\":" + f"${o.wall}%.3f" }.mkString("{", ",", "}")
     // cpu of the same 8 slowest, same keys: the marker line alone can
     // adjudicate contention on the queries a grader actually inspects
     val slowCpu = slowPairs
-      .map { case (k, (_, c)) => s"\"" + k + "\":" + f"$c%.3f" }.mkString("{", ",", "}")
+      .map { case (k, o) => s"\"" + k + "\":" + f"${o.cpu}%.3f" }.mkString("{", ",", "}")
+    val slowSys = slowPairs
+      .map { case (k, o) => s"\"" + k + "\":" + f"${o.sysBusy}%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${finalResults.size},"slowest":$slow,"slowest_cpu":$slowCpu,"retimed":$retimedJson,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},$env,"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${finalResults.size},"slowest":$slow,"slowest_cpu":$slowCpu,"slowest_sys_busy":$slowSys,"retimed":$retimedJson,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},$env,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
     // Marker-prefixed line for harnesses that grep; then the bare JSON
     // as the FINAL stdout line for harnesses that parse the last line
@@ -186,5 +330,6 @@ object Bench {
     // build.sbt guarantees no "[info] " prefix on either line).
     println(s"GRAFT_BENCH_JSON: $compact")
     println(compact)
+    } finally loaders.foreach(_.destroyForcibly())
   }
 }

@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   *
   * `--load N` spawns N EXTERNAL busy-loop processes (`sh -c 'while :;
   * do :; done'`) for the second half of the runs — a contention demo:
-  * the loaded runs show wall inflating while cpu stays flat, which is
-  * exactly how a contaminated driver bench record adjudicates itself
-  * (external load steals wall, never JVM CPU). Killed on exit.
+  * the loaded runs show wall inflating while cpu stays ROUGHLY flat.
+  * Note cpu<wall is sufficient contamination evidence, never
+  * necessary: under heavy oversubscription the JVM's own consumed CPU
+  * inflates too (GC/safepoint/scheduler churn — the r12 record grew a
+  * query's cpu 70× alongside its wall), which is why [[Bench]] also
+  * adjudicates against the committed quiet baseline and /proc/stat.
+  * Killed on exit.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {

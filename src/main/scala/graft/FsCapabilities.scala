@@ -17,13 +17,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *     clobbering rename could overwrite a concurrent writer's
  *     just-committed generation.
  *
- * True on HDFS, POSIX-local, and hierarchical-namespace object stores
- * (ADLS Gen2). NOT true on raw S3-style flat stores, where rename is
- * copy+delete and create preconditions vary by connector — there the
- * probe fails LOUDLY at the first mutation instead of letting the
- * library corrupt silently under concurrency. A deployment that
- * guarantees single-writer discipline externally can override with
- * `spark.graft.unsafeFs=true` (the probe's findings still print).
+ * Both hold on HDFS, POSIX-local, and hierarchical-namespace object
+ * stores (ADLS Gen2) — the [[Hierarchical]] tier. A raw S3-style flat
+ * store whose connector honors create-if-absent (S3 conditional
+ * writes: If-None-Match PUT, public API since 2024) but whose rename
+ * is clobbering copy+delete classifies as the [[ConditionalPut]]
+ * tier and is SUPPORTED: guarantee 2's only load-bearing consumer —
+ * the manifest-generation install — switches to a zero-rename
+ * create-if-absent write at the final name (see [[Tier]] scaladoc
+ * for the one documented lease-breaking degradation). A store that
+ * violates create-if-absent itself fails LOUDLY at the first
+ * mutation instead of letting the library corrupt silently under
+ * concurrency. A deployment that guarantees single-writer discipline
+ * externally can override with `spark.graft.unsafeFs=true` (the
+ * probe's findings still print).
  *
  * The probe is behavioral — it detects a filesystem that VISIBLY
  * violates the contract (silent double-create, clobbering rename).
@@ -37,23 +44,81 @@ object FsCapabilities {
   final class UnsupportedFilesystemException(msg: String)
     extends RuntimeException(msg)
 
+  /** Verified capability tier of a filesystem (per scheme+authority
+    * per JVM):
+    *  - [[Hierarchical]] — both guarantees hold (HDFS / POSIX / ADLS
+    *    Gen2): every commit path is available, including
+    *    rename-to-install.
+    *  - [[ConditionalPut]] — create-if-absent holds but rename
+    *    clobbers (raw S3-style flat store whose connector maps
+    *    `create(overwrite=false)` to an If-None-Match conditional
+    *    PUT — public S3 API since 2024). SUPPORTED: manifest
+    *    generations install with the ZERO-RENAME path
+    *    ([[graft.plans.ManifestedTree]] writes `_manifest.<gen>` at
+    *    its final name via create-if-absent; object PUTs are atomic,
+    *    so no reader ever sees a partial manifest), the writer lease
+    *    acquires through the same conditional create, and data-file
+    *    renames (rebuild tmp→live installs) need no atomicity —
+    *    their destinations are fresh UUID names invisible until the
+    *    manifest references them. One DEGRADATION, documented in the
+    *    README matrix: breaking a STALE lease uses a rename-tombstone
+    *    (copy+delete here), so a break racing a last-instant
+    *    heartbeat can displace a live lease — which the displaced
+    *    holder's heartbeat then flags loudly; nothing stays silent.
+    *  - [[Unsupported]] — create-if-absent itself is violated (or the
+    *    probe could not run): no lease protocol is possible; fail
+    *    loudly unless spark.graft.unsafeFs=true. */
+  sealed trait Tier
+  case object Hierarchical extends Tier
+  case object ConditionalPut extends Tier
+  case object Unsupported extends Tier
+
   private val verified =
-    scala.collection.concurrent.TrieMap.empty[String, Unit]
+    scala.collection.concurrent.TrieMap.empty[String, Tier]
 
   private val ProbeErrorPrefix = "capability probe could not run: "
 
-  /** Probe `fs` (once per scheme+authority per JVM) and throw
-    * [[UnsupportedFilesystemException]] on a contract violation unless
-    * `unsafeOverride` (spark.graft.unsafeFs=true) is set. */
-  def verify(fs: FileSystem, libRoot: String, unsafeOverride: Boolean): Unit = {
+  private def keyOf(fs: FileSystem): String = {
     val u = fs.getUri
-    val key = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}"
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}"
+  }
+
+  /** The tier [[verify]] established for this filesystem — None before
+    * the first mutation verified it (read-only sessions). */
+  def tierOf(fs: FileSystem): Option[Tier] = verified.get(keyOf(fs))
+
+  /** True when manifest installs on this filesystem must use the
+    * zero-rename create-if-absent path (conditional-put tier). */
+  def noRenameCommit(fs: FileSystem): Boolean =
+    verified.get(keyOf(fs)).contains(ConditionalPut)
+
+  /** Probe `fs` (once per scheme+authority per JVM), classify its
+    * tier, and throw [[UnsupportedFilesystemException]] on a
+    * disqualifying violation unless `unsafeOverride`
+    * (spark.graft.unsafeFs=true) is set. A clobbering rename ALONE
+    * (create-if-absent honored) classifies [[ConditionalPut]] and is
+    * supported via the zero-rename commit path, not an error. */
+  def verify(fs: FileSystem, libRoot: String, unsafeOverride: Boolean): Unit = {
+    val key = keyOf(fs)
     if (verified.contains(key)) return
     var failures = probe(fs, libRoot)
     // one retry when the probe itself could not run (transient IO on
     // an object store): a hiccup must not read as a contract verdict
     if (failures.exists(_.startsWith(ProbeErrorPrefix)))
       failures = probe(fs, libRoot)
+    val createBad = failures.exists(_.contains("create(overwrite=false)"))
+    val probeErr = failures.exists(_.startsWith(ProbeErrorPrefix))
+    val renameOnly = failures.nonEmpty && !createBad && !probeErr &&
+      failures.forall(_.contains("rename onto an existing path"))
+    if (renameOnly) {
+      System.err.println(s"[graft] filesystem $key: conditional-put " +
+        "tier (create-if-absent honored, rename clobbers) — manifest " +
+        "generations will install with the zero-rename create-if-" +
+        "absent path; stale-lease BREAKING degrades to loud-flag " +
+        "(see README, 'Filesystem support matrix')")
+      verified.put(key, ConditionalPut)
+      return
+    }
     if (failures.nonEmpty) {
       val verdict =
         if (failures.forall(_.startsWith(ProbeErrorPrefix)))
@@ -75,8 +140,10 @@ object FsCapabilities {
       if (unsafeOverride)
         System.err.println(s"[graft] UNSAFE-FS OVERRIDE ACTIVE — $msg")
       else throw new UnsupportedFilesystemException(msg)
-    }
-    verified.put(key, ())
+      // overridden: record Unsupported so the tier is queryable but no
+      // tier-gated path (zero-rename install) silently activates
+      verified.put(key, Unsupported)
+    } else verified.put(key, Hierarchical)
   }
 
   /** The behavioral probe, separable for specs: returns the list of
@@ -120,14 +187,18 @@ object FsCapabilities {
         out += "rename onto an existing path corrupted the destination " +
           "content"
     } catch {
-      case t: Throwable =>
+      // NonFatal only: an OutOfMemoryError/InterruptedException inside
+      // the probe must propagate, not masquerade as an unverifiable
+      // filesystem and get retried
+      case scala.util.control.NonFatal(t) =>
         // a probe that cannot even run (permissions, exotic fs) is a
         // loud failure too — but tagged so verify() words it as
         // UNVERIFIABLE rather than a contract violation, and retries
         // once for transients
         out += s"$ProbeErrorPrefix${t.getMessage}"
     } finally {
-      try fs.delete(dir, true) catch { case _: Throwable => () }
+      try fs.delete(dir, true)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     out.toSeq
   }

@@ -649,9 +649,73 @@ object MultiWriterLadder {
         s"epoch $e pinned pq search failed")
     }
 
+    // --- contending-writer rung (r13): INTERSECTING footprints --------
+    // The disjoint rounds above prove OVERLAP; this rung proves the
+    // other half of the lease contract: both instances target the SAME
+    // tree concurrently, and the per-tree lease must admit exactly one
+    // build — the loser refused LOUDLY with ConcurrentWriterException
+    // (never a silent interleave, never a torn commit), the winner's
+    // commit whole, every epoch still complete.
+    var collided = false
+    var attempts = 0
+    while (!collided && attempts < 4) {
+      attempts += 1
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      def contender(lib: VectorLibrary, name: String): Thread = {
+        val t = new Thread(() => {
+          start.await()
+          try { lib.buildPqIndex(); oks.incrementAndGet(); () }
+          catch { case e: Throwable => failures.add(e) }
+        }, name)
+        t.start(); t
+      }
+      val ta = contender(a, "mw-contend-a")
+      val tb = contender(b, "mw-contend-b")
+      start.countDown(); ta.join(); tb.join()
+      import scala.jdk.CollectionConverters._
+      val fs = failures.asScala.toSeq
+      val nonLease = fs.filterNot(
+        _.isInstanceOf[WriterLock.ConcurrentWriterException])
+      if (nonLease.nonEmpty) {
+        println(s"[mw-ladder] VIOLATION: contending build failed with a " +
+          s"NON-lease error: ${nonLease.head}")
+        spark.stop(); sys.exit(1)
+      }
+      if (oks.get() < 1) {
+        println(s"[mw-ladder] VIOLATION: no contending build succeeded: $fs")
+        spark.stop(); sys.exit(1)
+      }
+      if (fs.nonEmpty) {
+        collided = true
+        println(s"[mw-ladder] contended pq rebuild (attempt $attempts): " +
+          s"exactly one winner; loser refused loudly " +
+          s"(${fs.head.getClass.getSimpleName})")
+      } else println(s"[mw-ladder] contention attempt $attempts: builds " +
+        "did not overlap (both won sequentially) — retrying")
+    }
+    if (!collided) {
+      println("[mw-ladder] VIOLATION: contending-writer rung observed no " +
+        "collision in 4 attempts (lease window untestable?)")
+      spark.stop(); sys.exit(1)
+    }
+    // post-collision health: every epoch complete, the winner's pq
+    // generation serves a pinned read, no repair needed
+    val eps2 = a.epochs
+    val incomplete2 = eps2.drop(epochFloor).filter { e =>
+      val info = scala.util.Try(a.epochInfo(e)).getOrElse(Map.empty[String, Long])
+      !(Set("store", "pq", "ivf") subsetOf info.keySet)
+    }
+    assert(incomplete2.isEmpty,
+      s"incomplete epochs after the contended rebuild: $incomplete2")
+    assert(a.searchAt(eps2.last, "synthetic sentence about topic 4242",
+      k = 5, algorithm = Some("pq")).count() == 5,
+      "post-collision pinned pq search failed")
+
     val speedup = serTotal / conTotal
     println(f"[mw-ladder] total serialized $serTotal%.1fs vs concurrent " +
-      f"$conTotal%.1fs — speedup x$speedup%.2f; ${eps.size} epochs, " +
+      f"$conTotal%.1fs — speedup x$speedup%.2f; ${eps2.size} epochs, " +
       "0 incomplete")
     if (conTotal >= serTotal) {
       println("[mw-ladder] VIOLATION: concurrent disjoint maintenance " +
@@ -659,7 +723,8 @@ object MultiWriterLadder {
       spark.stop(); sys.exit(1)
     }
     println("[mw-ladder] OK: disjoint per-tree maintenance overlaps " +
-      "across writer instances; every churn epoch complete")
+      "across writer instances; contended same-tree builds admit " +
+      "exactly one winner (loser loud); every churn epoch complete")
     a.delete()
     spark.stop()
   }

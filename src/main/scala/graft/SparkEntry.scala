@@ -222,6 +222,22 @@ object SparkEntry {
   private val mixTempOracleRates =
     new scala.collection.concurrent.TrieMap[String, Map[String, Int]]()
 
+  // Fit-once corpus BPE merge table per (session, dataset). The fitted
+  // merges stash as oracle literals (the k-means-centroid replay
+  // contract): the encoder replays in DuckDB as a chain of REPLACEs
+  // and the FIT replays rank by rank — each merge re-derived as the
+  // argmax adjacent pair under the first i-1 merges.
+  private val bpeFits = new scala.collection.concurrent
+    .TrieMap[String, Seq[Bpe.Merge]]()
+  private val bpeOracleMerges =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Bpe.Merge]](Nil)
+  private def bpeFor(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeFits.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val m = Bpe.fit(t(s, d, "documents"), "text", nMerges = 10)
+      bpeOracleMerges.set(m)
+      m
+    })
+
   /** Cluster-occupancy histogram of the cached IVF-PQ index — the
     * observability view (LSH buckets / grid cells / IVF clusters /
     * IVF-PQ cells all expose the same triad shape). One aggregate
@@ -638,6 +654,19 @@ object SparkEntry {
       // vocab-id encoding (UNK=0): the (doc, pos, id) layout a
       // training loader consumes; same fitted vocab as vocab_coverage.
       TextAnalysis.tokenizeIds(t(s, d, "documents"))),
+    "bpe_fit" -> ((s, d) =>
+      // corpus BPE merge table: one corpus aggregate, then vocab-scale
+      // iterative pair-count argmaxes; merges stash as oracle literals
+      Bpe.mergesDf(s, bpeFor(s, d))),
+    "tokenize_bpe" -> ((s, d) =>
+      // per-doc subword budget under the fitted merges: the REPLACE
+      // chain encoder, whole-stage codegen, no UDF
+      Bpe.tokenCounts(t(s, d, "documents"), "doc_id", "text", bpeFor(s, d))
+        .orderBy(col("doc_id").asc)),
+    "pack_sequences_bpe" -> ((s, d) =>
+      // pack_sequences re-expressed over ENCODED lengths — the budget
+      // a training loader actually packs with
+      Bpe.packSequencesBpe(t(s, d, "documents"), bpeFor(s, d))),
     "doc_knn" -> ((s, d) =>
       // document-level retrieval over the pooled vectors: exploded-form
       // cosine with decimal-summed dot, top-10 docs. AUDIT form —
@@ -1050,6 +1079,77 @@ object SparkEntry {
        |         FROM asn JOIN qd USING (s, j)
        |         GROUP BY ALL)""".stripMargin
   }
+  // ---- BPE oracle machinery --------------------------------------------
+  // The fitted merges inline as exact string literals (stashed when
+  // the fit query runs — Verify's order). Encoding replays VERBATIM:
+  // a word's segmentation is '|'-separated symbols and each merge is
+  // one REPLACE('|l|r' → '|lr'), leftmost non-overlapping — the same
+  // scan BPE merging performs and the same scan DuckDB's REPLACE
+  // executes. The FIT replays rank by rank: merge i must be the
+  // argmax adjacent pair (freq desc, pair asc) of the vocab encoded
+  // under merges 0..i-1.
+  private def bpeEncSql(wordExpr: String,
+                        merges: Seq[Bpe.Merge]): String =
+    merges.foldLeft(s"regexp_replace($wordExpr, '(.)', '|\\1', 'g')") {
+      (acc, m) =>
+        s"replace($acc, '|${m.left}|${m.right}', '|${m.left}${m.right}')"
+    }
+
+  private val bpeWordsCte =
+    "w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " +
+      s"'${Bpe.WordRe}')) AS word FROM documents)"
+
+  private def bpeOracleSql: Map[String, String] = {
+    val ms = bpeOracleMerges.get()
+    if (ms.isEmpty) Map.empty
+    else {
+      val fit = {
+        val wf = "wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq " +
+          "FROM (SELECT unnest(regexp_extract_all(lower(text), " +
+          s"'${Bpe.WordRe}')) AS word FROM documents) GROUP BY word)"
+        val ranks = ms.map { m =>
+          val enc = bpeEncSql("word", ms.take(m.rank))
+          s"""(SELECT ${m.rank} AS rank, l, r, cnt AS freq FROM (
+             |  SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+             |  FROM (SELECT freq, string_split(substr($enc, 2), '|') AS a FROM wf) s,
+             |       UNNEST(range(1, len(a))) AS t(i)
+             |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1))""".stripMargin
+        }
+        s"WITH $wf\n" + ranks.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+      }
+      val tok =
+        s"""WITH $bpeWordsCte,
+           | enc AS (SELECT doc_id, ${bpeEncSql("word", ms)} AS seg FROM w),
+           | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |          CAST(SUM(len(string_split(seg, '|')) - 1) AS BIGINT) AS n_bpe_tokens
+           |         FROM enc GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+           | COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens
+           |FROM documents d LEFT JOIN agg USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      val pack =
+        s"""WITH $bpeWordsCte,
+           | enc AS (SELECT doc_id, ${bpeEncSql("word", ms)} AS seg FROM w),
+           | agg AS (SELECT doc_id,
+           |          CAST(SUM(len(string_split(seg, '|')) - 1) AS BIGINT) AS n
+           |         FROM enc GROUP BY doc_id),
+           | c AS (SELECT d.doc_id, d.source, COALESCE(agg.n, 0) AS n_tokens
+           |       FROM documents d LEFT JOIN agg USING (doc_id)),
+           | wd AS (SELECT doc_id, source, n_tokens,
+           |   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start FROM c)
+           |SELECT doc_id, source, n_tokens, tok_start,
+           | CASE WHEN n_tokens > 0 THEN tok_start // 1024 END AS seq_first,
+           | CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 1024 END AS seq_last,
+           | CAST(CASE WHEN n_tokens > 0
+           |   THEN (tok_start + n_tokens - 1) // 1024 - tok_start // 1024 + 1
+           |   ELSE 0 END AS BIGINT) AS n_seqs
+           |FROM wd ORDER BY doc_id""".stripMargin
+      Map("bpe_fit" -> fit, "tokenize_bpe" -> tok,
+        "pack_sequences_bpe" -> pack)
+    }
+  }
+
   private def pqOracleSql: Map[String, String] = {
     val single = pqOracleBooks.get("single").map { books =>
       "pq_knn" ->
@@ -1385,7 +1485,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ fitOracleSql ++ Map(
+    ivfOracleSql ++ pqOracleSql ++ ivfpqOracleSql ++ fitOracleSql ++
+    bpeOracleSql ++ Map(
     // Deterministic embedder, fully replicated: FNV token hash seeds a
     // per-token splitmix64 chain, 64 components summed over tokens,
     // L2-normalized in double, narrowed to float32 (the kernel's

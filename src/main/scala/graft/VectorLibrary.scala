@@ -71,8 +71,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   // lock-free from a committed manifest snapshot), so an ingest can
   // land mid-build — through a reentrant frame, a stale store cache
   // over another instance's completed ingest, or a lease-expiry edge.
-  // installRebuild captures the store generation its snapshot
-  // reflects and, after the manifest commit, fresh-compares the store
+  // Each build method captures the store generation its PLANNING
+  // reflects (before the row-source frames resolve — r13: capturing
+  // at install entry raced a same-instance ingest's invalidation into
+  // skipping the heal) and installRebuild, after the manifest commit,
+  // fresh-compares the store
   // head: an advance triggers [[healRebuildSkew]], which appends the
   // missed rows under the frozen just-committed geometry before the
   // build's lease releases — the committed index tracks the store at
@@ -1102,8 +1105,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * their own rows to the affected partitions — incremental, never a
     * full rewrite. */
   def buildPartitionedIndex(): Unit = withTreeLocks(Seq("lsh")) {
+    val storeSnapGen = storeTree.snapshotGen() // before the row frames plan
     installRebuild(lshTree, healAppend = Some(b =>
-      lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile))) { (tmp, _) =>
+      lshTree.appendCommitted(indexRows(b), indexMaxRecordsPerFile)),
+      storeSnapGen = storeSnapGen) { (tmp, _) =>
       indexRows(chunks).write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", indexMaxRecordsPerFile)
         .partitionBy("tbl", "bucket").parquet(tmp)
@@ -1142,20 +1147,22 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * install an ingest here to exercise the commit-time skew heal. */
   private[graft] var onRebuildBeforeCommit: () => Unit = () => ()
 
+  /** `storeSnapGen` is the store generation the BUILD METHOD captured
+    * at planning time (via [[buildSnapGen]], before its row-source
+    * frames resolve). Capturing here at install entry instead would
+    * race a concurrent same-instance ingest (a streaming foreachBatch
+    * thread) whose invalidateIndexes cleared the store stateCache
+    * between planning and install: snapshotGen() would fall back to
+    * the POST-ingest fresh head while the row job still reads the
+    * pre-ingest planned files — exactly the skew the heal exists to
+    * detect, silently skipped. Capture-before-plan errs the benign
+    * way: an ingest landing between capture and plan makes the heal
+    * fire on an already-included batch (empty anti-join, no append). */
   private def installRebuild(tree: graft.plans.ManifestedTree,
-                             healAppend: Option[DataFrame => Unit] = None)
+                             healAppend: Option[DataFrame => Unit] = None,
+                             storeSnapGen: Long = -1L)
                             (write: (String, Long) => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    // The store generation this build's frames reflect. Builds hold
-    // only their own tree's lease and read the store lock-free from
-    // the committed snapshot their planning resolved — so a
-    // concurrent all-tree ingest (another instance, or a reentrant
-    // frame of this one) can advance the store mid-build, and the
-    // freshly committed index would silently lag by that batch until
-    // someone ran repairIndexes (r11 "What's wrong #4"). Captured
-    // BEFORE the row job; compared against a cache-bypassing fresh
-    // listing after the commit.
-    val storeSnapGen = if (healAppend.isDefined) storeTree.snapshotGen() else -1L
     val treeRoot = tree.root.stripSuffix("/")
     val rootP = new Path(treeRoot)
     // dot-prefixed (consistent with .chunks_cow): invisible to any
@@ -1204,7 +1211,13 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
         throw new java.io.IOException(s"rebuild: cannot install sidecar $dst")
     }
     fs.delete(new Path(tmp), true)
-    tree.commitReplaceAll(fresh)
+    // commitReplaceAll RETURNS the generation it installed — the only
+    // race-free answer. Re-listing the tree here instead would adopt a
+    // foreign commit landing in the replace→list window (lease-expiry
+    // edge), and the staged sidecar would be renamed to the FOREIGN
+    // generation: the rebuild's rows would silently decode under an
+    // older geometry.
+    val committed = tree.commitReplaceAll(fresh)
     // new sidecar generation + new tree head: resolution answers change
     dropResolveCaches()
     // If an interleaved commit advanced THIS tree between the gen
@@ -1214,8 +1227,7 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     // actually committed at, so (a) the head decodes its fresh rows
     // under the fresh geometry and (b) the interleaved generation
     // keeps resolving the geometry ITS rows were encoded under.
-    val committed = tree.generations().lastOption.map(_._1).getOrElse(gen)
-    if (committed != gen)
+    if (committed != gen) {
       geomBases.collectFirst { case (t, bases) if t eq tree => bases }
         .foreach(_.foreach { base =>
           val src = new Path(base + geomSuffix(gen))
@@ -1226,6 +1238,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
               s"its staged geometry at $src is gone — an interleaved " +
               "writer swept it; re-run this index build")
         })
+      // a concurrent reader may have repopulated geomGensCache from
+      // the pre-rename listing in the rename window — drop again so
+      // the renamed sidecar resolves without waiting for this
+      // instance's next mutation (mirrors sweepOrphanGeom)
+      dropResolveCaches()
+    }
     healAppend.foreach(healRebuildSkew(tree, storeSnapGen, _))
   }
 
@@ -2007,6 +2025,98 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     }
   }
 
+  /** Batch twin of [[searchAt]] — the epoch-pinned completion of the
+    * "every search algorithm has a batch twin" matrix: N query texts
+    * share ONE pass over the SAME pinned resolution (every tree opens
+    * AT the epoch's recorded generation; encoded algorithms decode
+    * under that generation's geometry sidecars), so the batch costs
+    * one union-pruned scan instead of N per-query probes — and the
+    * per-query results are identical to [[searchAt]], including
+    * across later ingests, deletes, and index rebuilds. Rows
+    * (query_id, chunk_id, score, rank), query_id = position in the
+    * input list. Same filter scoping contract as [[searchAt]]. */
+  def searchAtBatch(e: Long, queryTexts: Seq[String], k: Int = 10,
+                    metric: String = "cosine",
+                    algorithm: Option[String] = None,
+                    filter: Option[Column] = None): DataFrame = {
+    val info = epochInfo(e)
+    val kk = clampK(k)
+    val queries = queriesFrame(queryTexts)
+    def store = applyF(chunksAt(e).where(col("embedding").isNotNull), filter)
+    def flatAt: DataFrame =
+      VectorSearch.knnBatchGeneric(
+        store.select(col("chunk_id"), col("embedding")),
+        queries, "chunk_id", "embedding", kk, metric)
+    algorithm.getOrElse(algo) match {
+      case "flat" => flatAt
+      case "lsh" => info.get("lsh") match {
+        case Some(g) if filter.isEmpty =>
+          // pinned partitioned probe: the union of all queries' probe
+          // partitions reads once (same planning-time pruning as the
+          // head batch), against the epoch's index generation
+          VectorSearch.lshKnnPartitionedBatch(lshTree.openAt(g), queries,
+            "chunk_id", "embedding", kk, metric,
+            numTables, bitsPerTable, seed)
+        case _ =>
+          // index predates the epoch, or a filter scopes the probe:
+          // bucket-column probe over the pinned store rows
+          VectorSearch.lshKnnBatchIndexed(store, queries,
+            "chunk_id", "embedding", "lsh_buckets", kk, metric,
+            numTables, bitsPerTable, seed)
+      }
+      case "quantized" =>
+        VectorSearch.knnQuantizedBatch(store, queries,
+          "chunk_id", "embedding", "quant", kk, metric)
+      case "binary" =>
+        if (store.columns.contains("bits"))
+          VectorSearch.knnBinaryBatch(store, queries,
+            "chunk_id", "embedding", "bits", kk, metric)
+        else VectorSearch.knnBinaryBatch(
+          store.select(col("chunk_id"), col("embedding"))
+            .withColumn("bits", bitPack(col("embedding"))),
+          queries, "chunk_id", "embedding", "bits", kk, metric)
+      case "grid" => info.get("grid") match {
+        case Some(g) if filter.forall(covers(gridTree.openAt(g), _)) =>
+          val (lo, hi, gd, cpd) = gridBoundsAt(g)
+          val cells = applyF(gridTree.openAt(g), filter)
+          VectorSearch.gridKnnIndexedBatch(cells, lo, hi, queries,
+            "chunk_id", "embedding", kk, metric, gd, cpd,
+            countsOpt = Some(VectorSearch.gridCellCounts(cells)))
+        case Some(_) => flatAt // pre-metadata pinned cells: exact fallback
+        case None =>
+          VectorSearch.gridKnnExpandingBatch(
+            store.select(col("chunk_id"), col("embedding")),
+            queries, "chunk_id", "embedding", kk, metric)
+      }
+      case "ivf" => info.get("ivf") match {
+        case Some(g) if filter.forall(covers(ivfTree.openAt(g), _)) =>
+          IvfIndex.searchAssignedBatch(applyF(ivfTree.openAt(g), filter),
+            ivfCentersAt(g), queries, "chunk_id", "embedding", kk,
+            metric = metric)
+        case _ => flatAt
+      }
+      case "pq" => info.get("pq") match {
+        case Some(g) if filter.forall(covers(pqTree.openAt(g), _)) =>
+          PqIndex.searchBatch(applyF(pqTree.openAt(g), filter),
+            pqBooksAt(g), queries, "chunk_id", "embedding", kk, metric,
+            normalized = true)
+        case _ => flatAt
+      }
+      case "ivfpq" => info.get("ivfpq") match {
+        case Some(g) if filter.forall(covers(ivfpqTree.openAt(g), _)) =>
+          val (centers, books) = ivfpqSideAt(g)
+          IvfPq.searchBatch(
+            IvfPq.Index(centers, books, applyF(ivfpqTree.openAt(g), filter)),
+            queries, "chunk_id", "embedding", kk, metric = metric,
+            normalized = true)
+        case _ => flatAt
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown index algorithm '$other' (expected one of " +
+        s"${VectorLibrary.algorithms.mkString(", ")})")
+    }
+  }
+
   /**
    * Copy-on-write removal of the victim chunks from the store AND
    * every derived index, at FILE granularity (the Delta/Iceberg
@@ -2499,8 +2609,10 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def buildGridIndex(gridDims: Int = 4, cellsPerDim: Int = 4): Unit = withTreeLocks(Seq("grid")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit a grid to")
     import spark.implicits._
+    val storeSnapGen = storeTree.snapshotGen() // before the bounds fit plans
     val (lo, hi) = VectorSearch.gridBounds(searchable, "embedding", gridDims)
-    installRebuild(gridTree, healAppend = Some(appendGridRows)) { (tmp, gen) =>
+    installRebuild(gridTree, healAppend = Some(appendGridRows),
+      storeSnapGen = storeSnapGen) { (tmp, gen) =>
       // ROWS FIRST: the Overwrite write nukes the whole tmp dir,
       // including anything staged under it. Then the geometry sidecar
       // (cells_per_dim rides IN it so an epoch-pinned read decodes
@@ -2577,10 +2689,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
   def buildIvfIndex(nCentroids: Int = 16): Unit = withTreeLocks(Seq("ivf")) {
     // Metadata columns ride in the assigned rows so a filtered search
     // can apply its predicate inside the cluster-pruned scan.
+    val storeSnapGen = storeTree.snapshotGen() // before the k-means fit plans
     val (model, assigned) = IvfIndex.build(
       searchable.select(col("chunk_id"), col("embedding"),
         col("doc_id"), col("source"), col("n_tokens")), "embedding", nCentroids)
-    installRebuild(ivfTree, healAppend = Some(appendOrRebuildIvf)) { (tmp, gen) =>
+    installRebuild(ivfTree, healAppend = Some(appendOrRebuildIvf),
+      storeSnapGen = storeSnapGen) { (tmp, gen) =>
       IvfIndex.writeIndex(assigned, model, ivfPath, assignedPath = Some(tmp),
         sidecarSuffix = geomSuffix(gen),
         sidecarDir = Some(s"$tmp/${VectorLibrary.GeomStageDir}"))
@@ -2711,10 +2825,12 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * then scans 8-byte codes instead of float vectors for phase 1. */
   def buildPqIndex(m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("pq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit codebooks to")
+    val storeSnapGen = storeTree.snapshotGen() // before the codebook fit plans
     val base = pqBase(searchable)
     val books = PqIndex.train(base, "__nvec", m, kk)
     import spark.implicits._
-    installRebuild(pqTree, healAppend = Some(appendPqRows)) { (tmp, gen) =>
+    installRebuild(pqTree, healAppend = Some(appendPqRows),
+      storeSnapGen = storeSnapGen) { (tmp, gen) =>
       // rows FIRST (the Overwrite write nukes tmp, including staged
       // sidecars), then the codebooks into the staging dir
       pqCodeRows(base, books)
@@ -2789,9 +2905,11 @@ class VectorLibrary(spark: SparkSession, root: String, val name: String,
     * directories and reads codes-only in phase 1. */
   def buildIvfPqIndex(nCentroids: Int = 16, m: Int = 8, kk: Int = 16): Unit = withTreeLocks(Seq("ivfpq")) {
     require(!storeIsEmpty, s"library $name is empty — nothing to fit IVF-PQ to")
+    val storeSnapGen = storeTree.snapshotGen() // before the coarse fit plans
     val idx = IvfPq.train(pqBase(searchable), "__nvec", nCentroids, m, kk)
     import spark.implicits._
-    installRebuild(ivfpqTree, healAppend = Some(appendIvfPqRows)) { (tmp, gen) =>
+    installRebuild(ivfpqTree, healAppend = Some(appendIvfPqRows),
+      storeSnapGen = storeSnapGen) { (tmp, gen) =>
       // rows FIRST (the Overwrite write nukes tmp, including staged
       // sidecars), then the geometry set into the staging dir
       ivfpqRowsClustered(idx.encoded.drop("__nvec"))
@@ -3564,12 +3682,56 @@ object VectorLibrary {
     * long-lived library: queries against it measure the PROBE, not
     * ingest, mirroring how a serving cluster reads a store built by an
     * earlier ingest job. */
+  /** Bump when the bench-library on-disk layout changes (store schema,
+    * index columns, chunker): a cached build from an older binary must
+    * never serve a newer session. Part of the cross-process cache key. */
+  private val BenchLibLayoutVersion = 13
+
+  /** Content signature of the dataset's documents table: total length
+    * + coarse mtime over the file (or directory tree). A regenerated
+    * dataset changes the signature and gets a fresh cached build. */
+  private def docsSignature(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length() * 31 + f.lastModified() / 1000
+    val f = new java.io.File(dir, "documents.parquet")
+    val g = new java.io.File(dir, "documents")
+    walk(if (f.exists()) f else g)
+  }
+
   def forDataset(spark: SparkSession, dir: String): VectorLibrary =
     datasetCache.getOrElseUpdate((spark, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft-benchlib").toString
-      val lib = new VectorLibrary(spark, root, "bench")
-      lib.addDocuments(Tables.load(spark, dir, "documents"))
-      lib.buildPartitionedIndex()
-      lib
+      // Cross-PROCESS build-once (r12 verdict #8: the driver bench
+      // preamble re-paid this ~50 s ingest+index every run): the bench
+      // library is a PURE deterministic function of the dataset
+      // (seeded embedder, deterministic chunker/indexer), so processes
+      // share one on-disk build keyed by (layout version, dataset
+      // path, documents signature). A completed build is sealed with
+      // `_lib_complete` and installed under the canonical name by an
+      // atomic directory rename; a build that loses the rename race
+      // serves its own tmp copy (identical content). Correctness-
+      // neutral by construction — reuse ≡ rebuild, and a partial
+      // (crashed, unsealed) canonical dir is never trusted.
+      val sig = java.lang.Long.toHexString(
+        dir.hashCode.toLong * 1000003 + docsSignature(dir) * 31 +
+        BenchLibLayoutVersion)
+      val canonical = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_benchlib_$sig")
+      val seal = new java.io.File(canonical, "_lib_complete")
+      if (seal.isFile) new VectorLibrary(spark, canonical.toString, "bench")
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-benchlib")
+        val built = new VectorLibrary(spark, tmp.toString, "bench")
+        built.addDocuments(Tables.load(spark, dir, "documents"))
+        built.buildPartitionedIndex()
+        if (tmp.toFile.renameTo(canonical)) {
+          new java.io.FileOutputStream(seal).close()
+          new VectorLibrary(spark, canonical.toString, "bench")
+        } else if (seal.isFile)
+          // another process sealed the canonical build first: share it
+          new VectorLibrary(spark, canonical.toString, "bench")
+        else built // canonical exists but unsealed (crashed build): own copy
+      }
     })
 }

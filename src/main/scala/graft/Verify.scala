@@ -107,8 +107,13 @@ object Verify {
       // runs from the repo (same condition as the VERIFY_LOCAL.json
       // refresh below), so a round whose driver-side compare dies is
       // adjudicated by reading this file with zero translation.
+      // A SPARK_GRAFT_VERIFY_ONLY subset run must never clobber the
+      // repo-root records with a partial verdict — those files are the
+      // round's correctness fallback channel.
       val driverJson =
-        if (new java.io.File("tools/compare.py").isFile) "CORRECTNESS_LOCAL.json"
+        if (new java.io.File("tools/compare.py").isFile
+            && sys.env.get("SPARK_GRAFT_VERIFY_ONLY").isEmpty)
+          "CORRECTNESS_LOCAL.json"
         else s"$outDir/correctness_local.json"
       val pb = new ProcessBuilder(
         "python3", script, sfDir, outDir, "--wait", "--jobs", "12",
@@ -176,7 +181,17 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-only subset run (SPARK_GRAFT_VERIFY_ONLY=q1,q2): iterate on
+    // one operator's oracle without paying the full 120+-query gate.
+    // The official gate never sets it; compare.py still reads the full
+    // oracle map and compares whatever dumps exist.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val futures = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -246,7 +261,7 @@ object Verify {
           // refresh the repo-root record when run from the repo (the
           // standing VERIFY_LOCAL.json contract, tools/verify_local.sh;
           // README "Correctness artifacts" names it for the driver)
-          if (new java.io.File("tools/compare.py").isFile)
+          if (new java.io.File("tools/compare.py").isFile && only.isEmpty)
             Files.writeString(Paths.get("VERIFY_LOCAL.json"),
               Files.readString(Paths.get(cmpJson)))
           val safety = if (poolViolations.isEmpty) "\"ok\""
@@ -257,7 +272,7 @@ object Verify {
           // record when the per-query verdicts landed (compare.json is
           // written before marker.json in tools/compare.py)
           try if (new java.io.File("tools/compare.py").isFile &&
-                  new java.io.File(cmpJson).isFile)
+                  new java.io.File(cmpJson).isFile && only.isEmpty)
             Files.writeString(Paths.get("VERIFY_LOCAL.json"),
               Files.readString(Paths.get(cmpJson)))
           catch { case _: Throwable => () }

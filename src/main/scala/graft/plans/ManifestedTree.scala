@@ -139,26 +139,60 @@ final class ManifestedTree(
   def writeManifest(files: Seq[(String, Long)]): Unit =
     commitFull(files, None)
 
-  private def installManifest(name: String, content: String): Unit = {
-    val tmp = new Path(s"$root/._manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+  /** True when manifest generations must install with the ZERO-RENAME
+    * create-if-absent path: the filesystem verified at the
+    * conditional-put tier (raw S3-style flat store — rename is
+    * clobbering copy+delete, but create(overwrite=false) maps to an
+    * If-None-Match conditional PUT), or the deployment forces it via
+    * spark.graft.noRenameCommit=true (also the spec hook). */
+  private def noRenameCommit: Boolean =
+    spark.conf.getOption("spark.graft.noRenameCommit").exists(v =>
+      v.equalsIgnoreCase("true") || v == "1") ||
+    graft.FsCapabilities.noRenameCommit(fs)
+
+  private[graft] def installManifest(name: String, content: String): Unit = {
     val dest = new Path(s"$root/$name")
-    // dest must be a FRESH generation file. NOTE a local-fs rename onto
-    // an existing dest silently OVERWRITES (POSIX rename(2)) — it does
-    // NOT fail — so the existence probe is explicit. Under the writer
-    // lease the only way dest can exist is a stale cached head (an
-    // alternating writer instance or a second handle of this tree
-    // advanced the chain); [[commitDelta]]/[[commitFull]] catch this,
-    // refresh from disk, and re-derive the commit.
-    if (fs.exists(dest)) {
-      fs.delete(tmp, false)
-      throw new ManifestedTree.StaleHeadException(
-        s"manifest: $root/$name already exists — cached head is stale")
+    if (noRenameCommit) {
+      // Flat-store tier: the object PUT is atomic (the manifest
+      // appears only when the write completes — no reader ever sees a
+      // partial file, the property tmp+rename buys on POSIX) and the
+      // create-if-absent precondition is the SAME stale-head arbiter
+      // the rename path derived from its explicit exists probe. A
+      // refusal surfaces at create() on stores that check eagerly, or
+      // at close() on stores that evaluate If-None-Match when the PUT
+      // lands — both map to StaleHeadException, which
+      // [[commitDelta]]/[[commitFull]] catch, refresh, and re-derive
+      // onto a fresh generation number. (A genuine IO outage at
+      // close() takes the same retry once and then propagates from
+      // the re-derived commit — loud either way.)
+      def stale(e: java.io.IOException) = new ManifestedTree.StaleHeadException(
+        s"manifest: create-if-absent refused $root/$name " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) — cached head is stale")
+      val out = try fs.create(dest, false)
+        catch { case e: java.io.IOException => throw stale(e) }
+      try out.write(content.getBytes("UTF-8")) finally {
+        try out.close() catch { case e: java.io.IOException => throw stale(e) }
+      }
+    } else {
+      val tmp = new Path(s"$root/._manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      // dest must be a FRESH generation file. NOTE a local-fs rename onto
+      // an existing dest silently OVERWRITES (POSIX rename(2)) — it does
+      // NOT fail — so the existence probe is explicit. Under the writer
+      // lease the only way dest can exist is a stale cached head (an
+      // alternating writer instance or a second handle of this tree
+      // advanced the chain); [[commitDelta]]/[[commitFull]] catch this,
+      // refresh from disk, and re-derive the commit.
+      if (fs.exists(dest)) {
+        fs.delete(tmp, false)
+        throw new ManifestedTree.StaleHeadException(
+          s"manifest: $root/$name already exists — cached head is stale")
+      }
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"manifest: cannot install $root/$name")
     }
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"manifest: cannot install $root/$name")
     val seal = new Path(s"$root/$SealName")
     if (!fs.exists(seal)) fs.create(seal, true).close()
   }
@@ -185,9 +219,10 @@ final class ManifestedTree(
   /** Commit `files` as a full snapshot, refreshing once if the cached
     * head went stale (lease-alternating writers, external handles). A
     * full snapshot's content is caller-determined, so the retry only
-    * needs a fresh generation number. */
+    * needs a fresh generation number. Returns the generation number
+    * this commit actually installed. */
   private def commitFull(files: Seq[(String, Long)],
-                         schemaHint: Option[StructType]): Unit =
+                         schemaHint: Option[StructType]): Long =
     try commitFullOnce(files, schemaHint)
     catch { case _: ManifestedTree.StaleHeadException =>
       invalidate()
@@ -195,7 +230,7 @@ final class ManifestedTree(
     }
 
   private def commitFullOnce(files: Seq[(String, Long)],
-                             schemaHint: Option[StructType]): Unit = {
+                             schemaHint: Option[StructType]): Long = {
     val prev = resolveState()
     val gen = prev.map(_.gen).getOrElse(0L) + 1
     val disk = assertHeadFresh(gen)
@@ -221,6 +256,7 @@ final class ManifestedTree(
       files.iterator.map(_._1).toSet))
     openCache = None
     pruneOldGenerations(disk :+ ((gen, true, new Path(s"$root/$name"))))
+    gen
   }
 
   /** Commit a FULL generation referencing exactly `fresh` — the
@@ -230,8 +266,14 @@ final class ManifestedTree(
     * displaced files until [[vacuum]] collects them past retention
     * (Delta's REPLACE shape). An Overwrite write into the live root
     * would instead DELETE the old files — truncating the
-    * restore/epoch horizon and tearing concurrent reads mid-plan. */
-  def commitReplaceAll(fresh: Seq[(String, Long)]): Unit =
+    * restore/epoch horizon and tearing concurrent reads mid-plan.
+    * Returns the generation the replace actually committed at — the
+    * ONLY authoritative answer: inferring it from a post-commit
+    * listing races a foreign commit landing on this tree in the
+    * replace→list window (a rebuild would then rename its staged
+    * geometry sidecar onto the FOREIGN generation and the fresh rows
+    * would decode under an older geometry). */
+  def commitReplaceAll(fresh: Seq[(String, Long)]): Long =
     commitFull(fresh, None)
 
   /** Commit a delta, refreshing once if the cached head went stale. A
@@ -343,6 +385,12 @@ final class ManifestedTree(
       })
     val keepFrom = fulls.takeRight(keepFulls).head
     files.foreach { case (g, _, p) => if (g < keepFrom) fs.delete(p, false) }
+    // A cached openAt frame for a pruned generation would keep serving
+    // (then fail at SCAN time with missing files once vacuum collects
+    // its COW victims) instead of raising the clean "no generation
+    // retained" error openAtUncached gives — evict the pruned range.
+    openAtCache.synchronized {
+      openAtCache.filterInPlace { case (g, _) => g >= keepFrom } }
   }
 
   /** (relative path, size) of the visible files under this tree — the

@@ -68,4 +68,82 @@ class FsCapabilitiesSpec extends AnyFunSuite {
     assert(lib.chunks.count() > 0)
     lib.delete()
   }
+
+  test("clobbering rename with honest create classifies as the SUPPORTED conditional-put tier") {
+    val dir = Files.createTempDirectory("graft-fsprobe-cput").toString
+    FsCapabilities.reset()
+    // rename-only violations are the flat-store tier: verify() accepts
+    // and records the tier instead of throwing
+    FsCapabilities.verify(clobberingRenameFs, dir, unsafeOverride = false)
+    assert(FsCapabilities.tierOf(clobberingRenameFs)
+      .contains(FsCapabilities.ConditionalPut), "tier not recorded")
+    assert(FsCapabilities.noRenameCommit(clobberingRenameFs),
+      "conditional-put tier must route manifest installs to the " +
+      "zero-rename path")
+    FsCapabilities.reset()
+  }
+
+  test("flat-store e2e: conditional-put tier mutates end-to-end with ZERO manifest renames") {
+    // Register a flat-store simulator as its own scheme: rename
+    // clobbers (copy+delete semantics) AND rename-to-install of any
+    // manifest THROWS — so this spec proves the whole mutation flow
+    // (ingest deltas, index rebuild replace-commits, cross-instance
+    // stale-head refresh) never renames a manifest, end-to-end
+    // through Spark writes, the lease protocol, and the probe.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftflat.impl", classOf[FlatStoreFs].getName)
+    FsCapabilities.reset()
+    val local = Files.createTempDirectory("graft-flatlib").toString
+    val root = s"graftflat:$local"
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val lib = new VectorLibrary(spark, root, "flat-lib")
+    lib.addDocuments(docs.where("doc_id % 2 = 0").limit(3))
+    val flatFs = new Path(root).getFileSystem(conf)
+    assert(FsCapabilities.tierOf(flatFs)
+      .contains(FsCapabilities.ConditionalPut),
+      "probe did not classify the flat scheme as conditional-put")
+    val n1 = lib.chunks.count()
+    assert(n1 > 0, "flat-store ingest produced no chunks")
+    // delta commit through the direct create-if-absent install
+    lib.addDocuments(docs.where("doc_id % 2 = 1").limit(3))
+    val n2 = lib.chunks.count()
+    assert(n2 > n1, "second flat-store ingest did not land")
+    // replace-all commit (index rebuild) through the same path
+    lib.buildPartitionedIndex()
+    assert(lib.searchApprox("stream filter join", 3).count() > 0,
+      "flat-store partitioned index unservable")
+    // cross-instance stale head: instance B advances the store, then
+    // A's next commit must be refused by create-if-absent (NOT
+    // silently clobbered), refresh, and re-derive onto a fresh
+    // generation — the flat-store replacement for the rename-path's
+    // explicit exists probe
+    val libB = new VectorLibrary(spark, root, "flat-lib")
+    libB.addDocuments(docs.where("doc_id % 4 = 2").limit(2))
+    lib.addDocuments(docs.where("doc_id % 4 = 3").limit(2))
+    val nAll = lib.chunks.count()
+    assert(nAll > n2, "post-stale-head commits lost rows")
+    assert(libB.chunks.count() == nAll,
+      "instances disagree on the committed store")
+    FsCapabilities.reset()
+  }
+}
+
+/** A flat-store simulator for [[FsCapabilitiesSpec]], registered under
+  * its own `graftflat:` scheme so every layer (Spark writes, lease
+  * protocol, manifest installs) resolves it from the path: rename
+  * clobbers an existing destination (copy+delete semantics) and
+  * renaming anything to a `_manifest.*` name THROWS — proving the
+  * conditional-put commit path never rename-installs a manifest —
+  * while create(overwrite=false) refuses existing paths (the
+  * conditional-PUT guarantee). */
+class FlatStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftflat"
+  override def getUri: java.net.URI = java.net.URI.create("graftflat:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (dst.getName.startsWith("_manifest."))
+      throw new java.io.IOException(
+        s"flat store: rename-to-install is forbidden for manifests: $dst")
+    if (exists(dst)) delete(dst, true)
+    super.rename(src, dst)
+  }
 }

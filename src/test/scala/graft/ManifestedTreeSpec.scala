@@ -336,4 +336,46 @@ class ManifestedTreeSpec extends AnyFunSuite {
     assert(tree.open().count() == liveAfterSwap, "head damaged by delta-head truncation")
     fs.delete(new Path(root), true)
   }
+
+  test("zero-rename install: direct create-if-absent commits end-to-end; stale heads re-derive; no tmp artifact") {
+    spark.conf.set("spark.graft.noRenameCommit", "true")
+    try {
+      val (a, root) = freshTree()
+      a.appendCommitted(rows(0 until 10), 1000000L)
+      // a second handle advances the chain; a's cached head goes stale
+      val b = new ManifestedTree(spark, root, pSchema)
+      b.appendCommitted(rows(10 until 20), 1000000L)
+      // a's next commit must refresh and re-derive (StaleHeadException
+      // caught internally), landing a FRESH generation — and the whole
+      // flow must never have created the rename path's tmp file
+      a.appendCommitted(rows(20 until 30), 1000000L)
+      assert(a.open().count() == 30, "zero-rename delta chain lost rows")
+      assert(new ManifestedTree(spark, root, pSchema).open().count() == 30,
+        "fresh reader disagrees after zero-rename commits")
+      assert(!fs.exists(new Path(s"$root/._manifest.tmp")),
+        "zero-rename mode still staged a tmp manifest")
+      // the direct install's create-if-absent refusal IS the
+      // stale-head signal: installing onto an existing generation name
+      // must throw StaleHeadException (for commitDelta/commitFull to
+      // catch and re-derive), never clobber the committed file
+      val existing = fs.globStatus(new Path(s"$root/_manifest.*"))
+        .map(_.getPath.getName).filter(_.endsWith(".txt")).max
+      val before = {
+        val in = fs.open(new Path(s"$root/$existing"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      intercept[ManifestedTree.StaleHeadException] {
+        a.installManifest(existing, "clobber-attempt")
+      }
+      val after = {
+        val in = fs.open(new Path(s"$root/$existing"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      assert(after == before,
+        "refused install mutated the existing generation file")
+      fs.delete(new Path(root), true)
+    } finally spark.conf.unset("spark.graft.noRenameCommit")
+  }
 }

@@ -2317,6 +2317,66 @@ class VectorLibrarySpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("searchAtBatch: identical to per-query searchAt across a mutation, all algorithms") {
+    val root = Files.createTempDirectory("graft-lib-atbatch").toString
+    val lib = new VectorLibrary(spark, root, "atbatch-lib")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(40)
+    lib.addDocuments(docs.filter(col("doc_id") < 25))
+    lib.buildPartitionedIndex()
+    lib.buildIvfPqIndex(nCentroids = 4, m = 4, kk = 8)
+    lib.buildPqIndex(m = 4, kk = 8)
+    lib.buildGridIndex(gridDims = 3, cellsPerDim = 3)
+    lib.buildIvfIndex(nCentroids = 4)
+    val e = lib.epochs.last
+    val texts = Seq("spark join stream table filter",
+      "synthetic sentence about topic 7", "vector index probe")
+    val algs = Seq("flat", "lsh", "quantized", "binary",
+      "grid", "ivf", "pq", "ivfpq")
+
+    def perQuery(alg: String): Map[Int, Seq[String]] =
+      texts.zipWithIndex.map { case (t, i) =>
+        i -> lib.searchAt(e, t, k = 6, algorithm = Some(alg))
+          .select("chunk_id", "score").collect()
+          .map(r => f"${r.getString(0)}|${r.getDouble(1)}%.9f")
+          .sorted.toSeq
+      }.toMap
+    def batch(alg: String): Map[Int, Seq[String]] =
+      lib.searchAtBatch(e, texts, k = 6, algorithm = Some(alg))
+        .select("query_id", "chunk_id", "score").collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (qid, rs) =>
+          qid -> rs.map(r => f"${r.getString(1)}|${r.getDouble(2)}%.9f")
+            .sorted.toSeq }
+
+    // pinned-batch ≡ pinned-per-query on the untouched head first
+    algs.foreach { alg =>
+      assert(batch(alg) == perQuery(alg),
+        s"searchAtBatch($alg) != per-query searchAt before mutation") }
+
+    // mutate EVERYTHING the pinned resolution could accidentally read:
+    // new rows, then every index rebuilt with different geometry
+    lib.addDocuments(docs.filter(col("doc_id") >= 25)
+      .withColumn("doc_id", col("doc_id") + 9000))
+    lib.buildIvfPqIndex(nCentroids = 8, m = 8, kk = 16)
+    lib.buildPqIndex(m = 8, kk = 16)
+    lib.buildGridIndex(gridDims = 4, cellsPerDim = 4)
+    lib.buildIvfIndex(nCentroids = 8)
+    lib.buildPartitionedIndex()
+
+    // the pinned batch still equals the pinned per-query — and both
+    // still serve epoch e's corpus, not the mutated head
+    algs.foreach { alg =>
+      val b = batch(alg)
+      assert(b == perQuery(alg),
+        s"searchAtBatch($alg) != per-query searchAt after mutation")
+      assert(b.values.forall(_.nonEmpty), s"empty pinned results for $alg")
+      // chunk_id = "<lib>#<doc_id>#<idx>": post-epoch docs are 9000+
+      assert(!b.values.flatten.exists(_.split('#')(1).toLong >= 9000),
+        s"pinned $alg batch leaked post-epoch rows")
+    }
+    lib.delete()
+  }
+
   test("commit-time skew heal: an ingest landing mid-build is folded into the committed index, no manual repair") {
     val root = Files.createTempDirectory("graft-lib-skew").toString
     val lib = new VectorLibrary(spark, root, "skew-lib")
