@@ -3681,57 +3681,21 @@ object VectorLibrary {
     * partitioned LSH index built) — the bench/verify stand-in for a
     * long-lived library: queries against it measure the PROBE, not
     * ingest, mirroring how a serving cluster reads a store built by an
-    * earlier ingest job. */
-  /** Bump when the bench-library on-disk layout changes (store schema,
-    * index columns, chunker): a cached build from an older binary must
-    * never serve a newer session. Part of the cross-process cache key. */
-  private val BenchLibLayoutVersion = 13
-
-  /** Content signature of the dataset's documents table: total length
-    * + coarse mtime over the file (or directory tree). A regenerated
-    * dataset changes the signature and gets a fresh cached build. */
-  private def docsSignature(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length() * 31 + f.lastModified() / 1000
-    val f = new java.io.File(dir, "documents.parquet")
-    val g = new java.io.File(dir, "documents")
-    walk(if (f.exists()) f else g)
-  }
-
+    * earlier ingest job.
+    *
+    * Strictly per-PROCESS (r13): every bench/verify invocation builds
+    * its own library from the parquet inputs during its own (untimed)
+    * preamble. A cross-process on-disk reuse keyed on the dataset
+    * path briefly existed (r12-close, chasing preamble cost) but is a
+    * persisted intermediate keyed on the test data — the optimization
+    * rounds prohibit exactly that, so it was reverted; the per-session
+    * TrieMap below is the only memo. */
   def forDataset(spark: SparkSession, dir: String): VectorLibrary =
     datasetCache.getOrElseUpdate((spark, dir), {
-      // Cross-PROCESS build-once (r12 verdict #8: the driver bench
-      // preamble re-paid this ~50 s ingest+index every run): the bench
-      // library is a PURE deterministic function of the dataset
-      // (seeded embedder, deterministic chunker/indexer), so processes
-      // share one on-disk build keyed by (layout version, dataset
-      // path, documents signature). A completed build is sealed with
-      // `_lib_complete` and installed under the canonical name by an
-      // atomic directory rename; a build that loses the rename race
-      // serves its own tmp copy (identical content). Correctness-
-      // neutral by construction — reuse ≡ rebuild, and a partial
-      // (crashed, unsealed) canonical dir is never trusted.
-      val sig = java.lang.Long.toHexString(
-        dir.hashCode.toLong * 1000003 + docsSignature(dir) * 31 +
-        BenchLibLayoutVersion)
-      val canonical = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_benchlib_$sig")
-      val seal = new java.io.File(canonical, "_lib_complete")
-      if (seal.isFile) new VectorLibrary(spark, canonical.toString, "bench")
-      else {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-benchlib")
-        val built = new VectorLibrary(spark, tmp.toString, "bench")
-        built.addDocuments(Tables.load(spark, dir, "documents"))
-        built.buildPartitionedIndex()
-        if (tmp.toFile.renameTo(canonical)) {
-          new java.io.FileOutputStream(seal).close()
-          new VectorLibrary(spark, canonical.toString, "bench")
-        } else if (seal.isFile)
-          // another process sealed the canonical build first: share it
-          new VectorLibrary(spark, canonical.toString, "bench")
-        else built // canonical exists but unsealed (crashed build): own copy
-      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-benchlib")
+      val built = new VectorLibrary(spark, tmp.toString, "bench")
+      built.addDocuments(Tables.load(spark, dir, "documents"))
+      built.buildPartitionedIndex()
+      built
     })
 }
