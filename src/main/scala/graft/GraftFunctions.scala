@@ -89,6 +89,28 @@ object GraftFunctions {
   }
 
   /**
+   * Heal unsplittable-input scan skew ahead of a heavy map kernel
+   * (optimization guide §2.5, "input skew: one huge unsplittable
+   * file"): a single-row-group parquet file — every sf0.1 base table,
+   * and any gzip text shard at cluster scale — plans ONE scan task no
+   * matter how many cores exist, serializing every per-row kernel
+   * (minhash signatures, n-gram hashing, chunk+embed) downstream of
+   * the scan. When the planned scan parallelism is below the
+   * cluster's, spread rows round-robin to `defaultParallelism`
+   * (deterministic under task retry: `sortBeforeRepartition` stays
+   * on); when the input is already split — the 100 TB case, thousands
+   * of row groups — this is the IDENTITY and adds no shuffle. Applied
+   * only by operators whose downstream kernel cost dominates a
+   * one-time shuffle of their narrow input columns; results are
+   * partitioning-independent for every caller (exact aggregates,
+   * deterministic tie-breaks) and stay oracle-gated.
+   */
+  private[graft] def scaleScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /**
    * Percentile aggregate honoring `spark.graft.percentiles`:
    *  - "exact" (default): interpolated `percentile()` — sorts each
    *    group's values; bit-replayable by the DuckDB oracle. Right

@@ -39,7 +39,10 @@ object Tables {
   def documentsEmbedded(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
     embeddedCache.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$dir|$dim", _ =>
-        load(spark, dir, "documents")
+        // ingest-time layout: embed ONCE, stored PARALLEL — a cached
+        // 1-split scan would serialize every hybrid probe's termFreqs
+        // + cosine pass on one core (guide §2.5 / §6 file sizing)
+        graft.GraftFunctions.scaleScan(load(spark, dir, "documents"))
           .withColumn("embedding", graft.GraftFunctions.embedText(col("text"), dim))
           .persist())
 }

@@ -48,8 +48,9 @@ object Dedup {
     // ReuseExchange dedups the join sides but the sizes aggregate is a
     // separate exchange, so unpinned the winnowing kernel (the most
     // expensive text sketch) would evaluate at least twice per row.
-    val sk = graft.GraftFunctions.pin(docs.select(col("doc_id"),
-      explode(winnowSketch(col("text"))).as("h")))
+    val sk = graft.GraftFunctions.pin(
+      graft.GraftFunctions.scaleScan(docs).select(col("doc_id"),
+        explode(winnowSketch(col("text"))).as("h")))
     val sizes = sk.groupBy(col("doc_id")).agg(count(lit(1)).as("sk_size"))
     val pairs = sk.as("a").join(sk.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -156,7 +157,9 @@ object Dedup {
     // (all Long.MaxValue) and would collide in EVERY band — a quadratic
     // false-positive bucket. They carry no content signal; drop them
     // from candidate generation.
-    val sigs = docs.select(col("doc_id"),
+    // scaleScan: the 64-hash signature kernel is the dominant cost and
+    // must not serialize on a 1-split scan (guide §2.5)
+    val sigs = graft.GraftFunctions.scaleScan(docs).select(col("doc_id"),
       minhashSig(col("text"), 3, numHashes, seed).as("sig"))
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
     val bandedAll = sigs.select(col("doc_id"), col("sig"),
@@ -219,7 +222,8 @@ object Dedup {
           b => b)).cast("double") / numHashes, 6).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
       .dropDuplicates("doc_a", "doc_b")
-    val sh = docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val sh = graft.GraftFunctions.scaleScan(docs)
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -238,7 +242,7 @@ object Dedup {
   private def bandedSigs(docs: DataFrame, numHashes: Int, numBands: Int,
                          seed: Long): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    docs.select(col("doc_id"),
+    graft.GraftFunctions.scaleScan(docs).select(col("doc_id"),
       minhashSig(col("text"), 3, numHashes, seed).as("sig"))
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .select(col("doc_id"), col("sig"),
@@ -292,7 +296,8 @@ object Dedup {
    * segment); verify with exact Hamming distance.
    */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 7, seed: Long = 42L): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(col("text"), seed).as("fp"))
+    val fp = graft.GraftFunctions.scaleScan(docs)
+      .select(col("doc_id"), simhash(col("text"), seed).as("fp"))
     val segmented = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(s =>
         shiftright(col("fp"), s * 8).bitwiseAND(lit(0xffL))): _*))
@@ -326,8 +331,8 @@ object Dedup {
     // set sizes. Never materializes the quadratic pair space — only
     // pairs actually sharing a shingle appear; the shuffle payload is
     // fixed-width longs, not strings.
-    val shingled = docs.select(col("doc_id"), col("source"),
-      shingleHashes(col("text"), n).as("sh"))
+    val shingled = graft.GraftFunctions.scaleScan(docs)
+      .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("sh"))
     val invertedAll = shingled.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("source"), col("n_sh"),
@@ -492,7 +497,8 @@ object Dedup {
                           seed: Long, carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val cc = carry.map(col)
-    docs.select(col("doc_id") +: minhashSig(col("text"), 3, numHashes, seed).as("sig") +: cc: _*)
+    graft.GraftFunctions.scaleScan(docs)
+      .select(col("doc_id") +: minhashSig(col("text"), 3, numHashes, seed).as("sig") +: cc: _*)
       .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
       .select(col("doc_id") +:
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
@@ -537,13 +543,18 @@ object Dedup {
         .groupBy(col("bkt")).agg(min(col("comp")).as("bmin"))
       val pulled = edges.join(bucketMin, Seq("bkt"))
         .groupBy(col("doc_id")).agg(min(col("bmin")).as("pulled"))
+      // `moved` rides INSIDE the checkpointed round state (r13): the
+      // convergence check is then one filter-count over the pinned
+      // rows instead of a next⋈prev equi-join — one fewer join + one
+      // fewer shuffle per round, same decision (labels only ever
+      // decrease, so moved ⟺ pulled < comp).
       val next = pinIter(comp.join(pulled, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("pulled"), col("comp"))).as("comp")))
-      changed = next.join(comp.withColumnRenamed("comp", "prev"), Seq("doc_id"))
-        .filter(col("comp") =!= col("prev")).count()
+          least(col("comp"), coalesce(col("pulled"), col("comp"))).as("comp"),
+          (coalesce(col("pulled"), col("comp")) < col("comp")).as("moved")))
+      changed = next.filter(col("moved")).count()
       comp.unpersist()
-      comp = next
+      comp = next.select(col("doc_id"), col("comp"))
       // Pointer jumping: comp(d) := comp(comp(d)) until stable. Every
       // label is a doc_id of the same component with comp <= doc_id
       // (monotone), so each jump is one equi-join on a long key and
@@ -556,14 +567,19 @@ object Dedup {
       while (jumped > 0) {
         // left join + coalesce: a label that failed to resolve must
         // keep its row (an inner join would silently DROP the doc).
+        // Same moved-in-state trick as the propagate step: comp2 (when
+        // found) is comp's own label and labels are monotone, so
+        // moved ⟺ comp2 < comp — no through⋈prev join needed.
         val through = pinIter(comp.as("x").join(
             comp.select(col("doc_id").as("comp"), col("comp").as("comp2")),
             Seq("comp"), "left")
-          .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp")))
-        jumped = through.join(comp.withColumnRenamed("comp", "prev"), Seq("doc_id"))
-          .filter(col("comp") =!= col("prev")).count()
-        if (jumped > 0) { comp.unpersist(); comp = through; changed += jumped }
-        else through.unpersist()
+          .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp"),
+            (coalesce(col("comp2"), col("comp")) < col("comp")).as("moved")))
+        jumped = through.filter(col("moved")).count()
+        if (jumped > 0) {
+          comp.unpersist(); comp = through.select(col("doc_id"), col("comp"))
+          changed += jumped
+        } else through.unpersist()
       }
       iter += 1
     }

@@ -249,7 +249,7 @@ object Pipeline {
     // no output column carries a gram string, so the 8-token strings
     // die map-side at generation and the distinct + self-join move
     // 12-byte keys instead.
-    val grams = docs
+    val grams = graft.GraftFunctions.scaleScan(docs)
       .select(col("source"), tokensOf(col("text")).as("toks"))
       .select(col("source"), explode(
         when(size(col("toks")) >= n,

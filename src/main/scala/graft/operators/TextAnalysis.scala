@@ -262,7 +262,10 @@ object TextAnalysis {
   def docPooledEmbedding(docs: DataFrame, window: Int = 32,
                          dim: Int = 64): DataFrame = {
     import graft.GraftFunctions.embedText
-    chunksUnordered(docs, window)
+    // scaleScan: the chunk+embed kernel is the dominant cost of the
+    // pool build (and of doc_knn's audit-form re-pool) — it must not
+    // serialize on a 1-split scan (guide §2.5)
+    chunksUnordered(graft.GraftFunctions.scaleScan(docs), window)
       .select(col("doc_id"),
         posexplode(embedText(col("chunk_text"), dim)).as(Seq("pos", "x")))
       // quant6 (floor-form) rather than round(): a chunk component can
@@ -436,7 +439,7 @@ object TextAnalysis {
     // payload (bytes unchanged, plus two hashes per gram) — measured
     // slower. Contrast sourceOverlap/bigramSurprise, whose outputs
     // carry no gram and shuffle hash pairs instead.
-    val counts = docs
+    val counts = graft.GraftFunctions.scaleScan(docs)
       .select(col("source"), graft.GraftFunctions.tokensOf(col("text")).as("toks"))
       .select(col("source"), explode(array_distinct(grams)).as("ngram"))
       .groupBy(col("source"), col("ngram"))
@@ -471,7 +474,7 @@ object TextAnalysis {
     // the shuffle and pays two hashes per occurrence (measured
     // slower). The hashed-key discipline applies where gram keys are
     // long: bigramSurprise / sourceOverlap.
-    val docTok = docs
+    val docTok = graft.GraftFunctions.scaleScan(docs)
       .select(col("doc_id"), explode(graft.GraftFunctions.tokensOf(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val corpus = docTok.groupBy(col("tok"))

@@ -15,26 +15,36 @@ import org.apache.spark.sql.functions._
  */
 object TextSearch {
 
-  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-           topN: Int = 20): DataFrame = {
-    require(terms.nonEmpty)
-    // One tokenizer pass per document: dl + all term frequencies from a
-    // single native expression (vs |terms| interpreted HOF filters over
-    // a split() array — measured 3x slower at 5k docs).
-    val tfr = docs.select(col("doc_id"),
-      graft.GraftFunctions.termFreqs(col("text"), terms).as("tfr"))
-    val withTf = tfr.select(
+  /** (doc_id, dl, tf0..tfN [, carry...]) — one tokenizer pass per
+    * document: dl + all term frequencies from a single native
+    * expression (vs |terms| interpreted HOF filters over a split()
+    * array — measured 3x slower at 5k docs). Shared by [[bm25]] and
+    * the single-pass [[hybrid]]. */
+  private def withTermFreqs(docs: DataFrame, terms: Seq[String],
+                            carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
+    val tfr = docs.select(col("doc_id") +:
+      graft.GraftFunctions.termFreqs(col("text"), terms).as("tfr") +: cc: _*)
+    tfr.select(
       (col("doc_id") +: col("tfr.dl").cast("double").as("dl") +:
         terms.indices.map { i =>
           col("tfr.tfs").getItem(i).cast("double").as(s"tf$i")
-        }): _*)
+        }) ++ cc: _*)
+  }
+
+  /** The tiny corpus-stats aggregate (N, total dl, per-term document
+    * frequencies) over a [[withTermFreqs]] frame — broadcast back. */
+  private def bm25Stats(withTf: DataFrame, terms: Seq[String]): DataFrame = {
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
-    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    withTf.agg(statCols.head, statCols.tail: _*)
+  }
 
-    val score = terms.indices.map { i =>
+  /** The Okapi BM25 score column over (tf0.., dl, broadcast stats). */
+  private def bm25ScoreCol(terms: Seq[String], k1: Double, b: Double): Column =
+    terms.indices.map { i =>
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
       val norm = col(s"tf$i") + lit(k1) *
@@ -42,6 +52,12 @@ object TextSearch {
       idf * (col(s"tf$i") * lit(k1 + 1.0)) / norm
     }.reduce(_ + _)
 
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty)
+    val withTf = withTermFreqs(docs, terms)
+    val stats = bm25Stats(withTf, terms)
+    val score = bm25ScoreCol(terms, k1, b)
     val scored = withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 6).as("score"))
       .filter(col("score") > 0.0)
@@ -178,25 +194,35 @@ object TextSearch {
   }
 
   def hybrid(docs: DataFrame, queryText: String, alpha: Double = 0.5,
-             topN: Int = 20, dim: Int = 64): DataFrame = {
+             topN: Int = 20, dim: Int = 64,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.GraftFunctions._
     require(docs.columns.contains("embedding"),
       "hybrid requires a precomputed `embedding` column (embed at ingest, not per query)")
     val spark = docs.sparkSession
     val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-    val lexical = bm25(docs, terms, topN = Int.MaxValue)
-      .withColumnRenamed("score", "bm25")
-    val lexNorm = lexical.crossJoin(broadcast(
-        lexical.agg(max(col("bm25")).as("max_bm25"))))
-      .select(col("doc_id"), (col("bm25") / col("max_bm25")).as("lex_score"))
+    // Single-pass fusion (r13, the hybridBatch shape): bm25 and dense
+    // both derive from the SAME document row, so the lexical and dense
+    // retrievers never needed separate corpus scans joined back on
+    // doc_id — that join shuffled the corpus twice for nothing. Now:
+    // one stats aggregate, one scoring pass emitting (bm25, dense)
+    // together, one tiny max aggregate, blend, top-k. Plan: the two
+    // doc_id hash Exchanges are GONE (broadcast-only); scores are
+    // bit-identical (same formulas, same 6-dp rounding points).
+    val withTf = withTermFreqs(docs, terms, carry = Seq("embedding"))
+    val stats = bm25Stats(withTf, terms)
     val qv = spark.range(1).select(embedText(lit(queryText), dim).as("qvec"))
-    val dense = docs.crossJoin(broadcast(qv))
+    val scored = withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(qv))
       .select(col("doc_id"),
+        round(bm25ScoreCol(terms, k1, b), 6).as("bm25"),
         cosineSim(col("embedding"), col("qvec")).as("dense_score"))
-    dense.join(lexNorm, Seq("doc_id"), "left")
+    val maxB = scored.agg(max(when(col("bm25") > 0.0, col("bm25"))).as("max_bm25"))
+    scored.crossJoin(broadcast(maxB))
       .select(col("doc_id"),
         round(lit(alpha) * col("dense_score") +
-          lit(1.0 - alpha) * coalesce(col("lex_score"), lit(0.0)), 6).as("score"))
+          lit(1.0 - alpha) * coalesce(
+            when(col("bm25") > 0.0, col("bm25") / col("max_bm25")),
+            lit(0.0)), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topN)
   }
