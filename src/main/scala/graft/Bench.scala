@@ -306,29 +306,37 @@ object Bench {
       else System.err.println("[bench] baseline NOT refreshed: run had " +
         s"errors=${failed.size} retimed=${retimedNames.size} load=$loadN")
     }
-    // Compact marker payload: total + the 8 slowest queries (the ones a
-    // grader actually inspects) + a pointer to the full map. ~500 bytes.
-    // The truncated map rides under its OWN key ("slowest") so a parser
-    // that sums/counts a "queries" map can never mistake the subset for
-    // the full map (r6/r7 ADVICE); the complete map lives only in
-    // `detail` (bench_out.json), under "queries" as always.
+    // r14: the driver contract's per-query map is RESTORED to stdout
+    // (the r13 compact line carried only "slowest", which left the
+    // driver's PERF per_query/scaling blocks empty). The tail window a
+    // driver parses from is finite (r13's archived tail was 2000
+    // bytes; the old ~9 KB triple-map line overflowed it for three
+    // rounds), so stdout is budgeted to fit a 4 KB window:
+    //  - FIRST, the marker-prefixed FULL line: total + the complete
+    //    3-dp-rounded per-query wall map (~3.3 KB at 129 queries) —
+    //    a marker grep over a >=4 KB window gets every query.
+    //  - LAST, a compact slowest-8 summary + environment (~0.7 KB) —
+    //    a last-line parser always sees one complete JSON object even
+    //    in a 2 KB window that beheads the full line.
+    // Per-query cpu_sec / sys_busy_cores ride at full precision in the
+    // file of record (`detail`), as before. The truncated wall map
+    // keeps its OWN key ("slowest") so a parser can never mistake the
+    // subset for the full map (r6/r7 ADVICE).
+    val q3 = finalResults.toSeq.sortBy(_._1)
+      .map { case (k, o) => s"\"" + k + "\":" + f"${o.wall}%.3f" }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${finalResults.size},"queries":$q3,"retimed":$retimedJson,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},"sf":"$sfDir","detail":"$outFile"}"""
     val slowPairs = finalResults.toSeq.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(8)
     val slow = slowPairs
       .map { case (k, o) => s"\"" + k + "\":" + f"${o.wall}%.3f" }.mkString("{", ",", "}")
-    // cpu of the same 8 slowest, same keys: the marker line alone can
-    // adjudicate contention on the queries a grader actually inspects
-    val slowCpu = slowPairs
-      .map { case (k, o) => s"\"" + k + "\":" + f"${o.cpu}%.3f" }.mkString("{", ",", "}")
-    val slowSys = slowPairs
-      .map { case (k, o) => s"\"" + k + "\":" + f"${o.sysBusy}%.2f" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${finalResults.size},"slowest":$slow,"slowest_cpu":$slowCpu,"slowest_sys_busy":$slowSys,"retimed":$retimedJson,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},$env,"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${finalResults.size},"slowest":$slow,"retimed":$retimedJson,"errors":$errs,"preamble_sec":${f"$preambleSec%.2f"},$env,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
-    // Marker-prefixed line for harnesses that grep; then the bare JSON
-    // as the FINAL stdout line for harnesses that parse the last line
-    // (after stop(), nothing else prints to stdout; StdoutOutput in
-    // build.sbt guarantees no "[info] " prefix on either line).
-    println(s"GRAFT_BENCH_JSON: $compact")
+    // Marker-prefixed full line first, bare compact as the FINAL
+    // stdout line (after stop(), nothing else prints to stdout;
+    // StdoutOutput in build.sbt guarantees no "[info] " prefix).
+    println(s"GRAFT_BENCH_JSON: $full")
     println(compact)
     } finally loaders.foreach(_.destroyForcibly())
   }

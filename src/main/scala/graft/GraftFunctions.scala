@@ -107,7 +107,17 @@ object GraftFunctions {
    */
   private[graft] def scaleScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Probe planned parallelism ONLY on exchange-free plans (r14,
+    // ADVICE): under AQE, Dataset.rdd on a plan containing exchanges
+    // materializes every upstream query stage eagerly and then
+    // discards the probe RDD — the upstream shuffles would execute
+    // twice. A plan that already contains an Exchange has cluster-wide
+    // parallelism downstream of it anyway, so skipping the heal there
+    // loses nothing.
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (!hasExchange && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /**

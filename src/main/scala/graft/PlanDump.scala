@@ -22,6 +22,13 @@ object PlanDump {
     val names =
       if (args.drop(2).sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
       else args.drop(2).toSeq
+    // Fail on unknown names BEFORE the session starts (r14, ADVICE):
+    // a typo mid-list would otherwise throw a bare
+    // NoSuchElementException after earlier dumps already succeeded.
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names are " +
+        "SparkEntry.queries keys (or 'all')")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -3693,6 +3693,16 @@ object VectorLibrary {
   def forDataset(spark: SparkSession, dir: String): VectorLibrary =
     datasetCache.getOrElseUpdate((spark, dir), {
       val tmp = java.nio.file.Files.createTempDirectory("graft-benchlib")
+      // The per-process build dir would otherwise outlive the JVM and
+      // accumulate a full store + index copy in /tmp per bench/verify
+      // run (r14, ADVICE): remove it recursively at JVM exit.
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }))
       val built = new VectorLibrary(spark, tmp.toString, "bench")
       built.addDocuments(Tables.load(spark, dir, "documents"))
       built.buildPartitionedIndex()

@@ -149,19 +149,40 @@ object Dedup {
    * must apply the same short-doc exclusion, NOT index an
    * empty-set sentinel signature.
    */
+  /**
+   * Pinned (doc_id, sig [, carry...]) signature rows — the ONE home of
+   * the minhash kernel for every dedup operator. The pin (r14) is
+   * load-bearing twice over:
+   *  1. The sentinel filter below otherwise PUSHES PAST the projection
+   *     into the scan-side Filter, so `graft_minhash` evaluates twice
+   *     per row — and the pushed copy runs BELOW the scaleScan
+   *     exchange, i.e. serialized on a 1-split scan (r13 plans,
+   *     nodes (2)/(4)).
+   *  2. The frame feeds BOTH legs of the LSH self-joins; unpinned, the
+   *     whole kernel lineage re-executes per leg.
+   * With the pin the kernel runs exactly once per row, in parallel,
+   * and every consumer reads the cached narrow rows. Short docs (empty
+   * shingle set => all-MaxValue sentinel) are excluded per the
+   * [[minhashLsh]] query spec.
+   */
+  private def sigRows(docs: DataFrame, numHashes: Int, seed: Long,
+                      carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
+    graft.GraftFunctions.pin(
+      graft.GraftFunctions.scaleScan(docs)
+        .select(col("doc_id") +:
+          minhashSig(col("text"), 3, numHashes, seed).as("sig") +: cc: _*))
+      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+  }
+
   def minhashLsh(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L,
                  maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // Docs too short to produce a shingle get the sentinel signature
-    // (all Long.MaxValue) and would collide in EVERY band — a quadratic
-    // false-positive bucket. They carry no content signal; drop them
-    // from candidate generation.
-    // scaleScan: the 64-hash signature kernel is the dominant cost and
-    // must not serialize on a 1-split scan (guide §2.5)
-    val sigs = graft.GraftFunctions.scaleScan(docs).select(col("doc_id"),
-      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+    // Docs too short to produce a shingle would collide in EVERY band —
+    // a quadratic false-positive bucket; sigRows drops them and pins
+    // the one-pass signature kernel (r14).
+    val sigs = sigRows(docs, numHashes, seed)
     val bandedAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -207,12 +228,11 @@ object Dedup {
    */
   def minhashAccuracy(docs: DataFrame, numHashes: Int = 64, numBands: Int = 16,
                       threshold: Double = 0.3, seed: Long = 42L): DataFrame = {
-    // Pinned: the banded-signature frame feeds both self-join sides;
-    // without the pin the full minhash chain (the priciest step of
-    // this audit) re-evaluates once per side whenever ReuseExchange
-    // fails to unify them.
-    val banded = graft.GraftFunctions.pin(
-      bandedSigs(docs, numHashes, numBands, seed))
+    // bandedSigs reads the pinned signature frame (r14), so both
+    // self-join sides share one kernel pass already; the banding
+    // explode recomputed per side is cheap slice hashing over cached
+    // rows — a second pin of the exploded rows bought nothing.
+    val banded = bandedSigs(docs, numHashes, numBands, seed)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -222,8 +242,12 @@ object Dedup {
           b => b)).cast("double") / numHashes, 6).as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
       .dropDuplicates("doc_a", "doc_b")
-    val sh = graft.GraftFunctions.scaleScan(docs)
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    // Pinned (r14): the exact-Jaccard shingle sets join in twice (the
+    // doc_a and doc_b legs) — unpinned, the shingle kernel ran once
+    // per leg.
+    val sh = graft.GraftFunctions.pin(
+      graft.GraftFunctions.scaleScan(docs)
+        .select(col("doc_id"), shingleHashes(col("text")).as("sh")))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
@@ -242,9 +266,7 @@ object Dedup {
   private def bandedSigs(docs: DataFrame, numHashes: Int, numBands: Int,
                          seed: Long): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    graft.GraftFunctions.scaleScan(docs).select(col("doc_id"),
-      minhashSig(col("text"), 3, numHashes, seed).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+    sigRows(docs, numHashes, seed)
       .select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -296,8 +318,11 @@ object Dedup {
    * segment); verify with exact Hamming distance.
    */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 7, seed: Long = 42L): DataFrame = {
-    val fp = graft.GraftFunctions.scaleScan(docs)
-      .select(col("doc_id"), simhash(col("text"), seed).as("fp"))
+    // Pinned (r14): the fingerprint frame feeds both self-join legs —
+    // unpinned, the simhash kernel lineage re-executed per leg.
+    val fp = graft.GraftFunctions.pin(
+      graft.GraftFunctions.scaleScan(docs)
+        .select(col("doc_id"), simhash(col("text"), seed).as("fp")))
     val segmented = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 8).map(s =>
         shiftright(col("fp"), s * 8).bitwiseAND(lit(0xffL))): _*))
@@ -331,8 +356,12 @@ object Dedup {
     // set sizes. Never materializes the quadratic pair space — only
     // pairs actually sharing a shingle appear; the shuffle payload is
     // fixed-width longs, not strings.
-    val shingled = graft.GraftFunctions.scaleScan(docs)
-      .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("sh"))
+    // Pinned (r14): the shingle-set frame feeds both legs of the
+    // co-occurrence self-join (and twice more under a df cap) —
+    // unpinned, the shingle kernel re-executed per consumer.
+    val shingled = graft.GraftFunctions.pin(
+      graft.GraftFunctions.scaleScan(docs)
+        .select(col("doc_id"), col("source"), shingleHashes(col("text"), n).as("sh")))
     val invertedAll = shingled.select(col("doc_id"), col("source"),
       size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("source"), col("n_sh"),
@@ -497,9 +526,7 @@ object Dedup {
                           seed: Long, carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val cc = carry.map(col)
-    graft.GraftFunctions.scaleScan(docs)
-      .select(col("doc_id") +: minhashSig(col("text"), 3, numHashes, seed).as("sig") +: cc: _*)
-      .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+    sigRows(docs, numHashes, seed, carry)
       .select(col("doc_id") +:
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
