@@ -56,6 +56,12 @@ object BenchOne {
         val n = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = Bench.processCpuSec() - c0
+        // Align with Bench's methodology (r14, measurement fix): drop
+        // this run's pinned frames before the next — otherwise run 2+
+        // of a pinned query silently reuses run 1's cache (CacheManager
+        // matches the canonicalized plan) and under-measures, while
+        // Bench re-pins every run.
+        graft.GraftFunctions.releasePins()
         println(f"[bench-one] $name run$i: wall=$wall%.2fs cpu=$cpu%.2fs " +
           f"(cpu/wall=${cpu / wall}%.1f) rows=$n" +
           (if (loaders.nonEmpty) " [loaded]" else ""))

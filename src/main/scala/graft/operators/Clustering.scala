@@ -64,6 +64,9 @@ object Clustering {
     // the assignment frame feeds BOTH the stats aggregate and the
     // flag join — pin it so the centroid fold runs once, not twice
     // (same discipline as source_overlap's shared gram set)
+    // (r14: a scaleScan inside the pin was tried and reverted — the
+    // extra exchange cost more than the parallel fold saved at test
+    // scale, A/B 0.62 -> 0.69 s, and is an identity on split inputs.)
     val a = graft.GraftFunctions.pin(
       assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
         .withColumn("d6", round(col("sqd"), 6)))
@@ -91,6 +94,10 @@ object Clustering {
   def clusterCard(emb: DataFrame, centers: Seq[(Int, Array[Double])],
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    // (r14: a scaleScan here was tried and reverted — the k x dim fold
+    // is microseconds per row, cheaper than the exchange it would add
+    // at test scale, and the single consumer's aggregate shuffles the
+    // tiny per-cluster partials anyway. A/B: 0.49 -> 0.55 s.)
     val a = assignWithDist(emb.select(col(idCol), col(vecCol)), vecCol, centers)
       .withColumn("sqd6", round(col("sqd"), 6).cast("decimal(28,6)"))
     // exemplar = argmin(sqd, id) AS a struct-min — it folds into the
@@ -119,6 +126,10 @@ object Clustering {
                     cap: Int = 100, seed: Long = 42L, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     require(cap >= 0, "cap must be >= 0")
+    // No scaleScan (r14, measured): the single consumer is the
+    // cluster-partitioned rank window, whose own exchange already
+    // redistributes — a pre-repartition is a pure extra shuffle at
+    // test scale (A/B: 0.27 -> 0.53 s) and an identity at 100 TB.
     val a = IvfIndex.assignExact(emb.select(col(idCol), col(vecCol)), vecCol, centers)
     val rk = shiftrightunsigned(mix64(col(idCol) + lit(seed)), 1)
     val w = Window.partitionBy(col("cluster")).orderBy(rk.asc, col(idCol).asc)
@@ -169,7 +180,15 @@ object Clustering {
   def semanticDedup(emb: DataFrame, centers: Seq[(Int, Array[Double])],
                     threshold: Double = 0.3, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val a = IvfIndex.assignExact(emb.select(col(idCol), col(vecCol)), vecCol, centers)
+    // Pinned + scaleScan (r14): the assignment frame feeds BOTH legs
+    // of the within-cluster self-join, and the centroid argmin fold
+    // (k x dim HOF against the inlined centroid literal) otherwise
+    // re-evaluates per leg — AND duplicates into the join's Filter
+    // condition, i.e. 4 kernel runs per row, serialized on a 1-split
+    // scan (r13 plan, guide §2.5/§4). One parallel pass, cached rows.
+    val a = graft.GraftFunctions.pin(IvfIndex.assignExact(
+      graft.GraftFunctions.scaleScan(emb.select(col(idCol), col(vecCol))),
+      vecCol, centers))
     val pairs = a.as("a").join(a.as("b"),
         col(s"a.cluster") === col(s"b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

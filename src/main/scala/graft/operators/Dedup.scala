@@ -410,7 +410,11 @@ object Dedup {
    * [[embeddingNearDupLsh]], which blocks on LSH buckets instead.
    */
   def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    // Pinned + scaleScan (r14): the frame feeds both self-join legs —
+    // unpinned, the scan ran once per leg, and the within-label pair
+    // cosine kernel streamed over a 1-split probe side (guide §2.5).
+    val e = graft.GraftFunctions.pin(graft.GraftFunctions.scaleScan(
+      emb.select(col("vec_id"), col("label"), col("embedding"))))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -438,6 +442,13 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double = 0.3,
                           numTables: Int = 8, bitsPerTable: Int = 8,
                           seed: Long = 42L): DataFrame = {
+    // NOT pinned (r14, measured): `e` is read four times (both banded
+    // self-join legs + the two candidate fetch joins), but each read
+    // is a column-pruned scan with a cheap native bucket kernel — the
+    // pin's shuffle + cache-write jobs cost more than the re-reads
+    // save (A/B at sf0.1: 0.68 -> 1.05 s). At 100 TB the candidate
+    // fetches are row-group point reads on the id-sorted store, not
+    // corpus scans, so the unpinned shape is also the serving shape.
     val e = emb.select(col("vec_id"), col("embedding"))
     val banded = e
       .select(col("vec_id"),

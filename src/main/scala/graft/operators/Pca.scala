@@ -76,7 +76,9 @@ object Pca {
           idCol: String = "vec_id", vecCol: String = "embedding",
           k: Int = 10, shortlist: Int = 50, metric: String = "cosine"): DataFrame = {
     val q = query.select(col("qvec"), projCol(comps, col("qvec")).as("qproj"))
-    emb.select(col(idCol), col(vecCol))
+    // scaleScan (r14): the k x dim projection fold is the dominant
+    // per-row cost and must not serialize on a 1-split scan (§2.5)
+    graft.GraftFunctions.scaleScan(emb.select(col(idCol), col(vecCol)))
       .withColumn("proj", projCol(comps, col(vecCol)))
       .crossJoin(broadcast(q))
       .withColumn("pdist", aggregate(zip_with(col("proj"), col("qproj"),
@@ -96,6 +98,9 @@ object Pca {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val compLit = typedLit(comps.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
+    // (r14: a scaleScan here was tried and reverted — the projection
+    // fold is cheap per row and the global orderBy shuffles anyway;
+    // the pre-repartition only added an exchange. A/B: 0.48 -> 0.51 s.)
     emb.select(col(idCol), explode(transform(compLit, c => struct(
         c.getField("_1").as("comp"),
         round(aggregate(zip_with(col(vecCol).cast("array<double>"),

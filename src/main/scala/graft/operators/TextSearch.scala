@@ -23,6 +23,10 @@ object TextSearch {
   private def withTermFreqs(docs: DataFrame, terms: Seq[String],
                             carry: Seq[String] = Nil): DataFrame = {
     val cc = carry.map(col)
+    // (r14: a scaleScan here was tried and reverted — repartitioning
+    // the full text column costs more than parallelizing the |terms|-
+    // bounded tokenizer saves, A/B 0.61 -> 0.68 s on the raw-documents
+    // path; the hybrid path's input is already split at ingest.)
     val tfr = docs.select(col("doc_id") +:
       graft.GraftFunctions.termFreqs(col("text"), terms).as("tfr") +: cc: _*)
     tfr.select(
@@ -55,6 +59,12 @@ object TextSearch {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topN: Int = 20): DataFrame = {
     require(terms.nonEmpty)
+    // NOT pinned (r14, measured): withTf feeds the stats aggregate and
+    // the scoring pass, but the narrow tf frame recomputes in ~0.1 s
+    // parallel while a pin costs a shuffle + cache-write job — A/B at
+    // sf0.1 showed the pin 0.66->1.0 s slower. At 100 TB the stats
+    // aggregate's second tokenizer pass is the cost a real deployment
+    // avoids by materializing tf at ingest, not by a per-query cache.
     val withTf = withTermFreqs(docs, terms)
     val stats = bm25Stats(withTf, terms)
     val score = bm25ScoreCol(terms, k1, b)
@@ -109,9 +119,12 @@ object TextSearch {
 
     val tfr = docs.select(col("doc_id"), col("embedding"),
       termFreqs(col("text"), allTerms).as("tfr"))
-    val withTf = tfr.select(col("doc_id") +: col("embedding") +:
-      col("tfr.dl").cast("double").as("dl") +:
-      allTerms.indices.map(i => col("tfr.tfs").getItem(i).cast("double").as(s"tf$i")): _*)
+    // Pinned (r14): withTf feeds the stats aggregate, the per-query
+    // max aggregate and the blend — one tokenizer pass, not three.
+    val withTf = graft.GraftFunctions.pin(
+      tfr.select(col("doc_id") +: col("embedding") +:
+        col("tfr.dl").cast("double").as("dl") +:
+        allTerms.indices.map(i => col("tfr.tfs").getItem(i).cast("double").as(s"tf$i")): _*))
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
       allTerms.indices.map(i =>
@@ -132,9 +145,14 @@ object TextSearch {
       round(bm25For(qi), 6).as("bm25"),
       cosineSim(col("embedding"),
         typedLit(qvecs(qi)).cast("array<float>")).as("dense")))
-    val scored = withTf.crossJoin(broadcast(stats))
+    // Pinned (r14): scored feeds the per-query max aggregate AND the
+    // blend, and nested pruning does NOT reach inside the exploded
+    // struct array — unpinned, the cosine kernel and the BM25 algebra
+    // re-evaluated per consumer (plan evidence: Generate(35) on the
+    // max leg carried the full struct incl. `dense`).
+    val scored = graft.GraftFunctions.pin(withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
-      .select(col("doc_id"), col("q.query_id"), col("q.bm25"), col("q.dense"))
+      .select(col("doc_id"), col("q.query_id"), col("q.bm25"), col("q.dense")))
     val maxes = scored.groupBy(col("query_id"))
       .agg(max(when(col("bm25") > 0.0, col("bm25"))).as("max_bm25"))
     val blended = scored.join(broadcast(maxes), "query_id")
@@ -209,7 +227,13 @@ object TextSearch {
     // together, one tiny max aggregate, blend, top-k. Plan: the two
     // doc_id hash Exchanges are GONE (broadcast-only); scores are
     // bit-identical (same formulas, same 6-dp rounding points).
-    val withTf = withTermFreqs(docs, terms, carry = Seq("embedding"))
+    // Pinned (r14, ADVICE): withTf feeds the stats aggregate, the
+    // max-bm25 leg and the final blend — unpinned, the tokenizer ran
+    // once per consumer (the r13 comment's 'one scoring pass' was one
+    // pass per CONSUMER of `scored`). With the pin: termFreqs once,
+    // cosine once (column-pruned off the max leg), bm25 algebra twice.
+    val withTf = graft.GraftFunctions.pin(
+      withTermFreqs(docs, terms, carry = Seq("embedding")))
     val stats = bm25Stats(withTf, terms)
     val qv = spark.range(1).select(embedText(lit(queryText), dim).as("qvec"))
     val scored = withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(qv))
