@@ -75,6 +75,12 @@ object GraftFunctions {
    */
   private[graft] def pinIter(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sc = df.sparkSession.sparkContext
+    // (r14: defaulting local mode to localCheckpoint was tried and
+    // reverted — despite saving the reliable checkpoint's second
+    // computation + write job, it measured SLOWER on the iterative
+    // dedup_components, 1.69 -> 2.30 s A/B: the cache-based
+    // checkpoint's MEMORY_AND_DISK persist of every round's state
+    // costs more here than the recompute it avoids.)
     df.sparkSession.conf.get("spark.graft.pin.iter", "reliable") match {
       case "local" => df.localCheckpoint()
       case _ =>
@@ -107,17 +113,30 @@ object GraftFunctions {
    */
   private[graft] def scaleScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // Probe planned parallelism ONLY on exchange-free plans (r14,
-    // ADVICE): under AQE, Dataset.rdd on a plan containing exchanges
-    // materializes every upstream query stage eagerly and then
-    // discards the probe RDD — the upstream shuffles would execute
-    // twice. A plan that already contains an Exchange has cluster-wide
-    // parallelism downstream of it anyway, so skipping the heal there
-    // loses nothing.
-    val hasExchange = df.queryExecution.sparkPlan
-      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-      .isDefined
-    if (!hasExchange && df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Probe planned parallelism ONLY on provably shuffle-free plans
+    // (r14, ADVICE): under AQE, Dataset.rdd on a plan containing
+    // exchanges materializes every upstream query stage eagerly and
+    // then discards the probe RDD — the upstream shuffles would
+    // execute twice. The gate walks the OPTIMIZED LOGICAL plan for a
+    // narrow scan/filter/project/generate chain rather than searching
+    // the physical plan for Exchange nodes, because the physical view
+    // hides them two ways (found via the ScalePathSpec probe test):
+    // `sparkPlan` predates EnsureRequirements so exchanges don't exist
+    // in it yet, and under AQE they sit inside AdaptiveSparkPlanExec
+    // leaf wrappers — whose own inputPlan predates ITS EnsureRequire-
+    // ments pass too. A plan that isn't such a chain either already
+    // has cluster-wide parallelism downstream of its shuffle or isn't
+    // a scan heal candidate at all, so skipping it loses nothing.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrowChain(l: LogicalPlan): Boolean = l match {
+      case _: LeafNode => true
+      case r: Repartition if !r.shuffle => narrowChain(r.child) // coalesce
+      case n @ (_: Project | _: Filter | _: SubqueryAlias | _: Generate) =>
+        n.children.forall(narrowChain)
+      case _ => false
+    }
+    if (narrowChain(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /**

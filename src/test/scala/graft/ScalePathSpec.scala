@@ -700,6 +700,28 @@ class ScalePathSpec extends AnyFunSuite {
     lib.delete()
   }
 
+  test("scaleScan: heals 1-split scans, identity on split or exchanged plans") {
+    import graft.GraftFunctions.scaleScan
+    val p = spark.sparkContext.defaultParallelism
+    // 1-split input, exchange-free plan -> repartitioned to p
+    val narrow = spark.range(100).coalesce(1).toDF("id")
+    assert(scaleScan(narrow).rdd.getNumPartitions == p,
+      "1-split exchange-free input should be repartitioned")
+    // already-split input -> identity (same plan object, no new exchange)
+    val wide = spark.range(1000).repartition(p).toDF("id")
+    val healedWide = scaleScan(wide)
+    assert(healedWide eq wide, "already-parallel input must pass through")
+    // plan CONTAINING an exchange (r14 ADVICE fix): must not probe
+    // Dataset.rdd (which would materialize every upstream stage under
+    // AQE) and must pass the frame through unchanged even when the
+    // post-shuffle partition count is below defaultParallelism.
+    val exchanged = spark.range(100).toDF("id")
+      .groupBy((col("id") % 3).as("g")).count().coalesce(2)
+    val healed = scaleScan(exchanged)
+    assert(healed eq exchanged,
+      "plans with an Exchange must pass through un-probed")
+  }
+
   test("ivfKnnCached: build once, probes reuse the pinned assignment") {
     val corpus = emb.filter(col("vec_id") =!= 0)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
